@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operators — the full ksqlDB query surface of the
+  * reference, re-expressed as composable DataFrame transforms.
+  *
+  * Reference queries (cited per function) live in
+  * `/root/reference/ksqldb-statements.sql` and `/root/reference/commands.sql`.
+  * The driver fixtures play these roles:
+  *   - `events`   ≈ the `ratings` stream (event_id/user_id/value/event_type/
+  *     props/ts ≈ rating_id/user_id/stars/channel/message/rating_time)
+  *   - `customer` ≈ the CDC-sourced `CUSTOMERS` table (c_custkey/c_name/
+  *     c_mktsegment ≈ id/name/club_status)
+  *
+  * Every function is a pure `DataFrame => DataFrame` transform so the exact
+  * same logical plan runs in batch and in Structured Streaming
+  * ([[graft.streaming.Streams]]). All expressions are built-in
+  * `org.apache.spark.sql.functions` (whole-stage-codegen'd, no UDFs).
+  */
+object Relational {
+
+  /** Exact cross-engine aggregation: sum doubles as DECIMAL(18,4) so the
+    * result is order-independent (decimal addition is exact), then cast back
+    * to double. At 100 TB this also avoids the non-determinism of partial
+    * double sums across shuffle orders. */
+  def sumExact(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // --------------------------------------------------------------------- //
+  // F1/E1 — `CREATE STREAM RATINGS_LIVE AS SELECT * FROM RATINGS WHERE
+  // LCASE(CHANNEL) NOT LIKE '%test%'` (ksqldb-statements.sql:13-14) and its
+  // complement RATINGS_TEST (:16-17).
+  // --------------------------------------------------------------------- //
+  def eventsLive(events: DataFrame): DataFrame =
+    events.filter(!lower(col("event_type")).like("%error%"))
+
+  def eventsError(events: DataFrame): DataFrame =
+    events.filter(lower(col("event_type")).like("%error%"))
+
+  // --------------------------------------------------------------------- //
+  // J1/J2/E2/E3/F3/P3 — the flagship enrichment join
+  // `CREATE STREAM RATINGS_WITH_CUSTOMER_DATA AS SELECT ... FROM RATINGS_LIVE R
+  //  LEFT JOIN CUSTOMERS C ON CAST(R.USER_ID AS STRING) = C.CUSTOMER_ID
+  //  WHERE C.FIRST_NAME IS NOT NULL` (ksqldb-statements.sql:50-60).
+  //
+  // Scale notes: the dimension side is tiny relative to the fact stream, so
+  // Catalyst picks BroadcastHashJoin (no shuffle of the 100 TB fact side);
+  // we assert that in the bench. The join key is cast to string to mirror
+  // ksqlDB's `CAST(USER_ID AS STRING) = CUSTOMER_ID` (E3). `full_name` uses
+  // `concat`, which is null-propagating exactly like ksqlDB's `+` (E2) —
+  // NOT concat_ws, which would skip nulls and diverge.
+  // --------------------------------------------------------------------- //
+  def enriched(events: DataFrame, customers: DataFrame): DataFrame = {
+    val dim = broadcast(
+      customers.select(
+        col("c_custkey").cast("string").as("customer_id"),
+        concat(col("c_name"), lit(" ["), col("c_mktsegment"), lit("]"))
+          .as("full_name"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("club_status")))
+    events
+      .select(
+        col("event_id").as("rating_id"),
+        col("props").as("message"),
+        col("value").as("stars"),
+        col("event_type").as("channel"),
+        col("user_id").cast("string").as("customer_id"),
+        col("ts").as("event_ts"))
+      .join(dim, Seq("customer_id"), "left")
+      // F3: IS NOT NULL on the right side — Catalyst's EliminateOuterJoin
+      // rewrites LEFT JOIN + null-rejecting filter to INNER (J2), identical
+      // to ksqlDB's observable semantics.
+      .filter(col("name").isNotNull)
+      .select("rating_id", "message", "stars", "channel", "customer_id",
+        "full_name", "club_status")
+  }
+
+  // --------------------------------------------------------------------- //
+  // F2/R1 — `CREATE STREAM UNHAPPY_PLATINUM_CUSTOMERS AS SELECT ... WHERE
+  // STARS < 3 AND CLUB_STATUS = 'platinum' PARTITION BY FULL_NAME`
+  // (ksqldb-statements.sql:63-68). `PARTITION BY` re-keys the output stream;
+  // in Spark that is `repartition(col)` — an explicit hash Exchange, which a
+  // downstream co-partitioned consumer can reuse (shuffle reuse at scale).
+  // --------------------------------------------------------------------- //
+  def unhappyPlatinum(enrichedDf: DataFrame): DataFrame =
+    enrichedDf
+      .filter(col("stars") < 3 && col("club_status") === "BUILDING")
+      .select("full_name", "club_status", "stars", "message")
+      .repartition(col("full_name"))
+
+  // --------------------------------------------------------------------- //
+  // A1/A2/A3 — `CREATE TABLE RATINGS_PER_CUSTOMER_PER_15MINUTE AS SELECT
+  //  FULL_NAME, COUNT(*), COLLECT_LIST(STARS) FROM RATINGS_WITH_CUSTOMER_DATA
+  //  WINDOW TUMBLING (SIZE 15 MINUTE) GROUP BY FULL_NAME`
+  // (ksqldb-statements.sql:88-93).
+  //
+  // `window()` buckets are epoch-aligned tumbling windows, same as ksqlDB.
+  // collect_list order is arrival order in both engines, so results are
+  // exposed sorted (`sort_array`) to be comparable as multisets.
+  // Map-side partial aggregation halves the shuffled volume; the only
+  // shuffle is on (window, full_name) — exactly the ksqlDB repartition
+  // topic (readme EP3), but with AQE-coalesced partitions.
+  // --------------------------------------------------------------------- //
+  def ratingsPerCustomerPer15Min(enrichedWithTs: DataFrame): DataFrame =
+    enrichedWithTs
+      .groupBy(window(col("event_ts"), "15 minutes"), col("full_name"))
+      .agg(
+        count(lit(1)).as("ratings_count"),
+        sort_array(collect_list(col("stars"))).as("ratings"))
+      .select(
+        col("window.start").as("window_start"),
+        col("full_name"), col("ratings_count"), col("ratings"))
+
+  // --------------------------------------------------------------------- //
+  // A4 — TABLE semantics: latest value per key (implicit LATEST_BY_OFFSET).
+  // `CREATE TABLE CUSTOMERS (CUSTOMER_ID VARCHAR PRIMARY KEY) ...`
+  // (ksqldb-statements.sql:42-43); demonstrated at readme.md:316-342.
+  //
+  // Batch form: row_number over (key ORDER BY ordering DESC) == 1. A single
+  // hash shuffle on the key; at 100 TB prefer this over groupBy+max_by+join
+  // (one shuffle, no second pass). Streaming form lives in graft.cdc.Cdc.
+  // --------------------------------------------------------------------- //
+  def latestByKey(df: DataFrame, key: String, ordering: Column*): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(ordering.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // --------------------------------------------------------------------- //
+  // D2 — Kibana "median stars over time by club_status"
+  // (docker-compose.yml:347): percentiles(50) × date_histogram × terms.
+  // Exact `percentile` (interpolated, = DuckDB quantile_cont) for the
+  // oracle; `percentile_approx` is the 100 TB path (single-pass sketch, no
+  // sort) — both exposed.
+  // --------------------------------------------------------------------- //
+  def medianOverTime(events: DataFrame, interval: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), interval), col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 4).as("median_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("median_value"))
+
+  def medianOverTimeApprox(events: DataFrame, interval: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), interval), col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
+        .as("median_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("median_value"))
+
+  // --------------------------------------------------------------------- //
+  // D3 — count × date_histogram × terms(channel, top 5 by count)
+  // (docker-compose.yml:348).
+  // --------------------------------------------------------------------- //
+  def countsByTypeOverTime(events: DataFrame, interval: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), interval), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n"))
+
+  // --------------------------------------------------------------------- //
+  // D4 — top-k terms: ratings count per full_name, size 5 desc
+  // (docker-compose.yml:349). Deterministic tie-break on the key.
+  // At scale: groupBy-count is a partial-agg shuffle; the top-5 is a
+  // TakeOrderedAndProject (no global sort materialization).
+  // --------------------------------------------------------------------- //
+  def topKByCount(df: DataFrame, keyCol: String, k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+      .limit(k)
+}
