@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-envelope processing — the Debezium side of the reference.
+  *
+  * The reference CDC path (`/root/reference/ksqldb-statements.sql:19-38`)
+  * runs a Debezium MySQL source whose records are an envelope
+  * `{before, after, source, op, ts_ms}`; two SMTs flatten it before it ever
+  * reaches ksqlDB: `ExtractNewRecordState` (unwrap → after-image row, T1)
+  * and `ExtractField$Key` (struct key → scalar id, T2). The ksqlDB `CUSTOMERS`
+  * table then materializes latest-value-per-key (A4,
+  * `ksqldb-statements.sql:42-43`, demo at `readme.md:316-342`).
+  *
+  * Spark has no binlog reader, so parity is *processing* CDC events, not
+  * producing them (SURVEY §2.1 S3): [[envelope]] synthesizes a deterministic
+  * CDC stream from the `events` fixture; [[unwrap]] and [[latestByKeyTable]]
+  * are the engine operators under test. All transforms are null-safe struct
+  * ops that run identically in batch and Structured Streaming.
+  *
+  * Scale notes: the envelope is a nested struct column — Parquet/Tungsten
+  * keep it columnar, and `select($"after.*")` is a pure projection (no
+  * shuffle). The latest-by-key materialization is the only shuffle (hash by
+  * key), identical to Debezium→compacted-topic semantics.
+  */
+object Cdc {
+
+  /** Deterministic synthetic CDC envelope over the `events` fixture.
+    * op: every 10th event is a DELETE (tombstone, null after-image), every
+    * 3rd an UPDATE, the rest CREATEs — mirroring Debezium's c/u/d ops.
+    * `offset` stands in for the binlog position (Debezium `source.pos`);
+    * `ts_ms` is Debezium's envelope timestamp.
+    */
+  def envelope(events: DataFrame): DataFrame = {
+    val op = when(col("event_id") % 10 === 0, lit("d"))
+      .when(col("event_id") % 3 === 0, lit("u"))
+      .otherwise(lit("c"))
+    val image = struct(
+      col("event_id").as("id"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      col("props"))
+    events.select(
+      // T2 ExtractField$Key: scalar key, not a struct key
+      col("user_id").cast("string").as("key"),
+      when(op === "d", lit(null)).otherwise(image).as("after"),
+      op.as("op"),
+      unix_millis(col("ts")).as("ts_ms"),
+      col("event_id").as("offset"))
+  }
+
+  /** T1 `ExtractNewRecordState` ("unwrap"): envelope → after-image rows.
+    * Deletes become tombstones (null after) and are dropped, matching the
+    * SMT's default `drop.tombstones=true`. */
+  def unwrap(envelope: DataFrame): DataFrame =
+    envelope
+      .filter(col("op") =!= "d")
+      .select(col("after.*"), col("op"), col("ts_ms"))
+
+  /** A4 TABLE semantics over a CDC changelog: latest envelope per key wins;
+    * if the latest op is a DELETE the key disappears from the table
+    * (SURVEY §7.4 hard-part 5). One hash shuffle on the key. */
+  def latestByKeyTable(envelope: DataFrame): DataFrame =
+    Relational.latestByKey(envelope, "key", col("ts_ms"), col("offset"))
+      .filter(col("op") =!= "d")
+      .select(col("after.*"), col("ts_ms"))
+}

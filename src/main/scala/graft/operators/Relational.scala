@@ -75,7 +75,7 @@ object Relational {
       // to ksqlDB's observable semantics.
       .filter(col("name").isNotNull)
       .select("rating_id", "message", "stars", "channel", "customer_id",
-        "full_name", "club_status")
+        "full_name", "club_status", "event_ts")
   }
 
   // --------------------------------------------------------------------- //
@@ -173,4 +173,13 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(keyCol).asc)
       .limit(k)
+
+  // --------------------------------------------------------------------- //
+  // D5 — sorted detail search: latest-n events by timestamp desc
+  // (docker-compose.yml:344-345, sort on EXTRACT_TS desc). Physical plan is
+  // TakeOrderedAndProject — per-partition top-n then a single-driver merge
+  // of n×partitions rows, never a global sort of the 100 TB input.
+  // --------------------------------------------------------------------- //
+  def sortedRecent(events: DataFrame, n: Int): DataFrame =
+    events.orderBy(col("ts").desc, col("event_id").desc).limit(n)
 }
