@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, Relational}
+import graft.operators.{Analytics, Cdc, Dedup, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -99,6 +99,30 @@ object SparkEntry {
       Tables.events(s, d).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
+
+    // Multi-join analytics (SURVEY §2.8 at warehouse scale) — bench headliners
+    "q3_shipping" -> ((s, d) => Analytics.shippingPriority(s, d)),
+    "q5_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
+    "q_top_brands" -> ((s, d) => Analytics.topBrandsByRevenue(s, d)),
+    "q_order_priority" -> ((s, d) => Analytics.orderPriorityCount(s, d)),
+    "q_yearly_spend" -> ((s, d) => Analytics.customerYearlySpend(s, d)),
+
+    // --- training-data pipeline: text analysis -------------------------- //
+    "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+
+    // --- training-data pipeline: deduplication -------------------------- //
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+
+    // --- training-data pipeline: similarity search ---------------------- //
+    "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "q_neardup_embed" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
 
     // Headline TPC-H-style pricing summary (bench headline; exercises
     // multi-column grouped agg with exact decimal sums at scale)
@@ -226,6 +250,63 @@ object SparkEntry {
       FROM events
     """,
 
+    "q3_shipping" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+
+    "q5_local_supplier" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1 ORDER BY revenue DESC, n_name ASC
+    """,
+
+    "q_top_brands" -> """
+      SELECT p_brand,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1 ORDER BY revenue DESC, p_brand ASC LIMIT 5
+    """,
+
+    "q_order_priority" -> """
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      GROUP BY 1
+    """,
+
+    "q_yearly_spend" -> """
+      SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    """,
+
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -235,5 +316,177 @@ object SparkEntry {
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
-  )
+  ) ++ trainingOracles
+
+  /** Oracle SQL for the training-data-pipeline queries. These mirror the
+    * Spark logic exactly: identical md5-derived hashes, identical sequential
+    * fold order for floating sums (DuckDB `list_reduce` == Spark
+    * `aggregate`), matching integer widths, and filters applied at the same
+    * (raw vs rounded) stage. */
+  private def trainingOracles: Map[String, String] = {
+    // shared CTE fragments
+    val toks = """SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+                  FROM documents"""
+    val shingles = s"""SELECT doc_id, list_distinct(list_transform(
+                         range(0, len(toks) - 2),
+                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+                       FROM ($toks) WHERE len(toks) >= 3"""
+    def h64(e: String) = s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+    val markers = TextAnalysis.langMarkers
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+    val hitCols = markers.map { case (l, ws) =>
+      s"CAST(len(list_filter(toks, w -> w IN ${inList(ws)})) AS INTEGER) AS hits_$l"
+    }.mkString(",\n               ")
+    val langs = markers.map(_._1)
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(l2 => s"hits_$l >= hits_$l2").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n                    ")
+    // cosine with the exact same fold order as Spark's aggregate()
+    def cosSql(a: String, b: String) =
+      s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
+             * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))"""
+    val planes = graft.functions.Hashing.hyperplanes(8, 64)
+    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val bucketSql =
+      s"""CAST(list_sum(list_transform(range(0, 8), h -> CASE
+            WHEN list_reduce(list_transform(range(0, 64),
+                   i -> ($planesSql)[h+1][i+1] * v[i+1]), (x, y) -> x + y) > 0
+            THEN (1 << h) ELSE 0 END)) AS INTEGER)"""
+
+    Map(
+      "q_text_stats" -> s"""
+        SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / len(toks), 6) AS avg_token_len
+        FROM ($toks)
+      """,
+
+      "q_lang_id" -> s"""
+        WITH h AS (SELECT doc_id,
+               $hitCols
+          FROM ($toks))
+        SELECT doc_id,
+               CASE $caseChain
+                    ELSE '${langs.last}' END AS lang_guess,
+               greatest(${langs.map(l => s"hits_$l").mkString(", ")}) AS marker_hits
+        FROM h
+      """,
+
+      "q_quality" -> s"""
+        WITH r AS (
+          SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter(toks, w -> w IN ${inList(TextAnalysis.stopwords)})) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio
+          FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents))
+        SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+               round(ln(1 + n_tokens) * (1.0 - punct_ratio)
+                     * (1.0 + stopword_ratio), 6) AS quality_score
+        FROM r
+      """,
+
+      "q_fingerprint" -> s"""
+        SELECT doc_id, md5(norm_text) AS fp, ${h64("norm_text")} AS fp_int
+        FROM (SELECT doc_id,
+                     regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm_text
+              FROM documents)
+      """,
+
+      "q_dedup_exact" -> """
+        SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS canonical_id, count(*) AS n_dups
+        FROM documents GROUP BY 1
+      """,
+
+      "q_minhash_pairs" -> s"""
+        WITH t AS ($shingles),
+        sig AS (SELECT doc_id, list_transform(range(0, 16),
+                  hh -> list_min(list_transform(sh,
+                          s -> ${h64("CAST(hh AS VARCHAR) || ':' || s")}))) AS sig
+                FROM t),
+        bands AS (SELECT doc_id, band_id,
+                    md5(array_to_string(list_transform(
+                      list_slice(sig, band_id * 4 + 1, band_id * 4 + 4),
+                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
+                  FROM sig, (SELECT unnest(range(0, 4)) AS band_id))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+      """,
+
+      "q_simhash" -> s"""
+        WITH t AS (SELECT doc_id, list_transform(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     w -> ${h64("w")}) AS hs
+                   FROM documents)
+        SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> CASE
+                 WHEN list_sum(list_transform(hs,
+                        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS simhash
+        FROM t
+      """,
+
+      "q_ngram_jaccard" -> s"""
+        WITH t AS ($shingles),
+        e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM t),
+        rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM e GROUP BY 1)
+                 WHERE df <= ${Dedup.maxShingleDf}),
+        ef AS (SELECT e.* FROM e JOIN rare USING (s)),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sz AS sza, b.sz AS szb, count(*) AS inter
+              FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b, jaccard
+        FROM (SELECT doc_a, doc_b,
+                     round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
+              FROM p)
+        WHERE jaccard > 0.2
+      """,
+
+      "q_knn" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${cosSql("qv", "v")} AS score
+              FROM q JOIN e ON e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 5
+      """,
+
+      "q_neardup_embed" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     ${cosSql("a.v", "b.v")} AS score
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      "q_ann_lsh" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+              FROM bk WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("qv", "v")} AS score
+              FROM q JOIN bk c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 3
+      """
+    )
+  }
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multi-table analytical queries over the star schema — the "Kibana
+  * dashboard at warehouse scale" capability tier (SURVEY §2.8): large
+  * fact-fact and fact-dimension joins, grouped aggregation, top-k.
+  *
+  * These are the headline bench queries: they exercise exactly the physical
+  * properties that matter at 100 TB —
+  *   - dimension joins (region/nation/customer/supplier/part) are
+  *     BroadcastHashJoins: the fact side never shuffles for them;
+  *   - the one genuinely large join (orders ⋈ lineitem) is a shuffle
+  *     hash-join on the natural key, with both filters pushed below the
+  *     join into the parquet scans (`PushedFilters` in `.explain`);
+  *   - aggregates are partially applied map-side before the group-by
+  *     exchange; top-k is TakeOrderedAndProject (no global sort);
+  *   - AQE coalesces post-shuffle partitions and handles skew at runtime.
+  *
+  * Money sums go through DECIMAL(18,4) ([[Relational.sumExact]]) so results
+  * are exact and shuffle-order-independent across engines.
+  */
+object Analytics {
+
+  private def rev = col("l_extendedprice").cast("decimal(18,4)") *
+    (lit(1) - col("l_discount").cast("decimal(18,4)"))
+
+  /** TPC-H Q3-style shipping priority: top-10 unshipped orders by revenue
+    * for one market segment. */
+  def shippingPriority(s: SparkSession, d: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1998-03-15"): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === segment)
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit(cutoff))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cutoff))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: revenue per nation within one
+    * region and date window, where supplier and customer share the nation. */
+  def localSupplierVolume(s: SparkSession, d: String,
+                          region: String = "ASIA",
+                          from: String = "1996-01-01",
+                          until: String = "1998-01-01"): DataFrame = {
+    val reg = Tables.region(s, d).filter(col("r_name") === region)
+    val nat = Tables.nation(s, d)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+    val sup = Tables.supplier(s, d)
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Revenue per part brand, top-k — part is a broadcast dimension. */
+  def topBrandsByRevenue(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("p_brand").asc)
+      .limit(k)
+
+  /** Order-priority count histogram in a date window (TPC-H Q4 flavor,
+    * EXISTS rewritten as a left-semi join — no row duplication, and the
+    * semi-join short-circuits on first match). */
+  def orderPriorityCount(s: SparkSession, d: String,
+                         from: String = "1996-01-01",
+                         until: String = "1996-07-01"): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+    val late = Tables.lineitem(s, d).select("l_orderkey").distinct()
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Customer yearly spend roll-up — fact-fact join then re-aggregation;
+    * demonstrates two-level aggregation with the join key reused by the
+    * first group-by (no extra shuffle between join and agg). */
+  def customerYearlySpend(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("order_year"))
+      .agg(Relational.sumExact(col("o_totalprice")).as("spend"),
+        count(lit(1)).as("n_orders"))
+}

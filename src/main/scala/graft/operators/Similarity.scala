@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Similarity search over an embedding column (`array<float>`, 64-dim):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane
+  * LSH bucketing as the scale path, plus cosine near-duplicate pairing.
+  *
+  * Scale design:
+  *  - Brute force is a broadcast nested-loop of the (small) query set
+  *    against the full corpus — each executor scores its partition
+  *    locally, then per-query top-k. Exact, O(|Q|·N); the right baseline
+  *    and the recall oracle for the ANN path.
+  *  - LSH: each vector gets a compact bucket id (sign bits against a fixed
+  *    hyperplane matrix) in one scan pass; candidate generation is an
+  *    equi-join on bucket id, so N² never materializes. The hyperplanes are
+  *    driver-generated literals ([[Hashing.hyperplanes]]) — zero per-row
+  *    hashing cost and bit-identical in the oracle.
+  *  - Cosine is evaluated in double (floats widened first) so results are
+  *    engine-independent; all arithmetic is Catalyst higher-order
+  *    functions inside whole-stage codegen — no UDF boxing per element.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<double>` columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  private def asDouble(c: Column): Column =
+    transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors by cosine for each query vector (vec_id in
+    * [0, nQueries)), excluding self. */
+  def knnBruteForce(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+    val cands = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cands.join(queries, col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** All pairs (a < b) with cosine above `threshold` — brute-force form;
+    * compose with [[withLshBucket]] candidates for the 100 TB path. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** Sign-bit LSH bucket id against `numPlanes` fixed hyperplanes. Vectors
+    * in the same bucket are near-neighbor candidates. */
+  def withLshBucket(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = Hashing.hyperplanes(numPlanes, dim)
+    val planesSql = planes.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    emb.withColumn("v", asDouble(col("embedding")))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${numPlanes - 1}), 0, (acc, h) ->
+           |  acc + IF(aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE),
+           |             (a, i) -> a + $planesSql[h][i] * v[i]) > 0,
+           |           shiftleft(1, h), 0))""".stripMargin))
+  }
+
+  /** ANN top-k via LSH: candidates share the query's bucket, then exact
+    * cosine re-rank within the bucket. Trades recall for turning the N²
+    * scoring into a bucket-partitioned equi-join. */
+  def annLsh(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+             numPlanes: Int = 8): DataFrame = {
+    val bucketed = withLshBucket(emb, numPlanes)
+    val queries = broadcast(
+      bucketed.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("bucket").as("qbucket")))
+    val cands = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cands.join(queries,
+        col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, language identification, quality scoring, and document
+  * fingerprinting over the `documents` table.
+  *
+  * Everything is per-row array/string expressions (`split`, higher-order
+  * functions) — no UDFs, no shuffles, embarrassingly parallel at 100 TB:
+  * each operator is a single projection over the scan, and column pruning
+  * means only `doc_id`/`text` are ever read.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens (bag, not set). */
+  val tokensExpr = "split(lower(text), '\\\\s+')"
+
+  /** Alphabetically-ordered language marker sets for the n-gram/stopword
+    * language-ID heuristic. Real pipelines learn these profiles; the
+    * operator shape (argmax of per-language marker hit counts, deterministic
+    * tie-break on language code) is what matters. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "column", "batch"),
+    "en" -> Seq("the", "a", "data"),
+    "es" -> Seq("customer", "value", "row"),
+    "fr" -> Seq("merge", "join", "query"),
+    "zh" -> Seq("spark", "stream", "vector"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "dup", "slow")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Per-document token statistics: counts, distinct counts, mean length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(tokensExpr))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        expr("round(CAST(aggregate(toks, 0, (a, t) -> a + length(t)) AS DOUBLE) / size(toks), 6)")
+          .as("avg_token_len"))
+
+  /** Language ID: marker-hit count per language, argmax with alphabetical
+    * tie-break (first language in [[langMarkers]] order wins ties). */
+  def langId(docs: DataFrame): DataFrame = {
+    val hitCols = langMarkers.map { case (lang, words) =>
+      lang -> expr(s"size(filter(toks, t -> t IN ${inList(words)}))")
+    }
+    val withHits = docs
+      .withColumn("toks", expr(tokensExpr))
+      .select(col("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }: _*)
+    // argmax CASE chain: lang_i wins if its hits >= every later lang's hits
+    val langs = langMarkers.map(_._1)
+    val guess = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), elseCol) =>
+        val geAllLater = langs.drop(i + 1)
+          .map(l2 => col(s"hits_$lang") >= col(s"hits_$l2"))
+          .reduce(_ && _)
+        when(geAllLater, lit(lang)).otherwise(elseCol)
+    }
+    withHits.select(
+      col("doc_id"),
+      guess.as("lang_guess"),
+      greatest(langs.map(l => col(s"hits_$l")): _*).as("marker_hits"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword signals and a composite
+    * score — the standard cheap pre-filter before expensive dedup stages. */
+  def qualityScore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("punct_ratio",
+        expr("round(CAST(regexp_count(text, '[^\\\\w\\\\s]') AS DOUBLE) / length(text), 6)"))
+      .withColumn("stopword_ratio",
+        expr(s"round(CAST(size(filter(toks, t -> t IN ${inList(stopwords)})) AS DOUBLE) / size(toks), 6)"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"),
+        expr("round(ln(1 + n_tokens) * (1.0 - punct_ratio) * (1.0 + stopword_ratio), 6)")
+          .as("quality_score"))
+
+  /** Document fingerprint: md5 of whitespace-normalized text plus its 60-bit
+    * integer form (for bucketing/joins on a fixed-width key). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_text",
+        regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+      .select(
+        col("doc_id"),
+        md5(col("norm_text")).as("fp"),
+        expr(Hashing.hash64("norm_text")).as("fp_int"))
+}
