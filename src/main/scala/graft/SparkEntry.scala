@@ -407,7 +407,9 @@ object SparkEntry {
         WITH t AS ($shingles),
         sig AS (SELECT doc_id, list_transform(range(0, 16),
                   hh -> list_min(list_transform(sh,
-                          s -> ${h64("CAST(hh AS VARCHAR) || ':' || s")}))) AS sig
+                          s -> ${h64("s")}
+                               + hh * (${graft.functions.Hashing.hash64HiDuckDb("s")}
+                                       & ${graft.functions.Hashing.maskKM})))) AS sig
                 FROM t),
         bands AS (SELECT doc_id, band_id,
                     md5(array_to_string(list_transform(
@@ -435,10 +437,14 @@ object SparkEntry {
 
       "q_ngram_jaccard" -> s"""
         WITH t AS ($shingles),
-        e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM t),
-        rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM e GROUP BY 1)
-                 WHERE df <= ${Dedup.maxShingleDf}),
-        ef AS (SELECT e.* FROM e JOIN rare USING (s)),
+        e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
+              FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),
+        ef AS (SELECT doc_id, sz, s FROM (
+                 SELECT doc_id, s,
+                        count(*) OVER (PARTITION BY doc_id) AS sz,
+                        count(*) OVER (PARTITION BY s) AS df
+                 FROM e)
+               WHERE df <= ${Dedup.maxShingleDf}),
         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.sz AS sza, b.sz AS szb, count(*) AS inter
               FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id

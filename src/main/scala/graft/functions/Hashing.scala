@@ -24,6 +24,21 @@ object Hashing {
   def hash64DuckDb(sqlExpr: String): String =
     s"CAST(('0x' || substring(md5($sqlExpr), 1, 15)) AS BIGINT)"
 
+  /** Second independent 60-bit hash from the same md5 (hex digits 17-31) —
+    * the md5 is computed once per row (codegen subexpression elimination);
+    * together with [[hash64]] it seeds Kirsch-Mitzenmacher double hashing
+    * `h_i = h1 + i * (h2 & maskKM)` for k-wise hash families without k md5
+    * evaluations per element. */
+  def hash64Hi(sqlExpr: String): String =
+    s"CAST(conv(substring(md5($sqlExpr), 17, 15), 16, 10) AS BIGINT)"
+
+  def hash64HiDuckDb(sqlExpr: String): String =
+    s"CAST(('0x' || substring(md5($sqlExpr), 17, 15)) AS BIGINT)"
+
+  /** 2^56-1: caps h2 so `h1 + 15 * h2` stays well inside signed int64 in
+    * every engine (DuckDB errors on BIGINT overflow; Spark would wrap). */
+  val maskKM = 72057594037927935L
+
   /** Deterministic pseudo-random doubles in [-1, 1) for LSH hyperplanes —
     * generated once on the driver from a fixed seed and inlined as literals
     * into both the Spark plan and the oracle SQL, so the (tiny) plane matrix

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`, `transform`)
+  * evaluate their lambdas interpreted (CodegenFallback) — ~30 µs per cosine
+  * on 64-dim vectors, which dominates any all-pairs or top-k scoring stage.
+  * These expressions generate a tight Java loop inside whole-stage codegen
+  * instead (and provide a matching interpreted `eval` for completeness),
+  * making per-pair scoring memory-bound rather than interpreter-bound.
+  *
+  * Arithmetic parity with the DuckDB oracle: element access widens floats to
+  * double (exact), and every accumulation is a sequential left-to-right fold
+  * — identical to `list_reduce(list_transform(...), (x, y) -> x + y)`.
+  * Array elements are assumed non-null (embedding columns).
+  */
+object VectorExpressions {
+
+  /** Cosine similarity of two float/double array columns, codegen'd. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      CosineSim(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Sign-bit LSH bucket of a float/double array column against the fixed
+    * hyperplane matrix, codegen'd. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      LshSignBucket(GraftColumnBridge.expression(v), planes))
+
+  private[functions] def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  private[functions] def getD(arr: ArrayData, i: Int, dt: DataType): Double =
+    dt match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _         => arr.getDouble(i)
+    }
+
+  /** Java source fragment reading element `i` of `arr` as double. */
+  private[functions] def getJava(arr: String, i: String, dt: DataType): String =
+    dt match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
+    }
+}
+
+/** `cosine_sim(a, b)` = dot(a,b) / (||a||·||b||), one fused loop. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (dtx, dty) = (elemType(left), elemType(right))
+    val n = x.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = getD(x, i, dtx); val xb = getD(y, i, dty)
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
+      s"""
+         |int $n = $a.numElements();
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = ${getJava(a, i, elemType(left))};
+         |  double $xb = ${getJava(b, i, elemType(right))};
+         |  $dot += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lsh_bucket(v)`: bit `h` of the result is set iff `planes(h) · v > 0`.
+  * The plane matrix is a driver-side constant shipped once per task via a
+  * codegen reference object — zero per-row setup cost. */
+case class LshSignBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dt = elemType(child)
+    var bucket = 0
+    var h = 0
+    while (h < planes.length) {
+      val p = planes(h)
+      var dot = 0.0
+      var i = 0
+      while (i < p.length) { dot += p(i) * getD(x, i, dt); i += 1 }
+      if (dot > 0) bucket |= (1 << h)
+      h += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pl = ctx.addReferenceObj("planes", planes, "double[][]")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val p = ctx.freshName("p")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $bucket = 0;
+         |for (int $h = 0; $h < $pl.length; $h++) {
+         |  double[] $p = $pl[$h];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $p.length; $i++) {
+         |    $dot += $p[$i] * ${getJava(v, i, elemType(child))};
+         |  }
+         |  if ($dot > 0) $bucket |= (1 << $h);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

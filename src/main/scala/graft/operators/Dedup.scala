@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -10,8 +11,11 @@ import graft.functions.Hashing
   * `documents` table.
   *
   * Scale design:
-  *  - Signatures (minhash/simhash) are per-row array expressions — a single
-  *    projection over the scan, no shuffle, no UDF.
+  *  - SimHash signatures are per-row array expressions — a single projection
+  *    over the scan, no shuffle, no UDF. MinHash explodes shingles and
+  *    computes the k minima as group-by aggregates (see
+  *    [[minhashSignatures]]) — partial aggregation keeps the shuffle at
+  *    k longs per document.
   *  - Candidate generation shuffles only (doc_id, band_key) pairs — a few
   *    dozen bytes/doc — never document text. The band join is an equi-join
   *    on the band hash, so Catalyst plans a shuffle hash-join partitioned by
@@ -35,24 +39,45 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles per document (the Jaccard universe). */
-  def withShingles(docs: DataFrame, n: Int = 3): DataFrame =
+  /** One row per (document, n-gram position) with both 60-bit md5 halves of
+    * the shingle ([[Hashing.hash64]]/[[Hashing.hash64Hi]] — one md5, CSE'd).
+    *
+    * Explode-first on purpose: generating shingles as an array via
+    * `transform(sequence(...), i -> toks[i] || ...)` looks natural but is a
+    * performance trap — higher-order lambdas are interpreted, and
+    * CollapseProject + filter pushdown inline `split(lower(text))` into
+    * every element access, re-tokenizing the document O(positions) times.
+    * Here tokenization is materialized once per document below the
+    * `Generate`, and every downstream expression (concat, md5, conv) is a
+    * codegen'd scalar — the whole stage stays in WholeStageCodegen. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val cat = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
     docs
-      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
       .filter(size(col("toks")) >= n)
-      .withColumn("sh", expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $n),
-           |  i -> ${(0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")}))"""
-          .stripMargin))
-
-  /** MinHash signatures: k independent md5-seeded min-hashes over the
-    * shingle set. One pass, one array column, no shuffle. */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
-    val h = Hashing.hash64("concat(cast(hh AS string), ':', s)")
-    withShingles(docs, n)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $n)")).as("i"))
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, ${k - 1}), hh -> array_min(transform(sh, s -> $h)))")
-          .as("sig"))
+        expr(Hashing.hash64(s"($cat)")).as("h1"),
+        expr(Hashing.hash64Hi(s"($cat)")).as("h2"))
+  }
+
+  /** MinHash signatures: k min-hashes over the shingle set, via
+    * Kirsch-Mitzenmacher double hashing (`h_i = h1 + i·h2`, one md5 per
+    * shingle). Shingles are exploded so the hash runs in a codegen'd
+    * projection (higher-order-function lambdas are interpreted and were the
+    * hot path); the k per-document minima are k `min` aggregates with
+    * map-side partial aggregation, so the shuffle carries k longs per
+    * document regardless of document size — the 100 TB-safe shape. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
+    // min is duplicate-insensitive, so no per-document distinct pass needed.
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2").bitwiseAND(lit(Hashing.maskKM)))
+        .as(s"m_$i"))
+    shingleRows(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
@@ -103,13 +128,20 @@ object Dedup {
     * explode → equi-join on shingle → per-pair intersection counts. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.2): DataFrame = {
-    val e = withShingles(docs, n)
-      .select(col("doc_id"), size(col("sh")).as("sz"),
-        explode(col("sh")).as("s"))
-    val rare = e.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // Inverted-index self-join on the 60-bit shingle hash — 8-byte join
+    // keys, long comparisons, and a shuffle that never carries text.
+    // Set size and document frequency come from two stacked window counts:
+    // the df window's exchange leaves `ef` hash-partitioned by `s`, which is
+    // exactly the join's required distribution, and both join sides are the
+    // identical subtree, so ReuseExchange evaluates it once.
+    val e = shingleRows(docs, n)
+      .select(col("doc_id"), col("h1").as("s"))
+      .distinct()
+    val ef = e
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= maxShingleDf)
-      .select("s")
-    val ef = e.join(rare, "s")
+      .select("doc_id", "sz", "s")
     val a = ef.alias("a")
     val b = ef.alias("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

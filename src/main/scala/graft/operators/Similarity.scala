@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, VectorExpressions}
 
 /** Similarity search over an embedding column (`array<float>`, 64-dim):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
@@ -26,25 +26,18 @@ import graft.functions.Hashing
   */
 object Similarity {
 
-  /** Cosine similarity of two `array<double>` columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
-    val na = aggregate(a, lit(0.0), (acc, x) => acc + x * x)
-    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x * x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
-
-  private def asDouble(c: Column): Column =
-    transform(c, _.cast("double"))
+  /** Cosine similarity — codegen'd native expression
+    * ([[VectorExpressions.cosineSim]]); accepts float or double arrays. */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k neighbors by cosine for each query vector (vec_id in
     * [0, nQueries)), excluding self. */
   def knnBruteForce(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     val queries = broadcast(
       emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
     val cands = emb.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+      col("embedding").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands.join(queries, col("neighbor_id") =!= col("query_id"))
@@ -58,8 +51,8 @@ object Similarity {
   /** All pairs (a < b) with cosine above `threshold` — brute-force form;
     * compose with [[withLshBucket]] candidates for the 100 TB path. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), asDouble(col("embedding")).as("va"))
-    val b = emb.select(col("vec_id").as("vec_b"), asDouble(col("embedding")).as("vb"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("score", cosine(col("va"), col("vb")))
       .filter(col("score") > threshold)
@@ -70,14 +63,8 @@ object Similarity {
     * in the same bucket are near-neighbor candidates. */
   def withLshBucket(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = Hashing.hyperplanes(numPlanes, dim)
-    val planesSql = planes.map(_.mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-    emb.withColumn("v", asDouble(col("embedding")))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${numPlanes - 1}), 0, (acc, h) ->
-           |  acc + IF(aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE),
-           |             (a, i) -> a + $planesSql[h][i] * v[i]) > 0,
-           |           shiftleft(1, h), 0))""".stripMargin))
+    emb.withColumn("v", col("embedding"))
+      .withColumn("bucket", VectorExpressions.lshBucket(col("embedding"), planes))
   }
 
   /** ANN top-k via LSH: candidates share the query's bucket, then exact
