@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+
+/** Structured Streaming surface — the reference's push-query/CSAS side.
+  *
+  * Every ksqlDB persistent query in the reference
+  * (`/root/reference/ksqldb-statements.sql`) is `source → transform → sink`
+  * over Kafka topics. The transforms themselves are the *same* pure
+  * `DataFrame => DataFrame` functions as batch ([[graft.operators.Relational]]);
+  * this object supplies the streaming sources/sinks around them, so a CSAS
+  * like `RATINGS_WITH_CUSTOMER_DATA` is
+  * `toKafka(Relational.enriched(kafkaEvents(...), customersSnapshot), ...)` —
+  * one Catalyst plan per sink, exactly ksqlDB's
+  * one-persistent-query-per-CSAS model (SURVEY §3 EP2).
+  *
+  * Scale notes: the enrichment join is stream-static — the dimension
+  * snapshot is re-read and broadcast per microbatch, so the unbounded fact
+  * stream is never shuffled. Windowed aggregation state is partitioned by
+  * (window, key) across `spark.sql.shuffle.partitions` state-store
+  * partitions; at 1000 executors that knob (plus RocksDB state store) is
+  * the scaling lever.
+  */
+object Streams {
+
+  /** Schema of the `events` fixture ≈ the reference's `ratings` topic. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  // ------------------------------------------------------------------- //
+  // Sources
+  // ------------------------------------------------------------------- //
+
+  /** S1/S2/S5 — Kafka topic → stream scan (production shape; needs the
+    * spark-sql-kafka connector on the classpath, absent in this test
+    * container). The reference declares this as `CREATE STREAM RATINGS WITH
+    * (KAFKA_TOPIC='ratings', VALUE_FORMAT='AVRO')` (commands.sql:13); with a
+    * schema registry the `from_json` below becomes `from_avro`.
+    * `startingOffsets` mirrors `SET 'auto.offset.reset'`
+    * (ksqldb-statements.sql:49). */
+  def kafkaEvents(spark: SparkSession, bootstrapServers: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(
+        col("key").cast("string").as("key"), // StringConverter keys
+        from_json(col("value").cast("string"), eventSchema).as("v"),
+        col("timestamp").as("kafka_ts")) // ROWTIME analog
+      .select(col("key"), col("v.*"), col("kafka_ts"))
+
+  /** File-based append stream over a fixture directory — the test/local
+    * stand-in for a topic: each new parquet file is a microbatch. */
+  def fileEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** S4 — synthetic generator (the reference's Datagen `ratings` quickstart,
+    * docker-compose.yml:140-148): rate source → deterministic ratings-shaped
+    * columns. `rowsPerSecond=2` ≈ the reference's ≤750 ms interval. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 2): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (pmod(col("value") * 2654435761L, lit(1499)) + 1).as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase"), lit("error")),
+          (pmod(col("value"), lit(4)) + 1).cast("int")).as("event_type"),
+        (pmod(col("value") * 40503L, lit(5)) + 1).cast("double").as("value"),
+        concat(lit("{\"k\": "), pmod(col("value"), lit(100)), lit("}"))
+          .as("props"))
+
+  // ------------------------------------------------------------------- //
+  // Continuous queries (CSAS bodies) — reuse the batch transforms
+  // ------------------------------------------------------------------- //
+
+  /** `RATINGS_LIVE` CSAS (ksqldb-statements.sql:13-14). */
+  def liveEvents(events: DataFrame): DataFrame = Relational.eventsLive(events)
+
+  /** Flagship enrichment CSAS (ksqldb-statements.sql:50-60) as a
+    * stream-static join: `customersSnapshot` is a batch DataFrame (the
+    * latest-by-key table view); Spark re-evaluates it per microbatch, so
+    * dimension updates are visible to *future* events only — the same
+    * observable timing as ksqlDB's stream-table join (readme.md:432-455). */
+  def enrichedStream(events: DataFrame, customersSnapshot: DataFrame): DataFrame =
+    Relational.enriched(events, customersSnapshot)
+
+  /** `UNHAPPY_PLATINUM_CUSTOMERS` CSAS (ksqldb-statements.sql:63-68). */
+  def unhappyStream(enrichedDf: DataFrame): DataFrame =
+    Relational.unhappyPlatinum(enrichedDf)
+
+  /** `RATINGS_PER_CUSTOMER_PER_15MINUTE` CTAS (ksqldb-statements.sql:88-93),
+    * for `outputMode("update")` — ksqlDB's `EMIT CHANGES` on a windowed
+    * table. No watermark by default: ksqlDB never expires these windows
+    * (late data always merges — SURVEY §7.4), at the cost of unbounded
+    * state; pass `watermark` to bound state for the 100 TB deployment and
+    * accept dropping data later than the delay. */
+  def windowedRatings(enrichedDf: DataFrame,
+                      watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(enrichedDf)(enrichedDf.withWatermark("event_ts", _))
+    Relational.ratingsPerCustomerPer15Min(in)
+  }
+
+  /** L1 — streaming `LIMIT n` (`SELECT * FROM RATINGS_LIVE EMIT CHANGES
+    * LIMIT 5`, commands.sql:24-25): emit the first n rows then nothing. */
+  def streamingLimit(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  // ------------------------------------------------------------------- //
+  // Sinks
+  // ------------------------------------------------------------------- //
+
+  /** K1 — CSAS/CTAS sink: persist a continuous query's output to a Kafka
+    * topic (production shape; JSON here, `to_avro` with a registry). */
+  def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
+              keyCol: String, checkpoint: String): DataStreamWriter[_] =
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K5 — `PRINT topic` / CLI tail. */
+  def toConsole(df: DataFrame): DataStreamWriter[_] =
+    df.writeStream.format("console").option("truncate", "false")
+
+  /** Materialize a continuous query into an in-memory table — the pull-query
+    * serving layer for tests/demos (EP3): batch `spark.sql` against
+    * `tableName` is the pull query. */
+  def toMemoryTable(df: DataFrame, tableName: String,
+                    mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory")
+      .queryName(tableName)
+      .outputMode(mode)
+      .start()
+
+  /** Pull query (ksqldb-statements.sql:104-110): point-in-time lookup on the
+    * materialized windowed table by key and window-start range. */
+  def pullQuery(spark: SparkSession, tableName: String, fullName: String,
+                windowStartAfter: java.sql.Timestamp): DataFrame =
+    spark.table(tableName)
+      .filter(col("full_name") === fullName &&
+        col("window_start") > lit(windowStartAfter))
+}

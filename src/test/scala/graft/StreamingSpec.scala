@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.{Cdc, Relational}
+import graft.sources.Tables
+import graft.streaming.{CdcStream, Streams}
+
+/** Streaming-parity tests: the same logical pipelines as the batch specs,
+  * driven microbatch-by-microbatch through MemoryStream, asserting the
+  * reference's observable semantics (stream/table duality, update-mode
+  * windowed aggregation, stream-static join timing). */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ev(id: Long, ts: String, user: Long, typ: String, v: Double): Event =
+    Event(id, Timestamp.valueOf(ts), user, typ, v, s"""{"k": $id}""")
+
+  test("streaming filter matches batch filter semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Streams.liveEvents(in.toDF()), "live_stream_test")
+    in.addData(
+      ev(1, "2024-01-01 00:00:01", 1, "click", 4),
+      ev(2, "2024-01-01 00:00:02", 2, "ERROR_page", 2),
+      ev(3, "2024-01-01 00:00:03", 3, "view", 5))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("live_stream_test").select("event_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 3L))
+  }
+
+  test("stream-static enrichment join equals the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val customers = Tables.customer(spark, sf)
+    val batchEvents = Relational.eventsLive(Tables.events(spark, sf))
+    val expected = Relational.enriched(batchEvents, customers)
+      .drop("event_ts").collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Streams.enrichedStream(
+        Streams.liveEvents(in.toDF()), customers).drop("event_ts"),
+      "enriched_stream_test")
+    // feed the same fixture rows in two microbatches
+    val rows = Tables.events(spark, sf).as[Event].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched_stream_test").collect().map(_.toSeq).toSet
+    assert(got === expected)
+  }
+
+  test("windowed aggregation in update mode emits refined counts per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val enriched = Streams.enrichedStream(
+      Streams.liveEvents(in.toDF()), Tables.customer(spark, sf))
+    val q = Streams.toMemoryTable(
+      Streams.windowedRatings(enriched), "win_stream_test", OutputMode.Update())
+
+    in.addData(ev(1, "2024-01-01 00:01:00", 1, "click", 4))
+    q.processAllAvailable()
+    in.addData(ev(2, "2024-01-01 00:05:00", 1, "view", 2)) // same 15-min window
+    q.processAllAvailable(); q.stop()
+
+    val updates = spark.table("win_stream_test")
+      .select("ratings_count").as[Long].collect().sorted
+    // update mode: first batch emits count=1, second re-emits the same
+    // window refined to count=2 — the table-changelog contract
+    assert(updates.toSeq === Seq(1L, 2L))
+  }
+
+  test("CDC latest-by-key stream converges to the batch table view") {
+    implicit val sqlCtx = spark.sqlContext
+    val envelopeDf = Cdc.envelope(Tables.events(spark, sf))
+    val expected = Cdc.latestByKeyTable(envelopeDf)
+      .select(col("id")).as[Long].collect().toSet
+
+    val in = MemoryStream[CdcStream.CdcEvent]
+    val q = Streams.toMemoryTable(
+      CdcStream.latestByKey(in.toDS()).toDF(),
+      "cdc_stream_test", OutputMode.Update())
+    val events = CdcStream.asCdcEvents(envelopeDf).collect()
+    val (b1, b2) = events.splitAt(events.length / 2)
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable(); q.stop()
+
+    // latest update per key across all emitted changes = the table view
+    val table = spark.table("cdc_stream_test")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(col("ts_ms").desc)))
+      .filter(col("rn") === 1 && !col("deleted"))
+    val got = table.select("id").as[Long].collect().map(identity).toSet
+    assert(got === expected)
+  }
+
+  test("tombstone deletes the key from the streaming table state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[CdcStream.CdcEvent]
+    val q = Streams.toMemoryTable(
+      CdcStream.latestByKey(in.toDS()).toDF(),
+      "cdc_tombstone_test", OutputMode.Update())
+    val img = CdcStream.CdcImage(1, 7, "click", 4.0, "{}")
+    in.addData(CdcStream.CdcEvent("7", Some(img), "c", 1000L, 1L))
+    q.processAllAvailable()
+    in.addData(CdcStream.CdcEvent("7", None, "d", 2000L, 2L))
+    q.processAllAvailable(); q.stop()
+    val changes = spark.table("cdc_tombstone_test")
+      .orderBy("ts_ms").select("deleted").as[Boolean].collect()
+    assert(changes.toSeq === Seq(false, true))
+  }
+
+  test("streaming limit emits exactly n rows then nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Streams.streamingLimit(in.toDF(), 2), "limit_stream_test")
+    in.addData((1L to 5L).map(i =>
+      ev(i, s"2024-01-01 00:00:0$i", i, "click", 1)): _*)
+    q.processAllAvailable()
+    in.addData(ev(9, "2024-01-01 00:00:09", 9, "click", 1))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("limit_stream_test").count() === 2)
+  }
+}
+
+/** Typed row of the `events` fixture for MemoryStream feeding. */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
