@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Cdc, Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -118,6 +118,20 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+
+    // --- training-data pipeline: multimodal binary columns -------------- //
+    // (decode/feature/frame content is a deterministic STUB — no codecs in
+    // this container; the binary-column schema, typed metadata, and
+    // mapPartitions batch shape are the real plumbing. See Multimodal.)
+    "q_media_decode" -> ((s, d) =>
+      Multimodal.decode(Multimodal.asMediaRows(
+        Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMediaRows(
+        Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.asMediaRows(
+        Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -454,6 +468,33 @@ object SparkEntry {
                      round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
               FROM p)
         WHERE jaccard > 0.2
+      """,
+
+      "q_media_decode" -> """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(length(text) AS INTEGER) AS byte_len,
+               md5(text) AS content_hash,
+               CAST(64 + doc_id % 1024 AS INTEGER) AS width,
+               CAST(64 + length(text) % 768 AS INTEGER) AS height
+        FROM documents
+      """,
+
+      "q_media_features" -> """
+        SELECT doc_id AS media_id,
+               list_transform(range(0, 8),
+                 j -> CAST(('0x' || substring(md5(text), j*2+1, 2)) AS INTEGER)
+                      / 255.0) AS features
+        FROM documents
+      """,
+
+      "q_media_frames" -> """
+        SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+               md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_hash
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, least((length(text) * 40) // 1000, 5))) AS i
+              FROM documents WHERE doc_id % 3 = 2)
       """,
 
       "q_knn" -> s"""

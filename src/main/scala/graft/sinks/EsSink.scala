@@ -1,0 +1,118 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.TimestampType
+
+/** Elasticsearch sink shape — the reference's Kafka-Connect ES sink
+  * connectors re-expressed as `foreachBatch` bulk writers.
+  *
+  * The reference runs two connector configs:
+  *  - `sink-elastic-ratings`: `key.ignore=false` → doc `_id` = record key,
+  *    i.e. idempotent upsert (`/root/reference/commands.sql:1-11`, K2), plus
+  *    an `InsertField` SMT injecting the record timestamp as `RATING_TS`
+  *    (T3).
+  *  - `sink-elastic-01`: multi-topic, `key.ignore=true` → auto `_id`
+  *    (append-only), `EXTRACT_TS` injection, `errors.tolerance=all` +
+  *    `behavior.on.malformed.documents=warn` — log and skip bad docs
+  *    (`ksqldb-statements.sql:70-85`, K3).
+  * The ES index template types any `*_TS` field as `date`
+  * (`docker-compose.yml:295-300`, K4) — honored here by rendering `*_TS`
+  * (and all timestamp) columns as ISO-8601 strings in the emitted JSON.
+  *
+  * Doc construction is pure Catalyst (`to_json(struct(...))`,
+  * whole-stage-codegen'd, correct JSON escaping); only the transport is
+  * driver-pluggable. Exactly-once to ES: checkpointing gives at-least-once
+  * per microbatch, and `_id`-keyed upserts make the replay idempotent — the
+  * same delivery contract as the reference's Connect + `key.ignore=false`
+  * path (SURVEY §4).
+  */
+object EsSink {
+
+  /** T3 — `InsertField$Value` timestamp SMT: inject the processing-time
+    * extraction timestamp. The reference uses the Kafka record timestamp;
+    * pass `eventTime` to mirror that, otherwise wall-clock. */
+  def withExtractTs(df: DataFrame, name: String = "EXTRACT_TS",
+                    eventTime: Option[String] = None): DataFrame =
+    df.withColumn(name,
+      eventTime.map(col).getOrElse(current_timestamp()))
+
+  /** K4 — render every timestamp-typed or `*_TS`-named column as ISO-8601
+    * with millis (the `strict_date_optional_time` shape ES's dynamic `date`
+    * mapping expects). */
+  def renderTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == TimestampType || f.name.toUpperCase.endsWith("_TS"))
+        acc.withColumn(f.name,
+          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+      else acc
+    }
+
+  /** One `_bulk` entry (action line + newline + source doc) per row.
+    * `idCol = Some(key)` is the `key.ignore=false` mode (doc `_id` = key →
+    * idempotent upsert); `None` is `key.ignore=true` (auto `_id`,
+    * append-only). Malformed rows (null docs) are dropped, mirroring
+    * `behavior.on.malformed.documents=warn` + `errors.tolerance=all`. */
+  def bulkLines(df: DataFrame, index: String,
+                idCol: Option[String] = None): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val rendered = renderTimestamps(df)
+    val action = idCol match {
+      // to_json of a nested struct emits the exact bulk action line with
+      // correct JSON escaping of the id value
+      case Some(k) => to_json(struct(
+        struct(lit(index).as("_index"),
+          col(k).cast("string").as("_id")).as("index")))
+      case None => lit(s"""{"index":{"_index":"$index"}}""")
+    }
+    rendered
+      .select(concat(action, lit("\n"),
+        to_json(struct(rendered.columns.map(col): _*))).as("line"))
+      .filter(col("line").isNotNull)
+      .as[String]
+  }
+
+  /** Streaming ES sink: per microbatch, build bulk lines and hand each
+    * partition to `transport` (an HTTP `_bulk` POST in production; the test
+    * transport appends to local files). Per-partition batching bounds the
+    * bulk-request size; a failed partition fails the microbatch and is
+    * retried from the checkpoint — at-least-once, idempotent when
+    * `idCol` is set. */
+  def writeStream(df: DataFrame, index: String, idCol: Option[String],
+                  checkpoint: String, transport: BulkTransport): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, index, idCol, transport); ()
+      }
+      .start()
+
+  /** Batch form of the sink (also the `foreachBatch` body). */
+  def writeBatch(batch: DataFrame, index: String, idCol: Option[String],
+                 transport: BulkTransport): Unit =
+    bulkLines(batch, index, idCol).foreachPartition {
+      (lines: Iterator[String]) => transport.send(lines)
+    }
+}
+
+/** Transport for `_bulk` payload chunks. Production: HTTP POST to
+  * `/_bulk` with error-tolerant response parsing. Tests: append to a local
+  * spool directory. Must be Serializable (runs on executors). */
+trait BulkTransport extends Serializable {
+  def send(lines: Iterator[String]): Unit
+}
+
+/** Test/local transport: appends each partition's bulk payload to a
+  * uniquely-named file under `dir` — the "index" is inspectable as NDJSON. */
+class FileBulkTransport(dir: String) extends BulkTransport {
+  def send(lines: Iterator[String]): Unit = {
+    val chunk = lines.mkString("\n")
+    if (chunk.nonEmpty) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val f = java.nio.file.Paths.get(dir,
+        s"bulk-${java.util.UUID.randomUUID()}.ndjson")
+      java.nio.file.Files.writeString(f, chunk + "\n")
+    }
+  }
+}

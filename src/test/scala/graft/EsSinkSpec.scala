@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.sinks.{EsSink, FileBulkTransport}
+
+class EsSinkSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("bulk lines: keyed mode sets _id (idempotent upsert), auto mode omits it") {
+    val df = Seq((1L, "alice"), (2L, "bo\"b")).toDF("id", "name")
+    val keyed = EsSink.bulkLines(df, "ratings", Some("id")).collect()
+    assert(keyed.forall(_.startsWith("""{"index":{"_index":"ratings","_id":""")))
+    val auto = EsSink.bulkLines(df, "enriched", None).collect()
+    assert(auto.forall(_.startsWith("""{"index":{"_index":"enriched"}}""" + "\n")))
+    // doc payload is valid JSON with escaping intact
+    assert(auto.exists(_.contains("""bo\"b""")))
+  }
+
+  test("*_TS and timestamp columns render as ISO-8601 dates (index template rule)") {
+    val df = Seq((1L, Timestamp.valueOf("2024-03-01 12:30:45.5")))
+      .toDF("id", "RATING_TS")
+    val line = EsSink.bulkLines(df, "idx", None).collect().head
+    assert(line.contains(""""RATING_TS":"2024-03-01T12:30:45.500Z""""))
+  }
+
+  test("EXTRACT_TS injection mirrors the InsertField SMT") {
+    val df = Seq((1L, Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("id", "ts")
+    val out = EsSink.withExtractTs(df, eventTime = Some("ts"))
+    assert(out.columns.contains("EXTRACT_TS"))
+    val line = EsSink.bulkLines(out, "idx", None).collect().head
+    assert(line.contains(""""EXTRACT_TS":"2024-03-01T00:00:00.000Z""""))
+  }
+
+  test("keyed bulk replay is idempotent under a tiny ES model") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val lines = EsSink.bulkLines(df, "idx", Some("id")).collect()
+    // apply the same bulk twice to a map keyed by _id — upsert semantics
+    val index = scala.collection.mutable.Map[String, String]()
+    (lines ++ lines).foreach { entry =>
+      val Array(action, doc) = entry.split("\n", 2)
+      val id = action.split(""""_id":"""")(1).takeWhile(_ != '"')
+      index(id) = doc
+    }
+    assert(index.size === 2)
+  }
+
+  test("streaming foreachBatch sink spools bulk files per microbatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("es-spool")
+    val ckpt = tmpDir("es-ckpt")
+    val in = MemoryStream[Event]
+    val q = EsSink.writeStream(
+      EsSink.withExtractTs(in.toDF(), eventTime = Some("ts")),
+      "ratings", Some("event_id"), ckpt, new FileBulkTransport(dir))
+    in.addData(Event(1, Timestamp.valueOf("2024-01-01 00:00:01"), 1, "click", 4.0, "{}"))
+    q.processAllAvailable()
+    in.addData(Event(2, Timestamp.valueOf("2024-01-01 00:00:02"), 2, "view", 2.0, "{}"))
+    q.processAllAvailable(); q.stop()
+
+    val lines = Files.list(Paths.get(dir)).iterator().asScala
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(lines.count(_.contains(""""_id"""")) === 2)
+    assert(lines.count(_.contains(""""EXTRACT_TS"""")) === 2)
+  }
+}
