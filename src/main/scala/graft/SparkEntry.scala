@@ -88,6 +88,20 @@ object SparkEntry {
     "q_sorted_recent" -> ((s, d) =>
       Relational.sortedRecent(Tables.events(s, d), 100)),
 
+    // D1 — Kibana count metric over unhappy_platinum_customers
+    // (docker-compose.yml:346)
+    "q_count_unhappy" -> ((s, d) =>
+      Relational.unhappyPlatinum(enrichedTs(s, d))
+        .agg(count(lit(1)).as("n"))),
+
+    // F4/F5 + §2.10 pull query — point-in-time lookup on the materialized
+    // windowed table: key predicate + WINDOWSTART range
+    // (ksqldb-statements.sql:104-110, readme.md:589-597)
+    "q_pull_window" -> ((s, d) =>
+      Relational.ratingsPerCustomerPer15Min(enrichedTs(s, d))
+        .filter(col("full_name").like("Customer#00000000%") &&
+          col("window_start") > lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))),
+
     // E4 — TIMESTAMPTOSTRING(ts, fmt) (readme.md:325, :614)
     "q_ts_format" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -136,6 +150,7 @@ object SparkEntry {
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
     "q_neardup_embed" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
+    "q_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
 
     // Headline TPC-H-style pricing summary (bench headline; exercises
@@ -251,6 +266,36 @@ object SparkEntry {
 
     "q_sorted_recent" -> """
       SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+
+    "q_count_unhappy" -> """
+      SELECT COUNT(*) AS n
+      FROM events e
+      JOIN customer c ON CAST(e.user_id AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+      WHERE lower(e.event_type) NOT LIKE '%error%'
+        AND e.value < 3 AND c.c_mktsegment = 'BUILDING'
+    """,
+
+    "q_pull_window" -> """
+      WITH e AS (
+        SELECT c.c_name || ' [' || c.c_mktsegment || ']' AS full_name,
+               e.value AS stars, e.ts
+        FROM events e
+        JOIN customer c ON CAST(e.user_id AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+        WHERE lower(e.event_type) NOT LIKE '%error%'
+      ),
+      w AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + INTERVAL 1 SECOND * CAST(floor(epoch(ts)/900)*900 AS BIGINT)
+                 AS window_start,
+               full_name,
+               COUNT(*) AS ratings_count,
+               list_sort(list(stars)) AS ratings
+        FROM e GROUP BY 1, 2
+      )
+      SELECT * FROM w
+      WHERE full_name LIKE 'Customer#00000000%'
+        AND window_start > TIMESTAMP '2024-01-02 00:00:00'
     """,
 
     "q_ts_format" -> """
@@ -516,6 +561,16 @@ object SparkEntry {
         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      ${cosSql("a.v", "b.v")} AS score
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      "q_neardup_lsh" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, $bucketSql AS bucket FROM e),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     ${cosSql("a.v", "b.v")} AS score
+              FROM bk a JOIN bk b
+                ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
       """,
 

@@ -106,17 +106,26 @@ object Dedup {
 
   /** 32-bit SimHash over the token bag: per bit, sum ±1 contributions of
     * each token's hash bit; the signature bit is the sign of the sum.
-    * Near-duplicates then differ in few bits (Hamming distance). */
+    * Near-duplicates then differ in few bits (Hamming distance).
+    *
+    * Explode-first like [[shingleRows]]: the per-bit ±1 sums are 32 codegen'd
+    * `sum(CASE ...)` aggregates over exploded (doc_id, token-hash) rows with
+    * map-side partial aggregation — the nested interpreted-lambda form
+    * (`aggregate(sequence(0,31), ... aggregate(hs, ...))`) costs
+    * O(32·tokens) interpreter dispatches per document and dominated the
+    * bench. Bit sums are order-independent, so results are identical. */
   def simhash(docs: DataFrame): DataFrame = {
-    val th = Hashing.hash64("t")
-    docs
-      .withColumn("toks", expr(TextAnalysis.tokensExpr))
-      .withColumn("hs", expr(s"transform(toks, t -> $th)"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + IF(aggregate(hs, 0, (a, h) -> a + IF((shiftright(h, j) & 1) = 1, 1, -1)) > 0,
-          |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
-          .stripMargin).as("simhash"))
+    val tokens = docs
+      .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("t"))
+      .select(col("doc_id"), expr(Hashing.hash64("t")).as("h"))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b_$j"))
+    tokens.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Skew guard for the shingle self-join: shingles appearing in more

@@ -59,6 +59,25 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Near-duplicate pairs via LSH candidates — the 100 TB path for
+    * [[nearDupPairs]]: the self-join is an equi-join on bucket id, so only
+    * same-bucket pairs are ever scored (N²/2^planes expected work) and the
+    * shuffle is partitioned by bucket. Trades recall (pairs split across
+    * buckets are missed) for scalability; raise recall by unioning over
+    * several independent plane sets. */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double = 0.4,
+                      numPlanes: Int = 8): DataFrame = {
+    val bucketed = withLshBucket(emb, numPlanes)
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+
   /** Sign-bit LSH bucket id against `numPlanes` fixed hyperplanes. Vectors
     * in the same bucket are near-neighbor candidates. */
   def withLshBucket(emb: DataFrame, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
