@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test => ScTest}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Dedup, Relational}
+
+/** Property-based invariants (SURVEY §5 item 4) over randomly generated
+  * inputs — table/stream duality, filter partitioning, CDC folds, dedup
+  * guarantees. Kept at 20 cases per property: each evaluation runs real
+  * Spark jobs. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(20)
+
+  private lazy val spark = SparkTestBase.spark
+
+  // (key, ts, offset, value) event histories with heavy key collision
+  private val genHistory: Gen[List[(String, Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      ts <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, ts, v))
+  } yield rows.zipWithIndex.map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+
+  property("latestByKey == max-(ts,offset) element of each key's history") =
+    forAll(genHistory) { rows =>
+      val s = spark; import s.implicits._
+      val df = rows.toDF("key", "ts", "offset", "value")
+      val got = Relational.latestByKey(df, "key", col("ts"), col("offset"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expected = rows.groupBy(_._1).values
+        .map(_.maxBy(r => (r._2, r._3))).toSet
+      got == expected
+    }
+
+  property("live ⊎ error partitions the stream exactly") =
+    forAll(Gen.listOf(Gen.oneOf("click", "view", "ERROR_x", "error", "purchase"))) {
+      types =>
+        val s = spark; import s.implicits._
+        val df = types.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("event_id", "event_type")
+        val live = Relational.eventsLive(df).count()
+        val err = Relational.eventsError(df).count()
+        live + err == types.length &&
+          err == types.count(_.toLowerCase.contains("error"))
+    }
+
+  // CDC histories: op ∈ c/u/d per (key, ts, offset)
+  private val genCdc: Gen[List[(String, String, Long, Long)]] = for {
+    n <- Gen.choose(1, 25)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("1", "2", "3")
+      op <- Gen.frequency(4 -> "c", 3 -> "u", 2 -> "d")
+      ts <- Gen.choose(0L, 15L)
+    } yield (k, op, ts))
+  } yield rows.zipWithIndex.map { case ((k, op, ts), i) => (k, op, ts, i.toLong) }
+
+  property("CDC table view == per-key fold with delete-wins-if-latest") =
+    forAll(genCdc) { rows =>
+      val s = spark; import s.implicits._
+      val env = rows.toDF("key", "op", "ts_ms", "offset")
+        .withColumn("after",
+          when(col("op") =!= "d",
+            struct(col("offset").as("id"))).otherwise(lit(null)))
+      val got = Cdc.latestByKeyTable(env)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = rows.groupBy(_._1).values.flatMap { h =>
+        val latest = h.maxBy(r => (r._3, r._4))
+        if (latest._2 == "d") None else Some(latest._4)
+      }.toSet
+      got == expected
+    }
+
+  private val genDocs: Gen[List[String]] = for {
+    n <- Gen.choose(1, 12)
+    base <- Gen.listOfN(n, Gen.choose(1, 6).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+        .map(_.mkString(" "))))
+    dups <- Gen.someOf(base)
+  } yield base ++ dups // guaranteed duplicate groups
+
+  property("exactDedup: n_dups sums to corpus size, canonical is min doc_id") =
+    forAll(genDocs) { texts =>
+      val s = spark; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.exactDedup(docs).collect()
+      val norm = texts.map(_.trim.toLowerCase.replaceAll("\\s+", " "))
+      val expectedGroups = norm.zipWithIndex.groupBy(_._1)
+      out.map(_.getLong(2)).sum == texts.length &&
+        out.length == expectedGroups.size &&
+        out.forall { r =>
+          val ids = expectedGroups.values.find(_.map(_._2.toLong).contains(r.getLong(1)))
+          ids.exists(g => g.map(_._2).min.toLong == r.getLong(1) &&
+            g.size.toLong == r.getLong(2))
+        }
+    }
+
+  property("identical docs with >=3 tokens always become minhash candidates") =
+    forAll(Gen.listOfN(4, Gen.oneOf("alpha", "beta", "gamma"))) { words =>
+      val s = spark; import s.implicits._
+      val text = words.mkString(" ") // 4 tokens -> 2 shingles
+      val docs = Seq((0L, text), (1L, text), (2L, "completely different words here"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minhashCandidatePairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs.contains((0L, 1L))
+    }
+}
