@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, Skew, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,6 +83,13 @@ object SparkEntry {
     // D4 — top-k terms by count (docker-compose.yml:349)
     "q_topk_users" -> ((s, d) =>
       Relational.topKByCount(Tables.events(s, d), "user_id", 5)),
+
+    // Skew-safe two-phase aggregations (salting — 100 TB hot-key defense);
+    // results must equal the unsalted single-phase forms
+    "q_salted_counts" -> ((s, d) =>
+      Skew.saltedCount(Tables.events(s, d), "user_id", col("event_id"))),
+    "q_salted_distinct" -> ((s, d) =>
+      Skew.saltedCountDistinct(Tables.events(s, d), "user_id", "event_type")),
 
     // D5 — sorted detail search, latest 100 (docker-compose.yml:344-345)
     "q_sorted_recent" -> ((s, d) =>
@@ -262,6 +269,15 @@ object SparkEntry {
     "q_topk_users" -> """
       SELECT user_id, COUNT(*) AS n FROM events
       GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 5
+    """,
+
+    "q_salted_counts" -> """
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+    """,
+
+    "q_salted_distinct" -> """
+      SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
+      FROM events GROUP BY 1
     """,
 
     "q_sorted_recent" -> """

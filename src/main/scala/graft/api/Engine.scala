@@ -1,0 +1,94 @@
+package graft.api
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.Relational
+import graft.sinks.{BulkTransport, EsSink}
+import graft.streaming.Streams
+
+/** The engine's programmatic surface — ksqlDB's DDL/metadata + persistent-
+  * query lifecycle (SURVEY §2.10) as a thin registry over Structured
+  * Streaming.
+  *
+  * In the reference every `CREATE STREAM ... AS SELECT` registers a named
+  * persistent query that survives until `DROP`/terminate
+  * (`/root/reference/ksqldb-statements.sql`, `readme.md:150` `SHOW
+  * QUERIES`). Here a named query is a named `StreamingQuery`; the registry
+  * provides start/stop/list/describe — the capability the reference exposes
+  * over its REST API (`rest_example.sh:30-99`) is this Scala API itself.
+  */
+class Engine(val spark: SparkSession) {
+
+  private val queries = TrieMap.empty[String, StreamingQuery]
+
+  /** CSAS: start a named continuous query materializing `df` to an
+    * in-memory table of the same name (the test/demo sink; production
+    * sinks via [[sinkToEs]]/[[Streams.toKafka]]). */
+  def createStreamAs(name: String, df: DataFrame,
+                     mode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    require(!queries.contains(name), s"query '$name' already exists")
+    val q = Streams.toMemoryTable(df, name, mode)
+    queries.put(name, q)
+    q
+  }
+
+  /** CTAS with ES sink — the reference's sink-connector path. */
+  def sinkToEs(name: String, df: DataFrame, index: String,
+               idCol: Option[String], checkpoint: String,
+               transport: BulkTransport): StreamingQuery = {
+    require(!queries.contains(name), s"query '$name' already exists")
+    val q = EsSink.writeStream(df, index, idCol, checkpoint, transport)
+    queries.put(name, q)
+    q
+  }
+
+  /** `SHOW QUERIES` (readme.md:150). */
+  def showQueries: Seq[(String, Boolean)] =
+    queries.toSeq.map { case (n, q) => (n, q.isActive) }.sortBy(_._1)
+
+  /** `DESCRIBE [EXTENDED]` (readme.md:229): schema of a materialized table. */
+  def describe(name: String): String =
+    spark.table(name).schema.treeString
+
+  /** `DROP`/terminate a persistent query. */
+  def terminate(name: String): Unit =
+    queries.remove(name).foreach(_.stop())
+
+  def terminateAll(): Unit = queries.keys.foreach(terminate)
+
+  /** Pull query (SURVEY §2.10): point-in-time SQL over a materialized
+    * table; returns and terminates — never a continuous subscription. */
+  def pullQuery(sql: String): DataFrame = spark.sql(sql)
+
+  /** Block until every registered query has processed all available input
+    * (test/demo determinism helper). */
+  def processAllAvailable(): Unit =
+    queries.values.filter(_.isActive).foreach(_.processAllAvailable())
+}
+
+/** The reference's full EP2/EP3 topology (SURVEY §3) wired as one call:
+  * ratings stream → live filter → customer enrichment → unhappy-platinum
+  * alert stream + 15-minute windowed aggregate, each a named persistent
+  * query — the Spark equivalent of running every statement in
+  * `ksqldb-statements.sql`. */
+object ReferencePipeline {
+
+  /** Starts 4 persistent queries; returns the engine managing them.
+    * `events` may be a streaming or batch-derived DataFrame; `customers`
+    * is the dimension snapshot (stream-static join side). */
+  def start(engine: Engine, events: DataFrame, customers: DataFrame): Engine = {
+    val live = Relational.eventsLive(events)
+    val enriched = Relational.enriched(live, customers)
+    engine.createStreamAs("ratings_live", live)
+    engine.createStreamAs("ratings_with_customer_data",
+      enriched.drop("event_ts"))
+    engine.createStreamAs("unhappy_platinum_customers",
+      Relational.unhappyPlatinum(enriched))
+    engine.createStreamAs("ratings_per_customer_per_15minute",
+      Relational.ratingsPerCustomerPer15Min(enriched), OutputMode.Complete())
+    engine
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.api.{Engine, ReferencePipeline}
+import graft.sources.Tables
+
+/** End-to-end topology test: the reference's whole statement file running
+  * as named persistent queries, then pull-queried — SURVEY §3 EP2+EP3. */
+class EngineSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("reference pipeline: 4 named queries, consistent derived streams, pull query") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val engine = ReferencePipeline.start(
+      new Engine(spark), in.toDF(), Tables.customer(spark, sf))
+
+    val rows = Tables.events(spark, sf).as[Event].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toIndexedSeq); engine.processAllAvailable()
+    in.addData(b2.toIndexedSeq); engine.processAllAvailable()
+
+    // SHOW QUERIES: all four running
+    assert(engine.showQueries.map(_._1) === Seq("ratings_live",
+      "ratings_per_customer_per_15minute", "ratings_with_customer_data",
+      "unhappy_platinum_customers"))
+    assert(engine.showQueries.forall(_._2))
+
+    // the readme invariants: live is the error-free subset; unhappy is the
+    // filtered projection of enriched; enriched only has known customers
+    val live = spark.table("ratings_live")
+    assert(live.filter(lower(col("event_type")).contains("error")).count() === 0)
+    val enriched = spark.table("ratings_with_customer_data")
+    assert(enriched.filter(col("full_name").isNull).count() === 0)
+    val unhappy = spark.table("unhappy_platinum_customers")
+    assert(unhappy.count() ===
+      enriched.filter(col("stars") < 3 && col("club_status") === "BUILDING").count())
+
+    // EP3 pull query: point-in-time lookup over the materialized agg
+    val name = enriched.select("full_name").first().getString(0)
+    val pulled = engine.pullQuery(
+      s"""SELECT * FROM ratings_per_customer_per_15minute
+          WHERE full_name = '$name'
+            AND window_start > TIMESTAMP '2024-01-01 00:00:00'""")
+    assert(pulled.count() > 0)
+    // the aggregate agrees with re-aggregating the enriched table
+    val expectedTotal = enriched.filter(col("full_name") === name).count()
+    val gotTotal = pulled.agg(sum("ratings_count")).first().getLong(0)
+    assert(gotTotal === expectedTotal)
+
+    // DESCRIBE + terminate
+    assert(engine.describe("ratings_live").contains("event_type"))
+    engine.terminateAll()
+    assert(engine.showQueries.isEmpty)
+  }
+
+  test("engine rejects duplicate query names") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val engine = new Engine(spark)
+    engine.createStreamAs("dup_test", in.toDF())
+    intercept[IllegalArgumentException] {
+      engine.createStreamAs("dup_test", in.toDF())
+    }
+    engine.terminateAll()
+  }
+}
