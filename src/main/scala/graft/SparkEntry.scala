@@ -159,6 +159,7 @@ object SparkEntry {
     "q_neardup_embed" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "q_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
+    "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
 
     // Headline TPC-H-style pricing summary (bench headline; exercises
     // multi-column grouped agg with exact decimal sums at scale)
@@ -588,6 +589,29 @@ object SparkEntry {
               FROM bk a JOIN bk b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      "q_ann_ivf" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v,
+                           list_transform((SELECT cs FROM cents),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+              FROM celled WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("qv", "v")} AS score
+              FROM q JOIN celled c ON c.cell = q.qcell AND c.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 3
       """,
 
       "q_ann_lsh" -> s"""

@@ -34,6 +34,13 @@ object VectorExpressions {
     GraftColumnBridge.column(
       LshSignBucket(GraftColumnBridge.expression(v), planes))
 
+  /** 0-based index of the centroid with the maximal inner product against
+    * the vector column (first wins ties), codegen'd — IVF cell assignment
+    * as a pure projection. */
+  def argMaxDot(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      ArgMaxDot(GraftColumnBridge.expression(v), centroids))
+
   private[functions] def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -139,6 +146,58 @@ case class LshSignBucket(child: Expression, planes: Array[Array[Double]])
          |  if ($dot > 0) $bucket |= (1 << $h);
          |}
          |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `arg_max_dot(v)`: 0-based index of the centroid maximizing `c · v`
+  * (strict `>`, so the first of any exactly-tied cells wins — matching
+  * DuckDB's `list_indexof(l, list_max(l))`). Centroid matrix ships once per
+  * task as a codegen reference object. */
+case class ArgMaxDot(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "arg_max_dot"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dt = elemType(child)
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val p = centroids(c)
+      var dot = 0.0
+      var i = 0
+      while (i < p.length) { dot += p(i) * getD(x, i, dt); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val p = ctx.freshName("p")
+      val best = ctx.freshName("best"); val bestDot = ctx.freshName("bestDot")
+      s"""
+         |int $best = 0;
+         |double $bestDot = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double[] $p = $cs[$c];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $p.length; $i++) {
+         |    $dot += $p[$i] * ${getJava(v, i, elemType(child))};
+         |  }
+         |  if ($dot > $bestDot) { $bestDot = $dot; $best = $c; }
+         |}
+         |${ev.value} = $best;
        """.stripMargin
     })
 

@@ -86,6 +86,45 @@ object Similarity {
       .withColumn("bucket", VectorExpressions.lshBucket(col("embedding"), planes))
   }
 
+  /** IVF cell assignment: each vector joins the cell of its max-inner-
+    * product centroid. "Training" is deterministic — the first `nlist`
+    * vectors serve as centroids (a real deployment plugs k-means output into
+    * the same shape). Assignment is a pure codegen'd projection
+    * ([[VectorExpressions.argMaxDot]]) — no shuffle over the corpus, the
+    * property that matters when N is 10¹¹. */
+  def ivfCells(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val cents: Array[Array[Double]] = emb
+      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    emb.withColumn("v", col("embedding"))
+      .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
+  }
+
+  /** ANN top-k via IVF (nprobe=1): candidates live in the query's own cell,
+    * exact cosine re-rank inside. Like [[annLsh]] the N² scoring collapses
+    * to a cell-partitioned equi-join; IVF adapts cells to the data
+    * distribution where LSH cuts blindly. */
+  def annIvf(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+             nlist: Int = 16): DataFrame = {
+    val celled = ivfCells(emb, nlist)
+    val queries = broadcast(
+      celled.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("cell").as("qcell")))
+    val cands = celled.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cands.join(queries,
+        col("cell") === col("qcell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** ANN top-k via LSH: candidates share the query's bucket, then exact
     * cosine re-rank within the bucket. Trades recall for turning the N²
     * scoring into a bucket-partitioned equi-join. */
