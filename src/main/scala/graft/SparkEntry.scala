@@ -153,9 +153,23 @@ object SparkEntry {
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaRows(
         Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
+    "q_media_resize" -> ((s, d) =>
+      Multimodal.resize(Multimodal.asMediaRows(
+        Multimodal.mediaTable(Tables.documents(s, d))), 128, 128).toDF()),
+
+    // Sketch-based variants — the single-pass approximate paths for 100 TB
+    // (no DuckDB oracle: sketch results are engine-specific; the driver
+    // records rows-only checks). Exact twins are oracle-checked above.
+    "q_median_approx" -> ((s, d) =>
+      Relational.medianOverTimeApprox(Tables.events(s, d), "1 hour")),
+    "q_approx_distinct_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "q_knn_agg" -> ((s, d) => Similarity.knnBruteForceAgg(Tables.embeddings(s, d))),
     "q_neardup_embed" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "q_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
@@ -559,7 +573,30 @@ object SparkEntry {
               FROM documents WHERE doc_id % 3 = 2)
       """,
 
+      "q_media_resize" -> """
+        SELECT doc_id AS media_id, 'image' AS kind,
+               CAST(length(text) AS INTEGER) AS byte_len,
+               md5(md5(text) || ':128x128') AS content_hash,
+               128 AS width, 128 AS height
+        FROM documents WHERE doc_id % 3 = 0
+      """,
+
       "q_knn" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${cosSql("qv", "v")} AS score
+              FROM q JOIN e ON e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 5
+      """,
+
+      // same contract as q_knn — the aggregate path must be plan-equivalent
+      "q_knn_agg" -> s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
         s AS (SELECT q.query_id, e.vec_id AS neighbor_id,

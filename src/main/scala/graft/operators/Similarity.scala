@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, VectorExpressions}
+import graft.functions.{Hashing, TopKAggregate, VectorExpressions}
 
 /** Similarity search over an embedding column (`array<float>`, 64-dim):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
@@ -46,6 +46,27 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** [[knnBruteForce]] with the k-bounded [[TopKAggregate]] instead of a
+    * window sort: partial aggregation caps every partition's contribution at
+    * k rows per query BEFORE the shuffle, where the window form shuffles and
+    * sorts all N candidates per query. Same results, shuffle ∝ k·partitions
+    * instead of ∝ N. */
+  def knnBruteForceAgg(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val topk = TopKAggregate.topK(k)
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .join(queries, col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        round(col("col.score"), 6).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** All pairs (a < b) with cosine above `threshold` — brute-force form;

@@ -33,6 +33,14 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("top-k aggregate kNN equals the window-sort kNN exactly") {
+    val window = Similarity.knnBruteForce(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val agg = Similarity.knnBruteForceAgg(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg === window)
+  }
+
   test("IVF cells partition the corpus into at most nlist cells") {
     val cells = Similarity.ivfCells(emb, nlist = 16)
     assert(cells.count() === emb.count())
