@@ -56,4 +56,18 @@ object Tables {
 
   /** Embedding table (`embedding: array<float>`, 64-dim) for similarity ops. */
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Persist `df` bucketed (and sorted) by `keys` into the session catalog.
+    * Two tables bucketed the same way co-locate their join keys: the join
+    * plans with NO shuffle exchange on either side — at 100 TB this is how
+    * repeatedly-joined fact tables amortize their shuffle once at write
+    * time (the reference's `PARTITION BY`/co-partitioned-topic analog,
+    * SURVEY §4). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: String*): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
 }
