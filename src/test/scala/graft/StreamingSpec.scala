@@ -76,6 +76,30 @@ class StreamingSpec extends GraftSuite {
     assert(updates.toSeq === Seq(1L, 2L))
   }
 
+  test("opt-in watermark drops events later than the delay (documented deviation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val enriched = Streams.enrichedStream(
+      Streams.liveEvents(in.toDF()), Tables.customer(spark, sf))
+    val q = Streams.toMemoryTable(
+      Streams.windowedRatings(enriched, watermark = Some("10 minutes")),
+      "wm_stream_test", OutputMode.Update())
+
+    in.addData(ev(1, "2024-01-01 00:01:00", 1, "click", 4))
+    q.processAllAvailable()
+    // advances the watermark to 01:50:00 — far past the first window
+    in.addData(ev(2, "2024-01-01 02:00:00", 1, "view", 3))
+    q.processAllAvailable()
+    // late event for the (already-expired) 00:00 window: dropped, no update
+    in.addData(ev(3, "2024-01-01 00:05:00", 1, "click", 5))
+    q.processAllAvailable(); q.stop()
+
+    val firstWindow = spark.table("wm_stream_test")
+      .filter(col("window_start") === lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+      .select("ratings_count").as[Long].collect()
+    assert(firstWindow.toSeq === Seq(1L)) // never refined to 2
+  }
+
   test("CDC latest-by-key stream converges to the batch table view") {
     implicit val sqlCtx = spark.sqlContext
     val envelopeDf = Cdc.envelope(Tables.events(spark, sf))
