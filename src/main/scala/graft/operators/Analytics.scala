@@ -87,15 +87,17 @@ object Analytics {
                          until: String = "1996-07-01"): DataFrame = {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
-    val late = Tables.lineitem(s, d).select("l_orderkey").distinct()
+    // no distinct() on the probe side: the semi join dedups by construction,
+    // and a pre-distinct would be a second full shuffle of the fact table
+    val late = Tables.lineitem(s, d).select("l_orderkey")
     ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
   }
 
-  /** Customer yearly spend roll-up — fact-fact join then re-aggregation;
-    * demonstrates two-level aggregation with the join key reused by the
-    * first group-by (no extra shuffle between join and agg). */
+  /** Customer yearly spend roll-up over the orders fact table — exact
+    * decimal sums with map-side partial aggregation; the single shuffle is
+    * on the composite (customer, year) grouping key. */
   def customerYearlySpend(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_custkey"), year(col("o_orderdate")).as("order_year"))

@@ -122,6 +122,22 @@ object Streams {
     * LIMIT 5`, commands.sql:24-25): emit the first n rows then nothing. */
   def streamingLimit(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
+  /** Streaming exact dedup on `keys` — at-least-once sources (Kafka
+    * replays, producer retries) deliver duplicate events; this keeps the
+    * first occurrence per key. Unbounded state by default (one entry per
+    * distinct key, like a compacted topic); pass `watermarkCol`/`delay` to
+    * bound state to the dedup horizon (`dropDuplicatesWithinWatermark`) —
+    * the 100 TB configuration, where duplicates only arrive within a
+    * bounded replay window. */
+  def dedupEvents(df: DataFrame, keys: Seq[String],
+                  watermarkCol: Option[String] = None,
+                  delay: String = "1 hour"): DataFrame =
+    watermarkCol match {
+      case Some(ts) =>
+        df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)
+      case None => df.dropDuplicates(keys)
+    }
+
   // ------------------------------------------------------------------- //
   // Sinks
   // ------------------------------------------------------------------- //

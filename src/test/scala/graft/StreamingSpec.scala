@@ -141,6 +141,20 @@ class StreamingSpec extends GraftSuite {
     assert(changes.toSeq === Seq(false, true))
   }
 
+  test("streaming dedup drops replayed events across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Streams.dedupEvents(in.toDF(), Seq("event_id")), "dedup_stream_test")
+    val e1 = ev(1, "2024-01-01 00:00:01", 1, "click", 4)
+    val e2 = ev(2, "2024-01-01 00:00:02", 2, "view", 2)
+    in.addData(e1, e2, e1) // duplicate within batch
+    q.processAllAvailable()
+    in.addData(e1, e2)     // full replay in a later batch
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_stream_test").count() === 2)
+  }
+
   test("streaming limit emits exactly n rows then nothing") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
