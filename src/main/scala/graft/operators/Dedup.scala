@@ -143,16 +143,25 @@ object Dedup {
     // the df window's exchange leaves `ef` hash-partitioned by `s`, which is
     // exactly the join's required distribution, and both join sides are the
     // identical subtree, so ReuseExchange evaluates it once.
+    // repartition by doc_id up front: hashpartitioning(doc_id) satisfies
+    // the clustered distribution of BOTH the (doc_id, s) distinct and the
+    // sz window — one exchange where the naive plan takes two
     val e = shingleRows(docs, n)
       .select(col("doc_id"), col("h1").as("s"))
+      .repartition(col("doc_id"))
       .distinct()
     val ef = e
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("df") <= maxShingleDf)
       .select("doc_id", "sz", "s")
+    // shuffle_hash (not broadcast): both sides are then the identical
+    // exchange-terminated subtree, so ReuseExchange evaluates the shingle
+    // pipeline ONCE and the join reads the same shuffle output twice; a
+    // broadcast build would re-execute it. Also the right call at 100 TB,
+    // where the candidate table exceeds any broadcast threshold.
     val a = ef.alias("a")
-    val b = ef.alias("b")
+    val b = ef.hint("shuffle_hash").alias("b")
     a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sza"), col("b.sz").as("szb"))
