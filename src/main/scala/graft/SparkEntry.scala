@@ -149,7 +149,8 @@ object SparkEntry {
         Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
     "q_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asMediaRows(
-        Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
+        Multimodal.repartitionForDecode(
+          Multimodal.mediaTable(Tables.documents(s, d)), 32))).toDF()),
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaRows(
         Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),

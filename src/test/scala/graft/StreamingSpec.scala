@@ -141,6 +141,16 @@ class StreamingSpec extends GraftSuite {
     assert(changes.toSeq === Seq(false, true))
   }
 
+  test("file-stream source feeds the same pipeline as batch") {
+    val dir = java.nio.file.Files.createTempDirectory("ev-stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val q = Streams.toMemoryTable(
+      Streams.liveEvents(Streams.fileEvents(spark, dir)), "file_stream_test")
+    q.processAllAvailable(); q.stop()
+    val expected = Relational.eventsLive(Tables.events(spark, sf)).count()
+    assert(spark.table("file_stream_test").count() === expected)
+  }
+
   test("streaming dedup drops replayed events across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
