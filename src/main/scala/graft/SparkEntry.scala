@@ -133,12 +133,17 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
 
     // --- training-data pipeline: deduplication -------------------------- //
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
+    }),
 
     // --- training-data pipeline: multimodal binary columns -------------- //
     // (decode/feature/frame content is a deterministic STUB — no codecs in
@@ -438,6 +443,26 @@ object SparkEntry {
       s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
           / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
              * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))"""
+    // shared CTE chain (expects `t` = the shingles CTE in scope): minhash
+    // signatures -> LSH bands -> candidate pairs, mirroring
+    // Dedup.minhashSignatures/minhashCandidatePairs
+    val minhashPairsCte =
+      s"""sig AS (SELECT doc_id, list_transform(range(0, 16),
+                    hh -> list_min(list_transform(sh,
+                            s -> ${h64("s")}
+                                 + hh * (${graft.functions.Hashing.hash64HiDuckDb("s")}
+                                         & ${graft.functions.Hashing.maskKM})))) AS sig
+                  FROM t),
+          bands AS (SELECT doc_id, band_id,
+                      md5(array_to_string(list_transform(
+                        list_slice(sig, band_id * 4 + 1, band_id * 4 + 4),
+                        x -> CAST(x AS VARCHAR)), ',')) AS band_key
+                    FROM sig, (SELECT unnest(range(0, 4)) AS band_id)),
+          mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                       FROM bands a JOIN bands b
+                         ON a.band_id = b.band_id AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id)"""
+
     val planes = graft.functions.Hashing.hyperplanes(8, 64)
     val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val bucketSql =
@@ -488,6 +513,16 @@ object SparkEntry {
               FROM documents)
       """,
 
+      "q_redact_pii" -> """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\+?\d[\d ()-]{6,}\d', '<NUMBER>', 'g') AS redacted
+        FROM documents
+      """,
+
       "q_dedup_exact" -> """
         SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                min(doc_id) AS canonical_id, count(*) AS n_dups
@@ -495,22 +530,19 @@ object SparkEntry {
       """,
 
       "q_minhash_pairs" -> s"""
-        WITH t AS ($shingles),
-        sig AS (SELECT doc_id, list_transform(range(0, 16),
-                  hh -> list_min(list_transform(sh,
-                          s -> ${h64("s")}
-                               + hh * (${graft.functions.Hashing.hash64HiDuckDb("s")}
-                                       & ${graft.functions.Hashing.maskKM})))) AS sig
-                FROM t),
-        bands AS (SELECT doc_id, band_id,
-                    md5(array_to_string(list_transform(
-                      list_slice(sig, band_id * 4 + 1, band_id * 4 + 4),
-                      x -> CAST(x AS VARCHAR)), ',')) AS band_key
-                  FROM sig, (SELECT unnest(range(0, 4)) AS band_id))
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-          AND a.doc_id < b.doc_id
+        WITH t AS ($shingles), $minhashPairsCte
+        SELECT * FROM mh_pairs
+      """,
+
+      "q_dedup_canonical" -> s"""
+        WITH t AS ($shingles), $minhashPairsCte,
+        edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM mh_pairs
+                  UNION ALL
+                  SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs)
+        SELECT d.doc_id,
+               least(d.doc_id, min(coalesce(e.nbr, d.doc_id))) AS canonical_id
+        FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id
+        GROUP BY d.doc_id
       """,
 
       "q_simhash" -> s"""

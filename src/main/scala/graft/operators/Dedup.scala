@@ -104,6 +104,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Canonical-document assignment from candidate pairs: each document maps
+    * to the smallest doc_id among itself and its direct candidate
+    * neighbors. This is the single contraction step of connected
+    * components — iterate to a fixpoint for full transitive clusters
+    * (each step is one shuffle on doc_id; candidate graphs from near-dup
+    * detection are shallow, so 2-3 steps typically converge). */
+  def canonicalFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+    docs.select(col("doc_id"))
+      .join(edges, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(coalesce(col("nbr"), col("doc_id"))).as("__min_nbr"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("__min_nbr")).as("canonical_id"))
+  }
+
   /** 32-bit SimHash over the token bag: per bit, sum ±1 contributions of
     * each token's hash bit; the signature bit is the sign of the sum.
     * Near-duplicates then differ in few bits (Hamming distance).

@@ -85,6 +85,20 @@ object TextAnalysis {
         expr("round(ln(1 + n_tokens) * (1.0 - punct_ratio) * (1.0 + stopword_ratio), 6)")
           .as("quality_score"))
 
+  /** PII redaction — the scrub pass every training corpus needs before the
+    * model sees it: emails and long digit runs (phone/card/SSN shapes)
+    * replaced with typed placeholder tokens. Pure codegen'd
+    * `regexp_replace` chain — one projection over the scan, no shuffle. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?\\d[\\d ()-]{6,}\\d"
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        phone, "<NUMBER>").as("redacted"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized text plus its 60-bit
     * integer form (for bucketing/joins on a fixed-width key). */
   def fingerprint(docs: DataFrame): DataFrame =
