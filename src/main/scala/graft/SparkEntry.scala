@@ -144,6 +144,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
     }),
+    "q_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(Tables.documents(s, d))),
 
     // --- training-data pipeline: multimodal binary columns -------------- //
     // (decode/feature/frame content is a deterministic STUB — no codecs in
@@ -421,12 +422,16 @@ object SparkEntry {
     * (raw vs rounded) stage. */
   private def trainingOracles: Map[String, String] = {
     // shared CTE fragments
-    val toks = """SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
-                  FROM documents"""
-    val shingles = s"""SELECT doc_id, list_distinct(list_transform(
-                         range(0, len(toks) - 2),
-                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
-                       FROM ($toks) WHERE len(toks) >= 3"""
+    def toksFrom(src: String) =
+      s"""SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+          FROM $src"""
+    def shinglesFrom(src: String) =
+      s"""SELECT doc_id, list_distinct(list_transform(
+            range(0, len(toks) - 2),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+          FROM (${toksFrom(src)}) WHERE len(toks) >= 3"""
+    val toks = toksFrom("documents")
+    val shingles = shinglesFrom("documents")
     def h64(e: String) = s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
     val markers = TextAnalysis.langMarkers
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -612,6 +617,39 @@ object SparkEntry {
                md5(md5(text) || ':128x128') AS content_hash,
                128 AS width, 128 AS height
         FROM documents WHERE doc_id % 3 = 0
+      """,
+
+      "q_clean_corpus" -> s"""
+        WITH q AS (SELECT doc_id, text FROM (
+                     SELECT doc_id, text,
+                            len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+                            round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                                  / length(text), 6) AS punct_ratio
+                     FROM documents)
+                   WHERE n_tokens >= 5 AND punct_ratio <= 0.3),
+        ec AS (SELECT doc_id, text FROM (
+                 SELECT doc_id, text,
+                        min(doc_id) OVER (PARTITION BY
+                          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+                          AS exact_canon
+                 FROM q)
+               WHERE doc_id = exact_canon),
+        t AS (${shinglesFrom("ec")}), $minhashPairsCte,
+        edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM mh_pairs
+                  UNION ALL
+                  SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs),
+        canon AS (SELECT d.doc_id,
+                         least(d.doc_id, min(coalesce(e.nbr, d.doc_id))) AS canonical_id
+                  FROM ec d LEFT JOIN edges e ON d.doc_id = e.doc_id
+                  GROUP BY d.doc_id)
+        SELECT q.doc_id,
+               regexp_replace(
+                 regexp_replace(q.text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '\\+?\\d[\\d ()-]{6,}\\d', '<NUMBER>', 'g') AS redacted
+        FROM q JOIN (SELECT doc_id FROM canon WHERE doc_id = canonical_id) c
+          ON q.doc_id = c.doc_id
       """,
 
       "q_knn" -> s"""

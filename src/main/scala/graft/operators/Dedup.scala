@@ -145,6 +145,32 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** The composed corpus-cleaning pipeline a pretraining dataset runs:
+    * quality gate → PII redaction → exact-dup removal → near-dup
+    * canonicalization → keep only canonical survivors. Each stage is one of
+    * the operators above; the composition stays a single Catalyst plan
+    * (filters push into the scan, the only shuffles are the two dedup
+    * stages' hash-partitioned candidate/canonical steps). */
+  def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
+                  maxPunctRatio: Double = 0.3): DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs)
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+      .select("doc_id")
+    val kept = docs.join(quality, "doc_id")
+    val exactCanonical = kept
+      .withColumn("fp",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("exact_canon",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("exact_canon"))
+      .select("doc_id", "text")
+    val canon = canonicalFromPairs(exactCanonical,
+      minhashCandidatePairs(exactCanonical))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    TextAnalysis.redactPii(kept.join(canon, "doc_id"))
+  }
+
   /** Skew guard for the shingle self-join: shingles appearing in more
     * documents than this are dropped before pairing. */
   val maxShingleDf = 100

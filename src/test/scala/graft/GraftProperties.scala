@@ -102,6 +102,21 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("canonicalFromPairs: canonical <= doc_id, and exact dups share a canonical") =
+    forAll(genDocs) { texts =>
+      val s = spark; import s.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val canon = Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dupGroups = texts.zipWithIndex
+        .filter(_._1.split("\\s+").length >= 4) // >= 2 shingles -> stable sig
+        .groupBy(_._1).values.filter(_.size > 1)
+      canon.forall { case (id, c) => c <= id } &&
+        canon.keySet == texts.indices.map(_.toLong).toSet &&
+        dupGroups.forall(g => g.map(x => canon(x._2.toLong)).toSet.size == 1)
+    }
+
   property("identical docs with >=3 tokens always become minhash candidates") =
     forAll(Gen.listOfN(4, Gen.oneOf("alpha", "beta", "gamma"))) { words =>
       val s = spark; import s.implicits._
