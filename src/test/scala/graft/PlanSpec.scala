@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan regression tests: lock the plan shapes that matter at
+  * scale, so a refactor that silently loses a broadcast, pushdown, or
+  * partial aggregation fails loudly here instead of at 100 TB. */
+class PlanSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("enrichment join broadcasts the dimension side") {
+    assert(plan("q_enrich").contains("BroadcastHashJoin"))
+  }
+
+  test("q3 pushes date filters into the parquet scan") {
+    val p = plan("q3_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, never a global sort") {
+    assert(plan("q_topk_users").contains("TakeOrderedAndProject"))
+    assert(plan("q_sorted_recent").contains("TakeOrderedAndProject"))
+  }
+
+  test("projection prunes unread columns out of the scan") {
+    val p = plan("q_scan_project")
+    assert(!p.contains("props"), "q_scan_project must not read the props column")
+  }
+
+  test("grouped aggregation applies map-side partial aggregation") {
+    assert(plan("q1_agg").contains("partial_sum"))
+  }
+
+  test("jaccard self-join stays a shuffled hash join (broadcast would re-execute the pipeline)") {
+    assert(plan("q_ngram_jaccard").contains("ShuffledHashJoin"))
+  }
+
+  test("semi-join form for EXISTS (no row duplication)") {
+    assert(plan("q_order_priority").contains("LeftSemi"))
+  }
+}
