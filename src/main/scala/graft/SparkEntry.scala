@@ -131,6 +131,7 @@ object SparkEntry {
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_lang_dist" -> ((s, d) => TextAnalysis.langDistribution(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -468,6 +470,29 @@ object SparkEntry {
                          ON a.band_id = b.band_id AND a.band_key = b.band_key
                          AND a.doc_id < b.doc_id)"""
 
+    val langIdSql = s"""
+        WITH h AS (SELECT doc_id,
+               $hitCols
+          FROM ($toks))
+        SELECT doc_id,
+               CASE $caseChain
+                    ELSE '${langs.last}' END AS lang_guess,
+               greatest(${langs.map(l => s"hits_$l").mkString(", ")}) AS marker_hits
+        FROM h
+      """
+
+    // simhash signature select (mirrors Dedup.simhash bit-sum arithmetic)
+    val simhashSql = s"""
+        SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> CASE
+                 WHEN list_sum(list_transform(hs,
+                        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS simhash
+        FROM (SELECT doc_id, list_transform(
+                regexp_split_to_array(lower(text), '\\s+'),
+                w -> ${h64("w")}) AS hs
+              FROM documents)"""
+
     val planes = graft.functions.Hashing.hyperplanes(8, 64)
     val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val bucketSql =
@@ -485,15 +510,12 @@ object SparkEntry {
         FROM ($toks)
       """,
 
-      "q_lang_id" -> s"""
-        WITH h AS (SELECT doc_id,
-               $hitCols
-          FROM ($toks))
-        SELECT doc_id,
-               CASE $caseChain
-                    ELSE '${langs.last}' END AS lang_guess,
-               greatest(${langs.map(l => s"hits_$l").mkString(", ")}) AS marker_hits
-        FROM h
+      "q_lang_id" -> langIdSql,
+
+      "q_lang_dist" -> s"""
+        SELECT lang_guess, COUNT(*) AS n_docs,
+               round(avg(CAST(marker_hits AS DOUBLE)), 6) AS avg_marker_hits
+        FROM ($langIdSql) GROUP BY 1
       """,
 
       "q_quality" -> s"""
@@ -550,17 +572,20 @@ object SparkEntry {
         GROUP BY d.doc_id
       """,
 
-      "q_simhash" -> s"""
-        WITH t AS (SELECT doc_id, list_transform(
-                     regexp_split_to_array(lower(text), '\\s+'),
-                     w -> ${h64("w")}) AS hs
-                   FROM documents)
-        SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j -> CASE
-                 WHEN list_sum(list_transform(hs,
-                        h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-               AS BIGINT) AS simhash
-        FROM t
+      "q_simhash" -> simhashSql,
+
+      "q_simhash_neardup" -> s"""
+        WITH sh AS ($simhashSql),
+        bands AS (SELECT doc_id, simhash, b AS band_id,
+                         CAST((simhash >> (b * 8)) & 255 AS INTEGER) AS band_byte
+                  FROM sh, (SELECT unnest(range(0, 4)) AS b))
+        SELECT * FROM (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_byte = b.band_byte
+            AND a.doc_id < b.doc_id)
+        WHERE hamming <= 3
       """,
 
       "q_ngram_jaccard" -> s"""

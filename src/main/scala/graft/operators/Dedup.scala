@@ -104,6 +104,34 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash near-duplicate pairs within a Hamming-distance budget.
+    * Pigeonhole banding: two 32-bit signatures within Hamming distance 3
+    * must agree on at least one of 4 bytes, so candidates come from an
+    * equi-join on (band_id, band_byte) — never an N² scan — and the exact
+    * `bit_count(xor)` check runs only on candidates. Same
+    * candidates-then-verify shape as MinHash banding, but over a per-row
+    * signature with no shingle explosion. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band_id, " +
+            "CAST(shiftright(simhash, b * 8) & 255 AS INT) AS band_byte))"))
+          .as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id"), col("band.band_byte"))
+    val a = bands.alias("a")
+    val b = bands.hint("shuffle_hash").alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_byte") === col("b.band_byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Canonical-document assignment from candidate pairs: each document maps
     * to the smallest doc_id among itself and its direct candidate
     * neighbors. This is the single contraction step of connected

@@ -85,6 +85,15 @@ object TextAnalysis {
         expr("round(ln(1 + n_tokens) * (1.0 - punct_ratio) * (1.0 + stopword_ratio), 6)")
           .as("quality_score"))
 
+  /** Corpus language distribution — the rollup a data curator reads before
+    * setting mixture weights: document counts and mean marker confidence
+    * per detected language. */
+  def langDistribution(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("round(avg(CAST(marker_hits AS DOUBLE)), 6)").as("avg_marker_hits"))
+
   /** PII redaction — the scrub pass every training corpus needs before the
     * model sees it: emails and long digit runs (phone/card/SSN shapes)
     * replaced with typed placeholder tokens. Pure codegen'd
