@@ -135,6 +135,10 @@ object SparkEntry {
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
+    "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "q_sample_hash" -> ((s, d) =>
+      TextAnalysis.sampleByHash(Tables.documents(s, d), "text", 200)
+        .select("doc_id", "text")),
 
     // --- training-data pipeline: deduplication -------------------------- //
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -548,6 +552,25 @@ object SparkEntry {
                    '<EMAIL>', 'g'),
                  '\+?\d[\d ()-]{6,}\d', '<NUMBER>', 'g') AS redacted
         FROM documents
+      """,
+
+      "q_chunk_docs" -> s"""
+        WITH t AS ($toks),
+        c AS (SELECT doc_id, toks,
+                     unnest(range(0, 1 + greatest(0,
+                       CAST(ceil((len(toks) - 32) / 24.0) AS INT)))) AS chunk_id
+              FROM t)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+               array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                                          chunk_id * 24 + 32), ' ') AS chunk_text,
+               CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                                   chunk_id * 24 + 32)) AS INTEGER) AS n_tokens
+        FROM c
+      """,
+
+      "q_sample_hash" -> s"""
+        SELECT doc_id, text FROM documents
+        WHERE ${h64("text")} % 1000 < 200
       """,
 
       "q_dedup_exact" -> """

@@ -85,6 +85,37 @@ object TextAnalysis {
         expr("round(ln(1 + n_tokens) * (1.0 - punct_ratio) * (1.0 + stopword_ratio), 6)")
           .as("quality_score"))
 
+  /** Context-window chunking: split each document into fixed-size token
+    * chunks with `overlap` tokens of lookback — the packing step before
+    * tokenization/embedding of long documents. Explode-first like the
+    * dedup pipeline: chunk indices explode from a sequence, the slice +
+    * join run as codegen'd array ops on the materialized token array —
+    * one scan, no shuffle, parallel across documents AND chunks. */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int = 32,
+                     overlap: Int = 8): DataFrame = {
+    require(overlap < maxTokens, "overlap must be < maxTokens")
+    val stride = maxTokens - overlap
+    docs
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, greatest(0, CAST(ceil((size(toks) - $maxTokens) / CAST($stride AS DOUBLE)) AS INT)))"))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"array_join(slice(toks, chunk_id * $stride + 1, $maxTokens), ' ')")
+          .as("chunk_text"),
+        expr(s"size(slice(toks, chunk_id * $stride + 1, $maxTokens))")
+          .as("n_tokens"))
+  }
+
+  /** Deterministic hash-based sampling: keep rows whose md5-derived hash of
+    * `keyExpr` falls under `permille`/1000 — reproducible across runs,
+    * engines, and cluster sizes (unlike `sample()`, whose output depends on
+    * partitioning), and stable under data growth: a document keeps or loses
+    * membership only based on its own key. */
+  def sampleByHash(df: DataFrame, keyExpr: String, permille: Int): DataFrame =
+    df.filter(expr(s"pmod(${Hashing.hash64(keyExpr)}, 1000) < $permille"))
+
   /** Corpus language distribution — the rollup a data curator reads before
     * setting mixture weights: document counts and mean marker confidence
     * per detected language. */

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends GraftSuite {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("minhash banding recalls high-jaccard pairs (16 hashes, 4 bands)") {
+    // expected recall for jaccard s: 1-(1-s^4)^4 — ~0.88 at s=0.8
+    val exactHigh = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = Dedup.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exactHigh.nonEmpty) {
+      val recall = exactHigh.count(candidates.contains).toDouble / exactHigh.size
+      assert(recall >= 0.5,
+        s"recall $recall over ${exactHigh.size} high-similarity pairs")
+    }
+    assert(candidates.nonEmpty)
+  }
+
+  test("simhash near-dups include exact duplicates at hamming 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocuments(docs, maxTokens = 32, overlap = 8)
+    // per doc: sum of chunk tokens == n_tokens + overlap * (n_chunks - 1)
+    val agg = chunks.groupBy("doc_id")
+      .agg(sum("n_tokens").as("chunk_token_sum"),
+        count(lit(1)).as("n_chunks")).alias("c")
+    val toks = docs.select(col("doc_id"),
+      size(expr(graft.operators.TextAnalysis.tokensExpr)).as("n_tokens"))
+      .alias("t")
+    val bad = agg.join(toks, "doc_id")
+      .filter(col("chunk_token_sum") =!=
+        col("n_tokens") + lit(8) * (col("n_chunks") - 1))
+    assert(bad.count() === 0)
+  }
+}
