@@ -91,6 +91,9 @@ object SparkEntry {
     "q_salted_distinct" -> ((s, d) =>
       Skew.saltedCountDistinct(Tables.events(s, d), "user_id", "event_type")),
 
+    // Gap-based sessionization over the event stream (30-min inactivity)
+    "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+
     // D5 — sorted detail search, latest 100 (docker-compose.yml:344-345)
     "q_sorted_recent" -> ((s, d) =>
       Relational.sortedRecent(Tables.events(s, d), 100)),
@@ -130,6 +133,7 @@ object SparkEntry {
 
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_dist" -> ((s, d) => TextAnalysis.langDistribution(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -306,6 +310,40 @@ object SparkEntry {
     "q_salted_distinct" -> """
       SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
       FROM events GROUP BY 1
+    """,
+
+    "q_token_counts" -> """
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER)
+               AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER)
+               AS bpe_ish_tokens
+      FROM documents
+    """,
+
+    "q_sessionize" -> """
+      WITH m AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_start) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM m
+      )
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM s GROUP BY 1, 2
     """,
 
     "q_sorted_recent" -> """

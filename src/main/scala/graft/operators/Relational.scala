@@ -175,6 +175,32 @@ object Relational {
       .limit(k)
 
   // --------------------------------------------------------------------- //
+  // Sessionization: gap-based user sessions — the canonical event-analytics
+  // derivation over a stream table. Two windows over one hash shuffle on
+  // user_id: lag() marks session starts (gap > threshold), a running sum of
+  // start-markers numbers the sessions; the grouped rollup then reuses the
+  // same (user_id) clustering. At 100 TB: one shuffle of the events table,
+  // all codegen'd. Streaming twin: groupBy(session_window(ts, gap)).
+  // --------------------------------------------------------------------- //
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_start",
+        (col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L)
+          .cast("int"))
+      .withColumn("session_id", sum(col("is_start")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sumExact(col("value")).as("total_value"))
+  }
+
+  // --------------------------------------------------------------------- //
   // D5 — sorted detail search: latest-n events by timestamp desc
   // (docker-compose.yml:344-345, sort on EXTRACT_TS desc). Physical plan is
   // TakeOrderedAndProject — per-partition top-n then a single-driver merge

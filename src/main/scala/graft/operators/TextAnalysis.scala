@@ -35,6 +35,18 @@ object TextAnalysis {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Subword-style token counting: alongside whitespace tokens, count
+    * BPE-ish units (word pieces and standalone punctuation,
+    * `\w+|[^\w\s]`) — the cheap proxy for tokenizer cost used to budget
+    * context windows before running a real BPE vocabulary. Pure codegen'd
+    * regex, one projection. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(tokensExpr)).as("ws_tokens"),
+      expr("CAST(regexp_count(text, '\\\\w+|[^\\\\w\\\\s]') AS INTEGER)")
+        .as("bpe_ish_tokens"))
+
   /** Per-document token statistics: counts, distinct counts, mean length. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs
