@@ -122,6 +122,21 @@ object Streams {
     * LIMIT 5`, commands.sql:24-25): emit the first n rows then nothing. */
   def streamingLimit(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
+  /** Streaming sessionization — the stateful twin of
+    * [[graft.operators.Relational.sessionize]]: `session_window` merges
+    * events within `gap` of each other into per-user sessions, emitting
+    * finalized sessions once the watermark passes the gap (session windows
+    * require a watermark — open sessions are unbounded state otherwise). */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** Streaming exact dedup on `keys` — at-least-once sources (Kafka
     * replays, producer retries) deliver duplicate events; this keeps the
     * first occurrence per key. Unbounded state by default (one entry per

@@ -165,6 +165,26 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("dedup_stream_test").count() === 2)
   }
 
+  test("session windows merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Streams.sessionizeStream(in.toDF(), gap = "30 minutes"),
+      "session_stream_test") // append: sessions emit once finalized
+    in.addData(
+      ev(1, "2024-01-01 00:00:00", 7, "click", 1), // session A
+      ev(2, "2024-01-01 00:10:00", 7, "view", 1),  // merges into A
+      ev(3, "2024-01-01 02:00:00", 7, "click", 1)) // > 30 min gap: session B
+    q.processAllAvailable()
+    // advance the watermark far past both sessions to finalize them
+    in.addData(ev(4, "2024-01-02 12:00:00", 8, "click", 1))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("session_stream_test")
+      .filter(col("user_id") === 7).orderBy("session_start")
+      .select("n_events").as[Long].collect()
+    assert(sessions.toSeq === Seq(2L, 1L))
+  }
+
   test("streaming limit emits exactly n rows then nothing") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
