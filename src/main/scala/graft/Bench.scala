@@ -1,36 +1,79 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line on stdout AND written bare to
+  * `SPARK_GRAFT_BENCH_OUT` (default /tmp/bench.json), so the driver's
+  * parser never has to fish the line out of sbt log noise
+  * (round-1 BENCH had `"parsed": null` for exactly that reason).
+  *
+  * Protocol per query: 1 untimed warmup (whole-stage-codegen compile,
+  * shuffle-file + parquet-footer caches), then 3 timed runs, median
+  * reported — robust to one-off GC/compilation pauses in the 50+-query
+  * single-JVM sweep (round-1 recorded q_top_brands at 20.15 s vs its true
+  * ~1.2 s warm cost). A failed query reports -1 and an `"errors"` entry —
+  * never its failure latency as a fake success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM / codegen / parquet-footer warmup outside the timed region, so
-    // per-query numbers reflect steady-state cost, not first-query startup.
-    try SparkEntry.queries("q_scan_project")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+
     // noop write materializes every output column (a bare count() would let
-    // Catalyst prune the query down to row counting); two runs per query,
-    // min reported — the first run pays one-off whole-stage-codegen (Janino)
-    // compilation that a resident engine amortizes away.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    // Catalyst prune the query down to row counting).
+    def runOnce(name: String): Either[String, Double] = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results: Seq[(String, Either[String, Double])] = names.map { name =>
+      runOnce(name) match {
+        case Left(err) => name -> Left(err) // fail fast: no timed reruns
+        case Right(_) => // warmup done; 3 timed runs, median
+          val timed = (1 to 3).map(_ => runOnce(name))
+          val errs = timed.collect { case Left(e) => e }
+          if (errs.nonEmpty) name -> Left(errs.head)
+          else {
+            val ts = timed.collect { case Right(t) => t }.sorted
+            name -> Right(ts(ts.length / 2))
+          }
+      }
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map {
+      case (k, Right(t)) => s"${jstr(k)}:$t"
+      case (k, Left(_)) => s"${jstr(k)}:-1"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(t)) => t }.sum
+    val nFailed = results.count(_._2.isLeft)
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"n_failed":$nFailed,"sf":${jstr(sfDir)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
     spark.stop()
   }
 }

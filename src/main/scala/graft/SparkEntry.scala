@@ -33,6 +33,18 @@ object SparkEntry {
     Relational.enriched(
       Relational.eventsLive(Tables.events(s, d)), Tables.customer(s, d))
 
+  /** Driver-contract rendering of the `ratings` double array as a CSV
+    * string: each element cast through DECIMAL(8,2) so Spark and DuckDB
+    * print identical digits (fixture `value` is a 2-decimal double; raw
+    * double→string shortest-round-trip formatting is not contractual
+    * across engines). The array stays sorted (ratingsPerCustomerPer15Min
+    * emits `sort_array`), so the string is deterministic. */
+  private def ratingsCsv(windowed: DataFrame): DataFrame =
+    windowed.select(
+      col("window_start"), col("full_name"), col("ratings_count"),
+      expr("array_join(transform(ratings, x -> CAST(CAST(x AS DECIMAL(8,2)) AS STRING)), ',')")
+        .as("ratings_csv"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1 — topic scan + projection (commands.sql:16)
@@ -54,9 +66,13 @@ object SparkEntry {
       Relational.unhappyPlatinum(enrichedTs(s, d))),
 
     // A1/A2/A3 — 15-min tumbling window agg with COUNT + COLLECT_LIST
-    // (ksqldb-statements.sql:88-93)
+    // (ksqldb-statements.sql:88-93). The operator API returns the ratings
+    // ARRAY (ratingsPerCustomerPer15Min); the driver contract renders it as
+    // a deterministic CSV string (the driver's pandas compare cannot hash
+    // ndarray cells — round-1 verdict item 1). DECIMAL(8,2) pins the
+    // double→string rendering to the same digits in both engines.
     "q_window_agg" -> ((s, d) =>
-      Relational.ratingsPerCustomerPer15Min(enrichedTs(s, d))),
+      ratingsCsv(Relational.ratingsPerCustomerPer15Min(enrichedTs(s, d)))),
 
     // A4 — TABLE latest-by-key semantics (ksqldb-statements.sql:42-43)
     "q_latest_by_key" -> ((s, d) =>
@@ -108,9 +124,9 @@ object SparkEntry {
     // windowed table: key predicate + WINDOWSTART range
     // (ksqldb-statements.sql:104-110, readme.md:589-597)
     "q_pull_window" -> ((s, d) =>
-      Relational.ratingsPerCustomerPer15Min(enrichedTs(s, d))
+      ratingsCsv(Relational.ratingsPerCustomerPer15Min(enrichedTs(s, d))
         .filter(col("full_name").like("Customer#00000000%") &&
-          col("window_start") > lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))),
+          col("window_start") > lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))))),
 
     // E4 — TIMESTAMPTOSTRING(ts, fmt) (readme.md:325, :614)
     "q_ts_format" -> ((s, d) =>
@@ -163,10 +179,15 @@ object SparkEntry {
     "q_media_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.asMediaRows(
         Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
+    // Driver contract: one row per (media_id, j, feature) — the features
+    // ARRAY itself crashes the driver's pandas compare (round-1 verdict);
+    // the array API (extractFeatures) is unchanged.
     "q_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.asMediaRows(
         Multimodal.repartitionForDecode(
-          Multimodal.mediaTable(Tables.documents(s, d)), 32))).toDF()),
+          Multimodal.mediaTable(Tables.documents(s, d)), 32))).toDF()
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("j", "feature")))),
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMediaRows(
         Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
@@ -253,7 +274,8 @@ object SparkEntry {
                AS window_start,
              full_name,
              COUNT(*) AS ratings_count,
-             list_sort(list(stars)) AS ratings
+             array_to_string(list_transform(list_sort(list(stars)),
+               x -> CAST(CAST(x AS DECIMAL(8,2)) AS VARCHAR)), ',') AS ratings_csv
       FROM e GROUP BY 1, 2
     """,
 
@@ -372,7 +394,8 @@ object SparkEntry {
                  AS window_start,
                full_name,
                COUNT(*) AS ratings_count,
-               list_sort(list(stars)) AS ratings
+               array_to_string(list_transform(list_sort(list(stars)),
+                 x -> CAST(CAST(x AS DECIMAL(8,2)) AS VARCHAR)), ',') AS ratings_csv
         FROM e GROUP BY 1, 2
       )
       SELECT * FROM w
@@ -547,9 +570,11 @@ object SparkEntry {
       "q_text_stats" -> s"""
         SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
                CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
-               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
                      / len(toks), 6) AS avg_token_len
-        FROM ($toks)
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(lower(text), '\\s+') AS toks
+              FROM documents)
       """,
 
       "q_lang_id" -> langIdSql,
@@ -622,15 +647,18 @@ object SparkEntry {
         SELECT * FROM mh_pairs
       """,
 
+      // connected components to a fixpoint (matches Dedup.canonicalFromPairs'
+      // min-label propagation): min doc_id over the transitive closure
       "q_dedup_canonical" -> s"""
-        WITH t AS ($shingles), $minhashPairsCte,
+        WITH RECURSIVE t AS ($shingles), $minhashPairsCte,
         edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM mh_pairs
                   UNION ALL
-                  SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs)
-        SELECT d.doc_id,
-               least(d.doc_id, min(coalesce(e.nbr, d.doc_id))) AS canonical_id
-        FROM documents d LEFT JOIN edges e ON d.doc_id = e.doc_id
-        GROUP BY d.doc_id
+                  SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.doc_id, reach.r FROM edges e JOIN reach ON e.nbr = reach.doc_id)
+        SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
       """,
 
       "q_simhash" -> simhashSql,
@@ -682,11 +710,10 @@ object SparkEntry {
       """,
 
       "q_media_features" -> """
-        SELECT doc_id AS media_id,
-               list_transform(range(0, 8),
-                 j -> CAST(('0x' || substring(md5(text), j*2+1, 2)) AS INTEGER)
-                      / 255.0) AS features
-        FROM documents
+        SELECT doc_id AS media_id, CAST(j AS INTEGER) AS j,
+               CAST(('0x' || substring(md5(text), j*2+1, 2)) AS INTEGER)
+                 / 255.0 AS feature
+        FROM documents, (SELECT unnest(range(0, 8)) AS j)
       """,
 
       "q_media_frames" -> """
@@ -706,7 +733,7 @@ object SparkEntry {
       """,
 
       "q_clean_corpus" -> s"""
-        WITH q AS (SELECT doc_id, text FROM (
+        WITH RECURSIVE q AS (SELECT doc_id, text FROM (
                      SELECT doc_id, text,
                             len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
                             round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
@@ -724,10 +751,12 @@ object SparkEntry {
         edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM mh_pairs
                   UNION ALL
                   SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs),
-        canon AS (SELECT d.doc_id,
-                         least(d.doc_id, min(coalesce(e.nbr, d.doc_id))) AS canonical_id
-                  FROM ec d LEFT JOIN edges e ON d.doc_id = e.doc_id
-                  GROUP BY d.doc_id)
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM ec
+          UNION
+          SELECT e.doc_id, reach.r FROM edges e JOIN reach ON e.nbr = reach.doc_id),
+        canon AS (SELECT doc_id, min(r) AS canonical_id FROM reach
+                  GROUP BY doc_id)
         SELECT q.doc_id,
                regexp_replace(
                  regexp_replace(q.text,

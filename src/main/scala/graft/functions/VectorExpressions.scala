@@ -69,7 +69,10 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (dtx, dty) = (elemType(left), elemType(right))
-    val n = x.numElements()
+    // min of the two lengths: indexing UnsafeArrayData past its end returns
+    // garbage bytes rather than throwing, which would silently corrupt
+    // scores on mismatched vectors
+    val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -87,7 +90,7 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
       s"""
-         |int $n = $a.numElements();
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xa = ${getJava(a, i, elemType(left))};
@@ -122,7 +125,8 @@ case class LshSignBucket(child: Expression, planes: Array[Array[Double]])
       val p = planes(h)
       var dot = 0.0
       var i = 0
-      while (i < p.length) { dot += p(i) * getD(x, i, dt); i += 1 }
+      val n = math.min(p.length, x.numElements())
+      while (i < n) { dot += p(i) * getD(x, i, dt); i += 1 }
       if (dot > 0) bucket |= (1 << h)
       h += 1
     }
@@ -140,7 +144,8 @@ case class LshSignBucket(child: Expression, planes: Array[Array[Double]])
          |for (int $h = 0; $h < $pl.length; $h++) {
          |  double[] $p = $pl[$h];
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $p.length; $i++) {
+         |  int ${p}_n = java.lang.Math.min($p.length, $v.numElements());
+         |  for (int $i = 0; $i < ${p}_n; $i++) {
          |    $dot += $p[$i] * ${getJava(v, i, elemType(child))};
          |  }
          |  if ($dot > 0) $bucket |= (1 << $h);
@@ -173,7 +178,8 @@ case class ArgMaxDot(child: Expression, centroids: Array[Array[Double]])
       val p = centroids(c)
       var dot = 0.0
       var i = 0
-      while (i < p.length) { dot += p(i) * getD(x, i, dt); i += 1 }
+      val n = math.min(p.length, x.numElements())
+      while (i < n) { dot += p(i) * getD(x, i, dt); i += 1 }
       if (dot > bestDot) { bestDot = dot; best = c }
       c += 1
     }
@@ -192,7 +198,8 @@ case class ArgMaxDot(child: Expression, centroids: Array[Array[Double]])
          |for (int $c = 0; $c < $cs.length; $c++) {
          |  double[] $p = $cs[$c];
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $p.length; $i++) {
+         |  int ${p}_n = java.lang.Math.min($p.length, $v.numElements());
+         |  for (int $i = 0; $i < ${p}_n; $i++) {
          |    $dot += $p[$i] * ${getJava(v, i, elemType(child))};
          |  }
          |  if ($dot > $bestDot) { $bestDot = $dot; $best = $c; }

@@ -132,21 +132,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Canonical-document assignment from candidate pairs: each document maps
-    * to the smallest doc_id among itself and its direct candidate
-    * neighbors. This is the single contraction step of connected
-    * components — iterate to a fixpoint for full transitive clusters
-    * (each step is one shuffle on doc_id; candidate graphs from near-dup
-    * detection are shallow, so 2-3 steps typically converge). */
-  def canonicalFromPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Canonical-document assignment from candidate pairs: connected
+    * components by min-label propagation, run to a FIXPOINT — a duplicate
+    * chain A~B~C canonicalizes every member to A, not just its direct
+    * neighbors' minimum (the round-1 single-contraction gap).
+    *
+    * Scale shape: each iteration is one equi-join of the (8-byte, 8-byte)
+    * edge list against the current label table plus a min-aggregate — both
+    * hash-partitioned on doc_id, no text ever shuffled. Iteration count is
+    * bounded by the component diameter; near-dup candidate graphs are
+    * shallow stars/chains, so convergence is typically 2-4 rounds. The
+    * per-round driver action is a `limit(1).count()` convergence probe on
+    * the changed-labels diff, not a data collect. (The classic
+    * large-star/small-star alternation lowers the bound to O(log n) rounds
+    * for pathological graphs; unnecessary for banding output.) */
+  def canonicalFromPairs(docs: DataFrame, pairs: DataFrame,
+                         maxIters: Int = 20): DataFrame = {
+    // Eager localCheckpoint (not persist): iteration k's plan references
+    // labels_{k-1} TWICE, so without lineage truncation the logical plan
+    // doubles every round — O(2^k) analysis memory, a driver OOM by ~10
+    // iterations. Checkpointing makes each round's input a leaf: constant
+    // plan size, constant analysis cost. (On a multi-executor cluster,
+    // swap for reliable `checkpoint()` against the checkpoint dir if
+    // executor loss during the loop must be survivable.)
     val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
-    docs.select(col("doc_id"))
-      .join(edges, Seq("doc_id"), "left")
-      .groupBy(col("doc_id"))
-      .agg(min(coalesce(col("nbr"), col("doc_id"))).as("__min_nbr"))
-      .select(col("doc_id"),
-        least(col("doc_id"), col("__min_nbr")).as("canonical_id"))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val prev = labels
+      val nbrLabels = edges.join(
+        labels.select(col("doc_id").as("nbr"), col("canonical_id").as("nbr_label")),
+        "nbr")
+        .groupBy(col("doc_id"))
+        .agg(min(col("nbr_label")).as("min_nbr_label"))
+      val next = labels.join(nbrLabels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"),
+            coalesce(col("min_nbr_label"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("doc_id"), col("canonical_id").as("__old")), "doc_id")
+        .filter(col("canonical_id") =!= col("__old"))
+        .limit(1).count()
+      prev.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** 32-bit SimHash over the token bag: per bit, sum ±1 contributions of

@@ -47,7 +47,13 @@ object TextAnalysis {
       expr("CAST(regexp_count(text, '\\\\w+|[^\\\\w\\\\s]') AS INTEGER)")
         .as("bpe_ish_tokens"))
 
-  /** Per-document token statistics: counts, distinct counts, mean length. */
+  /** Per-document token statistics: counts, distinct counts, mean length.
+    *
+    * Mean token length avoids the interpreted `aggregate()` lambda (the one
+    * CodegenFallback left in round 1): the sum of whitespace-token lengths
+    * IS the text length with all whitespace removed, so it's a codegen'd
+    * `length(regexp_replace(...))` — the whole operator stays a single
+    * WholeStageCodegen projection. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr(tokensExpr))
@@ -55,7 +61,7 @@ object TextAnalysis {
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        expr("round(CAST(aggregate(toks, 0, (a, t) -> a + length(t)) AS DOUBLE) / size(toks), 6)")
+        expr("round(CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE) / size(toks), 6)")
           .as("avg_token_len"))
 
   /** Language ID: marker-hit count per language, argmax with alphabetical

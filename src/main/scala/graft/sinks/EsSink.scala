@@ -40,12 +40,16 @@ object EsSink {
 
   /** K4 — render every timestamp-typed or `*_TS`-named column as ISO-8601
     * with millis (the `strict_date_optional_time` shape ES's dynamic `date`
-    * mapping expects). */
+    * mapping expects). `date_format` renders in the session time zone, so
+    * the instant is shifted to UTC first — otherwise the literal 'Z' would
+    * assert a UTC instant that is wrong by the zone offset on any non-UTC
+    * session. */
   def renderTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.dataType == TimestampType || f.name.toUpperCase.endsWith("_TS"))
         acc.withColumn(f.name,
-          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+          date_format(to_utc_timestamp(col(f.name), current_timezone()),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
       else acc
     }
 

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Avro value serde for the Kafka topic surface — the reference is
+  * Avro-everywhere (`/root/reference/commands.sql:13`
+  * `VALUE_FORMAT='AVRO'`, `ksqldb-statements.sql:36-37`), with a schema
+  * registry supplying the record schema. This serde takes an EXPLICIT
+  * schema derived from the DataFrame's own StructType instead — no
+  * registry dependency, same wire format (Avro binary encoding of a
+  * record, minus Confluent's 5-byte registry header).
+  *
+  * Built on the Apache Avro core library (on the Spark classpath); the
+  * spark-avro module's `from_avro`/`to_avro` expressions are not in this
+  * container, so the encode/decode runs via `mapPartitions`:
+  * DatumWriter/Reader + (re)usable encoder/decoder are initialized ONCE
+  * PER PARTITION and each row reuses them — the serde cost per row is the
+  * Avro encode itself, with zero per-row allocation of codec machinery.
+  * At 100 TB this is embarrassingly parallel: a pure narrow transform, no
+  * shuffle, no driver involvement.
+  *
+  * Type mapping (both directions): LONG↔long, INT↔int, DOUBLE↔double,
+  * FLOAT↔float, STRING↔string, BOOLEAN↔boolean, BINARY↔bytes,
+  * TIMESTAMP↔long/timestamp-micros. Nullable Spark fields become Avro
+  * `["null", T]` unions with null default.
+  */
+object AvroSerde {
+
+  /** Avro record schema mirroring a Spark StructType. */
+  def avroSchemaFor(schema: StructType, recordName: String = "record",
+                    namespace: String = "graft"): Schema = {
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case LongType => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case TimestampType =>
+          LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+        case dt => throw new IllegalArgumentException(
+          s"AvroSerde: unsupported field type $dt for '${f.name}'")
+      }
+      val fieldSchema =
+        if (f.nullable) Schema.createUnion(
+          List(Schema.create(Schema.Type.NULL), base).asJava)
+        else base
+      new Schema.Field(f.name, fieldSchema,
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, namespace, false, fields.toList.asJava)
+  }
+
+  /** Encode the non-`passthrough` columns of `df` into a single
+    * Avro-binary `value` column (the CSAS→topic value payload, K1 with
+    * VALUE_FORMAT='AVRO'); `passthrough` columns (e.g. the Kafka key)
+    * survive unchanged, preceding `value`. */
+  def encode(df: DataFrame, recordName: String = "record",
+             passthrough: Seq[String] = Nil): DataFrame = {
+    val inSchema = df.schema
+    val passIdx = passthrough.map(inSchema.fieldIndex).toArray
+    val encIdx = inSchema.fields.indices.filterNot(passIdx.contains).toArray
+    val payloadSchema = StructType(encIdx.map(inSchema.fields(_)))
+    val schemaJson = avroSchemaFor(payloadSchema, recordName).toString
+    val out = StructType(passIdx.map(inSchema.fields(_)) :+
+      StructField("value", BinaryType, nullable = false))
+    df.mapPartitions { rows =>
+      // per-partition codec init, reused across every row
+      val schema = new Schema.Parser().parse(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val baos = new ByteArrayOutputStream(256)
+      var encoder: BinaryEncoder = null
+      rows.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < encIdx.length) {
+          rec.put(i, toAvroValue(row, encIdx(i), payloadSchema.fields(i).dataType))
+          i += 1
+        }
+        baos.reset()
+        encoder = EncoderFactory.get().directBinaryEncoder(baos, encoder)
+        writer.write(rec, encoder)
+        encoder.flush()
+        Row.fromSeq(passIdx.map(row.get(_)).toSeq :+ baos.toByteArray)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Decode an Avro-binary `valueCol` back into typed columns per
+    * `sparkSchema` — the stream-scan deserialization step (S1 with
+    * VALUE_FORMAT='AVRO'). Every OTHER input column (Kafka key, topic
+    * metadata, timestamps) passes through unchanged, preceding the decoded
+    * fields. Rows with a null payload yield all-null decoded fields
+    * (tombstone-tolerant, like the reference's converter with
+    * `errors.tolerance`). */
+  def decode(df: DataFrame, sparkSchema: StructType,
+             valueCol: String = "value", recordName: String = "record"): DataFrame = {
+    val schemaJson = avroSchemaFor(sparkSchema, recordName).toString
+    val inSchema = df.schema
+    val valueIdx = inSchema.fieldIndex(valueCol)
+    val passIdx = inSchema.fields.indices.filterNot(_ == valueIdx).toArray
+    // decoded fields are nullable regardless of the target schema: a null
+    // payload (tombstone) nulls every field
+    val outSchema = StructType(
+      passIdx.map(inSchema.fields(_)) ++
+        sparkSchema.fields.map(_.copy(nullable = true)))
+    df.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      var decoder: BinaryDecoder = null
+      var reuse: GenericRecord = null
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](valueIdx)
+        val pass = passIdx.map(row.get(_)).toSeq
+        val decoded =
+          if (bytes == null) sparkSchema.fields.map(_ => null: Any).toSeq
+          else {
+            decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+            reuse = reader.read(reuse, decoder)
+            sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+              fromAvroValue(reuse.get(i), f.dataType)
+            }.toSeq
+          }
+        Row.fromSeq(pass ++ decoded)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def toAvroValue(row: Row, i: Int, dt: DataType): AnyRef =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case TimestampType =>
+        val ts = row.getAs[java.sql.Timestamp](i)
+        java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+      case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](i))
+      case _ => row.get(i).asInstanceOf[AnyRef]
+    }
+
+  private def fromAvroValue(v: AnyRef, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case TimestampType =>
+        val micros = v.asInstanceOf[java.lang.Long].longValue()
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case StringType => v.toString // Utf8 → String
+      case BinaryType =>
+        val bb = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](bb.remaining())
+        bb.duplicate().get(arr)
+        arr
+      case _ => v
+    }
+}

@@ -61,6 +61,25 @@ object Streams {
         col("timestamp").as("kafka_ts")) // ROWTIME analog
       .select(col("key"), col("v.*"), col("kafka_ts"))
 
+  /** S1 with `VALUE_FORMAT='AVRO'` (commands.sql:13) — the reference's
+    * actual wire format: Kafka topic scan + Avro value decode via
+    * [[AvroSerde]] (explicit schema, no registry). Kafka key and record
+    * timestamp pass through the decode unchanged. */
+  def kafkaEventsAvro(spark: SparkSession, bootstrapServers: String,
+                      topic: String,
+                      startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("key").cast("string").as("key"), col("value"),
+        col("timestamp").as("kafka_ts"))
+    AvroSerde.decode(raw, eventSchema, "value")
+      .select(col("key") +: eventSchema.fields.map(f => col(f.name))
+        :+ col("kafka_ts"): _*)
+  }
+
   /** File-based append stream over a fixture directory — the test/local
     * stand-in for a topic: each new parquet file is a microbatch. */
   def fileEvents(spark: SparkSession, dir: String): DataFrame =
@@ -164,6 +183,21 @@ object Streams {
     df.select(
         col(keyCol).cast("string").as("key"),
         to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K1 with `VALUE_FORMAT='AVRO'` — CSAS sink writing Avro-binary values
+    * (the reference's actual topic format, ksqldb-statements.sql:36-37):
+    * all columns Avro-encoded into `value`, `keyCol` carried through the
+    * serde as the string message key. */
+  def toKafkaAvro(df: DataFrame, bootstrapServers: String, topic: String,
+                  keyCol: String, checkpoint: String): DataStreamWriter[_] =
+    AvroSerde.encode(
+        df.withColumn("__kafka_key", col(keyCol).cast("string")),
+        passthrough = Seq("__kafka_key"))
+      .select(col("__kafka_key").as("key"), col("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

@@ -35,6 +35,17 @@ class DedupSpec extends GraftSuite {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("canonicalFromPairs reaches the fixpoint on a chain A~B~C~D") {
+    import spark.implicits._
+    val chainDocs = Seq(10L, 20L, 30L, 40L, 99L).toDF("doc_id")
+    // chain 10~20, 20~30, 30~40 (transitive component) + isolated 99
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("doc_a", "doc_b")
+    val canon = Dedup.canonicalFromPairs(chainDocs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      99L -> 99L))
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = graft.operators.TextAnalysis
       .chunkDocuments(docs, maxTokens = 32, overlap = 8)
