@@ -39,7 +39,13 @@ object Bench {
       }
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b limits the sweep (dev iteration); unset in
+    // driver runs. Timing wraps the full query construction + execution,
+    // so operators with eager stages (checkpointed fixpoints) are charged
+    // honestly.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
       runOnce(name) match {
         case Left(err) => name -> Left(err) // fail fast: no timed reruns

@@ -212,6 +212,10 @@ object SparkEntry {
     "q_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    // k-means-trained IVF — rows-only driver check (Lloyd's iterations are
+    // not practically SQL-mirrorable); quality asserted in SimilaritySpec
+    "q_ann_ivf_trained" -> ((s, d) =>
+      Similarity.annIvfTrained(Tables.embeddings(s, d))),
 
     // Headline TPC-H-style pricing summary (bench headline; exercises
     // multi-column grouped agg with exact decimal sums at scale)

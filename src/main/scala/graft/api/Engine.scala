@@ -23,6 +23,8 @@ import graft.streaming.Streams
 class Engine(val spark: SparkSession) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
+  // name -> (changelog path, key columns) for upsert-materialized tables
+  private val upserts = TrieMap.empty[String, (String, Seq[String])]
 
   /** CSAS: start a named continuous query materializing `df` to an
     * in-memory table of the same name (the test/demo sink; production
@@ -34,6 +36,28 @@ class Engine(val spark: SparkSession) {
     queries.put(name, q)
     q
   }
+
+  /** CTAS of an aggregate table in UPDATE mode — ksqlDB's windowed-table
+    * materialization (changes to a changelog, state store serves pulls;
+    * ksqldb-statements.sql:96-110). Each microbatch appends only changed
+    * keys ([[Streams.toUpsertTable]]); [[pullQuery]] sees the compacted
+    * latest-per-key view under `name`. */
+  def createUpsertTableAs(name: String, df: DataFrame, keys: Seq[String],
+                          dir: String): StreamingQuery = {
+    require(!queries.contains(name), s"query '$name' already exists")
+    val q = Streams.toUpsertTable(df, s"$dir/store", s"$dir/checkpoint")
+    queries.put(name, q)
+    upserts.put(name, (s"$dir/store", keys))
+    q
+  }
+
+  /** Re-register the compacted view of every upsert table (no-op for a
+    * table whose changelog hasn't received its first batch yet). */
+  private def refreshUpsertViews(): Unit =
+    upserts.foreach { case (name, (path, keys)) =>
+      try Streams.upsertView(spark, path, keys).createOrReplaceTempView(name)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
 
   /** CTAS with ES sink — the reference's sink-connector path. */
   def sinkToEs(name: String, df: DataFrame, index: String,
@@ -60,13 +84,19 @@ class Engine(val spark: SparkSession) {
   def terminateAll(): Unit = queries.keys.foreach(terminate)
 
   /** Pull query (SURVEY §2.10): point-in-time SQL over a materialized
-    * table; returns and terminates — never a continuous subscription. */
-  def pullQuery(sql: String): DataFrame = spark.sql(sql)
+    * table; returns and terminates — never a continuous subscription.
+    * Upsert tables resolve to their latest-per-key compacted view. */
+  def pullQuery(sql: String): DataFrame = {
+    refreshUpsertViews()
+    spark.sql(sql)
+  }
 
   /** Block until every registered query has processed all available input
     * (test/demo determinism helper). */
-  def processAllAvailable(): Unit =
+  def processAllAvailable(): Unit = {
     queries.values.filter(_.isActive).foreach(_.processAllAvailable())
+    refreshUpsertViews()
+  }
 }
 
 /** The reference's full EP2/EP3 topology (SURVEY §3) wired as one call:
@@ -78,8 +108,16 @@ object ReferencePipeline {
 
   /** Starts 4 persistent queries; returns the engine managing them.
     * `events` may be a streaming or batch-derived DataFrame; `customers`
-    * is the dimension snapshot (stream-static join side). */
-  def start(engine: Engine, events: DataFrame, customers: DataFrame): Engine = {
+    * is the dimension snapshot (stream-static join side).
+    *
+    * The windowed table materializes in UPDATE mode through the upsert
+    * changelog (`upsertDir`) — per batch only changed (window, customer)
+    * rows are written, never the whole table (Complete-mode re-emission
+    * was the round-1 shape and a scale-killer; see
+    * [[graft.streaming.Streams.toUpsertTable]]). */
+  def start(engine: Engine, events: DataFrame, customers: DataFrame,
+            upsertDir: String = java.nio.file.Files
+              .createTempDirectory("graft-upsert").toString): Engine = {
     val live = Relational.eventsLive(events)
     val enriched = Relational.enriched(live, customers)
     engine.createStreamAs("ratings_live", live)
@@ -87,8 +125,9 @@ object ReferencePipeline {
       enriched.drop("event_ts"))
     engine.createStreamAs("unhappy_platinum_customers",
       Relational.unhappyPlatinum(enriched))
-    engine.createStreamAs("ratings_per_customer_per_15minute",
-      Relational.ratingsPerCustomerPer15Min(enriched), OutputMode.Complete())
+    engine.createUpsertTableAs("ratings_per_customer_per_15minute",
+      Relational.ratingsPerCustomerPer15Min(enriched),
+      Seq("window_start", "full_name"), upsertDir)
     engine
   }
 }

@@ -123,8 +123,13 @@ object Relational {
   // hash shuffle on the key; at 100 TB prefer this over groupBy+max_by+join
   // (one shuffle, no second pass). Streaming form lives in graft.cdc.Cdc.
   // --------------------------------------------------------------------- //
-  def latestByKey(df: DataFrame, key: String, ordering: Column*): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(ordering.map(_.desc): _*)
+  def latestByKey(df: DataFrame, key: String, ordering: Column*): DataFrame =
+    latestByKeys(df, Seq(key), ordering: _*)
+
+  /** Multi-column-key form of [[latestByKey]] — e.g. a windowed table keyed
+    * by (window_start, group). Same single-shuffle shape. */
+  def latestByKeys(df: DataFrame, keys: Seq[String], ordering: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -122,13 +122,78 @@ object Similarity {
       .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
   }
 
+  /** Distributed spherical k-means (Lloyd's) for IVF centroid training —
+    * replaces the first-`nlist`-vectors placeholder with centroids adapted
+    * to the data distribution (the round-1 soft spot).
+    *
+    * Per iteration: (1) assignment is the codegen'd [[VectorExpressions
+    * .argMaxDot]] projection — one scan, no shuffle of vectors; (2) the
+    * update shuffles per-(cell, dim) partial sums (map-side combined, so
+    * the shuffle carries ≤ partitions × nlist × dim doubles regardless of
+    * N) and collects only nlist × dim aggregates to the driver — bounded,
+    * like the centroid fetch itself. Means are L2-normalized (spherical
+    * k-means: the right objective when assignment is by inner product);
+    * cells that go empty keep their previous centroid. Seeding is the
+    * deterministic first-`nlist` rule so results are reproducible. */
+  def trainCentroids(emb: DataFrame, nlist: Int = 16,
+                     iters: Int = 5): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = emb
+      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = cents.head.length
+    for (_ <- 0 until iters) {
+      val stats = emb
+        .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // bounded: nlist × dim rows
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = Array.fill(cents.length)(0L)
+      stats.foreach { r =>
+        val c = r.getAs[Int]("cell"); val d = r.getAs[Int]("d")
+        sums(c)(d) = r.getAs[Double]("sx")
+        counts(c) = r.getAs[Long]("n")
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm == 0.0) cents(c) else mean.map(_ / norm)
+        }
+      }
+    }
+    cents
+  }
+
+  /** [[ivfCells]] with k-means-trained centroids instead of the
+    * deterministic placeholder seed. */
+  def ivfCellsTrained(emb: DataFrame, nlist: Int = 16, iters: Int = 5): DataFrame = {
+    val cents = trainCentroids(emb, nlist, iters)
+    emb.withColumn("v", col("embedding"))
+      .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
+  }
+
   /** ANN top-k via IVF (nprobe=1): candidates live in the query's own cell,
     * exact cosine re-rank inside. Like [[annLsh]] the N² scoring collapses
     * to a cell-partitioned equi-join; IVF adapts cells to the data
     * distribution where LSH cuts blindly. */
   def annIvf(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
-             nlist: Int = 16): DataFrame = {
-    val celled = ivfCells(emb, nlist)
+             nlist: Int = 16): DataFrame =
+    annOverCells(ivfCells(emb, nlist), k, nQueries)
+
+  /** [[annIvf]] over k-means-trained cells ([[ivfCellsTrained]]) — the
+    * production IVF path. No SQL oracle (mirroring Lloyd's iterations in
+    * DuckDB is impractical); the driver records a rows-only check and
+    * SimilaritySpec asserts the trained index beats the placeholder's
+    * quantization quality. */
+  def annIvfTrained(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+                    nlist: Int = 16, iters: Int = 5): DataFrame =
+    annOverCells(ivfCellsTrained(emb, nlist, iters), k, nQueries)
+
+  private def annOverCells(celled: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val queries = broadcast(
       celled.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),

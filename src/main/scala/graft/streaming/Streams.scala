@@ -141,6 +141,32 @@ object Streams {
     * LIMIT 5`, commands.sql:24-25): emit the first n rows then nothing. */
   def streamingLimit(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
+  /** L1 with ksqlDB's TERMINATION semantics: `EMIT CHANGES LIMIT n` ends
+    * the query once n rows have been emitted (commands.sql:24-25 returns
+    * control to the CLI), not merely caps the output while the query runs
+    * forever (the round-1 gap). The streaming `limit(n)` bounds what the
+    * memory sink ever holds; a daemon monitor stops the query as soon as
+    * the sink reaches n rows. (`StreamingQuery.stop()` cannot be called
+    * from inside the microbatch thread — it would deadlock — hence the
+    * monitor thread rather than a `foreachBatch` counter.) */
+  def pushQueryWithLimit(df: DataFrame, n: Int, tableName: String,
+                         pollMs: Long = 50): StreamingQuery = {
+    val spark = df.sparkSession
+    val q = df.limit(n).writeStream.format("memory")
+      .queryName(tableName).outputMode(OutputMode.Append()).start()
+    val monitor = new Thread(() => {
+      try {
+        while (q.isActive) {
+          if (spark.table(tableName).count() >= n) q.stop()
+          else Thread.sleep(pollMs)
+        }
+      } catch { case _: Throwable => () }
+    }, s"push-limit-$tableName")
+    monitor.setDaemon(true)
+    monitor.start()
+    q
+  }
+
   /** Streaming sessionization — the stateful twin of
     * [[graft.operators.Relational.sessionize]]: `session_window` merges
     * events within `gap` of each other into per-user sessions, emitting
@@ -206,6 +232,38 @@ object Streams {
   /** K5 — `PRINT topic` / CLI tail. */
   def toConsole(df: DataFrame): DataStreamWriter[_] =
     df.writeStream.format("console").option("truncate", "false")
+
+  /** Update-mode upsert materialization of a (windowed) aggregate table —
+    * the scale-correct serving layer for pull queries. ksqlDB's windowed
+    * CTAS emits CHANGES to a changelog topic backing a state store
+    * (ksqldb-statements.sql:96-110); Complete-mode re-emission (the round-1
+    * shape) rewrites the ENTIRE table every microbatch, which dies once
+    * windows accumulate. Here update mode hands `foreachBatch` only the
+    * (window, key) rows whose aggregate changed; each batch appends
+    * O(changed keys) rows to a parquet changelog tagged with the batch id,
+    * and [[upsertView]] compacts to latest-per-key on read — the same
+    * changelog + state-store split as the reference, with the store as a
+    * queryable lake table. (In production the compaction target is
+    * periodic, or the sink a MERGE-capable table format / KV store.) */
+  def toUpsertTable(df: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+
+  /** Latest version of every key in an upsert changelog written by
+    * [[toUpsertTable]] — one shuffle on the key, resolved by descending
+    * batch id. */
+  def upsertView(spark: SparkSession, path: String,
+                 keys: Seq[String]): DataFrame =
+    Relational.latestByKeys(spark.read.parquet(path), keys,
+      col("__batch_id")).drop("__batch_id")
 
   /** Materialize a continuous query into an in-memory table — the pull-query
     * serving layer for tests/demos (EP3): batch `spark.sql` against

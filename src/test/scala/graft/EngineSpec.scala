@@ -16,8 +16,10 @@ class EngineSpec extends GraftSuite {
   test("reference pipeline: 4 named queries, consistent derived streams, pull query") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
+    val upsertDir = java.nio.file.Files
+      .createTempDirectory("graft-upsert-spec").toString
     val engine = ReferencePipeline.start(
-      new Engine(spark), in.toDF(), Tables.customer(spark, sf))
+      new Engine(spark), in.toDF(), Tables.customer(spark, sf), upsertDir)
 
     val rows = Tables.events(spark, sf).as[Event].collect()
     val (b1, b2) = rows.splitAt(rows.length / 2)
@@ -51,6 +53,22 @@ class EngineSpec extends GraftSuite {
     val expectedTotal = enriched.filter(col("full_name") === name).count()
     val gotTotal = pulled.agg(sum("ratings_count")).first().getLong(0)
     assert(gotTotal === expectedTotal)
+
+    // update-mode upsert materialization: the changelog holds per-batch
+    // CHANGED rows only — later batches must not re-emit the whole table
+    // (Complete mode would append >= the full table size every batch)
+    val changelog = spark.read.parquet(s"$upsertDir/store")
+    val tableSize = spark.table("ratings_per_customer_per_15minute").count()
+    val firstBatch = changelog.agg(min("__batch_id")).first().getLong(0)
+    val laterBatchRows = changelog.filter(col("__batch_id") > firstBatch).count()
+    assert(laterBatchRows > 0, "second batch produced no changes")
+    assert(laterBatchRows < tableSize,
+      s"later batches appended $laterBatchRows rows vs table size $tableSize — " +
+        "looks like full re-emission, not update-mode changes")
+    // compacted view has no duplicate (window, customer) keys
+    val dupKeys = spark.table("ratings_per_customer_per_15minute")
+      .groupBy("window_start", "full_name").count().filter(col("count") > 1)
+    assert(dupKeys.count() === 0)
 
     // DESCRIBE + terminate
     assert(engine.describe("ratings_live").contains("event_type"))

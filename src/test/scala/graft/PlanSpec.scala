@@ -35,6 +35,19 @@ class PlanSpec extends GraftSuite {
     assert(plan("q_ngram_jaccard").contains("ShuffledHashJoin"))
   }
 
+  test("jaccard shingle pipeline executes once (checkpointed index, not twice)") {
+    // Verified at runtime (round-2): neither ReuseExchange nor AQE stage
+    // reuse deduplicates the self-join's identical subtrees, so the
+    // operator checkpoints the inverted index and both sides must scan
+    // that RDD — the full shingle/window pipeline (Generate + Window) must
+    // NOT appear in the join plan at all, let alone twice.
+    val p = plan("q_ngram_jaccard")
+    assert(p.contains("Scan ExistingRDD"),
+      "expected both join sides to read the checkpointed inverted index")
+    assert(!p.contains("Generate explode"),
+      "shingle explosion leaked back into the join plan — pipeline re-executes per side")
+  }
+
   test("semi-join form for EXISTS (no row duplication)") {
     assert(plan("q_order_priority").contains("LeftSemi"))
   }

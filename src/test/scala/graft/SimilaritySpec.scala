@@ -48,6 +48,36 @@ class SimilaritySpec extends GraftSuite {
     assert(ids.forall(c => c >= 0 && c < 16))
   }
 
+  test("k-means-trained centroids beat the placeholder on quantization quality") {
+    // quality = mean cosine of each vector to its assigned centroid;
+    // Lloyd's iterations must not make this worse than the first-16 seed
+    // (it starts FROM that seed), and on real data it should improve it
+    val placeholder = Similarity.ivfCells(emb, nlist = 16)
+    val trained = Similarity.ivfCellsTrained(emb, nlist = 16, iters = 5)
+    // score each vector against its own centroid via a rejoin on cell id
+    def meanSelfSim(celled: org.apache.spark.sql.DataFrame,
+                    cents: Array[Array[Double]]): Double = {
+      import spark.implicits._
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+      celled.join(broadcast(centDf), "cell")
+        .select(avg(Similarity.cosine(col("v"), col("centroid"))).as("q"))
+        .first().getDouble(0)
+    }
+    val seedCents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val trainedCents = Similarity.trainCentroids(emb, nlist = 16, iters = 5)
+    val qSeed = meanSelfSim(placeholder, seedCents)
+    val qTrained = meanSelfSim(trained, trainedCents)
+    assert(qTrained >= qSeed - 1e-9,
+      s"training degraded quantization: $qTrained < $qSeed")
+    // shape contract of the trained ANN query
+    val ann = Similarity.annIvfTrained(emb)
+    assert(ann.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
+    assert(ann.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
   test("LSH near-dup pairs are a subset of exact near-dup pairs") {
     val exact = Similarity.nearDupPairs(emb)
       .select("vec_a", "vec_b").collect()

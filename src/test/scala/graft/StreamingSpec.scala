@@ -197,6 +197,19 @@ class StreamingSpec extends GraftSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table("limit_stream_test").count() === 2)
   }
+
+  test("push query with LIMIT terminates once n rows are emitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.pushQueryWithLimit(in.toDF(), 3, "push_limit_test")
+    in.addData((1L to 10L).map(i =>
+      ev(i, s"2024-01-01 00:00:0${i % 10}", i, "click", 1)): _*)
+    // EMIT CHANGES LIMIT 3 semantics: the query ENDS by itself — no stop()
+    // from the test; awaitTermination returning true is the assertion
+    assert(q.awaitTermination(30000),
+      "push query did not self-terminate after reaching its LIMIT")
+    assert(spark.table("push_limit_test").count() === 3)
+  }
 }
 
 /** Typed row of the `events` fixture for MemoryStream feeding. */
