@@ -94,6 +94,12 @@ object Dedup {
            |                           x -> cast(x AS string)), ',')) AS band_key)))"""
           .stripMargin).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      // lazy localCheckpoint: the band self-join otherwise duplicates the
+      // whole shingle→minhash pipeline on both sides (ReuseExchange/AQE
+      // stage reuse never fires for self-join subtrees — same finding as
+      // ngramJaccardPairs); the checkpointed table is (long, int, hash) —
+      // `bands` rows per doc, tiny relative to recomputing signatures
+      .localCheckpoint(false)
     val a = bandRows.alias("a")
     val b = bandRows.alias("b")
     a.join(b,
@@ -120,6 +126,9 @@ object Dedup {
           .as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id"), col("band.band_byte"))
+      // lazy localCheckpoint — see minhashCandidatePairs: without it the
+      // token→simhash aggregation pipeline executes once per join side
+      .localCheckpoint(false)
     val a = bands.alias("a")
     val b = bands.hint("shuffle_hash").alias("b")
     a.join(b,
