@@ -187,7 +187,12 @@ object Dedup {
         .localCheckpoint(true)
       // (2) path compression: l(x) := l(l(x)). Labels are monotonically
       // non-increasing and always reference a live doc_id, so the inner
-      // self-join is total and l(l(x)) <= l(x).
+      // self-join is total and l(l(x)) <= l(x). (A second compression hop
+      // per round was tried and reverted: on banding-output topologies it
+      // measurably changed nothing — the bottleneck is min-information
+      // propagation along edges, one hop per round — while the extra
+      // un-checkpointed join-of-join deadlocked AQE at higher iteration
+      // counts.)
       val parents = stepped.select(col("doc_id").as("__p"), col("__l1").as("__pl"))
       val next = stepped.join(parents, col("__l1") === col("__p"))
         .select(col("doc_id"), col("__pl").as("canonical_id"),
