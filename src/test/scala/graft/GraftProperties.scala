@@ -117,6 +117,32 @@ object GraftProperties extends Properties("graft") {
         dupGroups.forall(g => g.map(x => canon(x._2.toLong)).toSet.size == 1)
     }
 
+  // randomly nullable mixed-type rows, including empty strings and
+  // negative/extreme numerics
+  private val genAvroRows: Gen[List[(Long, Option[String], Option[Double], Option[Long])]] =
+    for {
+      n <- Gen.choose(1, 15)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.option(Gen.oneOf("", "plain", "uniçodé", "with \"quotes\" and \n newlines"))
+        d <- Gen.option(Gen.oneOf(0.0, -1.5, 1e300, Double.MinPositiveValue))
+        l <- Gen.option(Gen.choose(Long.MinValue, Long.MaxValue))
+      } yield (s, d, l))
+    } yield rows.zipWithIndex.map { case ((s, d, l), i) => (i.toLong, s, d, l) }
+
+  property("Avro serde round-trips arbitrary nullable rows bit-for-bit") =
+    forAll(genAvroRows) { rows =>
+      val s = spark; import s.implicits._
+      val df = rows.toDF("id", "s", "d", "l")
+      val back = graft.streaming.AvroSerde
+        .decode(graft.streaming.AvroSerde.encode(df), df.schema)
+        .collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[String]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      back == rows.toSet
+    }
+
   property("identical docs with >=3 tokens always become minhash candidates") =
     forAll(Gen.listOfN(4, Gen.oneOf("alpha", "beta", "gamma"))) { words =>
       val s = spark; import s.implicits._
