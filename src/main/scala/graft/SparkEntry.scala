@@ -210,6 +210,8 @@ object SparkEntry {
     "q_knn_agg" -> ((s, d) => Similarity.knnBruteForceAgg(Tables.embeddings(s, d))),
     "q_neardup_embed" -> ((s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d))),
     "q_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
+    "q_neardup_lsh_multi" -> ((s, d) =>
+      Similarity.nearDupPairsLshMulti(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // k-means-trained IVF — rows-only driver check (Lloyd's iterations are
@@ -562,13 +564,15 @@ object SparkEntry {
                 w -> ${h64("w")}) AS hs
               FROM documents)"""
 
-    val planes = graft.functions.Hashing.hyperplanes(8, 64)
-    val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    val bucketSql =
+    def bucketSqlFor(seed: Long) = {
+      val planes = graft.functions.Hashing.hyperplanes(8, 64, seed)
+      val planesSql = planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
       s"""CAST(list_sum(list_transform(range(0, 8), h -> CASE
             WHEN list_reduce(list_transform(range(0, 64),
                    i -> ($planesSql)[h+1][i+1] * v[i+1]), (x, y) -> x + y) > 0
             THEN (1 << h) ELSE 0 END)) AS INTEGER)"""
+    }
+    val bucketSql = bucketSqlFor(42L)
 
     Map(
       "q_text_stats" -> s"""
@@ -816,6 +820,21 @@ object SparkEntry {
               FROM bk a JOIN bk b
                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      "q_neardup_lsh_multi" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        bk AS (${(0 until 4).map(t =>
+          s"SELECT vec_id, v, $t AS table_id, ${bucketSqlFor(42L + t)} AS bucket FROM e")
+          .mkString("\n          UNION ALL\n          ")}),
+        p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bk a JOIN bk b
+                ON a.table_id = b.table_id AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+        s AS (SELECT p.vec_a, p.vec_b, ${cosSql("ea.v", "eb.v")} AS score
+              FROM p JOIN e ea ON p.vec_a = ea.vec_id
+                     JOIN e eb ON p.vec_b = eb.vec_id)
+        SELECT vec_a, vec_b, round(score, 6) AS score FROM s WHERE score > 0.4
       """,
 
       "q_ann_ivf" -> s"""

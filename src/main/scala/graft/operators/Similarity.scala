@@ -107,6 +107,36 @@ object Similarity {
       .withColumn("bucket", VectorExpressions.lshBucket(col("embedding"), planes))
   }
 
+  /** Multi-table LSH near-dup pairs: candidates from `tables` INDEPENDENT
+    * plane sets (distinct seeds), deduplicated, then exact-scored once per
+    * pair. Per-table collision probability p becomes 1-(1-p)^tables — the
+    * standard recall lever the single-table scaladoc promises — while work
+    * stays candidate-bounded: the only per-table cost is one more codegen'd
+    * bucket projection and its share of the (table_id, bucket) equi-join;
+    * the corpus is never scored all-pairs. */
+  def nearDupPairsLshMulti(emb: DataFrame, threshold: Double = 0.4,
+                           numPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val bucketed = (0 until tables).map { t =>
+      val planes = Hashing.hyperplanes(numPlanes, 64, seed = 42L + t)
+      base.select(col("vec_id"), lit(t).as("table_id"),
+        VectorExpressions.lshBucket(col("embedding"), planes).as("bucket"))
+    }.reduce(_ union _)
+    val cands = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("va")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), "vec_b")
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+
   /** IVF cell assignment: each vector joins the cell of its max-inner-
     * product centroid. "Training" is deterministic — the first `nlist`
     * vectors serve as centroids (a real deployment plugs k-means output into

@@ -72,7 +72,7 @@ object EsSink {
     }
     rendered
       .select(concat(action, lit("\n"),
-        to_json(struct(rendered.columns.map(col): _*))).as("line"))
+        to_json(struct(rendered.columns.toIndexedSeq.map(col): _*))).as("line"))
       .filter(col("line").isNotNull)
       .as[String]
   }

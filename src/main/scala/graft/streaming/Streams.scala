@@ -76,8 +76,8 @@ object Streams {
       .select(col("key").cast("string").as("key"), col("value"),
         col("timestamp").as("kafka_ts"))
     AvroSerde.decode(raw, eventSchema, "value")
-      .select(col("key") +: eventSchema.fields.map(f => col(f.name))
-        :+ col("kafka_ts"): _*)
+      .select((col("key") +: eventSchema.fields.toIndexedSeq.map(f => col(f.name))
+        :+ col("kafka_ts")): _*)
   }
 
   /** File-based append stream over a fixture directory — the test/local
@@ -208,7 +208,7 @@ object Streams {
               keyCol: String, checkpoint: String): DataStreamWriter[_] =
     df.select(
         col(keyCol).cast("string").as("key"),
-        to_json(struct(df.columns.map(col): _*)).as("value"))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

@@ -31,6 +31,25 @@ class EsSinkSpec extends GraftSuite {
     assert(line.contains(""""RATING_TS":"2024-03-01T12:30:45.500Z""""))
   }
 
+  test("timestamp rendering asserts the true UTC instant on a non-UTC session") {
+    // the shared test session pins UTC, which used to mask a bug where the
+    // rendered string carried a literal 'Z' but session-zone wall-clock
+    // digits; force a -05:00 session and check the INSTANT is preserved
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ts = Timestamp.valueOf("2024-01-15 12:00:00") // JVM-zone wall clock
+      val expected = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ts.getTime))
+      val df = Seq((1L, ts)).toDF("id", "RATING_TS")
+      val line = EsSink.bulkLines(df, "idx", None).collect().head
+      assert(line.contains(s""""RATING_TS":"$expected""""),
+        s"expected instant $expected in: $line")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("EXTRACT_TS injection mirrors the InsertField SMT") {
     val df = Seq((1L, Timestamp.valueOf("2024-03-01 00:00:00")))
       .toDF("id", "ts")

@@ -78,6 +78,21 @@ class SimilaritySpec extends GraftSuite {
     assert(ann.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("multi-table LSH recall >= single-table, still a subset of exact") {
+    val exact = Similarity.nearDupPairs(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.nearDupPairsLsh(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.nearDupPairsLshMulti(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(exact), "multi-table produced a non-near-dup pair")
+    assert(single.subsetOf(multi),
+      "table 0 of the multi index is the single index — its pairs must all appear")
+  }
+
   test("LSH near-dup pairs are a subset of exact near-dup pairs") {
     val exact = Similarity.nearDupPairs(emb)
       .select("vec_a", "vec_b").collect()
