@@ -159,6 +159,10 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) =>
       TextAnalysis.sampleByHash(Tables.documents(s, d), "text", 200)
         .select("doc_id", "text")),
+    // mixture-weight sampling: halve 'en', triple 'de', default 100‰
+    "q_sample_stratified" -> ((s, d) =>
+      TextAnalysis.sampleStratified(Tables.documents(s, d),
+        Map("en" -> 50, "de" -> 300))),
 
     // --- training-data pipeline: deduplication -------------------------- //
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -642,6 +646,15 @@ object SparkEntry {
       "q_sample_hash" -> s"""
         SELECT doc_id, text FROM documents
         WHERE ${h64("text")} % 1000 < 200
+      """,
+
+      "q_sample_stratified" -> s"""
+        WITH l AS ($langIdSql)
+        SELECT d.doc_id, l.lang_guess
+        FROM documents d JOIN l ON d.doc_id = l.doc_id
+        WHERE ${h64("d.text")} % 1000 <
+              CASE l.lang_guess WHEN 'en' THEN 50 WHEN 'de' THEN 300
+                   ELSE 100 END
       """,
 
       "q_dedup_exact" -> """

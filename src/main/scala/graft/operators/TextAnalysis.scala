@@ -134,6 +134,24 @@ object TextAnalysis {
   def sampleByHash(df: DataFrame, keyExpr: String, permille: Int): DataFrame =
     df.filter(expr(s"pmod(${Hashing.hash64(keyExpr)}, 1000) < $permille"))
 
+  /** Stratified deterministic sampling by detected language — the mixture-
+    * weight application step after reading [[langDistribution]]: each
+    * stratum gets its own permille keep-rate (downsample the dominant
+    * language, boost rare ones), membership decided by the same
+    * content-hash rule as [[sampleByHash]] so the sample is reproducible
+    * across runs, engines, and cluster sizes. One scan + the langId
+    * projection — no shuffle; the rate lookup is a codegen'd CASE chain. */
+  def sampleStratified(docs: DataFrame, permilleByLang: Map[String, Int],
+                       defaultPermille: Int = 100): DataFrame = {
+    val lang = langId(docs).select(col("doc_id"), col("lang_guess"))
+    val rate = permilleByLang.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (l, p)) => when(col("lang_guess") === l, lit(p)).otherwise(acc)
+    }
+    docs.join(lang, "doc_id")
+      .filter(expr(s"pmod(${Hashing.hash64("text")}, 1000)") < rate)
+      .select("doc_id", "lang_guess")
+  }
+
   /** Corpus language distribution — the rollup a data curator reads before
     * setting mixture weights: document counts and mean marker confidence
     * per detected language. */
