@@ -156,6 +156,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "q_sample_hash" -> ((s, d) =>
       TextAnalysis.sampleByHash(Tables.documents(s, d), "text", 200)
         .select("doc_id", "text")),
@@ -641,6 +642,30 @@ object SparkEntry {
                CAST(len(list_slice(toks, chunk_id * 24 + 1,
                                    chunk_id * 24 + 32)) AS INTEGER) AS n_tokens
         FROM c
+      """,
+
+      "q_pack_sequences" -> s"""
+        WITH t AS ($toks),
+        c AS (SELECT doc_id, toks,
+                     unnest(range(0, 1 + greatest(0,
+                       CAST(ceil((len(toks) - 32) / 24.0) AS INT)))) AS chunk_id
+              FROM t),
+        ch AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                      CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                                          chunk_id * 24 + 32)) AS INTEGER) AS n_tokens,
+                      CAST(${h64("CAST(doc_id AS VARCHAR)")} % 32 AS INTEGER) AS lane
+               FROM c),
+        s AS (SELECT lane, doc_id, chunk_id, n_tokens,
+                     coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY lane ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start_tok
+              FROM ch)
+        SELECT lane, CAST(start_tok // 96 AS BIGINT) AS seq_id,
+               CAST(COUNT(*) AS INTEGER) AS n_chunks,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM s GROUP BY 1, 2
       """,
 
       "q_sample_hash" -> s"""

@@ -126,6 +126,39 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /** Sequence packing — the step after [[chunkDocuments]] in a pretraining
+    * pipeline: concatenate chunks into fixed-token-budget training
+    * sequences. Packing is inherently order-dependent, so the scalable
+    * contract is BUCKETED contiguous packing: documents hash into
+    * `buckets` independent packing lanes (all of a document's chunks stay
+    * in one lane), and within a lane chunks are packed in (doc_id,
+    * chunk_id) order by running token count — a sequence is the set of
+    * chunks whose cumulative-start offset falls in the same `budget`
+    * window. One shuffle (the lane window), lanes pack in parallel,
+    * results are deterministic for any cluster size, and the same window
+    * arithmetic runs in the DuckDB oracle. (A chunk that straddles a
+    * boundary belongs to the sequence its FIRST token falls in — the
+    * "pack then truncate/pad" contract; the trailing sequence of a lane
+    * may be short.) */
+  def packSequences(docs: DataFrame, maxTokens: Int = 32, overlap: Int = 8,
+                    budget: Int = 96, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunkDocuments(docs, maxTokens, overlap)
+      .withColumn("lane",
+        expr(s"pmod(${Hashing.hash64("cast(doc_id AS string)")}, $buckets)").cast("int"))
+    val w = Window.partitionBy(col("lane")).orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", (col("start_tok") / budget).cast("long"))
+      .groupBy(col("lane"), col("seq_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Deterministic hash-based sampling: keep rows whose md5-derived hash of
     * `keyExpr` falls under `permille`/1000 — reproducible across runs,
     * engines, and cluster sizes (unlike `sample()`, whose output depends on

@@ -46,6 +46,20 @@ class DedupSpec extends GraftSuite {
       99L -> 99L))
   }
 
+  test("sequence packing conserves chunks and respects the start-offset budget") {
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocuments(docs, maxTokens = 32, overlap = 8)
+    val packed = graft.operators.TextAnalysis
+      .packSequences(docs, maxTokens = 32, overlap = 8, budget = 96)
+    // conservation: every chunk lands in exactly one sequence
+    assert(packed.agg(sum("n_chunks")).first().getLong(0) === chunks.count())
+    // each sequence's token load is bounded by budget + one straddling
+    // chunk (the pack-then-truncate contract) except nothing exceeds
+    // budget + maxTokens
+    val over = packed.filter(col("seq_tokens") > 96 + 32)
+    assert(over.count() === 0)
+  }
+
   test("chunking covers every token with the configured overlap") {
     val chunks = graft.operators.TextAnalysis
       .chunkDocuments(docs, maxTokens = 32, overlap = 8)
