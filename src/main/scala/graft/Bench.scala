@@ -60,13 +60,7 @@ object Bench {
       }
     }
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def jstr(s: String): String = graft.functions.Json.quote(s)
     val qs = results.map {
       case (k, Right(t)) => s"${jstr(k)}:$t"
       case (k, Left(_)) => s"${jstr(k)}:-1"

@@ -73,9 +73,13 @@ class Engine(val spark: SparkSession) {
   def showQueries: Seq[(String, Boolean)] =
     queries.toSeq.map { case (n, q) => (n, q.isActive) }.sortBy(_._1)
 
-  /** `DESCRIBE [EXTENDED]` (readme.md:229): schema of a materialized table. */
-  def describe(name: String): String =
+  /** `DESCRIBE [EXTENDED]` (readme.md:229): schema of a materialized table.
+    * Refreshes upsert views first so DESCRIBE works on an upsert table
+    * before any pull query has touched it. */
+  def describe(name: String): String = {
+    refreshUpsertViews()
     spark.table(name).schema.treeString
+  }
 
   /** `DROP`/terminate a persistent query. */
   def terminate(name: String): Unit =

@@ -45,29 +45,39 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000) {
     try os.write(bytes) finally os.close()
   }
 
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.functions.Json.quote(s)
 
   /** Extract `"key": "value"` from a (flat, trusted-test-scale) JSON body —
     * enough for the `{"ksql": "..."}` / `{"sql": "..."}` payload shapes the
-    * reference's examples use, without pulling in a JSON dependency. */
+    * reference's examples use, without pulling in a JSON dependency.
+    * Unescaping is a single left-to-right pass: sequential `replace` calls
+    * corrupt inputs like `\\n` (escaped backslash + literal n) into a
+    * newline. */
   private def jsonField(body: String, key: String): Option[String] = {
     val m = java.util.regex.Pattern
       .compile("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
       .matcher(body)
-    if (m.find())
-      Some(m.group(1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-        .replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r"))
-    else None
+    if (!m.find()) None
+    else {
+      val raw = m.group(1)
+      val sb = new StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '\\' && i + 1 < raw.length) {
+          raw.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'u' if i + 5 < raw.length =>
+              sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2 // \" \\ \/ etc.
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      Some(sb.toString)
+    }
   }
 
   private def readBody(ex: HttpExchange): String =

@@ -122,6 +122,10 @@ object Similarity {
       base.select(col("vec_id"), lit(t).as("table_id"),
         VectorExpressions.lshBucket(col("embedding"), planes).as("bucket"))
     }.reduce(_ union _)
+      // lazy localCheckpoint — same self-join finding as the banded dedup
+      // operators: without it the union of bucket projections (and its
+      // corpus scan) executes once per join side
+      .localCheckpoint(false)
     val cands = bucketed.alias("a")
       .join(bucketed.alias("b"),
         col("a.table_id") === col("b.table_id") &&

@@ -66,13 +66,24 @@ object TextAnalysis {
 
   /** Language ID: marker-hit count per language, argmax with alphabetical
     * tie-break (first language in [[langMarkers]] order wins ties). */
-  def langId(docs: DataFrame): DataFrame = {
+  def langId(docs: DataFrame): DataFrame =
+    withLangGuess(docs).select(
+      col("doc_id"), col("lang_guess"),
+      greatest(langMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
+        .as("marker_hits"))
+
+  /** All input columns + per-language `hits_*` counts + the argmax
+    * `lang_guess` — the shared projection behind [[langId]] and
+    * [[sampleStratified]]: everything stays a single codegen'd scan, no
+    * join needed to pair the guess with other columns of the row. */
+  private def withLangGuess(docs: DataFrame): DataFrame = {
     val hitCols = langMarkers.map { case (lang, words) =>
       lang -> expr(s"size(filter(toks, t -> t IN ${inList(words)}))")
     }
     val withHits = docs
       .withColumn("toks", expr(tokensExpr))
-      .select(col("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }: _*)
+      .select(docs.columns.map(col) ++
+        hitCols.map { case (l, c) => c.as(s"hits_$l") }: _*)
     // argmax CASE chain: lang_i wins if its hits >= every later lang's hits
     val langs = langMarkers.map(_._1)
     val guess = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
@@ -82,10 +93,7 @@ object TextAnalysis {
           .reduce(_ && _)
         when(geAllLater, lit(lang)).otherwise(elseCol)
     }
-    withHits.select(
-      col("doc_id"),
-      guess.as("lang_guess"),
-      greatest(langs.map(l => col(s"hits_$l")): _*).as("marker_hits"))
+    withHits.withColumn("lang_guess", guess)
   }
 
   /** Quality scoring: length/punctuation/stopword signals and a composite
@@ -176,11 +184,12 @@ object TextAnalysis {
     * projection — no shuffle; the rate lookup is a codegen'd CASE chain. */
   def sampleStratified(docs: DataFrame, permilleByLang: Map[String, Int],
                        defaultPermille: Int = 100): DataFrame = {
-    val lang = langId(docs).select(col("doc_id"), col("lang_guess"))
     val rate = permilleByLang.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
       case (acc, (l, p)) => when(col("lang_guess") === l, lit(p)).otherwise(acc)
     }
-    docs.join(lang, "doc_id")
+    // lang_guess comes from the shared projection, not a join — text stays
+    // on the row, so the hash filter and the guess run in one scan
+    withLangGuess(docs)
       .filter(expr(s"pmod(${Hashing.hash64("text")}, 1000)") < rate)
       .select("doc_id", "lang_guess")
   }

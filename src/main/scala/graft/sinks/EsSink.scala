@@ -40,18 +40,27 @@ object EsSink {
 
   /** K4 — render every timestamp-typed or `*_TS`-named column as ISO-8601
     * with millis (the `strict_date_optional_time` shape ES's dynamic `date`
-    * mapping expects). `date_format` renders in the session time zone, so
-    * the instant is shifted to UTC first — otherwise the literal 'Z' would
-    * assert a UTC instant that is wrong by the zone offset on any non-UTC
-    * session. */
-  def renderTimestamps(df: DataFrame): DataFrame =
+    * mapping expects). Formats the INSTANT directly with a UTC-pinned
+    * formatter (`DateFormatClass(_, _, Some("UTC"))`): `date_format` alone
+    * renders session-zone wall clock under a literal 'Z', and the
+    * `to_utc_timestamp(ts, current_timezone())` round-trip is wrong inside
+    * DST transitions (the wall-clock reinterpretation resolves spring-
+    * forward gap times an hour off). The analyzer preserves an explicit
+    * timeZoneId, so this is session-zone-independent and DST-proof. */
+  def renderTimestamps(df: DataFrame): DataFrame = {
+    def utcIso(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          org.apache.spark.sql.GraftColumnBridge.expression(c.cast("timestamp")),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+          Some("UTC")))
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.dataType == TimestampType || f.name.toUpperCase.endsWith("_TS"))
-        acc.withColumn(f.name,
-          date_format(to_utc_timestamp(col(f.name), current_timezone()),
-            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        acc.withColumn(f.name, utcIso(col(f.name)))
       else acc
     }
+  }
 
   /** One `_bulk` entry (action line + newline + source doc) per row.
     * `idCol = Some(key)` is the `key.ignore=false` mode (doc `_id` = key →

@@ -155,12 +155,21 @@ object Streams {
     val q = df.limit(n).writeStream.format("memory")
       .queryName(tableName).outputMode(OutputMode.Append()).start()
     val monitor = new Thread(() => {
-      try {
-        while (q.isActive) {
+      var interrupted = false
+      while (q.isActive && !interrupted) {
+        // per-iteration catch: a poll BEFORE the memory sink registers its
+        // table throws AnalysisException — that must not kill the monitor
+        // (the query would then never self-terminate), just retry
+        try {
           if (spark.table(tableName).count() >= n) q.stop()
           else Thread.sleep(pollMs)
+        } catch {
+          case _: InterruptedException => interrupted = true
+          case _: Exception =>
+            try Thread.sleep(pollMs)
+            catch { case _: InterruptedException => interrupted = true }
         }
-      } catch { case _: Throwable => () }
+      }
     }, s"push-limit-$tableName")
     monitor.setDaemon(true)
     monitor.start()
