@@ -50,11 +50,28 @@ object Dedup {
     * Here tokenization is materialized once per document below the
     * `Generate`, and every downstream expression (concat, md5, conv) is a
     * codegen'd scalar — the whole stage stays in WholeStageCodegen. */
+  /** Scan-parallelism floor for CPU-heavy per-document stages (tokenize +
+    * md5-per-shingle): repartition by the downstream aggregation key ONLY
+    * when the scan yields fewer partitions than the cluster's default
+    * parallelism. At 100 TB a parquet scan has thousands of row-group
+    * splits and this is a no-op — no full-text shuffle is ever added — but
+    * a small single-row-group file would otherwise serialize all hashing on
+    * one core. When the shuffle does fire, its key matches the downstream
+    * `groupBy(doc_id)`, so hashpartitioning(doc_id) also satisfies the
+    * aggregate's required distribution: the post-explode exchange is
+    * elided and the net exchange count is unchanged. The explicit partition
+    * count keeps AQE from coalescing the tiny-by-bytes (but CPU-dense)
+    * partitions back down to one. */
+  private def spreadByKey(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
+  }
+
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
     val cat = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
-    docs
+    spreadByKey(docs
       .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
-      .filter(size(col("toks")) >= n)
+      .filter(size(col("toks")) >= n), "doc_id")
       .select(col("doc_id"), col("toks"),
         explode(expr(s"sequence(0, size(toks) - $n)")).as("i"))
       .select(col("doc_id"),
@@ -151,10 +168,21 @@ object Dedup {
     * min-aggregate, then (2) a PATH-COMPRESSION self-join on the label
     * table (`l(x) := l(l(x))`, pointer jumping) — so convergence is
     * O(log diameter) rounds, not O(diameter): a 1000-link duplicate chain
-    * converges in ~10 rounds. No text is ever shuffled; every join key is
-    * a long. The per-round driver action is a `limit(1).count()`
-    * convergence probe over the checkpointed labels (the changed flag is
-    * computed inside the round — no extra join), not a data collect. */
+    * converges in ~10 rounds. The edge list carries self-loops, so the
+    * neighbor minimum already includes the doc's own label and no second
+    * label-table join is needed per round. No text is ever shuffled; every
+    * join key is a long. Convergence is detected with zero extra jobs: the
+    * label sum (strictly decreasing exactly when any label changed — labels
+    * are monotone non-increasing) rides the round's checkpoint job as an
+    * `observe()` metric.
+    *
+    * The fixpoint runs over the PAIR-INDUCED SUBGRAPH only: a document that
+    * appears in no candidate pair is its own canonical by construction, so
+    * carrying it through every propagation round is pure waste — at 100 TB
+    * it is the difference between `maxIters` full-corpus shuffles and
+    * `maxIters` shuffles over just the near-duplicate cluster members
+    * (typically a few percent of the corpus). Untouched documents join the
+    * result through a single identity-label anti-join at the end. */
   def canonicalFromPairs(docs: DataFrame, pairs: DataFrame,
                          maxIters: Int = 50): DataFrame = {
     // Eager localCheckpoint (not persist): iteration k's plan references
@@ -164,27 +192,44 @@ object Dedup {
     // plan size, constant analysis cost. (On a multi-executor cluster,
     // swap for reliable `checkpoint()` against the checkpoint dir if
     // executor loss during the loop must be survivable.)
+    def release(ds: DataFrame): Unit =
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(ds)
+        .foreach(_.unpersist(false))
+    // Both directions PLUS self-loops: with (x, x) present, each round's
+    // min-over-neighbor-labels already includes the doc's own label, so the
+    // propagation step is a single edge⋈label join + aggregate — no second
+    // join back against the label table. Duplicate edges are harmless
+    // under `min`, so no distinct pass is spent on them.
     val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+      .union(pairs.select(col("doc_a").as("doc_id"), col("doc_a").as("nbr")))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_b").as("nbr")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+    // Initial labels fuse round 1's propagation into the init aggregate:
+    // with l0(x) = x, the first round's min-over-neighbors is just
+    // min(nbr), which the self-loops already cap at the doc's own id — one
+    // groupBy over the edge list, no join, and one fewer loop round. The
+    // groupBy also IS the distinct paired-doc set.
+    var labels = edges.groupBy(col("doc_id"))
+      .agg(min(col("nbr")).as("canonical_id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    var prevSum: Option[Any] = None
     while (iter < maxIters && !converged) {
       val prev = labels
-      // (1) min over own label and all neighbors' labels
-      val nbrLabels = edges.join(
+      // (1) min over own + neighbors' labels (self-loops make this total
+      // over the label table and cover the "own label" term).
+      // Lazy checkpoint: still a lineage barrier (constant plan size) and a
+      // single materialization shared by both sides of the compression
+      // self-join below, but fused into that join's job — one eager
+      // checkpoint job per round instead of two.
+      val stepped = edges.join(
         labels.select(col("doc_id").as("nbr"), col("canonical_id").as("nbr_label")),
         "nbr")
         .groupBy(col("doc_id"))
-        .agg(min(col("nbr_label")).as("min_nbr_label"))
-      val stepped = labels.join(nbrLabels, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("canonical_id").as("__old"),
-          least(col("canonical_id"),
-            coalesce(col("min_nbr_label"), col("canonical_id")))
-            .as("__l1"))
-        .localCheckpoint(true)
+        .agg(min(col("nbr_label")).as("__l1"))
+        .localCheckpoint(false)
       // (2) path compression: l(x) := l(l(x)). Labels are monotonically
       // non-increasing and always reference a live doc_id, so the inner
       // self-join is total and l(l(x)) <= l(x). (A second compression hop
@@ -194,18 +239,36 @@ object Dedup {
       // un-checkpointed join-of-join deadlocked AQE at higher iteration
       // counts.)
       val parents = stepped.select(col("doc_id").as("__p"), col("__l1").as("__pl"))
-      val next = stepped.join(parents, col("__l1") === col("__p"))
-        .select(col("doc_id"), col("__pl").as("canonical_id"),
-          (col("__pl") =!= col("__old")).as("__changed"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("__changed")).limit(1).count()
-      prev.unpersist(); stepped.unpersist()
-      labels = next.select(col("doc_id"), col("canonical_id"))
-      converged = changed == 0L
+      // Convergence signal rides the checkpoint job as an observe() metric
+      // (task-side accumulator) — no separate probe job per round. Labels
+      // only ever decrease, so the label sum is strictly smaller iff any
+      // label changed; DECIMAL(38,0) keeps the sum exact at any corpus
+      // size.
+      val projected = stepped.join(parents, col("__l1") === col("__p"))
+        .select(col("doc_id"), col("__pl").as("canonical_id"))
+        .observe("cc", sum(col("canonical_id").cast("decimal(38,0)")).as("label_sum"))
+      val next = projected.localCheckpoint(true)
+      val sumNow: Option[Any] =
+        projected.queryExecution.observedMetrics.get("cc").map(_.get(0))
+      // Unpersist the underlying checkpoint RDDs directly —
+      // Dataset.unpersist() does not reach a localCheckpoint's RDD, which
+      // would otherwise accumulate one cached block set per round until the
+      // ContextCleaner got around to it.
+      release(prev); release(stepped)
+      labels = next
+      converged = prevSum.nonEmpty && prevSum == sumNow
+      prevSum = sumNow
       iter += 1
     }
-    edges.unpersist()
-    labels
+    release(edges)
+    // Docs untouched by any pair are their own canonical; they never enter
+    // the loop. (The final `labels` checkpoint stays cached — it backs both
+    // branches of the returned plan — and is reclaimed by the
+    // ContextCleaner when the result is dropped.)
+    val untouched = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("canonical_id"))
+    labels.union(untouched)
   }
 
   /** 32-bit SimHash over the token bag: per bit, sum ±1 contributions of
@@ -219,8 +282,10 @@ object Dedup {
     * O(32·tokens) interpreter dispatches per document and dominated the
     * bench. Bit sums are order-independent, so results are identical. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("t"))
+    val tokens = spreadByKey(
+        docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks")),
+        "doc_id")
+      .select(col("doc_id"), explode(col("toks")).as("t"))
       .select(col("doc_id"), expr(Hashing.hash64("t")).as("h"))
     val bitSums = (0 until 32).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b_$j"))

@@ -10,4 +10,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The cached RDD behind a `localCheckpoint`-ed Dataset, if any.
+    * `Dataset.unpersist()` is a no-op for checkpointed plans (the persist
+    * lives on the underlying RDD, not in the CacheManager), so iterative
+    * algorithms that checkpoint per round must unpersist this RDD directly
+    * to bound executor storage by one round, not by `maxIters`. */
+  def checkpointRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
 }
