@@ -12,6 +12,18 @@ import org.apache.spark.sql.SparkSession
   * single-JVM sweep (round-1 recorded q_top_brands at 20.15 s vs its true
   * ~1.2 s warm cost). A failed query reports -1 and an `"errors"` entry —
   * never its failure latency as a fake success.
+  *
+  * Outlier guard (round-2 verdict: a phantom 9.18 s `q_unhappy` survived
+  * even median-of-3): if a query's median exceeds 4× its min — the
+  * signature of an environment hiccup, not a plan cost — force a GC and
+  * re-run the trials once; the clean median is reported and the discarded
+  * one is kept in `"retried"` for audit.
+  *
+  * Output: the JSON is written bare to `SPARK_GRAFT_BENCH_OUT`, printed as
+  * its own stdout line, and printed once more as the FINAL line anchored
+  * by the `BENCH_JSON ` marker, so a parser scraping sbt-wrapped stdout
+  * can regex `BENCH_JSON (\{.*\})` instead of guessing which line is the
+  * payload.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,17 +58,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // 3 timed runs -> (median, min); Left on any failure.
+    def trials(name: String): Either[String, (Double, Double)] = {
+      val timed = (1 to 3).map(_ => runOnce(name))
+      val errs = timed.collect { case Left(e) => e }
+      if (errs.nonEmpty) Left(errs.head)
+      else {
+        val ts = timed.collect { case Right(t) => t }.sorted
+        Right((ts(ts.length / 2), ts.head))
+      }
+    }
+
+    var retried = Map.empty[String, Double]
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
       runOnce(name) match {
         case Left(err) => name -> Left(err) // fail fast: no timed reruns
-        case Right(_) => // warmup done; 3 timed runs, median
-          val timed = (1 to 3).map(_ => runOnce(name))
-          val errs = timed.collect { case Left(e) => e }
-          if (errs.nonEmpty) name -> Left(errs.head)
-          else {
-            val ts = timed.collect { case Right(t) => t }.sorted
-            name -> Right(ts(ts.length / 2))
-          }
+        case Right(_) => // warmup done
+          name -> (trials(name) match {
+            case Left(e) => Left(e)
+            case Right((median, minT)) if median > 4 * minT && median > 1.0 =>
+              // Environment hiccup, not plan cost: GC, settle, one redo.
+              System.gc()
+              Thread.sleep(200)
+              retried += name -> median
+              trials(name).map(_._1)
+            case Right((median, _)) => Right(median)
+          })
       }
     }
 
@@ -69,11 +97,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t }.sum
     val nFailed = results.count(_._2.isLeft)
+    val retries = retried.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"n_failed":$nFailed,"sf":${jstr(sfDir)}}"""
+        s""""errors":$errs,"n_failed":$nFailed,"retried":$retries,""" +
+        s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
     spark.stop()
+    // Final stdout line, uniquely anchored for log-scraping parsers.
+    println(s"BENCH_JSON $json")
   }
 }
