@@ -1,37 +1,61 @@
 package graft.api
 
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicLong
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.AnalysisException
 
-/** Minimal REST facade over [[Engine]] — the reference drives ksqlDB
-  * entirely over its REST API (`/root/reference/rest_example.sh:30-99`
-  * POSTs `{"ksql": ...}` to `/ksql` and pull queries to `/query`;
-  * `readme.md` uses the CLI against the same endpoints). SURVEY §2.10
-  * originally declared REST out of scope; this closes the row with the
-  * JDK's built-in `com.sun.net.httpserver` — zero added dependencies.
+import graft.streaming.Streams
+
+/** REST facade over [[Engine]] — the reference drives ksqlDB entirely over
+  * its REST API (`/root/reference/rest_example.sh:30-99` POSTs
+  * `{"ksql": ...}` DDL — including `CREATE STREAM ... AS SELECT` — to
+  * `/ksql`, and queries to `/query`; `readme.md` uses the CLI against the
+  * same endpoints). Built on the JDK's `com.sun.net.httpserver` — zero
+  * added dependencies.
   *
   * Endpoints (shape mirrors ksqlDB's, simplified payloads):
   *  - `GET  /healthcheck`      → `{"isHealthy":true}`
   *  - `GET  /info`             → engine + query-count info
-  *  - `POST /ksql`             → admin statements: `SHOW QUERIES;`,
-  *    `DESCRIBE <name>;`, `TERMINATE <name>;` in `{"ksql":"..."}`
-  *  - `POST /query`            → pull query: `{"sql":"SELECT ..."}`,
-  *    returns a JSON array of row objects (driver-side result of a
-  *    point-in-time lookup — pull queries are bounded by contract;
-  *    `maxRows` caps the response regardless)
+  *  - `POST /ksql`             → admin + DDL statements in `{"ksql":"..."}`:
+  *    `SHOW QUERIES;`, `DESCRIBE [EXTENDED] <name>;`, `TERMINATE <name>;`,
+  *    `CREATE STREAM <name> AS SELECT ...` (the SELECT runs via `spark.sql`
+  *    over registered views — rest_example.sh:40-51's pipeline-creation
+  *    path), and `CREATE TABLE <name> WITH (KEYS='k1,k2'[, DIR='...'])
+  *    AS SELECT ...` (update-mode upsert materialization, the windowed-table
+  *    path of rest_example.sh:80-99)
+  *  - `POST /query`            → `{"sql":"..."}`. A bare SELECT is a pull
+  *    query: point-in-time result as one JSON array, `maxRows`-capped. A
+  *    `SELECT ... EMIT CHANGES [LIMIT n]` is a PUSH query: rows stream back
+  *    as chunked NDJSON while the continuous query runs, terminating at the
+  *    LIMIT (ksqlDB's `EMIT CHANGES LIMIT` contract,
+  *    `/root/reference/commands.sql:24-25`) or client disconnect.
   *
   * The server is a serving-layer veneer: every data path goes through the
   * same [[Engine]]/Catalyst plans as the Scala API — no second query
-  * engine. Scale note: pull-query serving at production rate belongs on a
-  * compacted store (see [[graft.streaming.Streams.toUpsertTable]]); this
-  * endpoint executes the lookup per request, which is the ksqlDB contract
-  * for `/query`.
+  * engine. Binds the LOOPBACK interface by default — `/query` executes
+  * arbitrary SQL against the session catalog, so anything wider than
+  * localhost must be an explicit `bindAddress` opt-in (the reference's
+  * listener address is likewise configuration, docker-compose.yml). Scale
+  * note: pull-query serving at production rate belongs on a compacted
+  * store (see [[graft.streaming.Streams.toUpsertTable]]); this endpoint
+  * executes the lookup per request, which is the ksqlDB contract for
+  * `/query`.
   */
-class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000) {
+class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
+                 bindAddress: InetAddress = InetAddress.getLoopbackAddress) {
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server =
+    HttpServer.create(new InetSocketAddress(bindAddress, port), 0)
+  // Without an explicit executor every request runs serially on the
+  // dispatcher thread — one long pull (or an open push stream) would block
+  // /healthcheck and everything else. Cached pool: idle threads reap.
+  server.setExecutor(Executors.newCachedThreadPool())
+
+  private val pushNames = new AtomicLong()
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -46,6 +70,15 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000) {
   }
 
   private def jstr(s: String): String = graft.functions.Json.quote(s)
+
+  /** 400 for statement/catalog errors the caller can fix; 500 otherwise. */
+  private def errorResponse(ex: HttpExchange, e: Exception): Unit = {
+    val code = e match {
+      case _: AnalysisException | _: IllegalArgumentException => 400
+      case _ => 500
+    }
+    respond(ex, code, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+  }
 
   /** Extract `"key": "value"` from a (flat, trusted-test-scale) JSON body —
     * enough for the `{"ksql": "..."}` / `{"sql": "..."}` payload shapes the
@@ -83,6 +116,23 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000) {
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+  // `CREATE STREAM|TABLE <name> [WITH (...)] AS SELECT ...`
+  private val createRe = java.util.regex.Pattern.compile(
+    "(?is)^CREATE\\s+(STREAM|TABLE)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(?:WITH\\s*\\(([^)]*)\\)\\s*)?AS\\s+(SELECT\\b.*)$")
+  private val propRe = java.util.regex.Pattern.compile(
+    "(?i)([A-Za-z_]+)\\s*=\\s*'([^']*)'")
+  // `... EMIT CHANGES [LIMIT n]` suffix → push query
+  private val emitRe = java.util.regex.Pattern.compile(
+    "(?is)^(.*?)\\s+EMIT\\s+CHANGES(?:\\s+LIMIT\\s+(\\d+))?\\s*$")
+
+  private def withProps(raw: String): Map[String, String] = {
+    val m = propRe.matcher(raw)
+    val b = Map.newBuilder[String, String]
+    while (m.find()) b += m.group(1).toUpperCase -> m.group(2)
+    b.result()
+  }
+
   server.createContext("/healthcheck", (ex: HttpExchange) =>
     respond(ex, 200, """{"isHealthy":true}"""))
 
@@ -94,6 +144,7 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000) {
     val stmt = jsonField(readBody(ex), "ksql").getOrElse("").trim
       .stripSuffix(";").trim
     val upper = stmt.toUpperCase
+    val create = createRe.matcher(stmt)
     try {
       if (upper == "SHOW QUERIES") {
         val qs = engine.showQueries.map { case (n, active) =>
@@ -101,33 +152,103 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000) {
         }.mkString("[", ",", "]")
         respond(ex, 200, s"""{"queries":$qs}""")
       } else if (upper.startsWith("DESCRIBE ")) {
+        // optional EXTENDED token (readme.md:229 documents the form)
         val name = stmt.substring("DESCRIBE ".length).trim
-        respond(ex, 200, s"""{"name":${jstr(name)},"schema":${jstr(engine.describe(name))}}""")
+          .replaceFirst("(?i)^EXTENDED\\s+", "")
+        respond(ex, 200,
+          s"""{"name":${jstr(name)},"schema":${jstr(engine.describe(name))}}""")
       } else if (upper.startsWith("TERMINATE ")) {
         val name = stmt.substring("TERMINATE ".length).trim
         engine.terminate(name)
         respond(ex, 200, s"""{"terminated":${jstr(name)}}""")
+      } else if (create.matches()) {
+        val (kind, name) = (create.group(1).toUpperCase, create.group(2))
+        val props = withProps(Option(create.group(3)).getOrElse(""))
+        val df = engine.pullQuery(create.group(4)) // resolves upsert views too
+        if (kind == "STREAM") {
+          require(df.isStreaming,
+            s"CREATE STREAM $name: the SELECT must read a streaming source " +
+              "(registered stream view); for batch results use /query")
+          engine.createStreamAs(name, df)
+        } else {
+          val keys = props.get("KEYS").map(_.split(",").map(_.trim).toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"CREATE TABLE $name: WITH (KEYS='k1,k2') is required — the " +
+                "upsert materialization compacts to latest per key"))
+          val dir = props.getOrElse("DIR", java.nio.file.Files
+            .createTempDirectory(s"graft-upsert-$name").toString)
+          engine.createUpsertTableAs(name, df, keys, dir)
+        }
+        respond(ex, 200, s"""{"status":"SUCCESS","name":${jstr(name)}}""")
       } else {
         respond(ex, 400,
           s"""{"error":"unsupported statement","statement":${jstr(stmt)}}""")
       }
     } catch {
-      case e: Exception =>
-        respond(ex, 500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      case e: Exception => errorResponse(ex, e)
     }
   })
 
   server.createContext("/query", (ex: HttpExchange) => {
     val body = readBody(ex) // read once — the request stream is consumable
-    val sql = jsonField(body, "sql").orElse(jsonField(body, "ksql")).getOrElse("")
+    val sql = jsonField(body, "sql").orElse(jsonField(body, "ksql"))
+      .getOrElse("").trim.stripSuffix(";").trim
+    val emit = emitRe.matcher(sql)
     try {
-      val rows = engine.pullQuery(sql).limit(maxRows).toJSON.collect()
-      respond(ex, 200, rows.mkString("[", ",", "]"))
+      if (emit.matches()) pushQuery(ex, emit.group(1),
+        Option(emit.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
+      else {
+        val rows = engine.pullQuery(sql).limit(maxRows).toJSON.collect()
+        respond(ex, 200, rows.mkString("[", ",", "]"))
+      }
     } catch {
-      case e: Exception =>
-        respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      case e: Exception => errorResponse(ex, e)
     }
   })
+
+  /** Push query over HTTP: run the SELECT as a continuous query into a
+    * uniquely-named memory sink and stream its rows back as chunked NDJSON
+    * as they arrive — ksqlDB's `/query` + `EMIT CHANGES` contract. The
+    * memory sink appends whole microbatches in order, so the already-sent
+    * prefix is stable and each poll emits only the suffix. Terminates when
+    * the LIMIT is reached (the query self-stops —
+    * [[Streams.pushQueryWithLimit]]) or the client disconnects (the write
+    * fails → query stopped, state cleaned). */
+  private def pushQuery(ex: HttpExchange, select: String, limit: Int): Unit = {
+    val spark = engine.spark
+    val df = spark.sql(select)
+    if (!df.isStreaming)
+      throw new IllegalArgumentException(
+        "EMIT CHANGES requires a streaming source; use a bare SELECT for " +
+          "pull queries")
+    val name = s"graft_push_${pushNames.incrementAndGet()}"
+    val q = Streams.pushQueryWithLimit(df, limit, name)
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    ex.sendResponseHeaders(200, 0) // length 0 → chunked streaming body
+    val os = ex.getResponseBody
+    var emitted = 0
+    try {
+      // Stream until the monitor stops the query at LIMIT rows, then drain.
+      var active = true
+      while (active) {
+        active = q.isActive
+        val rows = try spark.table(name).toJSON.collect()
+        catch { case _: AnalysisException => Array.empty[String] } // sink not registered yet
+        while (emitted < rows.length && emitted < limit) {
+          os.write((rows(emitted) + "\n").getBytes(StandardCharsets.UTF_8))
+          emitted += 1
+        }
+        os.flush()
+        if (active) Thread.sleep(25)
+      }
+    } catch {
+      case _: java.io.IOException => () // client went away — stop and clean up
+    } finally {
+      if (q.isActive) q.stop()
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      try os.close() catch { case _: Exception => () }
+    }
+  }
 
   def start(): RestServer = { server.start(); this }
 
