@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   * `VALUE_FORMAT='AVRO'`, `ksqldb-statements.sql:36-37`), with a schema
   * registry supplying the record schema. This serde takes an EXPLICIT
   * schema derived from the DataFrame's own StructType instead — no
-  * registry dependency, same wire format (Avro binary encoding of a
-  * record, minus Confluent's 5-byte registry header).
+  * registry dependency, same wire format. Confluent's 5-byte registry
+  * header (magic byte 0x00 + big-endian schema id) is available as an
+  * opt-in (`confluentSchemaId`), so topics written by the reference's
+  * registry-backed connectors (`ksqldb-statements.sql:36-37`) decode
+  * byte-exactly: the decoder validates the magic byte and the expected
+  * id before handing the remainder to Avro.
   *
   * Built on the Apache Avro core library (on the Spark classpath); the
   * spark-avro module's `from_avro`/`to_avro` expressions are not in this
@@ -35,10 +39,35 @@ import org.apache.spark.sql.types._
   */
 object AvroSerde {
 
+  /** Confluent wire-format prelude: magic byte + 4-byte schema id. */
+  private val ConfluentHeaderLen = 5
+  private val ConfluentMagic: Byte = 0x00
+
+  /** Spark column names legal in Avro (`[A-Za-z_][A-Za-z0-9_]*`): illegal
+    * characters (hyphens, spaces, dots from renames like `my-col`) become
+    * `_`, a leading digit gains a `_` prefix. Field POSITIONS never change
+    * — both serde directions address fields by index — so sanitizing is
+    * lossless for the data. Distinct Spark names that collapse to the same
+    * Avro name (`a-b` vs `a_b`) would silently alias, so that case fails
+    * fast naming both columns. */
+  private[streaming] def avroName(sparkName: String): String = {
+    val cleaned = sparkName.map(c =>
+      if (c == '_' || c.isLetterOrDigit && c < 128) c else '_')
+    if (cleaned.isEmpty || cleaned.head.isDigit) s"_$cleaned" else cleaned
+  }
+
   /** Avro record schema mirroring a Spark StructType. */
   def avroSchemaFor(schema: StructType, recordName: String = "record",
                     namespace: String = "graft"): Schema = {
-    val fields = schema.fields.map { f =>
+    val names = schema.fields.map(f => f.name -> avroName(f.name))
+    names.groupBy(_._2).collect { case (n, clash) if clash.length > 1 =>
+      throw new IllegalArgumentException(
+        s"AvroSerde: columns ${clash.map(_._1).mkString("'", "', '", "'")} " +
+          s"all sanitize to Avro field '$n' — rename them to be distinct " +
+          "under [A-Za-z0-9_]")
+    }
+    val avroNames = names.map(_._2)
+    val fields = schema.fields.zip(avroNames).map { case (f, safeName) =>
       val base = f.dataType match {
         case LongType => Schema.create(Schema.Type.LONG)
         case IntegerType => Schema.create(Schema.Type.INT)
@@ -56,7 +85,7 @@ object AvroSerde {
         if (f.nullable) Schema.createUnion(
           List(Schema.create(Schema.Type.NULL), base).asJava)
         else base
-      new Schema.Field(f.name, fieldSchema,
+      new Schema.Field(safeName, fieldSchema,
         null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(recordName, null, namespace, false, fields.toList.asJava)
@@ -67,7 +96,8 @@ object AvroSerde {
     * VALUE_FORMAT='AVRO'); `passthrough` columns (e.g. the Kafka key)
     * survive unchanged, preceding `value`. */
   def encode(df: DataFrame, recordName: String = "record",
-             passthrough: Seq[String] = Nil): DataFrame = {
+             passthrough: Seq[String] = Nil,
+             confluentSchemaId: Option[Int] = None): DataFrame = {
     val inSchema = df.schema
     val passIdx = passthrough.map(inSchema.fieldIndex).toArray
     val encIdx = inSchema.fields.indices.filterNot(passIdx.contains).toArray
@@ -89,6 +119,13 @@ object AvroSerde {
           i += 1
         }
         baos.reset()
+        // Confluent wire format: the header precedes the Avro body in the
+        // same buffer — no second allocation/copy per row.
+        confluentSchemaId.foreach { id =>
+          baos.write(ConfluentMagic)
+          baos.write(id >>> 24); baos.write(id >>> 16)
+          baos.write(id >>> 8); baos.write(id)
+        }
         encoder = EncoderFactory.get().directBinaryEncoder(baos, encoder)
         writer.write(rec, encoder)
         encoder.flush()
@@ -105,7 +142,8 @@ object AvroSerde {
     * (tombstone-tolerant, like the reference's converter with
     * `errors.tolerance`). */
   def decode(df: DataFrame, sparkSchema: StructType,
-             valueCol: String = "value", recordName: String = "record"): DataFrame = {
+             valueCol: String = "value", recordName: String = "record",
+             confluentSchemaId: Option[Int] = None): DataFrame = {
     val schemaJson = avroSchemaFor(sparkSchema, recordName).toString
     val inSchema = df.schema
     val valueIdx = inSchema.fieldIndex(valueCol)
@@ -126,7 +164,22 @@ object AvroSerde {
         val decoded =
           if (bytes == null) sparkSchema.fields.map(_ => null: Any).toSeq
           else {
-            decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+            val offset = confluentSchemaId.fold(0) { expected =>
+              // registry wire format: reject anything that isn't ours
+              // instead of mis-parsing the header bytes as Avro data
+              if (bytes.length < ConfluentHeaderLen || bytes(0) != ConfluentMagic)
+                throw new IllegalArgumentException(
+                  s"AvroSerde: payload lacks the Confluent magic byte " +
+                    s"(got ${if (bytes.isEmpty) "empty" else bytes(0).toString})")
+              val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+                ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+              if (id != expected)
+                throw new IllegalArgumentException(
+                  s"AvroSerde: schema id $id does not match expected $expected")
+              ConfluentHeaderLen
+            }
+            decoder = DecoderFactory.get()
+              .binaryDecoder(bytes, offset, bytes.length - offset, decoder)
             reuse = reader.read(reuse, decoder)
             sparkSchema.fields.zipWithIndex.map { case (f, i) =>
               fromAvroValue(reuse.get(i), f.dataType)

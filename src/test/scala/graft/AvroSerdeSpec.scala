@@ -55,6 +55,46 @@ class AvroSerdeSpec extends GraftSuite {
     assert(dec.collect().toSet === Set(Row("k1", 10L, 1.0), Row("k2", 20L, 2.0)))
   }
 
+  test("Confluent wire format: 5-byte header round-trips, wrong magic rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val enc = AvroSerde.encode(df, confluentSchemaId = Some(42))
+    // header bytes: magic 0x00 then the schema id big-endian
+    val bytes = enc.collect().map(_.getAs[Array[Byte]]("value"))
+    assert(bytes.forall(b => b(0) == 0x00 &&
+      b(1) == 0 && b(2) == 0 && b(3) == 0 && b(4) == 42))
+    val back = AvroSerde.decode(enc, df.schema, confluentSchemaId = Some(42))
+    assert(back.collect().toSet === Set(Row(1L, "a"), Row(2L, "b")))
+    // header-less payloads must be rejected, not mis-parsed as Avro data
+    val headerless = AvroSerde.encode(df)
+    val err = intercept[org.apache.spark.SparkException] {
+      AvroSerde.decode(headerless, df.schema, confluentSchemaId = Some(42))
+        .collect()
+    }
+    assert(err.getMessage.contains("magic") ||
+      Option(err.getCause).exists(_.getMessage.contains("magic")))
+    // a registry id other than the expected one is rejected too
+    val wrongId = intercept[org.apache.spark.SparkException] {
+      AvroSerde.decode(enc, df.schema, confluentSchemaId = Some(7)).collect()
+    }
+    assert(wrongId.getMessage.contains("schema id") ||
+      Option(wrongId.getCause).exists(_.getMessage.contains("schema id")))
+  }
+
+  test("Avro-illegal Spark column names are sanitized; collisions fail fast") {
+    import spark.implicits._
+    // hyphens and leading digits are legal in Spark, illegal in Avro
+    val df = Seq((1L, "x")).toDF("my-col", "2nd field")
+    val back = AvroSerde.decode(AvroSerde.encode(df), df.schema)
+    assert(back.columns.toSeq === Seq("my-col", "2nd field")) // Spark names kept
+    assert(back.collect().toSet === Set(Row(1L, "x")))
+    // two names collapsing to the same sanitized field is an error, not
+    // a silent alias
+    val clash = Seq((1L, 2L)).toDF("a-b", "a_b")
+    val err = intercept[IllegalArgumentException](AvroSerde.encode(clash))
+    assert(err.getMessage.contains("a-b") && err.getMessage.contains("a_b"))
+  }
+
   test("flagship pipeline runs over Avro-decoded events (streaming)") {
     // MemoryStream of Avro-encoded payloads → decode → live filter →
     // enrichment — the reference's VALUE_FORMAT='AVRO' path end-to-end.
