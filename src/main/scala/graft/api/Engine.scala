@@ -43,9 +43,11 @@ class Engine(val spark: SparkSession) {
     * keys ([[Streams.toUpsertTable]]); [[pullQuery]] sees the compacted
     * latest-per-key view under `name`. */
   def createUpsertTableAs(name: String, df: DataFrame, keys: Seq[String],
-                          dir: String): StreamingQuery = {
+                          dir: String,
+                          compactEvery: Int = 0): StreamingQuery = {
     require(!queries.contains(name), s"query '$name' already exists")
-    val q = Streams.toUpsertTable(df, s"$dir/store", s"$dir/checkpoint")
+    val q = Streams.toUpsertTable(df, s"$dir/store", s"$dir/checkpoint",
+      compactEvery, keys)
     queries.put(name, q)
     upserts.put(name, (s"$dir/store", keys))
     q

@@ -177,7 +177,8 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
                 "upsert materialization compacts to latest per key"))
           val dir = props.getOrElse("DIR", java.nio.file.Files
             .createTempDirectory(s"graft-upsert-$name").toString)
-          engine.createUpsertTableAs(name, df, keys, dir)
+          engine.createUpsertTableAs(name, df, keys, dir,
+            props.get("COMPACT_EVERY").map(_.toInt).getOrElse(0))
         }
         respond(ex, 200, s"""{"status":"SUCCESS","name":${jstr(name)}}""")
       } else {

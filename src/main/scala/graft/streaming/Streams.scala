@@ -256,15 +256,52 @@ object Streams {
     * periodic, or the sink a MERGE-capable table format / KV store.) */
   def toUpsertTable(df: DataFrame, path: String,
                     checkpoint: String): StreamingQuery =
+    toUpsertTable(df, path, checkpoint, compactEvery = 0, keys = Nil)
+
+  /** [[toUpsertTable]] with PERIODIC CHANGELOG COMPACTION: every
+    * `compactEvery` batches the changelog is rewritten to latest-per-key,
+    * so the store stays O(live keys) instead of O(all updates ever) — the
+    * continuous-compaction behavior of ksqlDB's state store
+    * (`ksqldb-statements.sql:96-110` backs the windowed table with a
+    * compacted changelog topic). Compaction runs inside `foreachBatch`, so
+    * it is serialized with appends by the streaming engine — no writer
+    * race by construction. `compactEvery = 0` disables (test scale). */
+  def toUpsertTable(df: DataFrame, path: String, checkpoint: String,
+                    compactEvery: Int, keys: Seq[String]): StreamingQuery = {
+    require(compactEvery == 0 || keys.nonEmpty,
+      "compaction needs the upsert key columns")
     df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("__batch_id", lit(batchId))
           .write.mode("append").parquet(path)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          compactUpsertLog(batch.sparkSession, path, keys)
         ()
       }
       .start()
+  }
+
+  /** Rewrite an upsert changelog to its latest-per-key rows (keeping
+    * `__batch_id` so later appends still win on read). The compacted
+    * snapshot is written beside the store and swapped in whole —
+    * write-temp → delete-old → rename — never an in-place overwrite of
+    * files a concurrent [[upsertView]] reader may hold open. (A production
+    * deployment points this at a MERGE-capable table format where the
+    * swap is a metadata commit; the latest-per-key plan — one shuffle on
+    * the key — is the same.) */
+  def compactUpsertLog(spark: SparkSession, path: String,
+                       keys: Seq[String]): Unit = {
+    val tmp = s"$path.__compacting"
+    Relational.latestByKeys(spark.read.parquet(path), keys, col("__batch_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    ()
+  }
 
   /** Latest version of every key in an upsert changelog written by
     * [[toUpsertTable]] — one shuffle on the key, resolved by descending

@@ -76,6 +76,43 @@ class EngineSpec extends GraftSuite {
     assert(engine.showQueries.isEmpty)
   }
 
+  test("upsert changelog compaction bounds the store under sustained batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").toString
+    val engine = new Engine(spark)
+    // per-user running counts, compacted every 2 batches
+    engine.createUpsertTableAs("compacted_counts",
+      in.toDF().groupBy("user_id").agg(count(lit(1)).as("n")),
+      Seq("user_id"), dir, compactEvery = 2)
+
+    // 6 microbatches over the SAME small key set: uncompacted, the
+    // changelog would hold ~6x the live rows
+    val rows = Tables.events(spark, sf).as[Event].collect()
+      .filter(_.user_id <= 20)
+    for (chunk <- rows.grouped(math.max(1, rows.length / 6))) {
+      in.addData(chunk.toIndexedSeq)
+      engine.processAllAvailable()
+    }
+
+    val liveKeys = spark.table("compacted_counts").count()
+    val changelogRows = spark.read.parquet(s"$dir/store").count()
+    // bounded: at most live keys + the appends since the last compaction
+    // (2 batches x live keys), nowhere near the 6x of an uncompacted log
+    assert(changelogRows <= liveKeys * 3,
+      s"changelog holds $changelogRows rows for $liveKeys live keys — " +
+        "compaction did not bound the store")
+
+    // pull results unchanged: the compacted view equals re-aggregating
+    // the full input
+    val expected = rows.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    val got = spark.table("compacted_counts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    engine.terminateAll()
+  }
+
   test("engine rejects duplicate query names") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
