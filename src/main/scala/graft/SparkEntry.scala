@@ -219,6 +219,10 @@ object SparkEntry {
       Similarity.nearDupPairsLshMulti(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    // IVF multi-probe (nprobe=2): each query searches its two closest
+    // cells — the standard recall lever over single-probe IVF
+    "q_ann_ivf_probe2" -> ((s, d) =>
+      Similarity.annIvfMultiProbe(Tables.embeddings(s, d))),
     // k-means-trained IVF — rows-only driver check (Lloyd's iterations are
     // not practically SQL-mirrorable); quality asserted in SimilaritySpec
     "q_ann_ivf_trained" -> ((s, d) =>
@@ -890,6 +894,39 @@ object SparkEntry {
         s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
                      ${cosSql("qv", "v")} AS score
               FROM q JOIN celled c ON c.cell = q.qcell AND c.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 3
+      """,
+
+      // multi-probe IVF: identical cell assignment, but each query probes
+      // its TOP-2 cells (rank over per-cell dot scores, ties to the lower
+      // cell id — the same contract as ArgTopPDot)
+      "q_ann_ivf_probe2" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        scored AS (SELECT vec_id, v,
+                     list_transform((SELECT cs FROM cents),
+                       c -> list_reduce(list_transform(range(1, 65),
+                              i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                   FROM e),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM scored),
+        qprobe AS (SELECT vec_id AS query_id, v AS qv, ci - 1 AS qcell
+                   FROM (SELECT sc.vec_id, sc.v, t.ci,
+                           row_number() OVER (PARTITION BY sc.vec_id
+                             ORDER BY sc.scores[t.ci] DESC, t.ci ASC) AS pr
+                         FROM scored sc, range(1, 17) t(ci)
+                         WHERE sc.vec_id < 10)
+                   WHERE pr <= 2),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("q.qv", "c.v")} AS score
+              FROM qprobe q JOIN celled c
+                ON c.cell = q.qcell AND c.vec_id <> q.query_id)
         SELECT query_id, neighbor_id, round(score, 6) AS score,
                CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (

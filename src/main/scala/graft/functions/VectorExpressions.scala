@@ -41,6 +41,13 @@ object VectorExpressions {
     GraftColumnBridge.column(
       ArgMaxDot(GraftColumnBridge.expression(v), centroids))
 
+  /** Indices of the `p` centroids with the largest inner products, best
+    * first (ties → lower index), codegen'd — IVF multi-probe query-side
+    * cell assignment. `p = 1` yields `[argMaxDot]`. */
+  def argTopPDot(v: Column, centroids: Array[Array[Double]], p: Int): Column =
+    GraftColumnBridge.column(
+      ArgTopPDot(GraftColumnBridge.expression(v), centroids, p))
+
   private[functions] def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -151,6 +158,91 @@ case class LshSignBucket(child: Expression, planes: Array[Array[Double]])
          |  if ($dot > 0) $bucket |= (1 << $h);
          |}
          |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `arg_top_p_dot(v)`: the 0-based indices of the `p` centroids with the
+  * largest inner products against `v`, in descending-dot order (ties break
+  * to the lower index — matching `ORDER BY score DESC, cell ASC` in the
+  * SQL oracle). Selection is `p` passes of exclude-and-argmax over the
+  * precomputed dot array — O(p · nlist), branch-free inner loops, no sort
+  * — all inside whole-stage codegen. Element 0 equals [[ArgMaxDot]]. */
+case class ArgTopPDot(child: Expression, centroids: Array[Array[Double]],
+                      p: Int) extends UnaryExpression {
+  import VectorExpressions._
+  require(p >= 1 && p <= centroids.length,
+    s"nprobe $p must be in [1, ${centroids.length}]")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "arg_top_p_dot"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dt = elemType(child)
+    val dots = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var dot = 0.0
+      var i = 0
+      val n = math.min(cent.length, x.numElements())
+      while (i < n) { dot += cent(i) * getD(x, i, dt); i += 1 }
+      dots(c) = dot
+      c += 1
+    }
+    val out = new Array[Int](p)
+    val used = new Array[Boolean](centroids.length)
+    var j = 0
+    while (j < p) {
+      var best = -1; var bestDot = Double.NegativeInfinity
+      var k = 0
+      while (k < dots.length) {
+        if (!used(k) && dots(k) > bestDot) { bestDot = dots(k); best = k }
+        k += 1
+      }
+      used(best) = true; out(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cs = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      val dots = ctx.freshName("dots"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val dot = ctx.freshName("dot"); val cent = ctx.freshName("cent")
+      val best = ctx.freshName("best"); val bestDot = ctx.freshName("bestDot")
+      s"""
+         |double[] $dots = new double[$cs.length];
+         |for (int $c = 0; $c < $cs.length; $c++) {
+         |  double[] $cent = $cs[$c];
+         |  double $dot = 0.0;
+         |  int ${cent}_n = java.lang.Math.min($cent.length, $v.numElements());
+         |  for (int $i = 0; $i < ${cent}_n; $i++) {
+         |    $dot += $cent[$i] * ${getJava(v, i, elemType(child))};
+         |  }
+         |  $dots[$c] = $dot;
+         |}
+         |int[] $out = new int[$p];
+         |boolean[] $used = new boolean[$cs.length];
+         |for (int $j = 0; $j < $p; $j++) {
+         |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
+         |  for (int $k = 0; $k < $dots.length; $k++) {
+         |    if (!$used[$k] && $dots[$k] > $bestDot) {
+         |      $bestDot = $dots[$k]; $best = $k;
+         |    }
+         |  }
+         |  $used[$best] = true; $out[$j] = $best;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

@@ -227,6 +227,41 @@ object Similarity {
                     nlist: Int = 16, iters: Int = 5): DataFrame =
     annOverCells(ivfCellsTrained(emb, nlist, iters), k, nQueries)
 
+  /** [[annIvf]] with MULTI-PROBE: each query searches its `nprobe` closest
+    * cells instead of only its own, the standard IVF recall lever — a
+    * vector just across a cell boundary is found by probing the runner-up
+    * cell. Query-side probe assignment is the codegen'd
+    * [[VectorExpressions.argTopPDot]] projection exploded to (query, cell)
+    * rows; the corpus side is untouched (each vector still lives in
+    * exactly ONE cell, so probed candidate sets are disjoint and need no
+    * dedup). Work scales linearly in `nprobe` on the query side only —
+    * the corpus is never rescanned per probe, the property that matters
+    * when N is 10¹¹ and |Q| is thousands. */
+  def annIvfMultiProbe(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+                       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents: Array[Array[Double]] = emb
+      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val celled = emb.withColumn("v", col("embedding"))
+      .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(VectorExpressions.argTopPDot(col("embedding"), cents, nprobe))
+            .as("qcell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    celled.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("cell"))
+      .join(queries,
+        col("cell") === col("qcell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   private def annOverCells(celled: DataFrame, k: Int, nQueries: Int): DataFrame = {
     val queries = broadcast(
       celled.filter(col("vec_id") < nQueries)

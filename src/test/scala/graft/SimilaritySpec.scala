@@ -78,6 +78,31 @@ class SimilaritySpec extends GraftSuite {
     assert(ann.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("IVF multi-probe: recall(nprobe=2) >= recall(nprobe=1), exact at nprobe=nlist") {
+    // ground truth: exact brute-force top-3 per query
+    val truth = Similarity.knnBruteForce(emb, k = 3, nQueries = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(Similarity.annIvf(emb, k = 3, nQueries = 10))
+    val r2 = recall(Similarity.annIvfMultiProbe(emb, k = 3, nQueries = 10,
+      nprobe = 2))
+    assert(r2 >= r1, s"multi-probe recall $r2 < single-probe $r1")
+    // probing every cell searches the whole corpus -> exact results
+    val rAll = recall(Similarity.annIvfMultiProbe(emb, k = 3, nQueries = 10,
+      nprobe = 16))
+    assert(rAll === 1.0, s"nprobe=nlist recall $rAll != 1.0")
+    // nprobe=1 equals single-probe IVF row-for-row (ArgTopPDot element 0
+    // is ArgMaxDot)
+    val p1 = Similarity.annIvfMultiProbe(emb, k = 3, nQueries = 10, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf1 = Similarity.annIvf(emb, k = 3, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p1 === ivf1)
+  }
+
   test("multi-table LSH recall >= single-table, still a subset of exact") {
     val exact = Similarity.nearDupPairs(emb)
       .select("vec_a", "vec_b").collect()
