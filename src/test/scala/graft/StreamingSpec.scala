@@ -76,6 +76,39 @@ class StreamingSpec extends GraftSuite {
     assert(updates.toSeq === Seq(1L, 2L))
   }
 
+  test("windowed aggregation runs under the RocksDB state store provider") {
+    // SURVEY §4 / Streams scaladoc name RocksDB as the scale lever for
+    // state beyond executor heap — prove the claim actually runs, not
+    // just reads as config advice.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = Streams.toMemoryTable(
+        Streams.windowedRatings(Streams.enrichedStream(
+          Streams.liveEvents(in.toDF()), Tables.customer(spark, sf))),
+        "rocksdb_win_test", OutputMode.Update())
+      in.addData(ev(1, "2024-01-01 00:01:00", 1, "click", 4))
+      q.processAllAvailable()
+      in.addData(ev(2, "2024-01-01 00:05:00", 1, "view", 2))
+      q.processAllAvailable()
+      // the provider is really RocksDB: its custom state metrics surface
+      // in the progress report
+      val metrics = q.lastProgress.stateOperators(0).customMetrics
+      assert(metrics.keySet().toArray.exists(_.toString.startsWith("rocksdb")),
+        s"no rocksdb state metrics in $metrics — provider not engaged")
+      q.stop()
+      val updates = spark.table("rocksdb_win_test")
+        .select("ratings_count").as[Long].collect().sorted
+      assert(updates.toSeq === Seq(1L, 2L)) // same semantics as HDFS-backed
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("opt-in watermark drops events later than the delay (documented deviation)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
