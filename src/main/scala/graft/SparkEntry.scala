@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -86,6 +86,25 @@ object SparkEntry {
     // S3+A4 — CDC changelog → table with DELETE (tombstone) handling
     "q_cdc_latest" -> ((s, d) =>
       Cdc.latestByKeyTable(Cdc.envelope(Tables.events(s, d)))),
+
+    // AS-OF temporal join: each event enriched with the CDC dimension
+    // state in effect AT THE EVENT'S TIMESTAMP (leakage-safe point-in-time
+    // enrichment, vs the stream-table join's current-state). Versions are
+    // deduped to one per (key, ts) — latest binlog offset wins — so the
+    // as-of winner is deterministic; tombstones ('d') carry null payloads.
+    "q_asof_enrich" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val versions = Relational.latestByKeys(
+        Cdc.envelope(ev)
+          .select(col("key"), col("ts_ms"), col("offset"), col("op"),
+            col("after.value").as("v_value"),
+            col("after.event_type").as("v_type")),
+        Seq("key", "ts_ms"), col("offset")).drop("offset")
+      val facts = ev.select(col("event_id"),
+        col("user_id").cast("string").as("key"),
+        unix_millis(col("ts")).as("ts_ms"))
+      Temporal.asOfJoin(facts, versions, Seq("key"), "ts_ms", "ts_ms")
+    }),
 
     // D2 — median over time by group (Kibana percentiles(50) ×
     // date_histogram × terms, docker-compose.yml:347)
@@ -321,6 +340,30 @@ object SparkEntry {
       QUALIFY row_number() OVER (
           PARTITION BY key ORDER BY ts_ms DESC, event_id DESC) = 1
         AND op <> 'd'
+    """,
+
+    // oracle uses DuckDB's native ASOF LEFT JOIN — an independent
+    // implementation of the same point-in-time contract as the
+    // union+window form (ties inclusive: f.ts_ms >= v.ts_ms)
+    "q_asof_enrich" -> """
+      WITH env AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN event_id % 10 = 0 THEN 'd'
+                    WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v_value,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS v_type,
+               epoch_ms(ts) AS ts_ms, event_id AS binlog_pos
+        FROM events),
+      ver AS (SELECT key, ts_ms, op, v_value, v_type FROM env
+              QUALIFY row_number() OVER (PARTITION BY key, ts_ms
+                                         ORDER BY binlog_pos DESC) = 1),
+      fact AS (SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+                      epoch_ms(ts) AS ts_ms FROM events)
+      SELECT f.key, f.ts_ms, f.event_id, v.ts_ms AS asof_ts_ms,
+             v.op AS asof_op, v.v_value AS asof_v_value,
+             v.v_type AS asof_v_type
+      FROM fact f ASOF LEFT JOIN ver v
+        ON f.key = v.key AND f.ts_ms >= v.ts_ms
     """,
 
     "q_median_by_type" -> """

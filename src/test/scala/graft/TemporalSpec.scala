@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.Temporal
+
+/** As-of join semantics on a handcrafted version history, plus the plan
+  * shape that makes it scale (one keyed shuffle, no range explosion). */
+class TemporalSpec extends GraftSuite {
+  import spark.implicits._
+
+  // versions: key 1 becomes 'a' at t=5, 'b' at t=20; key 2 has none
+  private lazy val dims = Seq((1L, 5L, "a"), (1L, 20L, "b"))
+    .toDF("k", "vt", "state")
+
+  test("as-of join picks the latest version at or before each fact") {
+    val facts = Seq((1L, 3L, 100L), (1L, 5L, 101L), (1L, 10L, 102L),
+      (1L, 25L, 103L), (2L, 10L, 104L)).toDF("k", "ft", "fact_id")
+    val out = Temporal.asOfJoin(facts, dims, Seq("k"), "ft", "vt")
+      .select("fact_id", "asof_vt", "asof_state").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2))).toSet
+    assert(out === Set(
+      (100L, null, null),   // before any version -> LEFT nulls
+      (101L, 5L, "a"),      // tie: version AT the fact ts is visible
+      (102L, 5L, "a"),
+      (103L, 20L, "b"),     // later version wins
+      (104L, null, null)))  // key with no history -> LEFT nulls
+  }
+
+  test("a tombstone version is picked as-is, not skipped for older state") {
+    // key 1: 'a' at t=5, DELETED at t=10 (null payload)
+    val withDelete = Seq((1L, 5L, Some("a")), (1L, 10L, None))
+      .toDF("k", "vt", "state")
+    val facts = Seq((1L, 7L, 1L), (1L, 12L, 2L)).toDF("k", "ft", "fact_id")
+    val out = Temporal.asOfJoin(facts, withDelete, Seq("k"), "ft", "vt")
+      .select("fact_id", "asof_vt", "asof_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // fact at 12 sees the DELETE (vt=10, null state) — an ignore-nulls
+    // carry of individual fields would wrongly resurrect 'a'
+    assert(out === Set((1L, 5L, "a"), (2L, 10L, null)))
+  }
+
+  test("fact columns pass through; colliding names are rejected") {
+    val facts = Seq((1L, 6L, "payload")).toDF("k", "ft", "note")
+    val row = Temporal.asOfJoin(facts, dims, Seq("k"), "ft", "vt").collect().head
+    assert(row === Row(1L, 6L, "payload", 5L, "a"))
+    val clash = Seq((1L, 6L, "x")).toDF("k", "ft", "asof_state")
+    val err = intercept[IllegalArgumentException] {
+      Temporal.asOfJoin(clash, dims, Seq("k"), "ft", "vt")
+    }
+    assert(err.getMessage.contains("asof_state"))
+  }
+
+  test("plan: one hash shuffle on the key, no join node, no range explosion") {
+    val facts = Seq((1L, 3L, 100L)).toDF("k", "ft", "fact_id")
+    val plan = Temporal.asOfJoin(facts, dims, Seq("k"), "ft", "vt")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one keyed exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"as-of must be the union+window form, not a join:\n$plan")
+  }
+}
