@@ -182,9 +182,21 @@ object Dedup {
     * it is the difference between `maxIters` full-corpus shuffles and
     * `maxIters` shuffles over just the near-duplicate cluster members
     * (typically a few percent of the corpus). Untouched documents join the
-    * result through a single identity-label anti-join at the end. */
+    * result through a single identity-label anti-join at the end.
+    *
+    * ADAPTIVE SMALL-SIDE PATH — the broadcast-join analog: when the pair
+    * set is below `maxDriverPairs` (known for free from the materialized
+    * edge checkpoint), labels come from a driver union-find in one pass
+    * instead of ~10 scheduled propagation rounds. Near-dup pair sets are
+    * usually orders of magnitude smaller than the corpus, so this is the
+    * common case at every scale — and exactly the kind of size-conditional
+    * strategy switch Spark itself makes for joins. The distributed
+    * fixpoint remains the over-threshold path and is exercised directly in
+    * DedupSpec (`maxDriverPairs = 0`), which also asserts both paths
+    * produce identical labels. */
   def canonicalFromPairs(docs: DataFrame, pairs: DataFrame,
-                         maxIters: Int = 50): DataFrame = {
+                         maxIters: Int = 50,
+                         maxDriverPairs: Long = 1L << 22): DataFrame = {
     // Eager localCheckpoint (not persist): iteration k's plan references
     // labels_{k-1} TWICE, so without lineage truncation the logical plan
     // doubles every round — O(2^k) analysis memory, a driver OOM by ~10
@@ -205,6 +217,22 @@ object Dedup {
       .union(pairs.select(col("doc_a").as("doc_id"), col("doc_a").as("nbr")))
       .union(pairs.select(col("doc_b").as("doc_id"), col("doc_b").as("nbr")))
       .localCheckpoint(true)
+    // The checkpoint already materialized the edge list, so this count is
+    // a cached-RDD scan, not a recompute; 4 edge rows per pair.
+    if (edges.count() <= 4L * maxDriverPairs) {
+      val labels = driverUnionFind(
+        edges.filter(col("doc_id") < col("nbr")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+      release(edges)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      // tiny relation: Catalyst broadcasts it into the anti-join below
+      val labelDf = labels.toSeq.toDF("doc_id", "canonical_id")
+      val untouched = docs.select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("canonical_id"))
+      return labelDf.union(untouched)
+    }
     // Initial labels fuse round 1's propagation into the init aggregate:
     // with l0(x) = x, the first round's min-over-neighbors is just
     // min(nbr), which the self-loops already cap at the doc's own id — one
@@ -269,6 +297,34 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("canonical_id"))
     labels.union(untouched)
+  }
+
+  /** Path-compressed union-find over a collected pair list: doc_id →
+    * minimum doc_id of its connected component. The driver-side half of
+    * [[canonicalFromPairs]]'s adaptive strategy; O(pairs · α) time,
+    * O(touched docs) memory. Union-by-minimum keeps the invariant that a
+    * root is its component's smallest id, so no relabeling pass is
+    * needed. */
+  private[operators] def driverUnionFind(
+      pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** 32-bit SimHash over the token bag: per bit, sum ±1 contributions of

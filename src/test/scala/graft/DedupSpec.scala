@@ -40,10 +40,27 @@ class DedupSpec extends GraftSuite {
     val chainDocs = Seq(10L, 20L, 30L, 40L, 99L).toDF("doc_id")
     // chain 10~20, 20~30, 30~40 (transitive component) + isolated 99
     val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("doc_a", "doc_b")
-    val canon = Dedup.canonicalFromPairs(chainDocs, pairs)
+    val expected = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      99L -> 99L)
+    // distributed fixpoint — the over-threshold 100 TB path, forced
+    val fixpoint = Dedup.canonicalFromPairs(chainDocs, pairs,
+      maxDriverPairs = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(canon === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
-      99L -> 99L))
+    assert(fixpoint === expected)
+    // adaptive driver union-find (the default small-pair-set path) must
+    // agree exactly
+    val driver = Dedup.canonicalFromPairs(chainDocs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === expected)
+  }
+
+  test("union-find and distributed fixpoint agree on the real banding graph") {
+    val pairs = Dedup.minhashCandidatePairs(docs).localCheckpoint(true)
+    val viaUf = Dedup.canonicalFromPairs(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFixpoint = Dedup.canonicalFromPairs(docs, pairs, maxDriverPairs = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUf === viaFixpoint)
   }
 
   test("sequence packing conserves chunks and respects the start-offset budget") {
