@@ -153,4 +153,44 @@ object GraftProperties extends Properties("graft") {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       pairs.contains((0L, 1L))
     }
+
+  // version histories (key, vt, state) with collisions on key but unique
+  // (key, vt) — the as-of contract requires one version per (key, ts)
+  private val genAsOf: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      nv <- Gen.choose(0, 12)
+      versions <- Gen.listOfN(nv, for {
+        k <- Gen.choose(1L, 3L)
+        vt <- Gen.choose(0L, 20L)
+        st <- Gen.choose(0L, 999L)
+      } yield (k, vt, st))
+      nf <- Gen.choose(1, 15)
+      facts <- Gen.listOfN(nf, for {
+        k <- Gen.choose(1L, 4L) // key 4 never has versions
+        ft <- Gen.choose(0L, 25L)
+      } yield (k, ft))
+    } yield (
+      versions.groupBy(v => (v._1, v._2)).values.map(_.head).toList,
+      facts.zipWithIndex.map { case ((k, ft), i) => (k, ft, i.toLong) })
+
+  property("asOfJoin == per-fact max version with vt <= ft (naive reference)") =
+    forAll(genAsOf) { case (versions, facts) =>
+      val s = spark; import s.implicits._
+      val dims = versions.toDF("k", "vt", "state")
+      val factsDf = facts.toDF("k", "ft", "fact_id")
+      val got = graft.operators.Temporal
+        .asOfJoin(factsDf, dims, Seq("k"), "ft", "vt")
+        .collect().map(r => (r.getLong(r.fieldIndex("fact_id")),
+          Option(r.get(r.fieldIndex("asof_vt"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("asof_state"))).map(_.asInstanceOf[Long])))
+        .toSet
+      val expected = facts.map { case (k, ft, id) =>
+        versions.filter(v => v._1 == k && v._2 <= ft)
+          .sortBy(_._2).lastOption match {
+          case Some((_, vt, st)) => (id, Some(vt), Some(st))
+          case None => (id, None, None)
+        }
+      }.toSet
+      got == expected
+    }
 }
