@@ -75,6 +75,33 @@ class Engine(val spark: SparkSession) {
   def showQueries: Seq[(String, Boolean)] =
     queries.toSeq.map { case (n, q) => (n, q.isActive) }.sortBy(_._1)
 
+  /** `SHOW STREAMS` (ksqlDB metadata surface): persistent queries that are
+    * NOT upsert-table materializations. */
+  def showStreams: Seq[String] =
+    queries.keys.filterNot(upserts.contains).toSeq.sorted
+
+  /** `SHOW TABLES` (readme.md:164's ksqlDB-side analog): the
+    * upsert-materialized tables. */
+  def showTables: Seq[String] = upserts.keys.toSeq.sorted
+
+  /** `SHOW TOPICS` (readme.md:100): every named dataflow visible to SQL.
+    * Kafka topics are the reference's universal dataflow handle; here the
+    * analog is the session catalog's table/view namespace — source views,
+    * CSAS memory tables, and upsert views all land there. */
+  def showTopics: Seq[String] = {
+    refreshUpsertViews()
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+  }
+
+  /** `DROP STREAM/TABLE <name>`: terminate the backing query (if any) and
+    * remove the materialized view from the catalog. */
+  def drop(name: String): Unit = {
+    terminate(name)
+    upserts.remove(name)
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
   /** `DESCRIBE [EXTENDED]` (readme.md:229): schema of a materialized table.
     * Refreshes upsert views first so DESCRIBE works on an upsert table
     * before any pull query has touched it. */

@@ -151,6 +151,19 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
           s"""{"name":${jstr(n)},"state":${jstr(if (active) "RUNNING" else "STOPPED")}}"""
         }.mkString("[", ",", "]")
         respond(ex, 200, s"""{"queries":$qs}""")
+      } else if (upper == "SHOW STREAMS") {
+        respond(ex, 200, engine.showStreams.map(jstr)
+          .mkString("""{"streams":[""", ",", "]}"))
+      } else if (upper == "SHOW TABLES") {
+        respond(ex, 200, engine.showTables.map(jstr)
+          .mkString("""{"tables":[""", ",", "]}"))
+      } else if (upper == "SHOW TOPICS") {
+        respond(ex, 200, engine.showTopics.map(jstr)
+          .mkString("""{"topics":[""", ",", "]}"))
+      } else if (upper.startsWith("DROP STREAM ") || upper.startsWith("DROP TABLE ")) {
+        val name = stmt.split("\\s+", 3)(2).trim
+        engine.drop(name)
+        respond(ex, 200, s"""{"dropped":${jstr(name)}}""")
       } else if (upper.startsWith("DESCRIBE ")) {
         // optional EXTENDED token (readme.md:229 documents the form)
         val name = stmt.substring("DESCRIBE ".length).trim

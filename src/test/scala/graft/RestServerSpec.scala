@@ -122,6 +122,22 @@ class RestServerSpec extends GraftSuite {
         """{"sql":"SELECT full_name, value FROM rest_enriched LIMIT 5"}""")
       assert(enrichedRows.statusCode() === 200 &&
         enrichedRows.body().contains("full_name"))
+
+      // metadata surface: streams vs tables vs the whole catalog namespace
+      val streams = post(port, "/ksql", """{"ksql":"SHOW STREAMS;"}""").body()
+      assert(streams.contains("rest_live") && !streams.contains("rest_counts"))
+      val tables = post(port, "/ksql", """{"ksql":"SHOW TABLES;"}""").body()
+      assert(tables.contains("rest_counts") && !tables.contains("rest_live"))
+      val topics = post(port, "/ksql", """{"ksql":"SHOW TOPICS;"}""").body()
+      assert(topics.contains("ratings_src")) // source views are dataflows too
+
+      // DROP terminates the query and removes the catalog view
+      assert(post(port, "/ksql", """{"ksql":"DROP STREAM rest_live;"}""")
+        .statusCode() === 200)
+      assert(!post(port, "/ksql", """{"ksql":"SHOW QUERIES;"}""").body()
+        .contains("rest_live"))
+      assert(post(port, "/query", """{"sql":"SELECT * FROM rest_live"}""")
+        .statusCode() === 400)
     } finally {
       srv.stop()
       engine.terminateAll()
