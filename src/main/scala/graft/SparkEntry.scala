@@ -195,6 +195,13 @@ object SparkEntry {
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
     }),
     "q_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(Tables.documents(s, d))),
+    // benchmark decontamination: docs sharing any 3-gram with the "eval
+    // set" (the doc_id % 29 slice stands in for a held-out benchmark) are
+    // flagged — eval shingles broadcast, corpus never shuffled for the test
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 29 === 0))
+    }),
 
     // --- training-data pipeline: multimodal binary columns -------------- //
     // (decode/feature/frame content is a deterministic STUB — no codecs in
@@ -768,6 +775,18 @@ object SparkEntry {
             ON a.band_id = b.band_id AND a.band_byte = b.band_byte
             AND a.doc_id < b.doc_id)
         WHERE hamming <= 3
+      """,
+
+      "q_decontaminate" -> s"""
+        WITH t AS ($shingles),
+        e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
+              FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),
+        ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 29 = 0),
+        ov AS (SELECT e.doc_id, count(*) AS n_overlap
+               FROM e JOIN ev ON e.s = ev.s GROUP BY e.doc_id)
+        SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(ov.n_overlap, 0) > 0 AS INTEGER) AS contaminated
+        FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
       """,
 
       "q_ngram_jaccard" -> s"""

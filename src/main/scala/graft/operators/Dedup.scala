@@ -384,6 +384,34 @@ object Dedup {
     TextAnalysis.redactPii(kept.join(canon, "doc_id"))
   }
 
+  /** Benchmark DECONTAMINATION: flag every training document sharing at
+    * least one (more than `maxOverlap`) n-gram with the evaluation set —
+    * the standard guard against eval leakage into a pretraining corpus.
+    *
+    * Scale shape: the eval set is tiny relative to the corpus (thousands
+    * of benchmark documents vs billions of training docs), so its distinct
+    * shingle hashes are BROADCAST; the corpus side is one shingle
+    * projection + a broadcast join + per-doc count — the unbounded corpus
+    * is never shuffled by the membership test itself, only the (doc_id,
+    * 8-byte hash) distinct/count aggregation. Overlap counts are over
+    * DISTINCT shingles so a repeated phrase cannot inflate the score. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                    maxOverlap: Long = 0L): DataFrame = {
+    val evalSh = broadcast(
+      shingleRows(evalDocs, n).select(col("h1").as("s")).distinct())
+    val overlap = shingleRows(docs, n)
+      .select(col("doc_id"), col("h1").as("s")).distinct()
+      .join(evalSh, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated",
+        (col("n_overlap") > maxOverlap).cast("int"))
+  }
+
   /** Skew guard for the shingle self-join: shingles appearing in more
     * documents than this are dropped before pairing. */
   val maxShingleDf = 100

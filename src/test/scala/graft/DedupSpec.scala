@@ -63,6 +63,25 @@ class DedupSpec extends GraftSuite {
     assert(viaUf === viaFixpoint)
   }
 
+  test("decontamination flags exactly the docs sharing an n-gram with the eval set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),     // shares "quick brown fox"
+      (2L, "completely unrelated training text here"),
+      (3L, "short doc"),                          // < 3 tokens: no shingles
+      (4L, "a quick brown fox appears again"))    // shares it too
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "benchmark with the quick brown fox inside"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, eval_)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L)._2 === 1 && out(1L)._1 >= 1)
+    assert(out(4L) === ((1L, 1)))  // exactly "quick brown fox" overlaps
+    assert(out(2L) === ((0L, 0)))
+    assert(out(3L) === ((0L, 0))) // shingle-less docs are never flagged
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("sequence packing conserves chunks and respects the start-offset budget") {
     val chunks = graft.operators.TextAnalysis
       .chunkDocuments(docs, maxTokens = 32, overlap = 8)
