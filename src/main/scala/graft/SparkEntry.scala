@@ -183,6 +183,10 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) =>
       TextAnalysis.sampleStratified(Tables.documents(s, d),
         Map("en" -> 50, "de" -> 300))),
+    // mixture upsampling: 3 epochs of 'de', 2 of 'fr', 1 of the rest
+    "q_upsample_stratified" -> ((s, d) =>
+      TextAnalysis.upsampleStratified(Tables.documents(s, d),
+        Map("de" -> 3, "fr" -> 2))),
 
     // --- training-data pipeline: deduplication -------------------------- //
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -734,6 +738,13 @@ object SparkEntry {
         WHERE ${h64("d.text")} % 1000 <
               CASE l.lang_guess WHEN 'en' THEN 50 WHEN 'de' THEN 300
                    ELSE 100 END
+      """,
+
+      "q_upsample_stratified" -> s"""
+        WITH l AS ($langIdSql)
+        SELECT l.doc_id, l.lang_guess, CAST(t.e AS INTEGER) AS epoch
+        FROM l, unnest(range(1, 1 + CASE l.lang_guess WHEN 'de' THEN 3
+                                         WHEN 'fr' THEN 2 ELSE 1 END)) AS t(e)
       """,
 
       "q_dedup_exact" -> """

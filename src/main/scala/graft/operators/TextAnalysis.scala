@@ -194,6 +194,24 @@ object TextAnalysis {
       .select("doc_id", "lang_guess")
   }
 
+  /** Mixture UPSAMPLING — the other half of mixture-weight control
+    * ([[sampleStratified]] down-samples): each document is replicated
+    * `epochsByLang(lang_guess)` times (default `defaultEpochs`) with a
+    * 1-based epoch index, the way a pretraining mixture over-represents
+    * scarce domains. A pure per-row `explode(sequence(...))` projection —
+    * no shuffle, and the replication factor multiplies only the stratum
+    * it targets, never the whole corpus. Deterministic: the same doc gets
+    * the same epochs on any cluster size or rerun. */
+  def upsampleStratified(docs: DataFrame, epochsByLang: Map[String, Int],
+                         defaultEpochs: Int = 1): DataFrame = {
+    val epochs = epochsByLang.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
+      case (acc, (l, e)) => when(col("lang_guess") === l, lit(e)).otherwise(acc)
+    }
+    withLangGuess(docs)
+      .select(col("doc_id"), col("lang_guess"),
+        explode(sequence(lit(1), epochs)).as("epoch"))
+  }
+
   /** Corpus language distribution — the rollup a data curator reads before
     * setting mixture weights: document counts and mean marker confidence
     * per detected language. */
