@@ -187,6 +187,10 @@ object SparkEntry {
     "q_upsample_stratified" -> ((s, d) =>
       TextAnalysis.upsampleStratified(Tables.documents(s, d),
         Map("de" -> 3, "fr" -> 2))),
+    // per-language dataset-card rollup: counts, token/byte totals, mean
+    // quality, exact p50/p95 token lengths
+    "q_dataset_card" -> ((s, d) =>
+      TextAnalysis.datasetCard(Tables.documents(s, d))),
 
     // --- training-data pipeline: deduplication -------------------------- //
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -745,6 +749,28 @@ object SparkEntry {
         SELECT l.doc_id, l.lang_guess, CAST(t.e AS INTEGER) AS epoch
         FROM l, unnest(range(1, 1 + CASE l.lang_guess WHEN 'de' THEN 3
                                          WHEN 'fr' THEN 2 ELSE 1 END)) AS t(e)
+      """,
+
+      "q_dataset_card" -> s"""
+        WITH l AS ($langIdSql),
+        r AS (
+          SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter(toks, w -> w IN ${inList(TextAnalysis.stopwords)})) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio,
+                 CAST(length(text) AS INTEGER) AS n_bytes
+          FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents))
+        SELECT l.lang_guess, count(*) AS n_docs,
+               CAST(sum(r.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(r.n_bytes) AS BIGINT) AS total_bytes,
+               round(avg(round(ln(1 + r.n_tokens) * (1.0 - r.punct_ratio)
+                               * (1.0 + r.stopword_ratio), 6)), 6) AS avg_quality,
+               round(quantile_cont(r.n_tokens, 0.5), 4) AS p50_tokens,
+               round(quantile_cont(r.n_tokens, 0.95), 4) AS p95_tokens
+        FROM l JOIN r ON l.doc_id = r.doc_id
+        GROUP BY 1
       """,
 
       "q_dedup_exact" -> """

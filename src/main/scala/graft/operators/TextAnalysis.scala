@@ -212,6 +212,27 @@ object TextAnalysis {
         explode(sequence(lit(1), epochs)).as("epoch"))
   }
 
+  /** Corpus "dataset card" rollup — the per-language summary a data
+    * curator publishes with a corpus: document counts, token totals, byte
+    * totals, mean quality score, and exact p50/p95 token-length
+    * percentiles. One scan + one tiny grouped aggregation; the percentile
+    * is the exact interpolated one (at most `n_langs` groups, so the
+    * per-group sort is bounded by the largest stratum — at 100 TB swap in
+    * `percentile_approx` for a single-pass sketch, the documented twin of
+    * [[graft.operators.Relational.medianOverTimeApprox]]). */
+  def datasetCard(docs: DataFrame): DataFrame =
+    qualityScore(docs)
+      .join(withLangGuess(docs).select(col("doc_id"), col("lang_guess"),
+        length(col("text")).as("n_bytes")), "doc_id")
+      .groupBy(col("lang_guess"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_bytes")).as("total_bytes"),
+        expr("round(avg(quality_score), 6)").as("avg_quality"),
+        round(percentile(col("n_tokens"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.95)), 4).as("p95_tokens"))
+
   /** Corpus language distribution — the rollup a data curator reads before
     * setting mixture weights: document counts and mean marker confidence
     * per detected language. */
