@@ -51,4 +51,19 @@ class PlanSpec extends GraftSuite {
   test("semi-join form for EXISTS (no row duplication)") {
     assert(plan("q_order_priority").contains("LeftSemi"))
   }
+
+  test("decontamination broadcasts the eval shingle set, never shuffles it") {
+    // the eval set is tiny vs the corpus: its membership test must be a
+    // broadcast join or the corpus pays a shuffle for it
+    assert(plan("q_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("as-of join is the union+window form: one keyed exchange, no join node") {
+    val p = plan("q_asof_enrich")
+    // the final plan may carry broadcast exchanges from the tiny label
+    // relation, but the as-of core must not plan a range/theta join
+    assert(!p.contains("NestedLoop"),
+      s"as-of degenerated into a nested-loop range join:\n$p")
+    assert(p.contains("Window"), "expected the running-last window form")
+  }
 }
