@@ -134,15 +134,20 @@ object Dedup {
     * `bit_count(xor)` check runs only on candidates. Same
     * candidates-then-verify shape as MinHash banding, but over a per-row
     * signature with no shingle explosion. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
-    val bands = sig.select(col("doc_id"), col("simhash"),
+  /** Pigeonhole byte-bands of a simhash signature table: 4 rows per doc,
+    * one per signature byte. Two signatures within Hamming distance 3
+    * agree on at least one band. */
+  private[graft] def simhashBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band_id, " +
             "CAST(shiftright(simhash, b * 8) & 255 AS INT) AS band_byte))"))
           .as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id"), col("band.band_byte"))
+
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = simhashBands(simhash(docs))
       // lazy localCheckpoint — see minhashCandidatePairs: without it the
       // token→simhash aggregation pipeline executes once per join side
       .localCheckpoint(false)

@@ -252,6 +252,34 @@ class StreamingSpec extends GraftSuite {
     assert(sessions.toSeq === Seq(2L, 1L))
   }
 
+  test("streaming near-dup detection matches within and across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-stream").toString
+    val q = graft.streaming.NearDupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/checkpoint")
+    try {
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 1: two exact dups (within-batch pair) + one distinct doc
+      in.addData((1L, dup), (2L, dup),
+        (3L, "metric spaces and measure theory lecture notes volume two"))
+      q.processAllAvailable()
+      // batch 2: another copy -> must match BOTH earlier copies cross-batch
+      in.addData((4L, dup))
+      q.processAllAvailable()
+      val got = graft.streaming.NearDupStream.matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), "within-batch pair missed")
+      assert(got.contains((1L, 4L)) && got.contains((2L, 4L)),
+        "cross-batch pairs missed")
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+        "distinct doc falsely matched")
+    } finally q.stop()
+  }
+
   test("streaming limit emits exactly n rows then nothing") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
