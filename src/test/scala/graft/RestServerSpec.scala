@@ -177,6 +177,23 @@ class RestServerSpec extends GraftSuite {
       assert(post(port, "/query",
         """{"sql":"SELECT * FROM push_batch_dim EMIT CHANGES LIMIT 1"}""")
         .statusCode() === 400)
+
+      // an OPEN push stream must not block other endpoints (requests run
+      // on a pool, not the dispatcher thread): hold a stream that cannot
+      // reach its LIMIT and health-check through it, then disconnect
+      val open = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"sql":"SELECT event_id FROM push_src EMIT CHANGES LIMIT 500"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      val held = new java.io.BufferedReader(
+        new java.io.InputStreamReader(open.body()))
+      assert(held.readLine() != null) // stream is live
+      assert(get(port, "/healthcheck").statusCode() === 200)
+      assert(get(port, "/info").statusCode() === 200)
+      held.close() // client disconnect -> server stops the query
     } finally {
       srv.stop()
       engine.terminateAll()
