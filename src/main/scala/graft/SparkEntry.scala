@@ -106,6 +106,21 @@ object SparkEntry {
       Temporal.asOfJoin(facts, versions, Seq("key"), "ts_ms", "ts_ms")
     }),
 
+    // bucketized RANGE join: events falling inside ±30-min "incident
+    // windows" (every 100th event opens one) — the equi-join-on-bin form
+    // of f.ts BETWEEN i.start AND i.end, never a nested loop
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val facts = ev.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      val windows = ev.filter(col("event_id") % 100 === 0).select(
+        col("event_id").as("interval_id"),
+        (unix_millis(col("ts")) - 1800000L).as("start_ms"),
+        (unix_millis(col("ts")) + 1800000L).as("end_ms"))
+      Temporal.rangeJoin(facts, windows, "ts_ms", "start_ms", "end_ms",
+        binWidth = 15 * 60 * 1000L)
+        .select("interval_id", "event_id", "ts_ms")
+    }),
+
     // D2 — median over time by group (Kibana percentiles(50) ×
     // date_histogram × terms, docker-compose.yml:347)
     "q_median_by_type" -> ((s, d) =>
@@ -379,6 +394,16 @@ object SparkEntry {
              v.v_type AS asof_v_type
       FROM fact f ASOF LEFT JOIN ver v
         ON f.key = v.key AND f.ts_ms >= v.ts_ms
+    """,
+
+    "q_range_join" -> """
+      WITH f AS (SELECT event_id, epoch_ms(ts) AS ts_ms FROM events),
+      iv AS (SELECT event_id AS interval_id,
+                    epoch_ms(ts) - 1800000 AS start_ms,
+                    epoch_ms(ts) + 1800000 AS end_ms
+             FROM events WHERE event_id % 100 = 0)
+      SELECT iv.interval_id, f.event_id, f.ts_ms
+      FROM iv JOIN f ON f.ts_ms BETWEEN iv.start_ms AND iv.end_ms
     """,
 
     "q_median_by_type" -> """

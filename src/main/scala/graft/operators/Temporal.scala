@@ -84,4 +84,34 @@ object Temporal {
           (col("__asof")(dimTs).as(prefix + dimTs) +:
             dimPayload.toIndexedSeq.map(c => col("__asof")(c).as(prefix + c))): _*)
   }
+
+  /** Bucketized RANGE JOIN: every (fact, interval) pair with
+    * `startCol <= factTs <= endCol` (inclusive both ends — SQL BETWEEN).
+    *
+    * Spark plans a raw `f.ts BETWEEN i.s AND i.e` join as a broadcast
+    * nested loop — O(facts × intervals) comparisons, a non-starter when
+    * both sides are large. Here the time axis is cut into `binWidth`-sized
+    * bins: each fact lands in exactly ONE bin, each interval is exploded
+    * to the bins it covers, and the join becomes a hash EQUI-join on the
+    * bin id followed by the exact range filter. A fact belongs to one bin,
+    * so each qualifying pair is produced exactly once — no dedup pass.
+    *
+    * Cost model: interval-side fanout is `ceil(span / binWidth) + 1` rows
+    * per interval — pick `binWidth` near the median interval span so the
+    * fanout is ~2 and the shuffle stays proportional to the inputs. Skewed
+    * bins (a hot hour) are ordinary equi-join skew: AQE skew-split and the
+    * salting levers apply. Axis values must be non-negative (epoch
+    * millis). */
+  def rangeJoin(facts: DataFrame, intervals: DataFrame, factTs: String,
+                startCol: String, endCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val f = facts.withColumn("__bin",
+      floor(col(factTs) / binWidth).cast("long"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    f.join(iv, Seq("__bin"))
+      .filter(col(factTs) >= col(startCol) && col(factTs) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -52,6 +52,34 @@ class TemporalSpec extends GraftSuite {
     assert(err.getMessage.contains("asof_state"))
   }
 
+  test("range join: inclusive bounds, multi-bin intervals, exactly-once pairs") {
+    // bins of width 10; interval B spans 3 bins, A sits inside one
+    val intervals = Seq((1L, 12L, 14L), (2L, 5L, 25L)).toDF("iid", "s", "e")
+    val facts = Seq((100L, 12L), (101L, 14L), (102L, 15L), (103L, 26L),
+      (104L, 4L)).toDF("fid", "t")
+    val out = graft.operators.Temporal
+      .rangeJoin(facts, intervals, "t", "s", "e", binWidth = 10L)
+      .select("iid", "fid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: no duplicate pairs even for the 3-bin interval
+    assert(out.length === out.distinct.length)
+    assert(out.toSet === Set(
+      (1L, 100L), (1L, 101L),            // boundary hits: t == s and t == e
+      (2L, 100L), (2L, 101L), (2L, 102L) // inside the wide interval
+      // 103 (past both ends) and 104 (before both) match nothing
+    ))
+  }
+
+  test("range join plans an equi-join on the bin, never a nested loop") {
+    val intervals = Seq((1L, 12L, 14L)).toDF("iid", "s", "e")
+    val facts = Seq((100L, 12L)).toDF("fid", "t")
+    val plan = graft.operators.Temporal
+      .rangeJoin(facts, intervals, "t", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"range join degenerated into a nested loop:\n$plan")
+  }
+
   test("plan: one hash shuffle on the key, no join node, no range explosion") {
     val facts = Seq((1L, 3L, 100L)).toDF("k", "ft", "fact_id")
     val plan = Temporal.asOfJoin(facts, dims, Seq("k"), "ft", "vt")
