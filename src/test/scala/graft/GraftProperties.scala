@@ -173,6 +173,49 @@ object GraftProperties extends Properties("graft") {
       versions.groupBy(v => (v._1, v._2)).values.map(_.head).toList,
       facts.zipWithIndex.map { case ((k, ft), i) => (k, ft, i.toLong) })
 
+  // facts (id, t) and intervals (iid, s, e) on a small non-negative axis,
+  // plus an arbitrary bin width — bin boundaries must never change results
+  private val genRangeJoin: Gen[(List[(Long, Long)], List[(Long, Long, Long)], Long)] =
+    for {
+      nf <- Gen.choose(1, 12)
+      facts <- Gen.listOfN(nf, Gen.choose(0L, 40L))
+      ni <- Gen.choose(0, 8)
+      ivs <- Gen.listOfN(ni, for {
+        s <- Gen.choose(0L, 40L)
+        span <- Gen.choose(0L, 15L)
+      } yield (s, s + span))
+      w <- Gen.choose(1L, 15L)
+    } yield (facts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      ivs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }, w)
+
+  property("rangeJoin == naive BETWEEN join for any bin width") =
+    forAll(genRangeJoin) { case (facts, ivs, w) =>
+      val s = spark; import s.implicits._
+      val got = graft.operators.Temporal
+        .rangeJoin(facts.toDF("fid", "t"), ivs.toDF("iid", "lo", "hi"),
+          "t", "lo", "hi", w)
+        .select("iid", "fid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+      val expected = (for {
+        (fid, t) <- facts
+        (iid, lo, hi) <- ivs
+        if t >= lo && t <= hi
+      } yield (iid, fid))
+      got.length == expected.length && got.toSet == expected.toSet
+    }
+
+  property("a doc sharing all its text with the eval set is always contaminated") =
+    forAll(Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta"))) { ws =>
+      val s = spark; import s.implicits._
+      val text = ws.mkString(" ") // 5 tokens -> 3 shingles
+      val corpus = Seq((1L, text), (2L, "unrelated corpus entry number two"))
+        .toDF("doc_id", "text")
+      val eval_ = Seq((9L, text)).toDF("doc_id", "text")
+      val out = Dedup.decontaminate(corpus, eval_)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      out(1L) == 1
+    }
+
   property("asOfJoin == per-fact max version with vt <= ft (naive reference)") =
     forAll(genAsOf) { case (versions, facts) =>
       val s = spark; import s.implicits._
