@@ -434,10 +434,14 @@ object Dedup {
     // identical subtree, so ReuseExchange evaluates it once.
     // repartition by doc_id up front: hashpartitioning(doc_id) satisfies
     // the clustered distribution of BOTH the (doc_id, s) distinct and the
-    // sz window — one exchange where the naive plan takes two
-    val e = shingleRows(docs, n)
-      .select(col("doc_id"), col("h1").as("s"))
-      .repartition(col("doc_id"))
+    // sz window — one exchange where the naive plan takes two. When
+    // shingleRows' scan-parallelism floor fired (same condition re-tested
+    // here), the rows already arrive doc_id-partitioned and adding the
+    // explicit repartition would just shuffle them a second time.
+    val spreadFired = docs.rdd.getNumPartitions <
+      docs.sparkSession.sparkContext.defaultParallelism
+    val base = shingleRows(docs, n).select(col("doc_id"), col("h1").as("s"))
+    val e = (if (spreadFired) base else base.repartition(col("doc_id")))
       .distinct()
     val ef = e
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
