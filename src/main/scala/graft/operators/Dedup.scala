@@ -63,6 +63,12 @@ object Dedup {
     * count keeps AQE from coalescing the tiny-by-bytes (but CPU-dense)
     * partitions back down to one. */
   private def spreadByKey(df: DataFrame, key: String): DataFrame = {
+    // Streaming inputs skip the floor: `.rdd` is illegal on a streaming
+    // DataFrame, and a microbatch's scan parallelism comes from its source
+    // partitions (Kafka topic partitions at prod scale). Batch callers
+    // inside foreachBatch (e.g. NearDupStream) arrive here as batch frames
+    // and get the floor as usual.
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
   }

@@ -238,11 +238,26 @@ object Similarity {
     * the corpus is never rescanned per probe, the property that matters
     * when N is 10¹¹ and |Q| is thousands. */
   def annIvfMultiProbe(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
-                       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents: Array[Array[Double]] = emb
-      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+                       nlist: Int = 16, nprobe: Int = 2): DataFrame =
+    annIvfMultiProbeWith(emb,
+      emb.filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray),
+      k, nQueries, nprobe)
+
+  /** The production composition: k-means-TRAINED centroids searched with
+    * multi-probe. Rows-only at the driver like [[annIvfTrained]];
+    * SimilaritySpec bounds its recall against the single-probe trained
+    * index. */
+  def annIvfTrainedMultiProbe(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+                              nlist: Int = 16, iters: Int = 5,
+                              nprobe: Int = 2): DataFrame =
+    annIvfMultiProbeWith(emb, trainCentroids(emb, nlist, iters),
+      k, nQueries, nprobe)
+
+  private def annIvfMultiProbeWith(emb: DataFrame,
+                                   cents: Array[Array[Double]], k: Int,
+                                   nQueries: Int, nprobe: Int): DataFrame = {
     val celled = emb.withColumn("v", col("embedding"))
       .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
     val queries = broadcast(

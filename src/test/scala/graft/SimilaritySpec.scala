@@ -101,6 +101,12 @@ class SimilaritySpec extends GraftSuite {
     val ivf1 = Similarity.annIvf(emb, k = 3, nQueries = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(p1 === ivf1)
+    // the production composition: trained centroids + multi-probe never
+    // recalls worse than trained single-probe
+    val t1 = recall(Similarity.annIvfTrained(emb, k = 3, nQueries = 10))
+    val t2 = recall(Similarity.annIvfTrainedMultiProbe(emb, k = 3,
+      nQueries = 10, nprobe = 2))
+    assert(t2 >= t1, s"trained multi-probe recall $t2 < single-probe $t1")
   }
 
   test("multi-table LSH recall >= single-table, still a subset of exact") {
