@@ -26,16 +26,25 @@ class Engine(val spark: SparkSession) {
   // name -> (changelog path, key columns) for upsert-materialized tables
   private val upserts = TrieMap.empty[String, (String, Seq[String])]
 
+  /** Check-and-start under one lock: REST handlers run concurrently (the
+    * server uses a thread pool), so a bare contains-then-put would let two
+    * simultaneous CREATEs both pass the check, start two queries, and
+    * orphan the one whose registry entry gets overwritten — a running
+    * query nothing can ever TERMINATE. */
+  private def register(name: String)(start: => StreamingQuery): StreamingQuery =
+    queries.synchronized {
+      require(!queries.contains(name), s"query '$name' already exists")
+      val q = start
+      queries.put(name, q)
+      q
+    }
+
   /** CSAS: start a named continuous query materializing `df` to an
     * in-memory table of the same name (the test/demo sink; production
     * sinks via [[sinkToEs]]/[[Streams.toKafka]]). */
   def createStreamAs(name: String, df: DataFrame,
-                     mode: OutputMode = OutputMode.Append()): StreamingQuery = {
-    require(!queries.contains(name), s"query '$name' already exists")
-    val q = Streams.toMemoryTable(df, name, mode)
-    queries.put(name, q)
-    q
-  }
+                     mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    register(name)(Streams.toMemoryTable(df, name, mode))
 
   /** CTAS of an aggregate table in UPDATE mode — ksqlDB's windowed-table
     * materialization (changes to a changelog, state store serves pulls;
@@ -45,10 +54,9 @@ class Engine(val spark: SparkSession) {
   def createUpsertTableAs(name: String, df: DataFrame, keys: Seq[String],
                           dir: String,
                           compactEvery: Int = 0): StreamingQuery = {
-    require(!queries.contains(name), s"query '$name' already exists")
-    val q = Streams.toUpsertTable(df, s"$dir/store", s"$dir/checkpoint",
-      compactEvery, keys)
-    queries.put(name, q)
+    val q = register(name)(
+      Streams.toUpsertTable(df, s"$dir/store", s"$dir/checkpoint",
+        compactEvery, keys))
     upserts.put(name, (s"$dir/store", keys))
     q
   }
@@ -64,12 +72,8 @@ class Engine(val spark: SparkSession) {
   /** CTAS with ES sink — the reference's sink-connector path. */
   def sinkToEs(name: String, df: DataFrame, index: String,
                idCol: Option[String], checkpoint: String,
-               transport: BulkTransport): StreamingQuery = {
-    require(!queries.contains(name), s"query '$name' already exists")
-    val q = EsSink.writeStream(df, index, idCol, checkpoint, transport)
-    queries.put(name, q)
-    q
-  }
+               transport: BulkTransport): StreamingQuery =
+    register(name)(EsSink.writeStream(df, index, idCol, checkpoint, transport))
 
   /** `SHOW QUERIES` (readme.md:150). */
   def showQueries: Seq[(String, Boolean)] =

@@ -237,11 +237,15 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
           "pull queries")
     val name = s"graft_push_${pushNames.incrementAndGet()}"
     val q = Streams.pushQueryWithLimit(df, limit, name)
-    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
-    ex.sendResponseHeaders(200, 0) // length 0 → chunked streaming body
-    val os = ex.getResponseBody
+    // Everything after the query starts — INCLUDING sending the response
+    // headers, which throws if the client already disconnected — runs
+    // under the finally that stops the query, or an early hangup would
+    // orphan a running StreamingQuery and its growing memory table.
     var emitted = 0
     try {
+      ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0) // length 0 → chunked streaming body
+      val os = ex.getResponseBody
       // Stream until the monitor stops the query at LIMIT rows, then drain.
       var active = true
       while (active) {
@@ -255,12 +259,13 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
         os.flush()
         if (active) Thread.sleep(25)
       }
+      os.close()
     } catch {
-      case _: java.io.IOException => () // client went away — stop and clean up
+      case _: Exception => () // client went away — stop and clean up
     } finally {
       if (q.isActive) q.stop()
       try spark.catalog.dropTempView(name) catch { case _: Exception => () }
-      try os.close() catch { case _: Exception => () }
+      try ex.getResponseBody.close() catch { case _: Exception => () }
     }
   }
 

@@ -198,10 +198,15 @@ case class ArgTopPDot(child: Expression, centroids: Array[Array[Double]],
     val used = new Array[Boolean](centroids.length)
     var j = 0
     while (j < p) {
+      // best==-1 seeds with the first unused cell, so all-NaN dots (a NaN
+      // embedding poisons every product; NaN > x is always false) fall
+      // back to lowest-index order instead of indexing used(-1)
       var best = -1; var bestDot = Double.NegativeInfinity
       var k = 0
       while (k < dots.length) {
-        if (!used(k) && dots(k) > bestDot) { bestDot = dots(k); best = k }
+        if (!used(k) && (best == -1 || dots(k) > bestDot)) {
+          bestDot = dots(k); best = k
+        }
         k += 1
       }
       used(best) = true; out(j) = best
@@ -233,9 +238,10 @@ case class ArgTopPDot(child: Expression, centroids: Array[Array[Double]],
          |int[] $out = new int[$p];
          |boolean[] $used = new boolean[$cs.length];
          |for (int $j = 0; $j < $p; $j++) {
+         |  // best==-1 seeds with the first unused cell (NaN-dot safety)
          |  int $best = -1; double $bestDot = Double.NEGATIVE_INFINITY;
          |  for (int $k = 0; $k < $dots.length; $k++) {
-         |    if (!$used[$k] && $dots[$k] > $bestDot) {
+         |    if (!$used[$k] && ($best == -1 || $dots[$k] > $bestDot)) {
          |      $bestDot = $dots[$k]; $best = $k;
          |    }
          |  }

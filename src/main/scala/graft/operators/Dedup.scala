@@ -444,7 +444,7 @@ object Dedup {
     // shingleRows' scan-parallelism floor fired (same condition re-tested
     // here), the rows already arrive doc_id-partitioned and adding the
     // explicit repartition would just shuffle them a second time.
-    val spreadFired = docs.rdd.getNumPartitions <
+    val spreadFired = !docs.isStreaming && docs.rdd.getNumPartitions <
       docs.sparkSession.sparkContext.defaultParallelism
     val base = shingleRows(docs, n).select(col("doc_id"), col("h1").as("s"))
     val e = (if (spreadFired) base else base.repartition(col("doc_id")))

@@ -61,11 +61,19 @@ object Temporal {
     val dimStructType = org.apache.spark.sql.types.StructType(
       dims.schema(dimTs) +: dimPayload.toIndexedSeq.map(dims.schema(_)))
 
-    val dimSide = dims.select(
-      keys.map(col) ++ Seq(col(dimTs).as("__t"), lit(0).as("__k"),
-        dimStruct.as("__dim")) ++
-        factPayload.toIndexedSeq.map(c =>
-          lit(null).cast(facts.schema(c).dataType).as(c)): _*)
+    // SQL join semantics for NULL keys: `f.key = d.key` never matches a
+    // null — but a window PARTITION BY groups nulls together, which would
+    // enrich null-key facts with null-key versions. Dropping null-key
+    // version rows restores the contract: null-key facts share a partition
+    // containing no versions and fall out as LEFT nulls (verified against
+    // the DuckDB ASOF JOIN oracle's behavior).
+    val dimSide = dims
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) ++ Seq(col(dimTs).as("__t"), lit(0).as("__k"),
+          dimStruct.as("__dim")) ++
+          factPayload.toIndexedSeq.map(c =>
+            lit(null).cast(facts.schema(c).dataType).as(c)): _*)
     val factSide = facts.select(
       keys.map(col) ++ Seq(col(factTs).as("__t"), lit(1).as("__k"),
         lit(null).cast(dimStructType).as("__dim")) ++

@@ -99,6 +99,14 @@ object TextAnalysis {
   /** Quality scoring: length/punctuation/stopword signals and a composite
     * score — the standard cheap pre-filter before expensive dedup stages. */
   def qualityScore(docs: DataFrame): DataFrame =
+    withQualityCols(docs).select(
+      col("doc_id"), col("n_tokens"), col("punct_ratio"),
+      col("stopword_ratio"), col("quality_score"))
+
+  /** All input columns + the quality signals — shared by [[qualityScore]]
+    * and [[datasetCard]] so the rollup does not re-derive them through a
+    * second scan and a join. */
+  private def withQualityCols(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr(tokensExpr))
       .withColumn("n_tokens", size(col("toks")))
@@ -106,10 +114,9 @@ object TextAnalysis {
         expr("round(CAST(regexp_count(text, '[^\\\\w\\\\s]') AS DOUBLE) / length(text), 6)"))
       .withColumn("stopword_ratio",
         expr(s"round(CAST(size(filter(toks, t -> t IN ${inList(stopwords)})) AS DOUBLE) / size(toks), 6)"))
-      .select(
-        col("doc_id"), col("n_tokens"), col("punct_ratio"), col("stopword_ratio"),
-        expr("round(ln(1 + n_tokens) * (1.0 - punct_ratio) * (1.0 + stopword_ratio), 6)")
-          .as("quality_score"))
+      .withColumn("quality_score",
+        expr("round(ln(1 + n_tokens) * (1.0 - punct_ratio) * (1.0 + stopword_ratio), 6)"))
+      .drop("toks")
 
   /** Context-window chunking: split each document into fixed-size token
     * chunks with `overlap` tokens of lookback — the packing step before
@@ -207,23 +214,28 @@ object TextAnalysis {
     val epochs = epochsByLang.toSeq.sortBy(_._1).foldLeft(lit(defaultEpochs)) {
       case (acc, (l, e)) => when(col("lang_guess") === l, lit(e)).otherwise(acc)
     }
+    // epochs < 1 DROPS the stratum (explode of an empty array). The guard
+    // matters: Spark's sequence(1, 0) counts DOWN to [1, 0] — without it a
+    // zero-weight stratum would be duplicated instead of excluded.
     withLangGuess(docs)
       .select(col("doc_id"), col("lang_guess"),
-        explode(sequence(lit(1), epochs)).as("epoch"))
+        explode(when(epochs >= 1, sequence(lit(1), epochs))
+          .otherwise(array().cast("array<int>"))).as("epoch"))
   }
 
   /** Corpus "dataset card" rollup — the per-language summary a data
     * curator publishes with a corpus: document counts, token totals, byte
     * totals, mean quality score, and exact p50/p95 token-length
-    * percentiles. One scan + one tiny grouped aggregation; the percentile
-    * is the exact interpolated one (at most `n_langs` groups, so the
-    * per-group sort is bounded by the largest stratum — at 100 TB swap in
-    * `percentile_approx` for a single-pass sketch, the documented twin of
+    * percentiles. ONE scan (quality and language columns stack on the
+    * same projection — no self-join, no second tokenization pass) + one
+    * tiny grouped aggregation; the percentile is the exact interpolated
+    * one (at most `n_langs` groups, so the per-group sort is bounded by
+    * the largest stratum — at 100 TB swap in `percentile_approx` for a
+    * single-pass sketch, the documented twin of
     * [[graft.operators.Relational.medianOverTimeApprox]]). */
   def datasetCard(docs: DataFrame): DataFrame =
-    qualityScore(docs)
-      .join(withLangGuess(docs).select(col("doc_id"), col("lang_guess"),
-        length(col("text")).as("n_bytes")), "doc_id")
+    withQualityCols(withLangGuess(docs))
+      .withColumn("n_bytes", length(col("text")))
       .groupBy(col("lang_guess"))
       .agg(
         count(lit(1)).as("n_docs"),

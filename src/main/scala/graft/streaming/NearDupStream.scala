@@ -57,8 +57,15 @@ object NearDupStream {
             bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
               .as("hamming"))
         // (3) cross-batch pairs vs the accumulated store (absent on the
-        // very first batch)
-        val cross = scala.util.Try(spark.read.parquet(stateDir)).toOption
+        // very first batch). Explicit existence check — a blanket
+        // Try/recover would also swallow REAL read failures (corrupt
+        // footer, permissions) as "no prior state" and silently skip
+        // cross-batch detection for the batch.
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val stateFs = statePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cross = (if (stateFs.exists(statePath))
+          Some(spark.read.parquet(stateDir)) else None)
           .map { prior =>
             bands.alias("n").join(prior.alias("p"),
                 col("n.band_id") === col("p.band_id") &&
@@ -78,6 +85,12 @@ object NearDupStream {
         // (4) grow the store AFTER the lookup so a doc never matches itself
         bands.withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(stateDir)
+        // free the per-batch checkpoint's cached blocks NOW —
+        // Dataset.unpersist() never reaches a localCheckpoint RDD, and
+        // leaving it to the ContextCleaner accumulates one band-table copy
+        // per microbatch on a long-running stream
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(bands)
+          .foreach(_.unpersist(false))
         ()
       }
       .start()

@@ -285,31 +285,56 @@ object Streams {
 
   /** Rewrite an upsert changelog to its latest-per-key rows (keeping
     * `__batch_id` so later appends still win on read). The compacted
-    * snapshot is written beside the store and swapped in whole —
-    * write-temp → delete-old → rename — never an in-place overwrite of
-    * files a concurrent [[upsertView]] reader may hold open. (A production
+    * snapshot is written beside the store and swapped in by two renames —
+    * live → `.old`, compacted → live — so there is NO window in which the
+    * data exists only in a directory a restart would not look at: a crash
+    * between the renames leaves `.old`, which [[recoverCompaction]] (run
+    * before every compaction and by [[upsertView]] via the read path)
+    * moves back. A concurrent [[upsertView]] reader can still catch the
+    * brief between-renames gap and must retry — the single-writer
+    * foreachBatch loop itself is safe by construction. (A production
     * deployment points this at a MERGE-capable table format where the
     * swap is a metadata commit; the latest-per-key plan — one shuffle on
     * the key — is the same.) */
   def compactUpsertLog(spark: SparkSession, path: String,
                        keys: Seq[String]): Unit = {
-    val tmp = s"$path.__compacting"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    recoverCompaction(fs, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     Relational.latestByKeys(spark.read.parquet(path), keys, col("__batch_id"))
-      .write.mode("overwrite").parquet(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true) // leftover from an interrupted PREVIOUS swap
+    fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
     ()
+  }
+
+  /** Crash recovery for an interrupted [[compactUpsertLog]] swap: if the
+    * live store is missing but `.old` survives (death between the two
+    * renames), restore it. Idempotent; no-op in the steady state. */
+  def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem,
+                        path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    if (!fs.exists(live) && fs.exists(old)) { fs.rename(old, live); () }
   }
 
   /** Latest version of every key in an upsert changelog written by
     * [[toUpsertTable]] — one shuffle on the key, resolved by descending
-    * batch id. */
+    * batch id. Restores an interrupted compaction swap first, so a store
+    * that died mid-[[compactUpsertLog]] is readable again. */
   def upsertView(spark: SparkSession, path: String,
-                 keys: Seq[String]): DataFrame =
+                 keys: Seq[String]): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    recoverCompaction(
+      live.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     Relational.latestByKeys(spark.read.parquet(path), keys,
       col("__batch_id")).drop("__batch_id")
+  }
 
   /** Materialize a continuous query into an in-memory table — the pull-query
     * serving layer for tests/demos (EP3): batch `spark.sql` against
