@@ -89,8 +89,14 @@ object Bench {
     }
 
     def jstr(s: String): String = graft.functions.Json.quote(s)
+    // 3-decimal values: keeps the whole marker line small enough to survive
+    // a parser that retains only the tail of the process output (the
+    // driver's BENCH parse came back null three rounds running because the
+    // full-precision line plus sbt's trailing [success] overflowed its tail
+    // window).
+    def jnum(t: Double): String = f"$t%.3f"
     val qs = results.map {
-      case (k, Right(t)) => s"${jstr(k)}:$t"
+      case (k, Right(t)) => s"${jstr(k)}:${jnum(t)}"
       case (k, Left(_)) => s"${jstr(k)}:-1"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(e)) => s"${jstr(k)}:${jstr(e)}" }
@@ -98,15 +104,19 @@ object Bench {
     val total = results.collect { case (_, Right(t)) => t }.sum
     val nFailed = results.count(_._2.isLeft)
     val retries = retried.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"n_failed":$nFailed,"retried":$retries,""" +
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
     spark.stop()
-    // Final stdout line, uniquely anchored for log-scraping parsers.
+    // Final line, uniquely anchored for log-scraping parsers — emitted to
+    // BOTH stdout and stderr after spark.stop() so whichever stream the
+    // parser tails ends with the marker, not sbt/Spark shutdown noise.
     println(s"BENCH_JSON $json")
+    System.err.println(s"BENCH_JSON $json")
+    System.out.flush(); System.err.flush()
   }
 }

@@ -62,7 +62,7 @@ object Dedup {
     * elided and the net exchange count is unchanged. The explicit partition
     * count keeps AQE from coalescing the tiny-by-bytes (but CPU-dense)
     * partitions back down to one. */
-  private def spreadByKey(df: DataFrame, key: String): DataFrame = {
+  private[graft] def spreadByKey(df: DataFrame, key: String): DataFrame = {
     // Streaming inputs skip the floor: `.rdd` is illegal on a streaming
     // DataFrame, and a microbatch's scan parallelism comes from its source
     // partitions (Kafka topic partitions at prod scale). Batch callers
@@ -370,23 +370,40 @@ object Dedup {
     * the operators above; the composition stays a single Catalyst plan
     * (filters push into the scan, the only shuffles are the two dedup
     * stages' hash-partitioned candidate/canonical steps). */
+  /** Exact-dedup survivor ids: fingerprint → min(doc_id) as a GROUP-BY
+    * aggregate, so the shuffle carries (16-byte fp, 8-byte id) rows only.
+    * This replaced a `min(doc_id).over(Window.partitionBy(fp))` form whose
+    * exchange hash-shuffled full document text on fp — at 100 TB a
+    * full-corpus text shuffle, and the reason q_clean_corpus cost 7.6 s at
+    * sf0.1 while the same CC fixpoint elsewhere ran in 1 s. PlanSpec locks
+    * the no-text-in-shuffle / no-Window shape. */
+  private[graft] def exactSurvivorIds(kept: DataFrame): DataFrame =
+    kept
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   def cleanCorpus(docs: DataFrame, minTokens: Int = 5,
                   maxPunctRatio: Double = 0.3): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs)
-      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
-      .select("doc_id")
-    val kept = docs.join(quality, "doc_id")
-    // lazy localCheckpoint: exactCanonical feeds BOTH the minhash candidate
-    // pipeline and the canonical label table (and transitively the final
-    // survivor join) — without it the quality + window-dedup prefix
-    // executes three times
-    val exactCanonical = kept
-      .withColumn("fp",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
-      .withColumn("exact_canon",
-        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") === col("exact_canon"))
+    // Quality gate as a pure filter: withQualityCols keeps the input
+    // columns, so no docs⋈quality self-join (which re-tokenized both sides
+    // and planned a real join). Lazy localCheckpoint: `kept` feeds the
+    // fingerprint aggregate, the survivor semi-join, and the final
+    // canonical join — without it the scan + tokenize + filter prefix
+    // executes three times. (The checkpoint blocks are reclaimed by the
+    // ContextCleaner when the result is dropped, same contract as
+    // canonicalFromPairs' final label table.)
+    val kept = TextAnalysis.qualityKept(docs, minTokens, maxPunctRatio)
       .select("doc_id", "text")
+      .localCheckpoint(false)
+    // Survivor selection is an id-only semi-join: the aggregate's survivor
+    // set is one row per distinct content, which AQE broadcasts at
+    // moderate scale; when it is too big to broadcast the shuffle carries
+    // 8-byte ids on the build side — text stays in place either way.
+    val exactCanonical = kept
+      .join(exactSurvivorIds(kept), Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
     val canon = canonicalFromPairs(exactCanonical,
       minhashCandidatePairs(exactCanonical))

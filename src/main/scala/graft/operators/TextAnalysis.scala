@@ -103,6 +103,18 @@ object TextAnalysis {
       col("doc_id"), col("n_tokens"), col("punct_ratio"),
       col("stopword_ratio"), col("quality_score"))
 
+  /** Input rows that pass the quality gate, original columns only — the
+    * composed-pipeline form of [[qualityScore]]. Because
+    * [[withQualityCols]] keeps every input column, the gate is ONE
+    * codegen'd projection + filter over the scan: no self-join of `docs`
+    * against its own quality scores, so document text never crosses a
+    * shuffle to get filtered. */
+  def qualityKept(docs: DataFrame, minTokens: Int,
+                  maxPunctRatio: Double): DataFrame =
+    withQualityCols(docs)
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunctRatio)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+
   /** All input columns + the quality signals — shared by [[qualityScore]]
     * and [[datasetCard]] so the rollup does not re-derive them through a
     * second scan and a join. */

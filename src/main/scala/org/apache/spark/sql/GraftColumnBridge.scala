@@ -20,4 +20,21 @@ object GraftColumnBridge {
     ds.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
+
+  /** Column names crossing each shuffle exchange in a physical plan —
+    * lets PlanSpec assert that wide payloads (document text) never ride an
+    * exchange. Descends into AQE's adaptive wrapper, which hides the
+    * initial plan from a plain `collect`. */
+  def collectShuffles(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[Seq[String]] = {
+    val unwrapped = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    unwrapped.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name).toSeq
+    }
+  }
 }

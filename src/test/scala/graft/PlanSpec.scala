@@ -58,6 +58,43 @@ class PlanSpec extends GraftSuite {
     assert(plan("q_decontaminate").contains("BroadcastHashJoin"))
   }
 
+  test("cleanCorpus exact-dedup shuffles fingerprints, never document text") {
+    val kept = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val qe = graft.operators.Dedup.exactSurvivorIds(kept).queryExecution
+    assert(!qe.executedPlan.toString.contains("Window"),
+      "exact dedup regressed to the text-shuffling Window.partitionBy(fp) form")
+    // every shuffle in the aggregate path carries only the (fp, doc_id)
+    // pair — document text never crosses an exchange
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.nonEmpty, "expected the fp group-by exchange")
+    assert(exchanges.forall(_.forall(_ != "text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
+  test("scan-parallelism floor no-ops when the scan is already parallel") {
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)
+    // no-op contract is referential: the same Dataset comes back untouched
+    assert(graft.operators.Dedup.spreadByKey(wide, "doc_id") eq wide)
+    val narrow = docs.coalesce(1)
+    val spread = graft.operators.Dedup.spreadByKey(narrow, "doc_id")
+    assert(spread ne narrow)
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("scan floor's exchange is reused by the downstream aggregation") {
+    // single-row-group fixture: the floor fires, and because it partitions
+    // by the groupBy key, the aggregate must NOT add a second
+    // hashpartitioning(doc_id) exchange on top of it
+    val p = plan("q_simhash")
+    val hashDocId = "Exchange hashpartitioning\\(doc_id".r
+      .findAllIn(p).length
+    assert(hashDocId == 1,
+      s"expected exactly one doc_id exchange (floor, reused by agg), got $hashDocId:\n$p")
+  }
+
   test("as-of join is the union+window form: one keyed exchange, no join node") {
     val p = plan("q_asof_enrich")
     // the final plan may carry broadcast exchanges from the tiny label
