@@ -190,6 +190,73 @@ object AvroSerde {
     }(Encoders.row(outSchema))
   }
 
+  /** Registry-backed decode — the schema id in the Confluent header is
+    * LOAD-BEARING: each payload's writer schema is resolved from `registry`
+    * by the id it carries, then Avro schema resolution maps it onto the
+    * reader schema derived from `sparkSchema` (fields added since the
+    * writer's version fill from their null default; fields the writer had
+    * but the reader dropped are skipped). This is the behavior the
+    * reference declares for its registry-backed converters
+    * (`/root/reference/commands.sql:13` infers the stream's schema from
+    * the registry; `ksqldb-statements.sql:36-37` writes with
+    * `value.converter.schema.registry.url`) — one topic can interleave
+    * records written under different schema versions and every record
+    * decodes under the schema it was written with.
+    *
+    * The header is REQUIRED here (a registry decode of a header-less
+    * payload would guess the writer schema — hard-fail instead), and an id
+    * the registry cannot resolve hard-fails naming the id. Per-partition:
+    * one `GenericDatumReader` per distinct writer id, cached — the
+    * registry lookup happens once per (partition, schema version), not per
+    * row. */
+  def decodeWithRegistry(df: DataFrame, sparkSchema: StructType,
+                         registry: SchemaResolver, valueCol: String = "value",
+                         recordName: String = "record"): DataFrame = {
+    val readerJson = avroSchemaFor(sparkSchema, recordName).toString
+    val inSchema = df.schema
+    val valueIdx = inSchema.fieldIndex(valueCol)
+    val passIdx = inSchema.fields.indices.filterNot(_ == valueIdx).toArray
+    val outSchema = StructType(
+      passIdx.map(inSchema.fields(_)) ++
+        sparkSchema.fields.map(_.copy(nullable = true)))
+    df.mapPartitions { rows =>
+      val readerSchema = new Schema.Parser().parse(readerJson)
+      // one reader per writer-schema id, initialized on first sight
+      val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+      var decoder: BinaryDecoder = null
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](valueIdx)
+        val pass = passIdx.map(row.get(_)).toSeq
+        val decoded =
+          if (bytes == null) sparkSchema.fields.map(_ => null: Any).toSeq
+          else {
+            if (bytes.length < ConfluentHeaderLen || bytes(0) != ConfluentMagic)
+              throw new IllegalArgumentException(
+                "AvroSerde: registry decode requires the Confluent header " +
+                  s"(got ${if (bytes.isEmpty) "empty" else bytes(0).toString})")
+            val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+              ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+            val reader = readers.getOrElseUpdate(id, {
+              val writerJson = registry.schemaJson(id).getOrElse(
+                throw new IllegalArgumentException(
+                  s"AvroSerde: registry cannot resolve schema id $id"))
+              new GenericDatumReader[GenericRecord](
+                new Schema.Parser().parse(writerJson), readerSchema)
+            })
+            decoder = DecoderFactory.get().binaryDecoder(
+              bytes, ConfluentHeaderLen, bytes.length - ConfluentHeaderLen, decoder)
+            // no record reuse across ids: a record built under one writer
+            // schema must not be recycled into another's read
+            val rec = reader.read(null, decoder)
+            sparkSchema.fields.zipWithIndex.map { case (f, i) =>
+              fromAvroValue(rec.get(i), f.dataType)
+            }.toSeq
+          }
+        Row.fromSeq(pass ++ decoded)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   private def toAvroValue(row: Row, i: Int, dt: DataType): AnyRef =
     if (row.isNullAt(i)) null
     else dt match {
@@ -216,4 +283,21 @@ object AvroSerde {
         arr
       case _ => v
     }
+}
+
+/** Schema-registry lookup: Confluent schema id → Avro schema JSON. Runs on
+  * executors inside the decode's `mapPartitions`, so implementations must
+  * be Serializable and return the schema as JSON (parsed once per
+  * partition per id) rather than a live `Schema` object. Production: an
+  * HTTP client against the registry's `/schemas/ids/<id>` endpoint with a
+  * local cache; tests: [[MapSchemaRegistry]]. */
+trait SchemaResolver extends Serializable {
+  def schemaJson(id: Int): Option[String]
+}
+
+/** Map-backed registry (test scale): the id → schema-JSON assignments are
+  * fixed up front, mirroring a registry whose subjects are pre-registered. */
+final case class MapSchemaRegistry(schemas: Map[Int, String])
+    extends SchemaResolver {
+  def schemaJson(id: Int): Option[String] = schemas.get(id)
 }

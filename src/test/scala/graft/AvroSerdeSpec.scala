@@ -81,6 +81,53 @@ class AvroSerdeSpec extends GraftSuite {
       Option(wrongId.getCause).exists(_.getMessage.contains("schema id")))
   }
 
+  test("registry decode: one topic, two schema versions, resolved by header id") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // v1 writers knew (id, s); v2 added a nullable double `v`. The topic
+    // interleaves payloads from both writer generations.
+    val v1Struct = StructType(Seq(StructField("id", LongType, false),
+      StructField("s", StringType, true)))
+    val v2Struct = StructType(Seq(StructField("id", LongType, false),
+      StructField("s", StringType, true),
+      StructField("v", DoubleType, true)))
+    // build each generation's frame under its EXACT declared schema — the
+    // registry must hold what the writers actually registered (a nullable
+    // field is an Avro union, a different wire shape than a bare double)
+    val v1Df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "a"), Row(2L, "b")), v1Struct)
+    val v2Df = spark.createDataFrame(
+      java.util.List.of(Row(3L, "c", java.lang.Double.valueOf(3.5))), v2Struct)
+    val v1Rows = AvroSerde.encode(v1Df, confluentSchemaId = Some(1))
+    val v2Rows = AvroSerde.encode(v2Df, confluentSchemaId = Some(2))
+    val topic = v1Rows.union(v2Rows)
+    val registry = graft.streaming.MapSchemaRegistry(Map(
+      1 -> AvroSerde.avroSchemaFor(v1Struct).toString,
+      2 -> AvroSerde.avroSchemaFor(v2Struct).toString))
+    // reading the mixed topic at the v2 (reader) schema: v1 records fill
+    // the added field from its null default — Avro schema resolution, not
+    // a guess
+    val decoded = AvroSerde.decodeWithRegistry(topic, v2Struct, registry)
+    assert(decoded.collect().toSet === Set(
+      Row(1L, "a", null), Row(2L, "b", null), Row(3L, "c", 3.5)))
+    // an id the registry cannot resolve is a hard failure naming the id
+    val unknown = AvroSerde.encode(
+      Seq((9L, "z")).toDF("id", "s"), confluentSchemaId = Some(99))
+    val err = intercept[org.apache.spark.SparkException] {
+      AvroSerde.decodeWithRegistry(unknown, v2Struct, registry).collect()
+    }
+    assert(err.getMessage.contains("99") ||
+      Option(err.getCause).exists(_.getMessage.contains("99")))
+    // header-less payloads hard-fail too: a registry decode must never
+    // guess the writer schema
+    val bare = AvroSerde.encode(Seq((9L, "z")).toDF("id", "s"))
+    val noHeader = intercept[org.apache.spark.SparkException] {
+      AvroSerde.decodeWithRegistry(bare, v2Struct, registry).collect()
+    }
+    assert(noHeader.getMessage.contains("header") ||
+      Option(noHeader.getCause).exists(_.getMessage.contains("header")))
+  }
+
   test("Avro-illegal Spark column names are sanitized; collisions fail fast") {
     import spark.implicits._
     // hyphens and leading digits are legal in Spark, illegal in Avro
