@@ -18,26 +18,43 @@ import graft.operators.Dedup
   * equi-join of the batch's bands against the ACCUMULATED signature store —
   * a parquet table holding (doc_id, simhash, band rows), ~40 bytes/doc;
   * (4) the batch's bands are appended to the store. Everything runs inside
-  * `foreachBatch`, so append and lookup are serialized by the streaming
-  * engine.
+  * `foreachBatch`, so append, lookup, and pruning are serialized by the
+  * streaming engine.
   *
-  * Scale notes: the state store is band-keyed 8-byte rows — at 10⁹ docs
-  * it is tens of GB of parquet, joined band-on-band (an equi-join, never
-  * all-pairs) and prunable by `band_byte` partitioning if bucketed. State
-  * grows with the corpus by design (near-dup detection is against ALL
-  * history); the retention lever is dropping band rows older than the
-  * dedup horizon, same as any compacted changelog. A batch retry after a
-  * sink failure re-appends the same `__batch_id` rows; readers of
-  * `matchesDir` dedupe on (doc_a, doc_b) — both halves of the standard
+  * Scale notes: the state store is band-keyed 8-byte rows laid out as a
+  * `band_byte`-PARTITIONED parquet table (≤256 partitions), and the
+  * cross-batch lookup filters the store to the batch's own distinct
+  * `band_byte` values before the join — static partition pruning, so a
+  * small batch reads only the store slices its bands can possibly match,
+  * never the full history. The join itself is band-on-band equi (never
+  * all-pairs). State retention: with `retainBatches > 0` the store is
+  * periodically REWRITTEN (every `pruneEvery` batches, crash-safe
+  * [[Streams.rewriteStore]] swap) keeping only the last `retainBatches`
+  * batches of band rows — near-dups are then detected within that horizon
+  * (the compacted-changelog retention contract) and the store stays
+  * O(docs-per-horizon) instead of growing with the corpus forever;
+  * `retainBatches = 0` keeps ALL history. A batch retry after a sink
+  * failure re-appends the same `__batch_id` rows; readers of `matchesDir`
+  * dedupe on (doc_a, doc_b) — both halves of the standard
   * idempotent-append contract. */
 object NearDupStream {
 
   /** Start the detector: emits (doc_a, doc_b, hamming) rows to
     * `matchesDir` (parquet, append) and maintains the signature store at
     * `stateDir`. `docs` must be a streaming DataFrame with
-    * (doc_id: long, text: string). */
+    * (doc_id: long, text: string). `retainBatches` bounds the dedup
+    * horizon (0 = unbounded); `pruneEvery` sets how often the retention
+    * rewrite runs (default: every `retainBatches` batches — each rewrite
+    * is O(store) so it should amortize over the horizon, not run per
+    * batch). */
   def start(docs: DataFrame, stateDir: String, matchesDir: String,
-            checkpoint: String, maxHamming: Int = 3): StreamingQuery =
+            checkpoint: String, maxHamming: Int = 3,
+            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+    require(retainBatches >= 0 && pruneEvery >= 0,
+      "retainBatches/pruneEvery must be >= 0")
+    val pruneInterval =
+      if (retainBatches == 0) 0
+      else if (pruneEvery > 0) pruneEvery else retainBatches
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -60,14 +77,24 @@ object NearDupStream {
         // very first batch). Explicit existence check — a blanket
         // Try/recover would also swallow REAL read failures (corrupt
         // footer, permissions) as "no prior state" and silently skip
-        // cross-batch detection for the batch.
+        // cross-batch detection for the batch. An interrupted retention
+        // swap is restored before the read, same as the upsert store.
         val statePath = new org.apache.hadoop.fs.Path(stateDir)
         val stateFs = statePath
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Streams.recoverCompaction(stateFs, stateDir)
         val cross = (if (stateFs.exists(statePath))
           Some(spark.read.parquet(stateDir)) else None)
           .map { prior =>
-            bands.alias("n").join(prior.alias("p"),
+            // prune the partitioned store to the batch's own band_byte
+            // values: ≤256 distinct bytes (a bounded collect), and every
+            // store partition outside that set cannot match — the read
+            // touches only the pruned slices
+            val batchBytes = bands.select("band_byte").distinct()
+              .collect().map(_.getInt(0))
+            bands.alias("n").join(
+                prior.filter(col("band_byte").isin(batchBytes.toIndexedSeq: _*))
+                  .alias("p"),
                 col("n.band_id") === col("p.band_id") &&
                   col("n.band_byte") === col("p.band_byte") &&
                   col("n.doc_id") =!= col("p.doc_id"))
@@ -84,7 +111,14 @@ object NearDupStream {
         matches.write.mode(SaveMode.Append).parquet(matchesDir)
         // (4) grow the store AFTER the lookup so a doc never matches itself
         bands.withColumn("__batch_id", lit(batchId))
-          .write.mode(SaveMode.Append).parquet(stateDir)
+          .write.mode(SaveMode.Append).partitionBy("band_byte")
+          .parquet(stateDir)
+        // retention: periodically drop band rows older than the horizon.
+        // Runs AFTER this batch's append, inside the same foreachBatch —
+        // single-writer, and the swap is crash-safe (rewriteStore).
+        if (pruneInterval > 0 && batchId % pruneInterval == (pruneInterval - 1))
+          Streams.rewriteStore(spark, stateDir, Seq("band_byte"))(
+            _.filter(col("__batch_id") > batchId - retainBatches))
         // free the per-batch checkpoint's cached blocks NOW —
         // Dataset.unpersist() never reaches a localCheckpoint RDD, and
         // leaving it to the ContextCleaner accumulates one band-table copy
@@ -94,6 +128,7 @@ object NearDupStream {
         ()
       }
       .start()
+  }
 
   /** All matches emitted so far, deduplicated (idempotent-append
     * contract: batch retries re-emit their rows). */

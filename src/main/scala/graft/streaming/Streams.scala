@@ -297,15 +297,31 @@ object Streams {
     * swap is a metadata commit; the latest-per-key plan — one shuffle on
     * the key — is the same.) */
   def compactUpsertLog(spark: SparkSession, path: String,
-                       keys: Seq[String]): Unit = {
+                       keys: Seq[String]): Unit =
+    rewriteStore(spark, path)(
+      Relational.latestByKeys(_, keys, col("__batch_id")))
+
+  /** Crash-safe in-place rewrite of a parquet store: `rewrite` produces
+    * the replacement contents, written beside the live store and swapped
+    * in by two renames (live → `.old`, rewritten → live) so no crash
+    * point loses data — [[recoverCompaction]] restores `.old` if death
+    * lands between the renames. The generalized core of
+    * [[compactUpsertLog]], also used for state-retention pruning
+    * ([[NearDupStream]]). `partitionCols` lays the replacement out as a
+    * partitioned table (readers prune on those columns). Single-writer
+    * (call from inside `foreachBatch` or equivalent). */
+  def rewriteStore(spark: SparkSession, path: String,
+                   partitionCols: Seq[String] = Nil)
+                  (rewrite: DataFrame => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(conf)
     recoverCompaction(fs, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
-    Relational.latestByKeys(spark.read.parquet(path), keys, col("__batch_id"))
-      .write.mode("overwrite").parquet(tmp.toString)
+    val writer = rewrite(spark.read.parquet(path)).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
     fs.delete(old, true) // leftover from an interrupted PREVIOUS swap
     fs.rename(live, old)
     fs.rename(tmp, live)

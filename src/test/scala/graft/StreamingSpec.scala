@@ -280,6 +280,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("near-dup state retention bounds the store; matches survive within horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-retain").toString
+    // horizon = 2 batches, pruned after every batch
+    val q = graft.streaming.NearDupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/checkpoint",
+      retainBatches = 2, pruneEvery = 1)
+    try {
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      def distinctDoc(i: Long) =
+        (i, s"totally unrelated filler document number $i about topic $i")
+      in.addData((1L, dup)); q.processAllAvailable()            // batch 0
+      in.addData(distinctDoc(50)); q.processAllAvailable()      // batch 1
+      // batch 2 lookup still sees batch 0 (the batch-1 prune kept
+      // __batch_id > -1): doc 1 is within the horizon -> match
+      in.addData((2L, dup)); q.processAllAvailable()
+      // batch 3 lookup sees batches {1,2} only (batch-2 prune dropped
+      // batch 0): doc 2 matches, doc 1 is beyond the horizon
+      in.addData((3L, dup)); q.processAllAvailable()
+      val got = graft.streaming.NearDupStream.matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 2L)), "within-horizon cross-batch match missed")
+      assert(got.contains((2L, 3L)), "within-horizon cross-batch match missed")
+      assert(!got.contains((1L, 3L)),
+        "match found against state older than the retention horizon")
+      // the store is bounded: only band rows from the last 2 batches remain
+      val state = spark.read.parquet(s"$base/state")
+      assert(state.select("__batch_id").distinct().count() <= 2,
+        "retention rewrite did not bound the store")
+      // and it is laid out partitioned by band_byte (pruned reads)
+      val dirs = new java.io.File(s"$base/state").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.exists(_.startsWith("band_byte=")),
+        s"state store is not band_byte-partitioned: ${dirs.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming limit emits exactly n rows then nothing") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
