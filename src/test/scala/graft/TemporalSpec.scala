@@ -89,4 +89,88 @@ class TemporalSpec extends GraftSuite {
     assert(!plan.contains("Join"),
       s"as-of must be the union+window form, not a join:\n$plan")
   }
+
+  // ------------------------------------------------------------------- //
+  // Streaming as-of enrichment (AsOfStream) — the batch operator's twin
+  // ------------------------------------------------------------------- //
+
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.AsOfStream
+
+  private def runAsOfStream(
+      feed: (MemoryStream[AsofFact], MemoryStream[AsofDim],
+             () => Unit) => Unit,
+      retainMs: Long = Long.MaxValue): Set[(Long, Long, Long, Option[(Long, String)])] = {
+    implicit val sqlCtx = spark.sqlContext
+    val facts = MemoryStream[AsofFact]
+    val dims = MemoryStream[AsofDim]
+    val out = AsOfStream.asOfJoinStream[Long, AsofFact, AsofDim](
+      facts.toDS(), dims.toDS(),
+      f => f.k, d => d.k, f => f.ft, d => d.vt, retainMs)
+    val name = s"asof_stream_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      feed(facts, dims, () => q.processAllAvailable())
+      spark.table(name).collect().map { r =>
+        val f = r.getStruct(0)
+        val d = if (r.isNullAt(1)) None
+          else Some((r.getStruct(1).getLong(1), r.getStruct(1).getString(2)))
+        (f.getLong(0), f.getLong(1), f.getLong(2), d)
+      }.toSet
+    } finally { q.stop(); spark.catalog.dropTempView(name); () }
+  }
+
+  test("streaming as-of agrees with the batch asOfJoin on the same fixture") {
+    val factRows = Seq(AsofFact(1L, 3L, 100L), AsofFact(1L, 5L, 101L),
+      AsofFact(1L, 10L, 102L), AsofFact(1L, 25L, 103L), AsofFact(2L, 10L, 104L))
+    val dimRows = Seq(AsofDim(1L, 5L, "a"), AsofDim(1L, 20L, "b"))
+    // batch truth
+    val batch = Temporal.asOfJoin(
+        factRows.toDF(), dimRows.toDF(), Seq("k"), "ft", "vt")
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getString(4))))
+      }.toSet
+    // stream: everything in ONE batch, arrival order scrambled — the
+    // within-batch event-time sort must reconstruct the same history
+    val streamed = runAsOfStream { (facts, dims, process) =>
+      dims.addData(dimRows.reverse)
+      facts.addData(factRows.reverse)
+      process()
+    }
+    assert(streamed === batch)
+    assert(streamed.exists(_._4.isEmpty)) // LEFT nulls present in both
+  }
+
+  test("streaming as-of enriches cross-batch: versions persist in state") {
+    val streamed = runAsOfStream { (facts, dims, process) =>
+      dims.addData(AsofDim(1L, 5L, "a")); process()   // batch: version only
+      facts.addData(AsofFact(1L, 10L, 1L)); process() // later batch: fact
+      dims.addData(AsofDim(1L, 20L, "b")); process()  // newer version
+      facts.addData(AsofFact(1L, 30L, 2L), AsofFact(1L, 7L, 3L)); process()
+    }
+    assert(streamed === Set(
+      (1L, 10L, 1L, Some((5L, "a"))),  // enriched from state, batches later
+      (1L, 30L, 2L, Some((20L, "b"))),
+      // late fact: at-or-before ITS ts, not the newest version
+      (1L, 7L, 3L, Some((5L, "a")))))
+  }
+
+  test("as-of state retention keeps the latest at-or-before the horizon") {
+    val vs = Vector((0L, "a"), (100L, "b"), (900L, "c"), (1000L, "d"))
+    // horizon = 1000 - 50 = 950: drop a, b; keep c (latest <= horizon), d
+    assert(AsOfStream.trim(vs, 50L) === Vector((900L, "c"), (1000L, "d")))
+    // horizon = 1000 - 500 = 500: b is the latest <= horizon
+    assert(AsOfStream.trim(vs, 500L) ===
+      Vector((100L, "b"), (900L, "c"), (1000L, "d")))
+    // unbounded: untouched
+    assert(AsOfStream.trim(vs, Long.MaxValue) === vs)
+    assert(AsOfStream.trim(Vector.empty[(Long, String)], 50L) === Vector.empty)
+  }
 }
+
+/** Top-level fixture types for the streaming as-of spec (Spark encoders
+  * need stable case classes). */
+case class AsofFact(k: Long, ft: Long, fact_id: Long)
+case class AsofDim(k: Long, vt: Long, state: String)
