@@ -3,10 +3,11 @@ package graft.api
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
-import graft.operators.Relational
-import graft.sinks.{BulkTransport, EsSink}
+import graft.operators.{Cdc, Relational}
+import graft.sinks.{BulkTransport, EsSink, FileBulkTransport}
 import graft.streaming.Streams
 
 /** The engine's programmatic surface — ksqlDB's DDL/metadata + persistent-
@@ -19,12 +20,33 @@ import graft.streaming.Streams
   * QUERIES`). Here a named query is a named `StreamingQuery`; the registry
   * provides start/stop/list/describe — the capability the reference exposes
   * over its REST API (`rest_example.sh:30-99`) is this Scala API itself.
+  *
+  * @param connectorDataDir root under which a source connector's per-topic
+  *        "binlog" directories live (the file-stream analog of the Debezium
+  *        connection; each parquet file appended there is a microbatch)
+  * @param esTransport `connection.url` → bulk transport for sink
+  *        connectors. No ES server exists in this container, so the default
+  *        records `_bulk` payloads to a local spool dir ([[FileBulkTransport]]);
+  *        production swaps in an HTTP transport — the Catalyst doc-building
+  *        plan is identical either way.
   */
-class Engine(val spark: SparkSession) {
+class Engine(val spark: SparkSession,
+             val connectorDataDir: String = java.nio.file.Files
+               .createTempDirectory("graft-connect").toString,
+             esTransport: String => BulkTransport = _ =>
+               new FileBulkTransport(java.nio.file.Files
+                 .createTempDirectory("graft-es").toString)) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
   // name -> (changelog path, key columns) for upsert-materialized tables
   private val upserts = TrieMap.empty[String, (String, Seq[String])]
+  // topic name (lowercased — ksqlDB identifiers are case-insensitive) ->
+  // the streaming plan that IS that dataflow. A "topic" here is any named
+  // stream another statement can attach to: registered sources, source-
+  // connector outputs, and CSAS results declared WITH (KAFKA_TOPIC=...).
+  private val topics = TrieMap.empty[String, DataFrame]
+  // connector name -> (kind, query names it started)
+  private val connectors = TrieMap.empty[String, (String, Seq[String])]
 
   /** Check-and-start under one lock: REST handlers run concurrently (the
     * server uses a thread pool), so a bare contains-then-put would let two
@@ -43,8 +65,13 @@ class Engine(val spark: SparkSession) {
     * in-memory table of the same name (the test/demo sink; production
     * sinks via [[sinkToEs]]/[[Streams.toKafka]]). */
   def createStreamAs(name: String, df: DataFrame,
-                     mode: OutputMode = OutputMode.Append()): StreamingQuery =
-    register(name)(Streams.toMemoryTable(df, name, mode))
+                     mode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val q = register(name)(Streams.toMemoryTable(df, name, mode))
+    // every CSAS backs a topic of the same name (ksqlDB's default topic =
+    // stream name), so sink connectors can attach to it by name
+    topics.put(name.toLowerCase, df)
+    q
+  }
 
   /** CTAS of an aggregate table in UPDATE mode — ksqlDB's windowed-table
     * materialization (changes to a changelog, state store serves pulls;
@@ -75,6 +102,175 @@ class Engine(val spark: SparkSession) {
                transport: BulkTransport): StreamingQuery =
     register(name)(EsSink.writeStream(df, index, idCol, checkpoint, transport))
 
+  // ------------------------------------------------------------------- //
+  // Connectors — the reference's Kafka-Connect surface as SQL statements
+  // (`/root/reference/ksqldb-statements.sql:1-11,19-38,70-85`; ksqlDB
+  // forwards connector DDL to the Connect cluster, rest_example.sh:52-79)
+  // ------------------------------------------------------------------- //
+
+  /** Register a named dataflow ("topic") that connectors and declared
+    * streams/tables can attach to — the test/embedding-side analog of a
+    * Kafka topic existing. `df` must be a streaming plan. */
+  def registerTopic(name: String, df: DataFrame): Unit = {
+    require(df.isStreaming, s"topic '$name' must be a streaming dataflow")
+    topics.put(name.toLowerCase, df)
+    ()
+  }
+
+  /** Resolve a topic: the registry first, then any streaming catalog view
+    * of that name (a MemoryStream view registered directly with Spark). */
+  def topicStream(name: String): Option[DataFrame] =
+    topics.get(name.toLowerCase).orElse(
+      try {
+        val t = spark.table(name)
+        if (t.isStreaming) Some(t) else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None })
+
+  /** Kafka-Connect SMT config → the first `InsertField$Value` timestamp
+    * field, e.g. `transforms='ExtractTimestamp'` +
+    * `transforms.ExtractTimestamp.timestamp.field='RATING_TS'`
+    * (ksqldb-statements.sql:8-10 — T3). */
+  private def insertFieldTs(props: Map[String, String]): Option[String] =
+    props.get("transforms").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .find(t => props.get(s"transforms.$t.type").exists(_.contains("InsertField")))
+      .flatMap(t => props.get(s"transforms.$t.timestamp.field"))
+
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** `CREATE SINK CONNECTOR <name> WITH (...)` — the reference's ES sink
+    * connectors (`ksqldb-statements.sql:1-11` keyed upsert on `ratings`;
+    * `:70-85` multi-topic auto-id). One [[EsSink.writeStream]] query per
+    * entry in `topics`; index = topic name lowercased (the Connect ES sink
+    * default). `key.ignore=false` → doc `_id` from the stream's `key`
+    * column (the record-key analog — K2, idempotent upsert); `true` →
+    * auto-id (K3). An `InsertField$Value` SMT injects its timestamp field
+    * (T3), using the stream's `kafka_ts` column (record timestamp) when
+    * present, else wall clock. */
+  def createSinkConnector(name: String, props: Map[String, String]): Seq[String] = {
+    require(connectors.putIfAbsent(name, ("SINK", Nil)).isEmpty,
+      s"connector '$name' already exists")
+    val clazz = props.getOrElse("connector.class", "")
+    require(clazz.contains("ElasticsearchSink"),
+      s"unsupported sink connector.class '$clazz' (Elasticsearch only)")
+    val topicList = props.getOrElse("topics", "").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(topicList.nonEmpty, s"connector '$name': 'topics' is required")
+    val keyed = props.get("key.ignore").exists(_.equalsIgnoreCase("false"))
+    val tsField = insertFieldTs(props)
+    val transport = esTransport(props.getOrElse("connection.url", ""))
+    try {
+      val qNames = topicList.map { topic =>
+        val df = topicStream(topic).getOrElse(throw new IllegalArgumentException(
+          s"connector '$name': unknown topic '$topic'"))
+        val idCol = if (keyed) {
+          require(df.columns.contains("key"),
+            s"connector '$name': key.ignore=false needs a 'key' column on " +
+              s"topic '$topic' (the record-key analog)")
+          Some("key")
+        } else None
+        val withTs = tsField.fold(df)(f => EsSink.withExtractTs(df, f,
+          eventTime = Some("kafka_ts").filter(df.columns.contains)))
+        val qName = sanitize(s"${name}_$topic")
+        register(qName)(EsSink.writeStream(withTs, topic.toLowerCase, idCol,
+          java.nio.file.Files.createTempDirectory(s"graft-ckpt-$qName").toString,
+          transport))
+        qName
+      }
+      connectors.put(name, ("SINK", qNames))
+      qNames
+    } catch { case e: Throwable => connectors.remove(name); throw e }
+  }
+
+  /** `CREATE SOURCE CONNECTOR <name> WITH (...)` — the reference's Debezium
+    * MySQL source (`ksqldb-statements.sql:19-38`). No binlog exists in this
+    * container, so the analog is a FILE-STREAM source: for each whitelisted
+    * table, the topic `<database.server.name>.<table>` is a streaming scan
+    * of CDC-envelope parquet under `connectorDataDir/<topic>` (each file
+    * appended = one microbatch — the same at-least-once append contract as
+    * a Debezium topic). The declared SMT chain is honored: `ExtractField$Key`
+    * is the envelope's scalar `key` (T2), and `ExtractNewRecordState`
+    * unwraps to after-image rows, dropping tombstones (T1,
+    * `Cdc.unwrap` semantics). */
+  def createSourceConnector(name: String, props: Map[String, String]): Seq[String] = {
+    require(connectors.putIfAbsent(name, ("SOURCE", Nil)).isEmpty,
+      s"connector '$name' already exists")
+    val server = props.getOrElse("database.server.name", name)
+    val tables = props.get("table.whitelist")
+      .orElse(props.get("table.include.list")).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    try {
+      require(tables.nonEmpty,
+        s"connector '$name': table.whitelist/table.include.list is required")
+      val unwrap = props.get("transforms").toSeq
+        .flatMap(_.split(",").map(_.trim))
+        .exists(t => props.get(s"transforms.$t.type")
+          .exists(_.contains("ExtractNewRecordState")))
+      tables.map { table =>
+        val topic = s"$server.$table"
+        val dir = java.nio.file.Paths.get(connectorDataDir, topic)
+        java.nio.file.Files.createDirectories(dir)
+        val envelope = spark.readStream.schema(Engine.cdcEnvelopeSchema(spark))
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        val df =
+          if (unwrap) envelope.filter(col("op") =!= "d")
+            .select(col("key"), col("after.*"), col("op"), col("ts_ms"))
+          else envelope
+        topics.put(topic.toLowerCase, df)
+        topic
+      }
+    } catch { case e: Throwable => connectors.remove(name); throw e }
+  }
+
+  /** `CREATE STREAM <name> [(cols)] WITH (KAFKA_TOPIC='t', ...)` — declare
+    * a stream OVER an existing topic (`commands.sql:13`,
+    * `rest_example.sh:33`). The declared column list is accepted but the
+    * topic's actual schema wins: ksqlDB needs the declaration because Kafka
+    * bytes are schemaless, while a registered topic here already carries
+    * its schema (VALUE_FORMAT likewise applies at the Kafka boundary, which
+    * is upstream of a registered topic). */
+  def declareStream(name: String, topic: String): Unit = {
+    val df = topicStream(topic).getOrElse(throw new IllegalArgumentException(
+      s"CREATE STREAM $name: unknown topic '$topic'"))
+    df.createOrReplaceTempView(name)
+    topics.put(name.toLowerCase, df)
+    ()
+  }
+
+  /** `CREATE TABLE <name> (<pk> ... PRIMARY KEY) WITH (KAFKA_TOPIC='t')` —
+    * ksqlDB TABLE semantics over a changelog topic: latest value per key
+    * (`ksqldb-statements.sql:42-43`). Materialized through the upsert
+    * changelog ([[Streams.toUpsertTable]]); the topic's message key (its
+    * `key` column) becomes the declared PRIMARY KEY column, mirroring how
+    * ksqlDB binds the Kafka key to the declared key column. */
+  def declareTable(name: String, topic: String, primaryKey: Option[String],
+                   dir: String): StreamingQuery = {
+    val df0 = topicStream(topic).getOrElse(throw new IllegalArgumentException(
+      s"CREATE TABLE $name: unknown topic '$topic'"))
+    val (df, keyCol) = primaryKey match {
+      case Some(pk) if df0.columns.contains(pk) => (df0, pk)
+      case Some(pk) if df0.columns.contains("key") =>
+        (df0.withColumnRenamed("key", pk), pk)
+      case None if df0.columns.contains("key") => (df0, "key")
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE $name: topic '$topic' has no 'key' column" +
+          other.fold("")(pk => s" and no '$pk' column"))
+    }
+    createUpsertTableAs(name, df, Seq(keyCol), dir)
+  }
+
+  /** `SHOW CONNECTORS` — (name, SOURCE|SINK) pairs. */
+  def showConnectors: Seq[(String, String)] =
+    connectors.toSeq.map { case (n, (kind, _)) => (n, kind) }.sortBy(_._1)
+
+  /** `DROP CONNECTOR <name>`: stop the queries it started; a source
+    * connector's topics stay registered (dropping a Connect source does not
+    * delete its topics either). */
+  def dropConnector(name: String): Unit =
+    connectors.remove(name).foreach { case (_, qNames) =>
+      qNames.foreach(terminate)
+    }
+
   /** `SHOW QUERIES` (readme.md:150). */
   def showQueries: Seq[(String, Boolean)] =
     queries.toSeq.map { case (n, q) => (n, q.isActive) }.sortBy(_._1)
@@ -94,7 +290,8 @@ class Engine(val spark: SparkSession) {
     * CSAS memory tables, and upsert views all land there. */
   def showTopics: Seq[String] = {
     refreshUpsertViews()
-    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+    (spark.catalog.listTables().collect().map(_.name).toSeq ++
+      topics.keys).distinct.sorted
   }
 
   /** `DROP STREAM/TABLE <name>`: terminate the backing query (if any) and
@@ -102,6 +299,7 @@ class Engine(val spark: SparkSession) {
   def drop(name: String): Unit = {
     terminate(name)
     upserts.remove(name)
+    topics.remove(name.toLowerCase)
     spark.catalog.dropTempView(name)
     ()
   }
@@ -134,6 +332,17 @@ class Engine(val spark: SparkSession) {
     queries.values.filter(_.isActive).foreach(_.processAllAvailable())
     refreshUpsertViews()
   }
+}
+
+object Engine {
+  /** Schema of a source-connector topic: the CDC envelope
+    * ([[Cdc.envelope]]'s output over the events shape) — derived from the
+    * operator itself so the file-stream connector and the CDC operators
+    * cannot drift. */
+  def cdcEnvelopeSchema(spark: SparkSession): org.apache.spark.sql.types.StructType =
+    Cdc.envelope(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      Streams.eventSchema)).schema
 }
 
 /** The reference's full EP2/EP3 topology (SURVEY §3) wired as one call:

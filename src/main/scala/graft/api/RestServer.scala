@@ -21,12 +21,19 @@ import graft.streaming.Streams
   *  - `GET  /healthcheck`      → `{"isHealthy":true}`
   *  - `GET  /info`             → engine + query-count info
   *  - `POST /ksql`             → admin + DDL statements in `{"ksql":"..."}`:
-  *    `SHOW QUERIES;`, `DESCRIBE [EXTENDED] <name>;`, `TERMINATE <name>;`,
+  *    `SHOW QUERIES|STREAMS|TABLES|TOPICS|CONNECTORS;`,
+  *    `DESCRIBE [EXTENDED] <name>;`, `TERMINATE <name>;`, `DROP
+  *    STREAM|TABLE|CONNECTOR <name>;`, `SET '...' = '...';`,
   *    `CREATE STREAM <name> AS SELECT ...` (the SELECT runs via `spark.sql`
   *    over registered views — rest_example.sh:40-51's pipeline-creation
-  *    path), and `CREATE TABLE <name> WITH (KEYS='k1,k2'[, DIR='...'])
+  *    path), `CREATE TABLE <name> WITH (KEYS='k1,k2'[, DIR='...'])
   *    AS SELECT ...` (update-mode upsert materialization, the windowed-table
-  *    path of rest_example.sh:80-99)
+  *    path of rest_example.sh:80-99), declaration forms `CREATE
+  *    STREAM|TABLE <name> [(cols)] WITH (KAFKA_TOPIC='t', ...)` over an
+  *    existing topic, and the reference's connector DDL `CREATE
+  *    SOURCE|SINK CONNECTOR <name> WITH ('k'='v', ...)`
+  *    (ksqldb-statements.sql:1-11,19-38,70-85 replay verbatim —
+  *    [[Engine.createSinkConnector]]/[[Engine.createSourceConnector]])
   *  - `POST /query`            → `{"sql":"..."}`. A bare SELECT is a pull
   *    query: point-in-time result as one JSON array, `maxRows`-capped. A
   *    `SELECT ... EMIT CHANGES [LIMIT n]` is a PUSH query: rows stream back
@@ -122,6 +129,23 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       "(?:WITH\\s*\\(([^)]*)\\)\\s*)?AS\\s+(SELECT\\b.*)$")
   private val propRe = java.util.regex.Pattern.compile(
     "(?i)([A-Za-z_]+)\\s*=\\s*'([^']*)'")
+  // `CREATE SOURCE|SINK CONNECTOR <name> WITH ('k'='v', ...)` — the
+  // reference's connector DDL (ksqldb-statements.sql:1-11,19-38,70-85)
+  private val connectorRe = java.util.regex.Pattern.compile(
+    "(?is)^CREATE\\s+(SOURCE|SINK)\\s+CONNECTOR\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "WITH\\s*\\((.*)\\)$")
+  // connector props: quoted, case-sensitive, dotted keys
+  // ('connector.class' = '...', 'transforms.ExtractTimestamp.type' = '...')
+  private val connPropRe = java.util.regex.Pattern.compile(
+    "'([^']+)'\\s*=\\s*'([^']*)'")
+  // `CREATE STREAM|TABLE <name> [(col specs)] WITH (KAFKA_TOPIC='t', ...)`
+  // — source DECLARATION over an existing topic, no AS SELECT
+  // (commands.sql:13, ksqldb-statements.sql:42-46)
+  private val declRe = java.util.regex.Pattern.compile(
+    "(?is)^CREATE\\s+(STREAM|TABLE)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(?:\\(([^)]*)\\)\\s*)?WITH\\s*\\(([^)]*)\\)$")
+  private val primaryKeyRe = java.util.regex.Pattern.compile(
+    "(?i)([A-Za-z_][A-Za-z0-9_]*)[^,()]*\\bPRIMARY\\s+KEY")
   // `... EMIT CHANGES [LIMIT n]` suffix → push query
   private val emitRe = java.util.regex.Pattern.compile(
     "(?is)^(.*?)\\s+EMIT\\s+CHANGES(?:\\s+LIMIT\\s+(\\d+))?\\s*$")
@@ -145,6 +169,8 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       .stripSuffix(";").trim
     val upper = stmt.toUpperCase
     val create = createRe.matcher(stmt)
+    val connector = connectorRe.matcher(stmt)
+    val decl = declRe.matcher(stmt)
     try {
       if (upper == "SHOW QUERIES") {
         val qs = engine.showQueries.map { case (n, active) =>
@@ -160,6 +186,20 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       } else if (upper == "SHOW TOPICS") {
         respond(ex, 200, engine.showTopics.map(jstr)
           .mkString("""{"topics":[""", ",", "]}"))
+      } else if (upper == "SHOW CONNECTORS") {
+        val cs = engine.showConnectors.map { case (n, kind) =>
+          s"""{"name":${jstr(n)},"type":${jstr(kind)}}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, s"""{"connectors":$cs}""")
+      } else if (upper.startsWith("DROP CONNECTOR ")) {
+        val name = stmt.substring("DROP CONNECTOR ".length).trim
+        engine.dropConnector(name)
+        respond(ex, 200, s"""{"dropped":${jstr(name)}}""")
+      } else if (upper.startsWith("SET ")) {
+        // `SET 'auto.offset.reset' = 'earliest'` (ksqldb-statements.sql:49):
+        // offset control is a per-source option here
+        // (Streams.kafkaEvents startingOffsets) — accept and acknowledge.
+        respond(ex, 200, """{"status":"SUCCESS"}""")
       } else if (upper.startsWith("DROP STREAM ") || upper.startsWith("DROP TABLE ")) {
         val name = stmt.split("\\s+", 3)(2).trim
         engine.drop(name)
@@ -174,15 +214,34 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
         val name = stmt.substring("TERMINATE ".length).trim
         engine.terminate(name)
         respond(ex, 200, s"""{"terminated":${jstr(name)}}""")
+      } else if (connector.matches()) {
+        // connector DDL — props are quoted dotted keys, kept case-sensitive
+        // (Kafka-Connect config keys are; ksqldb-statements.sql:1-11,19-38)
+        val (kind, name) = (connector.group(1).toUpperCase, connector.group(2))
+        val m = connPropRe.matcher(connector.group(3))
+        val props = Map.newBuilder[String, String]
+        while (m.find()) props += m.group(1) -> m.group(2)
+        val created =
+          if (kind == "SINK") engine.createSinkConnector(name, props.result())
+          else engine.createSourceConnector(name, props.result())
+        respond(ex, 200, s"""{"status":"SUCCESS","name":${jstr(name)},""" +
+          created.map(jstr).mkString(""""created":[""", ",", "]}"))
       } else if (create.matches()) {
         val (kind, name) = (create.group(1).toUpperCase, create.group(2))
         val props = withProps(Option(create.group(3)).getOrElse(""))
-        val df = engine.pullQuery(create.group(4)) // resolves upsert views too
+        // a ksqlDB CSAS body ends in EMIT CHANGES (ksqldb-statements.sql:14)
+        // — continuous emission is what a Spark streaming plan already is
+        val sel = create.group(4).replaceFirst("(?is)\\s+EMIT\\s+CHANGES\\s*$", "")
+        val df = engine.pullQuery(sel) // resolves upsert views too
         if (kind == "STREAM") {
           require(df.isStreaming,
             s"CREATE STREAM $name: the SELECT must read a streaming source " +
               "(registered stream view); for batch results use /query")
           engine.createStreamAs(name, df)
+          // WITH (KAFKA_TOPIC='t') names the backing topic — register the
+          // alias so sink connectors can attach to it
+          // (ksqldb-statements.sql:50-52's 'ratings-enriched')
+          props.get("KAFKA_TOPIC").foreach(engine.registerTopic(_, df))
         } else {
           val keys = props.get("KEYS").map(_.split(",").map(_.trim).toSeq)
             .getOrElse(throw new IllegalArgumentException(
@@ -192,6 +251,25 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
             .createTempDirectory(s"graft-upsert-$name").toString)
           engine.createUpsertTableAs(name, df, keys, dir,
             props.get("COMPACT_EVERY").map(_.toInt).getOrElse(0))
+        }
+        respond(ex, 200, s"""{"status":"SUCCESS","name":${jstr(name)}}""")
+      } else if (decl.matches()) {
+        // source DECLARATION over an existing topic — no AS SELECT
+        // (`CREATE STREAM RATINGS WITH (KAFKA_TOPIC='ratings', ...)`,
+        // rest_example.sh:33; `CREATE TABLE CUSTOMERS (CUSTOMER_ID VARCHAR
+        // PRIMARY KEY) WITH (...)`, ksqldb-statements.sql:42-43)
+        val (kind, name) = (decl.group(1).toUpperCase, decl.group(2))
+        val props = withProps(decl.group(4))
+        val topic = props.getOrElse("KAFKA_TOPIC",
+          throw new IllegalArgumentException(
+            s"CREATE $kind $name: WITH (KAFKA_TOPIC='...') is required"))
+        if (kind == "STREAM") engine.declareStream(name, topic)
+        else {
+          val pkm = primaryKeyRe.matcher(Option(decl.group(3)).getOrElse(""))
+          engine.declareTable(name, topic,
+            if (pkm.find()) Some(pkm.group(1)) else None,
+            props.getOrElse("DIR", java.nio.file.Files
+              .createTempDirectory(s"graft-upsert-$name").toString))
         }
         respond(ex, 200, s"""{"status":"SUCCESS","name":${jstr(name)}}""")
       } else {

@@ -144,6 +144,150 @@ class RestServerSpec extends GraftSuite {
     }
   }
 
+  test("reference connector DDL replays verbatim over REST; docs land in ES transport") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val esDir = java.nio.file.Files.createTempDirectory("graft-es-spec").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-connect-spec").toString
+    val engine = new Engine(spark, connectorDataDir = dataDir,
+      esTransport = _ => new graft.sinks.FileBulkTransport(esDir))
+    val srv = new RestServer(engine).start()
+    val port = srv.boundPort
+    def ksql(stmt: String) =
+      post(port, "/ksql", s"""{"ksql":${graft.functions.Json.quote(stmt)}}""")
+    try {
+      // the datagen 'ratings' topic exists (docker-compose.yml:140-148);
+      // key = user_id string (StringConverter record key analog)
+      val in = MemoryStream[Event]
+      engine.registerTopic("ratings",
+        in.toDF().withColumn("key", col("user_id").cast("string")))
+
+      // --- ksqldb-statements.sql:1-11, verbatim ---
+      val sinkRatings = ksql(
+        """CREATE SINK CONNECTOR SINK_ES_RATINGS WITH (
+          |    'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+          |    'topics'          = 'ratings',
+          |    'connection.url'  = 'http://elasticsearch:9200',
+          |    'type.name'       = '_doc',
+          |    'key.ignore'      = 'false',
+          |    'schema.ignore'   = 'true',
+          |    'transforms'= 'ExtractTimestamp',
+          |    'transforms.ExtractTimestamp.type'= 'org.apache.kafka.connect.transforms.InsertField$Value',
+          |    'transforms.ExtractTimestamp.timestamp.field' = 'RATING_TS'
+          |);""".stripMargin)
+      assert(sinkRatings.statusCode() === 200, sinkRatings.body())
+
+      // --- ksqldb-statements.sql:49 / rest_example.sh:33, verbatim ---
+      assert(ksql("SET 'auto.offset.reset' = 'earliest';").statusCode() === 200)
+      assert(ksql(
+        "CREATE STREAM RATINGS WITH (KAFKA_TOPIC='ratings',VALUE_FORMAT='AVRO');")
+        .statusCode() === 200)
+
+      // --- ksqldb-statements.sql:19-38, verbatim ---
+      val sourceMysql = ksql(
+        """CREATE SOURCE CONNECTOR SOURCE_MYSQL_01 WITH (
+          |    'connector.class' = 'io.debezium.connector.mysql.MySqlConnector',
+          |    'database.hostname' = 'mysql',
+          |    'database.port' = '3306',
+          |    'database.user' = 'debezium',
+          |    'database.password' = 'dbz',
+          |    'database.server.id' = '42',
+          |    'database.server.name' = 'asgard',
+          |    'table.whitelist' = 'demo.customers',
+          |    'database.history.kafka.bootstrap.servers' = 'kafka:29092',
+          |    'database.history.kafka.topic' = 'dbhistory.demo' ,
+          |    'include.schema.changes' = 'false',
+          |    'transforms'= 'unwrap,extractkey',
+          |    'transforms.unwrap.type'= 'io.debezium.transforms.ExtractNewRecordState',
+          |    'transforms.extractkey.type'= 'org.apache.kafka.connect.transforms.ExtractField$Key',
+          |    'transforms.extractkey.field'= 'id',
+          |    'key.converter'= 'org.apache.kafka.connect.storage.StringConverter',
+          |    'value.converter'= 'io.confluent.connect.avro.AvroConverter',
+          |    'value.converter.schema.registry.url'= 'http://schema-registry:8081'
+          |    );""".stripMargin)
+      assert(sourceMysql.statusCode() === 200, sourceMysql.body())
+
+      // the "binlog": CDC envelope files appended under the connector's
+      // topic directory (each file = one microbatch)
+      graft.operators.Cdc.envelope(Tables.events(spark, sf))
+        .write.mode("append").parquet(s"$dataDir/asgard.demo.customers")
+
+      // --- ksqldb-statements.sql:42-46, verbatim ---
+      assert(ksql(
+        """CREATE TABLE CUSTOMERS (CUSTOMER_ID VARCHAR PRIMARY KEY)
+          |  WITH (KAFKA_TOPIC='asgard.demo.CUSTOMERS', VALUE_FORMAT='AVRO');""".stripMargin)
+        .statusCode() === 200)
+      assert(ksql(
+        "CREATE STREAM CUSTOMERS_STREAM (CUSTOMER_ID VARCHAR KEY) WITH (KAFKA_TOPIC='asgard.demo.CUSTOMERS', VALUE_FORMAT='AVRO');")
+        .statusCode() === 200)
+
+      // CSAS pair over the declared RATINGS stream (the reference's
+      // RATINGS_LIVE / UNHAPPY_PLATINUM_CUSTOMERS shapes over the events
+      // fixture's columns), the first naming its topic 'ratings-enriched'
+      assert(ksql(
+        "CREATE STREAM RATINGS_LIVE WITH (KAFKA_TOPIC='ratings-enriched') AS SELECT key, event_id, user_id, event_type, value FROM RATINGS WHERE LCASE(event_type) NOT LIKE '%error%' EMIT CHANGES;")
+        .statusCode() === 200)
+      assert(ksql(
+        "CREATE STREAM UNHAPPY_PLATINUM_CUSTOMERS AS SELECT key, event_id, user_id, value FROM RATINGS WHERE value < 3 EMIT CHANGES;")
+        .statusCode() === 200)
+
+      // --- ksqldb-statements.sql:70-85, verbatim ---
+      val sinkElastic = ksql(
+        """CREATE SINK CONNECTOR SINK_ELASTIC_01 WITH (
+          |  'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+          |  'connection.url' = 'http://elasticsearch:9200',
+          |  'type.name' = '',
+          |  'behavior.on.malformed.documents' = 'warn',
+          |  'errors.tolerance' = 'all',
+          |  'errors.log.enable' = 'true',
+          |  'errors.log.include.messages' = 'true',
+          |  'topics' = 'ratings-enriched,UNHAPPY_PLATINUM_CUSTOMERS',
+          |  'key.ignore' = 'true',
+          |  'schema.ignore' = 'true',
+          |  'key.converter' = 'org.apache.kafka.connect.storage.StringConverter',
+          |  'transforms'= 'ExtractTimestamp',
+          |  'transforms.ExtractTimestamp.type'= 'org.apache.kafka.connect.transforms.InsertField$Value',
+          |  'transforms.ExtractTimestamp.timestamp.field' = 'EXTRACT_TS'
+          |);""".stripMargin)
+      assert(sinkElastic.statusCode() === 200, sinkElastic.body())
+
+      in.addData(Tables.events(spark, sf).as[Event].collect().toIndexedSeq)
+      engine.processAllAvailable()
+
+      // docs landed in the recorded ES transport
+      val docs = java.nio.file.Files.list(java.nio.file.Paths.get(esDir))
+        .toArray.map(p => java.nio.file.Files.readString(
+          p.asInstanceOf[java.nio.file.Path])).mkString("\n")
+      // keyed upsert into 'ratings' (key.ignore=false) + the SMT timestamp
+      assert(docs.contains("\"_index\":\"ratings\""))
+      assert(docs.contains("\"_id\"") && docs.contains("RATING_TS"))
+      // auto-id multi-topic sink (key.ignore=true) + EXTRACT_TS
+      assert(docs.contains("\"_index\":\"ratings-enriched\""))
+      assert(docs.contains("\"_index\":\"unhappy_platinum_customers\""))
+      assert(docs.contains("EXTRACT_TS"))
+
+      // the Debezium-fed TABLE serves pull queries (latest per key)
+      val pulled = post(port, "/query",
+        """{"sql":"SELECT CUSTOMER_ID, event_type FROM CUSTOMERS LIMIT 5"}""")
+      assert(pulled.statusCode() === 200, pulled.body())
+      assert(pulled.body().contains("CUSTOMER_ID"))
+
+      // metadata + lifecycle
+      val shown = ksql("SHOW CONNECTORS;").body()
+      assert(shown.contains("SINK_ES_RATINGS") && shown.contains("SOURCE_MYSQL_01")
+        && shown.contains("SINK_ELASTIC_01"))
+      assert(ksql("DROP CONNECTOR SINK_ES_RATINGS;").statusCode() === 200)
+      assert(!ksql("SHOW QUERIES;").body().contains("SINK_ES_RATINGS_ratings"))
+      // unknown topic is a clean client error
+      assert(ksql(
+        """CREATE SINK CONNECTOR BAD WITH ('connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector', 'topics' = 'nope');""")
+        .statusCode() === 400)
+    } finally {
+      srv.stop()
+      engine.terminateAll()
+    }
+  }
+
   test("REST /query push: EMIT CHANGES streams NDJSON and self-terminates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
