@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis, Versioning}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -206,6 +206,25 @@ object SparkEntry {
     // quality, exact p50/p95 token lengths
     "q_dataset_card" -> ((s, d) =>
       TextAnalysis.datasetCard(Tables.documents(s, d))),
+    // temperature sampling (α=0.5): keep-rate per language ∝ size^(α-1),
+    // largest language keeps 200‰ — the multilingual rebalancing rule
+    "q_sample_temperature" -> ((s, d) =>
+      TextAnalysis.sampleTemperature(Tables.documents(s, d))),
+    // corpus-wide quality cutoff: keep docs at/above the exact p75 quality
+    "q_quality_cutoff" -> ((s, d) =>
+      TextAnalysis.qualityCutoff(Tables.documents(s, d))),
+    // corpus snapshot diff: old = docs minus the %11==3 slice; new = docs
+    // minus the %17==2 slice with the %13==5 slice's text mutated — the
+    // four statuses (added/removed/changed/unchanged) all exercised
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Versioning.corpusDiff(oldSnap, newSnap)
+    }),
 
     // --- training-data pipeline: deduplication -------------------------- //
     "q_dedup_exact" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
@@ -258,6 +277,9 @@ object SparkEntry {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))),
+    // sketch twin of q_quality_cutoff: approx_percentile cutoff, same plan
+    "q_quality_cutoff_approx" -> ((s, d) =>
+      TextAnalysis.qualityCutoffApprox(Tables.documents(s, d))),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -266,6 +288,10 @@ object SparkEntry {
     "q_neardup_lsh" -> ((s, d) => Similarity.nearDupPairsLsh(Tables.embeddings(s, d))),
     "q_neardup_lsh_multi" -> ((s, d) =>
       Similarity.nearDupPairsLshMulti(Tables.embeddings(s, d))),
+    // SemDeDup-style: near-dup pairs within IVF cells (data-adaptive
+    // candidate generation vs the LSH twins' blind hyperplane cuts)
+    "q_neardup_ivf" -> ((s, d) =>
+      Similarity.nearDupPairsIvf(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // IVF multi-probe (nprobe=2): each query searches its two closest
@@ -707,6 +733,66 @@ object SparkEntry {
               FROM documents)
       """,
 
+      // cutoff = exact interpolated p75 of the 6dp-rounded quality scores,
+      // itself rounded to 6dp — both engines interpolate at rank p*(n-1)
+      // over identical doubles, so the cutoff (and the kept set) match
+      "q_quality_cutoff" -> s"""
+        WITH r AS (
+          SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter(toks, w -> w IN ${inList(TextAnalysis.stopwords)})) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio
+          FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents)),
+        s AS (SELECT doc_id,
+                     round(ln(1 + n_tokens) * (1.0 - punct_ratio)
+                           * (1.0 + stopword_ratio), 6) AS quality_score
+              FROM r),
+        c AS (SELECT round(quantile_cont(quality_score, 0.75), 6) AS cutoff FROM s)
+        SELECT s.doc_id, s.quality_score FROM s, c
+        WHERE s.quality_score >= c.cutoff
+      """,
+
+      // temperature sampling: per-language keep-rate from the language
+      // histogram — floor(200 * sqrt(n_max / n_lang)) capped at 1000 —
+      // then the same deterministic content-hash membership as
+      // q_sample_hash. sqrt is IEEE-correctly-rounded in both engines, so
+      // the rate table matches bit-for-bit.
+      "q_sample_temperature" -> s"""
+        WITH l AS ($langIdSql),
+        c AS (SELECT lang_guess, count(*) AS n_lang FROM l GROUP BY 1),
+        r AS (SELECT lang_guess,
+                     CAST(least(1000, floor(200.0 *
+                       sqrt(CAST(max(n_lang) OVER () AS DOUBLE)
+                            / CAST(n_lang AS DOUBLE)))) AS INTEGER)
+                       AS keep_permille
+              FROM c)
+        SELECT d.doc_id, l.lang_guess, r.keep_permille
+        FROM documents d
+          JOIN l ON d.doc_id = l.doc_id
+          JOIN r ON l.lang_guess = r.lang_guess
+        WHERE ${h64("d.text")} % 1000 < r.keep_permille
+      """,
+
+      // corpus snapshot diff: old/new derived from the one documents table
+      // (old drops the %11==3 slice; new drops %17==2 and appends ' v2' to
+      // the %13==5 slice) — full outer join on doc_id over 64-bit content
+      // fingerprints
+      "q_corpus_diff" -> s"""
+        WITH o AS (SELECT doc_id, ${h64("text")} AS fp
+                   FROM documents WHERE doc_id % 11 <> 3),
+        n AS (SELECT doc_id,
+                     ${h64("CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END")} AS fp
+              FROM documents WHERE doc_id % 17 <> 2)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      """,
+
       "q_redact_pii" -> """
         SELECT doc_id,
                regexp_replace(
@@ -1001,6 +1087,25 @@ object SparkEntry {
               FROM p JOIN e ea ON p.vec_a = ea.vec_id
                      JOIN e eb ON p.vec_b = eb.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM s WHERE score > 0.4
+      """,
+
+      // SemDeDup-style: same IVF cell assignment as q_ann_ivf, pairs only
+      // within a cell
+      "q_neardup_ivf" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v,
+                           list_transform((SELECT cs FROM cents),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     ${cosSql("a.v", "b.v")} AS score
+              FROM celled a JOIN celled b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
       """,
 
       "q_ann_ivf" -> s"""

@@ -317,4 +317,32 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("score"), 6).as("score"), col("rank"))
   }
+
+  /** Semantic dedup via IVF cells (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540: k-means-cluster the embeddings, then compare only
+    * WITHIN each cluster): near-dup pairs from a cell-partitioned self
+    * equi-join — the data-adaptive third scale path for [[nearDupPairs]]
+    * next to the LSH twins, usually tighter candidate sets than blind
+    * hyperplane cuts because cells follow the density of the corpus.
+    *
+    * Same scale contract as [[nearDupPairsLsh]]: cell assignment is the
+    * codegen'd [[VectorExpressions.argMaxDot]] projection (no shuffle of
+    * the corpus beyond the one cell-keyed exchange for the join), expected
+    * work N²/nlist, and the join never leaves a cell. Uses the
+    * deterministic first-`nlist` centroid seed so the DuckDB oracle can
+    * mirror the assignment; plug [[trainCentroids]] output into
+    * the same join shape (see [[ivfCellsTrained]]) for the production
+    * k-means form. */
+  def nearDupPairsIvf(emb: DataFrame, threshold: Double = 0.4,
+                      nlist: Int = 16): DataFrame = {
+    val celled = ivfCells(emb, nlist)
+    val a = celled.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("cell"))
+    val b = celled.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("cell").as("cell_b"))
+    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
 }

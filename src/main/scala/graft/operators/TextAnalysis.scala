@@ -290,4 +290,74 @@ object TextAnalysis {
         col("doc_id"),
         md5(col("norm_text")).as("fp"),
         expr(Hashing.hash64("norm_text")).as("fp_int"))
+
+  /** Keep documents at or above the corpus-wide quality quantile `q` —
+    * "top 25% by quality" as a VALUE cutoff, not a rank cutoff: the
+    * quantile is ONE grouped-aggregate row cross-joined back (Catalyst
+    * broadcasts a single-row side), so the corpus is never globally
+    * sorted and never shuffled — scan → broadcast-compare → filter.
+    *
+    * The exact interpolated `percentile` is the oracle-mirrorable form;
+    * it collects the quality values of the whole corpus into one
+    * aggregation buffer, fine at verification scale. At 100 TB swap in
+    * [[qualityCutoffApprox]] — identical plan shape with a single-pass
+    * `approx_percentile` sketch (the same exact/approx twinning as
+    * [[datasetCard]]'s percentiles vs
+    * [[graft.operators.Relational.medianOverTimeApprox]]). */
+  def qualityCutoff(docs: DataFrame, q: Double = 0.75): DataFrame =
+    qualityCutoffOver(docs, round(percentile(col("quality_score"), lit(q)), 6))
+
+  /** Single-pass sketch twin of [[qualityCutoff]] for the 100 TB path —
+    * the cutoff value is approximate, so the kept set has no SQL oracle
+    * (driver records a rows-only check); the plan shape is identical. */
+  def qualityCutoffApprox(docs: DataFrame, q: Double = 0.75): DataFrame =
+    qualityCutoffOver(docs,
+      round(approx_percentile(col("quality_score"), lit(q), lit(10000)), 6))
+
+  private def qualityCutoffOver(docs: DataFrame,
+                                cutoffAgg: org.apache.spark.sql.Column): DataFrame = {
+    val scored = withQualityCols(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val cutoff = scored.agg(cutoffAgg.as("cutoff"))
+    scored.join(cutoff) // 1-row side → BroadcastNestedLoopJoin, no shuffle
+      .filter(col("quality_score") >= col("cutoff"))
+      .select(col("doc_id"), col("quality_score"))
+  }
+
+  /** Temperature-based mixture sampling — the standard multilingual
+    * rebalancing rule (sampling probability ∝ stratum-size^α, α < 1
+    * flattens the distribution so rare languages are over-represented
+    * relative to their share): each language's keep-rate is
+    * `min(1000, floor(basePermille · (n_max / n_lang)^(1-α)))` permille,
+    * so the LARGEST language keeps `basePermille`‰ and smaller ones keep
+    * proportionally more. Membership is the same deterministic
+    * content-hash rule as [[sampleByHash]].
+    *
+    * Two scans of shape that survives 100 TB: (1) the language histogram —
+    * a grouped count whose output is `n_langs` rows; (2) the corpus scan
+    * with the rate table BROADCAST-joined on `lang_guess` (a few rows), so
+    * the corpus itself never shuffles. The rate arithmetic runs on the
+    * tiny histogram, not per document. */
+  def sampleTemperature(docs: DataFrame, alpha: Double = 0.5,
+                        basePermille: Int = 200): DataFrame = {
+    val withLang = withLangGuess(docs)
+    val ratio = col("n_max").cast("double") / col("n_lang").cast("double")
+    // sqrt (the α=0.5 default) is IEEE-correctly-rounded in both Spark and
+    // DuckDB, so the oracle reproduces the rate table bit-for-bit; pow
+    // carries a ≤1-ulp engine skew, acceptable for non-default α (the rate
+    // only shifts if the product lands exactly on an integer boundary)
+    val grown = if (1.0 - alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    val rates = withLang
+      .groupBy(col("lang_guess")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_max",
+        max(col("n_lang")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("lang_guess").as("rate_lang"),
+        least(lit(1000), floor(lit(basePermille.toDouble) * grown))
+          .cast("int").as("keep_permille"))
+    withLang
+      .join(broadcast(rates), col("lang_guess") === col("rate_lang"))
+      .filter(expr(s"pmod(${Hashing.hash64("text")}, 1000)") < col("keep_permille"))
+      .select(col("doc_id"), col("lang_guess"), col("keep_permille"))
+  }
 }

@@ -103,4 +103,38 @@ class PlanSpec extends GraftSuite {
       s"as-of degenerated into a nested-loop range join:\n$p")
     assert(p.contains("Window"), "expected the running-last window form")
   }
+
+  test("corpus diff joins 64-bit fingerprints, never document text") {
+    val qe = SparkEntry.queries("q_corpus_diff")(spark, sf).queryExecution
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.nonEmpty, "expected the doc_id full-outer-join exchange")
+    assert(exchanges.forall(_.forall(_ != "text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
+  test("temperature sampling broadcasts the rate table; corpus text never shuffles") {
+    val qe = SparkEntry.queries("q_sample_temperature")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "rate table must broadcast-join onto the corpus scan")
+    // the only exchanges belong to the tiny language histogram — document
+    // text stays put
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.forall(_.forall(_ != "text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
+  test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
+    val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "1-row cutoff side must broadcast")
+    assert(!p.contains("SortExec"), "value cutoff must not globally sort")
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.forall(_.forall(_ != "text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
 }

@@ -133,4 +133,16 @@ class SimilaritySpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("IVF (SemDeDup) near-dup pairs are a subset of exact, scored identically") {
+    val exact = Similarity.nearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.nearDupPairsIvf(emb).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key) &&
+        math.abs(exact(key) - r.getDouble(2)) < 1e-9)
+    }
+  }
 }
