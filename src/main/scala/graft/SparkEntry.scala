@@ -206,6 +206,10 @@ object SparkEntry {
     // quality, exact p50/p95 token lengths
     "q_dataset_card" -> ((s, d) =>
       TextAnalysis.datasetCard(Tables.documents(s, d))),
+    // Gopher-style within-doc repetition signals: duplicate 2-gram
+    // fraction + top-2-gram share per document
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d))),
     // temperature sampling (α=0.5): keep-rate per language ∝ size^(α-1),
     // largest language keeps 200‰ — the multilingual rebalancing rule
     "q_sample_temperature" -> ((s, d) =>
@@ -237,6 +241,14 @@ object SparkEntry {
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
     }),
     "q_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(Tables.documents(s, d))),
+    // incremental dedup: the doc_id%4==1 slice ("new crawl") tested for
+    // exact/near membership against the rest ("frozen reference corpus")
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 4 === 1),
+        docs.filter(col("doc_id") % 4 =!= 1))
+    }),
     // benchmark decontamination: docs sharing any 3-gram with the "eval
     // set" (the doc_id % 29 slice stands in for a held-out benchmark) are
     // flagged — eval shingles broadcast, corpus never shuffled for the test
@@ -754,6 +766,26 @@ object SparkEntry {
         WHERE s.quality_score >= c.cutoff
       """,
 
+      // within-doc repetition: token 2-grams as 0-based slices (DuckDB
+      // lists are 1-based, hence toks[i+1] || ' ' || toks[i+2])
+      "q_repetition" -> s"""
+        WITH g AS (
+          SELECT doc_id, list_transform(range(0, len(toks) - 1),
+                   i -> toks[i+1] || ' ' || toks[i+2]) AS grams
+          FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 2)
+        SELECT doc_id,
+               CAST(len(grams) AS INTEGER) AS n_grams,
+               CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_grams,
+               round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams), 6) AS dup_gram_frac,
+               round(CAST(list_max(list_transform(list_distinct(grams),
+                       g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+                     / len(grams), 6) AS top_gram_frac
+        FROM g
+      """,
+
       // temperature sampling: per-language keep-rate from the language
       // histogram — floor(200 * sqrt(n_max / n_lang)) capped at 1000 —
       // then the same deterministic content-hash membership as
@@ -893,6 +925,26 @@ object SparkEntry {
       "q_minhash_pairs" -> s"""
         WITH t AS ($shingles), $minhashPairsCte
         SELECT * FROM mh_pairs
+      """,
+
+      // incremental dedup: bands computed once over all docs (signatures
+      // are per-doc, so banding the union equals banding each side), then
+      // the new slice (%4==1) membership-tested against the reference
+      // slice by normalized-text fp and by shared (band_id, band_key)
+      "q_dedup_incremental" -> s"""
+        WITH t AS ($shingles), $minhashPairsCte,
+        f AS (SELECT doc_id,
+                     md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents),
+        nb AS (SELECT * FROM bands WHERE doc_id % 4 = 1),
+        rb AS (SELECT band_id, band_key FROM bands WHERE doc_id % 4 <> 1),
+        near AS (SELECT DISTINCT nb.doc_id FROM nb
+                 JOIN rb ON nb.band_id = rb.band_id AND nb.band_key = rb.band_key)
+        SELECT f.doc_id,
+               f.fp IN (SELECT fp FROM f f2
+                        WHERE f2.doc_id % 4 <> 1) AS exact_dup,
+               f.doc_id IN (SELECT doc_id FROM near) AS near_dup
+        FROM f WHERE f.doc_id % 4 = 1
       """,
 
       // connected components to a fixpoint (matches Dedup.canonicalFromPairs'

@@ -103,13 +103,19 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
   }
 
-  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
-    * hash each band, and emit candidate pairs of documents agreeing on at
-    * least one full band. Only (doc_id, band) rows are shuffled. */
-  def minhashCandidatePairs(docs: DataFrame, k: Int = 16,
-                            bands: Int = 4, n: Int = 3): DataFrame = {
+  /** (doc_id, band_id, band_key) rows of the LSH banding over
+    * [[minhashSignatures]] — the joinable index shared by
+    * [[minhashCandidatePairs]] (self-join) and [[incrementalDedup]]
+    * (new-vs-reference join). localCheckpoint'ed because any join of band
+    * rows against band rows otherwise duplicates the whole
+    * shingle→minhash pipeline per side (ReuseExchange/AQE stage reuse
+    * never fires for self-join subtrees — same finding as
+    * ngramJaccardPairs); the checkpointed table is (long, int, hash) —
+    * `bands` rows per doc, tiny relative to recomputing signatures. */
+  def bandRows(docs: DataFrame, k: Int = 16, bands: Int = 4,
+               n: Int = 3): DataFrame = {
     val rpb = k / bands
-    val bandRows = minhashSignatures(docs, k, n)
+    minhashSignatures(docs, k, n)
       .select(col("doc_id"), expr(
         s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
            |  b AS band_id,
@@ -117,20 +123,57 @@ object Dedup {
            |                           x -> cast(x AS string)), ',')) AS band_key)))"""
           .stripMargin).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      // lazy localCheckpoint: the band self-join otherwise duplicates the
-      // whole shingle→minhash pipeline on both sides (ReuseExchange/AQE
-      // stage reuse never fires for self-join subtrees — same finding as
-      // ngramJaccardPairs); the checkpointed table is (long, int, hash) —
-      // `bands` rows per doc, tiny relative to recomputing signatures
       .localCheckpoint(false)
-    val a = bandRows.alias("a")
-    val b = bandRows.alias("b")
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band, and emit candidate pairs of documents agreeing on at
+    * least one full band. Only (doc_id, band) rows are shuffled. */
+  def minhashCandidatePairs(docs: DataFrame, k: Int = 16,
+                            bands: Int = 4, n: Int = 3): DataFrame = {
+    val rows = bandRows(docs, k, bands, n)
+    val a = rows.alias("a")
+    val b = rows.alias("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Incremental dedup: flag each NEW document that duplicates the frozen
+    * REFERENCE corpus — the v2-crawl-against-v1 membership test a
+    * production pipeline runs instead of re-clustering everything
+    * ([[canonicalFromPairs]] is the full-recluster form). One row per new
+    * doc: `exact_dup` (normalized-text fingerprint seen in the reference,
+    * [[exactDedup]]'s rule) and `near_dup` (shares ≥1 MinHash LSH band
+    * with some reference doc, [[minhashCandidatePairs]]' rule — exact
+    * dups are near dups too, identical text hashes to identical bands).
+    *
+    * Scale shape: both membership tests are LEFT SEMI equi-joins on
+    * hashes — the exact test on the 16-byte fp, the near test on
+    * (band_id, band_key) — so the reference corpus text is never read
+    * past its own shingling pass and nothing N² ever forms. The reference
+    * band table is the natural thing to persist between runs (it is what
+    * [[graft.streaming.NearDupStream]] accumulates in streaming form). */
+  def incrementalDedup(newDocs: DataFrame, refDocs: DataFrame, k: Int = 16,
+                       bands: Int = 4, n: Int = 3): DataFrame = {
+    def fps(df: DataFrame) = df.select(col("doc_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
+    val exactIds = fps(newDocs)
+      .join(fps(refDocs).select("fp").distinct(), Seq("fp"), "left_semi")
+      .select("doc_id")
+    val nearIds = bandRows(newDocs, k, bands, n)
+      .join(bandRows(refDocs, k, bands, n).select("band_id", "band_key"),
+        Seq("band_id", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+    newDocs.select(col("doc_id"))
+      .join(exactIds.withColumn("e", lit(true)), Seq("doc_id"), "left_outer")
+      .join(nearIds.withColumn("nd", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        coalesce(col("nd"), lit(false)).as("near_dup"))
   }
 
   /** SimHash near-duplicate pairs within a Hamming-distance budget.

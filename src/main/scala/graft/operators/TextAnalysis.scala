@@ -324,6 +324,36 @@ object TextAnalysis {
       .select(col("doc_id"), col("quality_score"))
   }
 
+  /** Within-document repetition signals — the Gopher-style quality rule
+    * (Rae et al. 2021, arXiv:2112.11446 Appendix A: drop documents whose
+    * duplicate n-gram fraction is high): per document, the token-2-gram
+    * count, distinct count, duplicate fraction, and the share of the
+    * single most frequent 2-gram. Documents under 2 tokens have no
+    * 2-grams and are dropped.
+    *
+    * Pure per-row array expressions over one scan — no shuffle, no UDF.
+    * The top-gram share is O(distinct · total) per document as a codegen'd
+    * nested higher-order function; for extreme document lengths the
+    * explode → count → max aggregate is the alternative shape (one
+    * doc_id-keyed shuffle), same trade as [[graft.operators.Dedup]]'s
+    * explode-first minhash. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("grams",
+        expr("transform(sequence(0, size(toks) - 2), i -> toks[i] || ' ' || toks[i + 1])"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("distinct_grams"),
+        expr("round(1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams), 6)")
+          .as("dup_gram_frac"),
+        expr("""round(CAST(array_max(transform(array_distinct(grams),
+               |  g -> size(filter(grams, x -> x = g)))) AS DOUBLE)
+               |  / size(grams), 6)""".stripMargin)
+          .as("top_gram_frac"))
+
   /** Temperature-based mixture sampling — the standard multilingual
     * rebalancing rule (sampling probability ∝ stratum-size^α, α < 1
     * flattens the distribution so rare languages are over-represented

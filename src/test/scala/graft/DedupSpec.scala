@@ -111,4 +111,41 @@ class DedupSpec extends GraftSuite {
         col("n_tokens") + lit(8) * (col("n_chunks") - 1))
     assert(bad.count() === 0)
   }
+
+  test("incremental dedup flags exact and near duplicates of the reference") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, base + " twenty")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // exact copy of ref 1 (whitespace-normalized) -> exact + near
+      (10L, "  Alpha beta gamma delta epsilon zeta eta theta "),
+      // one token changed out of 20 -> near only (17/19 shingles shared)
+      (11L, base + " TWENTY_V2"),
+      // novel -> neither
+      (12L, "completely different content with no shared shingles at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(fresh, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(got(10L) === ((true, true)))
+    assert(got(11L) === ((false, true)))
+    assert(got(12L) === ((false, false)))
+  }
+
+  test("repetition signals: exact fractions on a constructed repeat") {
+    import spark.implicits._
+    // grams: "a b","b a","a b","b a","a b" -> n=5, distinct=2,
+    // dup_frac=0.6, top ("a b")=3/5
+    val one = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.repetitionSignals(one).collect()(0)
+    assert(r.getInt(1) === 5 && r.getInt(2) === 2)
+    assert(math.abs(r.getDouble(3) - 0.6) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-9)
+    // sub-2-token docs are dropped, not NaN'd
+    val tiny = Seq((2L, "solo")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.repetitionSignals(tiny).count() === 0)
+  }
 }
