@@ -144,6 +144,11 @@ object SparkEntry {
     // Gap-based sessionization over the event stream (30-min inactivity)
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
 
+    // A1 variant — HOPPING window counts (SIZE 15 MIN, ADVANCE BY 5 MIN):
+    // each event lands in 3 overlapping epoch-aligned windows
+    "q_hopping_window" -> ((s, d) =>
+      Relational.hoppingCountsByType(Tables.events(s, d))),
+
     // D5 — sorted detail search, latest 100 (docker-compose.yml:344-345)
     "q_sorted_recent" -> ((s, d) =>
       Relational.sortedRecent(Tables.events(s, d), 100)),
@@ -210,6 +215,12 @@ object SparkEntry {
     // fraction + top-2-gram share per document
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d))),
+    // passage-level boilerplate removal: 3-word passages appearing in ≥2
+    // distinct docs are scrubbed from every doc (bounded-window analog of
+    // suffix-array substring dedup)
+    "q_boilerplate" -> ((s, d) =>
+      TextAnalysis.dedupPassages(Tables.documents(s, d),
+        passageWords = 3, minDocs = 2)),
     // temperature sampling (α=0.5): keep-rate per language ∝ size^(α-1),
     // largest language keeps 200‰ — the multilingual rebalancing rule
     "q_sample_temperature" -> ((s, d) =>
@@ -246,6 +257,16 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 4 === 1),
+        docs.filter(col("doc_id") % 4 =!= 1))
+    }),
+    // incremental dedup, Bloom-prefilter form: same exact-membership
+    // semantics as q_dedup_incremental's exact_dup flag — the frozen-corpus
+    // sketch is probed in-scan and the confirm semi-join removes the Bloom
+    // false positives, so the oracle is the plain semi-join
+    "q_dedup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedupBloom(
         docs.filter(col("doc_id") % 4 === 1),
         docs.filter(col("doc_id") % 4 =!= 1))
     }),
@@ -454,6 +475,23 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS bucket_start, event_type,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2
+    """,
+
+    // hopping windows (SIZE 900s, ADVANCE 300s): an event at t belongs to
+    // every epoch-aligned start s with s <= t < s + 900, i.e. the slide
+    // multiples in (t-900, t] — generate_series over slide units, unnested.
+    // Same '1970 + INTERVAL * seconds' window_start rendering as
+    // q_window_agg so the timestamp compares bit-for-bit.
+    "q_hopping_window" -> """
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + INTERVAL 1 SECOND * CAST(s * 300 AS BIGINT) AS window_start,
+             event_type, COUNT(*) AS events_count
+      FROM (SELECT event_type,
+                   unnest(generate_series(
+                     CAST(floor((epoch(ts) - 900) / 300) AS BIGINT) + 1,
+                     CAST(floor(epoch(ts) / 300) AS BIGINT))) AS s
+            FROM events)
+      GROUP BY 1, 2
     """,
 
     "q_topk_users" -> """
@@ -784,6 +822,47 @@ object SparkEntry {
                        g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
                      / len(grams), 6) AS top_gram_frac
         FROM g
+      """,
+
+      // passage-level boilerplate removal: 3-word passage grid per doc
+      // (list_slice is 1-based inclusive ≙ Spark slice(start, length));
+      // passages in ≥2 distinct docs are dropped, survivors re-joined in
+      // passage order. Parallel unnest zips the equal-length idx/passage
+      // lists.
+      "q_boilerplate" -> s"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        p AS (SELECT doc_id,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(w) / 3.0) AS INT) - 1)) AS idx,
+                     unnest(list_transform(generate_series(0,
+                       CAST(ceil(len(w) / 3.0) AS INT) - 1),
+                       i -> array_to_string(list_slice(w, i * 3 + 1, i * 3 + 3),
+                                            ' '))) AS passage
+              FROM w),
+        h AS (SELECT doc_id, idx, passage, ${h64("passage")} AS h
+              FROM p),
+        boiler AS (SELECT h FROM h GROUP BY h
+                   HAVING count(DISTINCT doc_id) >= 2),
+        agg AS (SELECT doc_id, string_agg(passage, ' ' ORDER BY idx) AS text_clean
+                FROM h WHERE h NOT IN (SELECT h FROM boiler)
+                GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+      """,
+
+      // Bloom-prefilter incremental dedup: the sketch is an execution
+      // detail (no false negatives; confirm join kills false positives),
+      // so the oracle is the plain exact-membership semi-join on the
+      // 60-bit normalized-text fingerprint.
+      "q_dedup_bloom" -> s"""
+        WITH f AS (SELECT doc_id,
+                          ${h64("regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')")}
+                            AS fp
+                   FROM documents)
+        SELECT f.doc_id,
+               f.fp IN (SELECT fp FROM f f2 WHERE f2.doc_id % 4 <> 1)
+                 AS exact_dup
+        FROM f WHERE f.doc_id % 4 = 1
       """,
 
       // temperature sampling: per-language keep-rate from the language

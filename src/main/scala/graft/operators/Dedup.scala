@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
+import graft.functions.{Hashing, SketchExpressions}
 
 /** Deduplication operators for training-data pipelines: exact (hash
   * group-by), MinHash+LSH banding, SimHash, and n-gram Jaccard — over the
@@ -174,6 +174,44 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("e"), lit(false)).as("exact_dup"),
         coalesce(col("nd"), lit(false)).as("near_dup"))
+  }
+
+  /** [[incrementalDedup]]'s exact membership test with a BLOOM PREFILTER —
+    * the shape that wins when the new crawl is enormous and the duplicate
+    * rate is low (the production common case: a fresh crawl against last
+    * month's corpus re-fetches a few percent).
+    *
+    * The frozen reference corpus is reduced to a Bloom filter over its
+    * normalized-text fingerprints (`stat.bloomFilter` — a treeAggregate of
+    * partition-local bitmaps, no row shuffle; ~1.2 MB per million docs at
+    * 1% fpp) and probed as a codegen'd projection inside the new-crawl
+    * scan ([[graft.functions.BloomMightContain]]). Only bloom survivors —
+    * true duplicates plus the fpp tail — reach the exact-confirm semi-join,
+    * so the shuffle is proportional to the DUPLICATE count, not the crawl
+    * size, and text never leaves its scan on either side. No false
+    * negatives (Bloom's guarantee), and the confirm join removes the false
+    * positives, so the result is EXACTLY the plain semi-join's — the DuckDB
+    * oracle needs no sketch semantics.
+    *
+    * Membership is on the 60-bit [[Hashing.hash64]] fingerprint (collision
+    * odds ~n²/2⁶¹ — negligible below billions of DISTINCT contents, and a
+    * collision only ever over-flags a dup, the safe direction for dedup). */
+  def incrementalDedupBloom(newDocs: DataFrame, refDocs: DataFrame,
+                            expectedRefDocs: Long = 1L << 20,
+                            fpp: Double = 0.01): DataFrame = {
+    def fps(df: DataFrame) = df
+      .select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("nt"))
+      .select(col("doc_id"), expr(Hashing.hash64("nt")).as("fp"))
+    val refFps = fps(refDocs)
+    val bloom = refFps.stat.bloomFilter("fp", expectedRefDocs, fpp)
+    val confirmed = fps(newDocs)
+      .filter(SketchExpressions.bloomMightContain(col("fp"), bloom))
+      .join(refFps.select("fp").distinct(), Seq("fp"), "left_semi")
+      .select("doc_id")
+    newDocs.select(col("doc_id"))
+      .join(confirmed.withColumn("e", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("e"), lit(false)).as("exact_dup"))
   }
 
   /** SimHash near-duplicate pairs within a Hamming-distance budget.

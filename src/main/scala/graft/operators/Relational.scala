@@ -115,6 +115,27 @@ object Relational {
         col("full_name"), col("ratings_count"), col("ratings"))
 
   // --------------------------------------------------------------------- //
+  // A1 variant — HOPPING windows, ksqlDB's other time-window kind:
+  // `WINDOW HOPPING (SIZE 15 MINUTES, ADVANCE BY 5 MINUTES)`
+  // (ksqlDB window-types doc; the reference uses TUMBLING but the surface
+  // is part of the same WINDOW clause). Spark's `window(col, size, slide)`
+  // IS the hopping window — each event lands in size/slide epoch-aligned
+  // overlapping buckets, expanded in the projection (no self-join), then
+  // one (window, event_type) shuffle with map-side partial counts. The
+  // size/slide fanout multiplies shuffled ROWS, not text: only the grouping
+  // key and counters ride the exchange, so the 100 TB cost is
+  // (size/slide)× a tumbling count, not a data explosion.
+  // --------------------------------------------------------------------- //
+  def hoppingCountsByType(events: DataFrame, sizeSec: Int = 900,
+                          slideSec: Int = 300): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$sizeSec seconds", s"$slideSec seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("events_count"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("events_count"))
+
+  // --------------------------------------------------------------------- //
   // A4 — TABLE semantics: latest value per key (implicit LATEST_BY_OFFSET).
   // `CREATE TABLE CUSTOMERS (CUSTOMER_ID VARCHAR PRIMARY KEY) ...`
   // (ksqldb-statements.sql:42-43); demonstrated at readme.md:316-342.

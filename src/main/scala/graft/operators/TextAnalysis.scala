@@ -354,6 +354,50 @@ object TextAnalysis {
                |  / size(grams), 6)""".stripMargin)
           .as("top_gram_frac"))
 
+  /** Passage-level boilerplate removal — the cross-document repeated-span
+    * scrub a web-crawl pipeline runs before training (headers, footers,
+    * cookie banners, licence blurbs): any fixed-width passage of
+    * `passageWords` consecutive words appearing in at least `minDocs`
+    * DISTINCT documents is dropped from every document; what remains is
+    * re-assembled in original order. This is the bounded-window
+    * approximation of exact substring dedup (Lee et al. 2021,
+    * arXiv:2107.06499 — their suffix-array pass; a fixed passage grid
+    * trades their arbitrary-boundary matches for a shuffle that carries
+    * only 8-byte hashes).
+    *
+    * Scale shape: passages are hashed in the scan projection; the
+    * document-frequency aggregate shuffles (hash, doc_id) pairs with
+    * map-side partial distinct; the resulting BOILERPLATE set (passages
+    * repeated across ≥ minDocs docs — small by construction, it is the
+    * boilerplate vocabulary, not the corpus) broadcasts back as a LEFT ANTI
+    * join, so passage text itself only moves in the final re-assembly
+    * shuffle keyed by doc_id — the shuffle the output contract forces.
+    * Output: one row per input doc, `text_clean` = surviving passages
+    * joined in order ('' when everything was boilerplate). */
+  def dedupPassages(docs: DataFrame, passageWords: Int = 8,
+                    minDocs: Int = 2): DataFrame = {
+    val p = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(w) / ${passageWords}.0) AS INT) - 1),
+           |  i -> array_join(slice(w, i * $passageWords + 1, $passageWords), ' '))"""
+          .stripMargin)).as(Seq("idx", "passage")))
+      .withColumn("h", expr(Hashing.hash64("passage")))
+    val boiler = p.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    val rebuilt = p.join(broadcast(boiler), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(idx, passage))), x -> x.passage), ' ')")
+        .as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Temperature-based mixture sampling — the standard multilingual
     * rebalancing rule (sampling probability ∝ stratum-size^α, α < 1
     * flattens the distribution so rare languages are over-represented

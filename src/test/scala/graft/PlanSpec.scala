@@ -72,6 +72,30 @@ class PlanSpec extends GraftSuite {
       s"document text crossed a shuffle: $exchanges")
   }
 
+  test("bloom incremental dedup probes in-scan; text never shuffles") {
+    val qe = SparkEntry.queries("q_dedup_bloom")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("bloom_might_contain"),
+      "the Bloom probe must run as a codegen'd filter inside the scan stage")
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.forall(_.forall(c => c != "text" && c != "nt")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
+  test("passage boilerplate removal never shuffles full document text") {
+    // passages ride the output-forced doc_id reassembly shuffle; the raw
+    // text column must stay inside its scan stage
+    val qe = SparkEntry.queries("q_boilerplate")(spark, sf).queryExecution
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.nonEmpty, "expected df-aggregate and reassembly exchanges")
+    assert(exchanges.forall(_.forall(_ != "text")),
+      s"document text crossed a shuffle: $exchanges")
+    assert(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the boilerplate set must broadcast back as the anti-join build side")
+  }
+
   test("scan-parallelism floor no-ops when the scan is already parallel") {
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
     val wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)

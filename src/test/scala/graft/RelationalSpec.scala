@@ -14,6 +14,22 @@ class RelationalSpec extends GraftSuite {
     assert(df.count() > 0)
   }
 
+  test("hopping windows: every event lands in exactly size/slide windows") {
+    val ev = Tables.events(spark, sf)
+    val hop = Relational.hoppingCountsByType(ev, sizeSec = 900, slideSec = 300)
+    // counts across overlapping windows triple-count each event
+    val total = hop.agg(sum(col("events_count"))).collect()(0).getLong(0)
+    assert(total === ev.count() * 3)
+    // window starts are epoch-aligned to the slide, not the size
+    val misaligned = hop
+      .filter(expr("unix_timestamp(window_start) % 300 != 0"))
+      .count()
+    assert(misaligned === 0)
+    // strictly more windows than the tumbling form of the same size
+    val tumbling = ev.groupBy(window(col("ts"), "900 seconds")).count().count()
+    assert(hop.select("window_start").distinct().count() > tumbling)
+  }
+
   test("live/error filters partition the events stream") {
     val ev = Tables.events(spark, sf)
     val live = Relational.eventsLive(ev).count()
