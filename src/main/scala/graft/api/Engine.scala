@@ -312,6 +312,19 @@ class Engine(val spark: SparkSession,
     spark.table(name).schema.treeString
   }
 
+  /** `EXPLAIN <sql>` / `EXPLAIN <stream-or-table>` (ksqlDB's plan
+    * introspection surface): the formatted physical plan — operators,
+    * pushed filters, exchanges, codegen spans — of either an arbitrary
+    * SELECT or a registered stream/table/topic by name. */
+  def explain(target: String): String = {
+    refreshUpsertViews()
+    val df =
+      if (target.matches("(?i)^\\s*SELECT\\b.*")) pullQuery(target)
+      else topicStream(target).getOrElse(spark.table(target))
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
   /** `DROP`/terminate a persistent query. */
   def terminate(name: String): Unit =
     queries.remove(name).foreach(_.stop())

@@ -210,6 +210,11 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
           .replaceFirst("(?i)^EXTENDED\\s+", "")
         respond(ex, 200,
           s"""{"name":${jstr(name)},"schema":${jstr(engine.describe(name))}}""")
+      } else if (upper.startsWith("EXPLAIN ")) {
+        // `EXPLAIN <select>` or `EXPLAIN <stream|table|topic>` — ksqlDB's
+        // plan introspection; the body is the formatted Spark plan
+        val target = stmt.substring("EXPLAIN ".length).trim
+        respond(ex, 200, s"""{"plan":${jstr(engine.explain(target))}}""")
       } else if (upper.startsWith("TERMINATE ")) {
         val name = stmt.substring("TERMINATE ".length).trim
         engine.terminate(name)

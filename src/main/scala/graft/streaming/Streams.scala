@@ -121,6 +121,37 @@ object Streams {
   def enrichedStream(events: DataFrame, customersSnapshot: DataFrame): DataFrame =
     Relational.enriched(events, customersSnapshot)
 
+  /** Stream-STREAM windowed equi-join — ksqlDB's `SELECT ... FROM s1 JOIN
+    * s2 WITHIN <n> <unit> ON s1.k = s2.k` surface (the join kind the
+    * reference's stack supports beyond its stream-table join). Both sides
+    * carry an event-time watermark; the `WITHIN` bound becomes a symmetric
+    * time-range predicate, which is exactly what Spark's stream-stream
+    * join needs to age state out: each side's buffer holds only rows
+    * within `within + watermarkDelay` of the watermark, so state is
+    * bounded at any scale and the shuffle is the key equi-join's — the
+    * same hash partitioning a ksqlDB repartition topic would do.
+    *
+    * Column contract: non-key columns of the two inputs must be disjoint
+    * (rename upstream, as ksqlDB forces via aliases); the key column is
+    * emitted once. `joinType` may be `inner` or `leftOuter` (left outer
+    * emits unmatched left rows once the watermark passes the window). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       within: String, joinType: String = "inner",
+                       watermarkDelay: String = "30 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    val rCols = right.columns.filter(_ != key)
+      .map(c => col(s"r.$c")).toSeq
+    val lCols = left.columns.map(c => col(s"l.$c")).toSeq
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
+        joinType)
+      .select(lCols ++ rCols: _*)
+  }
+
   /** `UNHAPPY_PLATINUM_CUSTOMERS` CSAS (ksqldb-statements.sql:63-68). */
   def unhappyStream(enrichedDf: DataFrame): DataFrame =
     Relational.unhappyPlatinum(enrichedDf)

@@ -73,6 +73,19 @@ class RestServerSpec extends GraftSuite {
       assert(descExt.statusCode() === 200 && descExt.body().contains("full_name"))
       assert(post(port, "/ksql", """{"ksql":"DESCRIBE no_such_table;"}""")
         .statusCode() === 400)
+
+      // EXPLAIN: a SELECT gets a formatted physical plan; a registered
+      // table name resolves too; unknown names are clean 400s
+      val explSel = post(port, "/ksql",
+        """{"ksql":"EXPLAIN SELECT count(*) FROM ratings_per_customer_per_15minute;"}""")
+      assert(explSel.statusCode() === 200)
+      assert(explSel.body().contains("Physical Plan"))
+      val explName = post(port, "/ksql",
+        """{"ksql":"EXPLAIN ratings_per_customer_per_15minute;"}""")
+      assert(explName.statusCode() === 200)
+      assert(explName.body().contains("Physical Plan"))
+      assert(post(port, "/ksql", """{"ksql":"EXPLAIN no_such_thing;"}""")
+        .statusCode() === 400)
     } finally {
       srv.stop()
       engine.terminateAll()

@@ -35,6 +35,34 @@ class StreamingSpec extends GraftSuite {
     assert(got.toSeq === Seq(1L, 3L))
   }
 
+  test("stream-stream WITHIN join: pairs inside the window, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val lData = Seq((1L, t("00:00:10"), "L1"), (2L, t("00:00:20"), "L2"),
+      (3L, t("00:00:30"), "L3"))
+    val rData = Seq((1L, t("00:00:15"), "R1"), // 5 s from L1 → match
+      (2L, t("00:00:45"), "R2"), // 25 s from L2 → outside WITHIN 10 s
+      (4L, t("00:00:30"), "R4")) // no left key
+    val l = MemoryStream[(Long, Timestamp, String)]
+    val r = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      l.toDS().toDF("k", "lts", "lval"), r.toDS().toDF("k", "rts", "rval"),
+      "k", "lts", "rts", within = "10 seconds")
+    val q = Streams.toMemoryTable(joined, "ss_join_test")
+    l.addData(lData: _*); r.addData(rData: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join_test")
+      .select("k", "lval", "rval").as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "L1", "R1")))
+    // batch parity: the same operator over batch frames (the watermark
+    // node is eliminated on batch plans) produces the same pairs
+    val batch = Streams.streamStreamJoin(
+      lData.toDF("k", "lts", "lval"), rData.toDF("k", "rts", "rval"),
+      "k", "lts", "rts", within = "10 seconds")
+      .select("k", "lval", "rval").as[(Long, String, String)].collect().toSet
+    assert(batch === got)
+  }
+
   test("stream-static enrichment join equals the batch plan on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Tables.customer(spark, sf)
