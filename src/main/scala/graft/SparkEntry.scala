@@ -134,6 +134,15 @@ object SparkEntry {
     "q_topk_users" -> ((s, d) =>
       Relational.topKByCount(Tables.events(s, d), "user_id", 5)),
 
+    // D4 variant — per-dimension leaderboard: top 3 users per event_type
+    // (rank window partitioned by the group; no global sort)
+    "q_topk_per_group" -> ((s, d) =>
+      Relational.topKPerGroup(Tables.events(s, d), "event_type", "user_id", 3)),
+
+    // per-user rolling aggregates: moving sum/avg over the last 4 events +
+    // running total — decimal-exact sums, one user_id shuffle
+    "q_moving_agg" -> ((s, d) => Relational.movingAgg(Tables.events(s, d))),
+
     // Skew-safe two-phase aggregations (salting — 100 TB hot-key defense);
     // results must equal the unsalted single-phase forms
     "q_salted_counts" -> ((s, d) =>
@@ -228,6 +237,25 @@ object SparkEntry {
     // corpus-wide quality cutoff: keep docs at/above the exact p75 quality
     "q_quality_cutoff" -> ((s, d) =>
       TextAnalysis.qualityCutoff(Tables.documents(s, d))),
+    // composite Gopher rule filter: every signal + the conjunctive keep
+    // flag (which rule dropped a doc is auditable)
+    "q_gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, d))),
+    // CCNet-style unigram LM score: mean log P(token) under the corpus's
+    // own unigram distribution (vocab broadcast, decimal-exact doc sums)
+    "q_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d))),
+    // sequence-length histogram: 16-token-wide buckets (integer-exact)
+    "q_length_hist" -> ((s, d) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, d))),
+    // quality DECILE tiers from exact interpolated boundaries (broadcast
+    // 9-value cutoff row, no ntile global sort)
+    "q_quality_tiers" -> ((s, d) =>
+      TextAnalysis.qualityTiers(Tables.documents(s, d))),
+    // per-source cap: at most 50 docs per source, deterministic
+    // content-hash order (domain-level crawl throttle)
+    "q_source_cap" -> ((s, d) =>
+      TextAnalysis.capPerSource(Tables.documents(s, d), 50)),
     // corpus snapshot diff: old = docs minus the %11==3 slice; new = docs
     // minus the %17==2 slice with the %13==5 slice's text mutated — the
     // four statuses (added/removed/changed/unchanged) all exercised
@@ -325,6 +353,9 @@ object SparkEntry {
     // candidate generation vs the LSH twins' blind hyperplane cuts)
     "q_neardup_ivf" -> ((s, d) =>
       Similarity.nearDupPairsIvf(Tables.embeddings(s, d))),
+    // IVF index health: per-cell member count + centroid-affinity stats
+    "q_cluster_stats" -> ((s, d) =>
+      Similarity.clusterStats(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // IVF multi-probe (nprobe=2): each query searches its two closest
@@ -497,6 +528,35 @@ object SparkEntry {
     "q_topk_users" -> """
       SELECT user_id, COUNT(*) AS n FROM events
       GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 5
+    """,
+
+    "q_topk_per_group" -> """
+      WITH c AS (SELECT event_type, user_id, COUNT(*) AS n
+                 FROM events GROUP BY 1, 2)
+      SELECT event_type, user_id, n, CAST(rk AS INTEGER) AS rk
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rk
+            FROM c)
+      WHERE rk <= 3
+    """,
+
+    // rolling aggregates: sums run on DECIMAL(18,6) so the value is
+    // association-order-exact in both engines; the average divides the
+    // exact sum as DOUBLE (double division is deterministic, decimal
+    // division scale rules are not portable)
+    "q_moving_agg" -> """
+      SELECT user_id, event_id, ts,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER mv AS DOUBLE)
+               AS moving_sum,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER mv AS DOUBLE)
+                   / count(*) OVER mv, 6) AS moving_avg,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) OVER rn AS DOUBLE)
+               AS running_sum
+      FROM events
+      WINDOW mv AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             rn AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 
     "q_salted_counts" -> """
@@ -822,6 +882,107 @@ object SparkEntry {
                        g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
                      / len(grams), 6) AS top_gram_frac
         FROM g
+      """,
+
+      // Gopher rules: same per-row signal arithmetic in both engines
+      // (anchored regexp_matches ≡ rlike full match; 1-based DuckDB lists)
+      "q_gopher_filter" -> s"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(lower(text), '\\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(0, len(toks) - 1),
+                            i -> toks[i+1] || ' ' || toks[i+2]) END AS grams
+              FROM t),
+        m AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                round(list_reduce(list_transform(toks, x -> len(x)),
+                        (a, b) -> a + b) / CAST(len(toks) AS DOUBLE), 6)
+                  AS mean_token_len,
+                round(CAST(len(list_filter(toks,
+                        t -> regexp_matches(t, '^[a-z]+$$'))) AS DOUBLE)
+                      / len(toks), 6) AS alpha_frac,
+                CAST(len(list_filter(toks,
+                  t -> t IN ${inList(TextAnalysis.stopwords)})) AS INTEGER)
+                  AS n_stopwords,
+                CASE WHEN grams IS NULL THEN 0.0
+                     ELSE round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                / len(grams), 6) END AS dup_gram_frac
+              FROM g)
+        SELECT m.*,
+               CAST(n_tokens >= 5 AND n_tokens <= 100000
+                    AND mean_token_len >= 2.0 AND mean_token_len <= 10.0
+                    AND alpha_frac >= 0.8 AND n_stopwords >= 1
+                    AND dup_gram_frac <= 0.5 AS INTEGER) AS keep
+        FROM m
+      """,
+
+      // unigram LM score: per-token ln(cnt/total) rounded to 9dp and
+      // summed as DECIMAL(20,9) — association-order-exact in both engines;
+      // the mean divides the exact sum as DOUBLE
+      "q_unigram_logprob" -> s"""
+        WITH t AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                   FROM documents),
+        v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+        lp AS (SELECT tok,
+                      CAST(round(ln(cnt / CAST((SELECT sum(cnt) FROM v) AS DOUBLE)), 9)
+                        AS DECIMAL(20,9)) AS lp
+               FROM v)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               round(CAST(sum(lp.lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+        FROM t JOIN lp USING (tok)
+        GROUP BY t.doc_id
+      """,
+
+      // length histogram: integer bucket arithmetic (// ≡ Spark div);
+      // DuckDB sums INTEGER into HUGEINT, hence the BIGINT casts
+      "q_length_hist" -> s"""
+        SELECT CAST(n_tokens // 16 AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        FROM (SELECT CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                       AS INTEGER) AS n_tokens
+              FROM documents)
+        GROUP BY 1
+      """,
+
+      // decile tiers: the 9 boundary values come from DuckDB's list-form
+      // quantile_cont ≡ Spark's array-form percentile (both exact
+      // interpolation over identical 6dp-rounded doubles, then rounded);
+      // tier = #cutoffs ≤ score
+      "q_quality_tiers" -> s"""
+        WITH r AS (
+          SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter(toks, w -> w IN ${inList(TextAnalysis.stopwords)})) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio
+          FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents)),
+        s AS (SELECT doc_id,
+                     round(ln(1 + n_tokens) * (1.0 - punct_ratio)
+                           * (1.0 + stopword_ratio), 6) AS quality_score
+              FROM r),
+        c AS (SELECT list_transform(
+                quantile_cont(quality_score,
+                  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                x -> round(x, 6)) AS cuts FROM s)
+        SELECT s.doc_id, s.quality_score,
+               CAST(len(list_filter(c.cuts, x -> s.quality_score >= x))
+                 AS INTEGER) AS tier
+        FROM s, c
+      """,
+
+      // per-source cap by deterministic content-hash rank
+      "q_source_cap" -> s"""
+        SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY ${h64("text")} ASC, doc_id ASC) AS rk
+              FROM documents)
+        WHERE rk <= 50
       """,
 
       // passage-level boilerplate removal: 3-word passage grid per doc
@@ -1237,6 +1398,28 @@ object SparkEntry {
               FROM celled a JOIN celled b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      // per-cell index health: same cell assignment as q_ann_ivf, then
+      // each member scored against ITS centroid (cs[cell+1]) and rolled up
+      "q_cluster_stats" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v,
+                           list_transform((SELECT cs FROM cents),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        sc AS (SELECT cell, ${cosSql("v", "cv")} AS cos
+               FROM (SELECT cell, v, (SELECT cs FROM cents)[cell + 1] AS cv
+                     FROM celled))
+        SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vecs,
+               round(avg(cos), 6) AS mean_cos,
+               round(min(cos), 6) AS min_cos,
+               round(max(cos), 6) AS max_cos
+        FROM sc GROUP BY cell
       """,
 
       "q_ann_ivf" -> s"""

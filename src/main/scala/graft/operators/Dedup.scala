@@ -203,7 +203,10 @@ object Dedup {
       .select(col("doc_id"),
         regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("nt"))
       .select(col("doc_id"), expr(Hashing.hash64("nt")).as("fp"))
-    val refFps = fps(refDocs)
+    // lazy localCheckpoint: the bloom build is the materializing job, and
+    // the confirm semi-join then reads the cached (doc_id, fp) rows —
+    // without it the reference text is scanned + md5'd a second time
+    val refFps = fps(refDocs).localCheckpoint(false)
     val bloom = refFps.stat.bloomFilter("fp", expectedRefDocs, fpp)
     val confirmed = fps(newDocs)
       .filter(SketchExpressions.bloomMightContain(col("fp"), bloom))

@@ -200,6 +200,44 @@ object Relational {
       .orderBy(col("n").desc, col(keyCol).asc)
       .limit(k)
 
+  /** Top-k keys WITHIN each group — the per-dimension leaderboard
+    * (`topKByCount` is the global form): grouped counts, then a rank
+    * window partitioned by the group. Two shuffles of (group, key, count)
+    * triples with map-side partial counts; the window partitions by group,
+    * so no single-partition sort ever forms. Ties break to the smaller
+    * key for determinism. */
+  def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col(keyCol).asc)
+    df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Per-user rolling aggregates over the event stream — moving sum/avg of
+    * the last `frameRows + 1` events and the running total, the standard
+    * activity-trend derivation. One hash shuffle on user_id; both frames
+    * reuse the same sort. Sums run on DECIMAL so the result is
+    * order-exact (a double sum's value depends on association order,
+    * which differs between engines and between cluster sizes). */
+  def movingAgg(events: DataFrame, frameRows: Int = 3): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val moving = byUser.rowsBetween(-frameRows, Window.currentRow)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = col("value").cast(DecimalType(18, 6))
+    events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      sum(dec).over(moving).cast("double").as("moving_sum"),
+      // divide as DOUBLE from the exact decimal sum — decimal division
+      // scale rules differ across engines, double division does not
+      round(sum(dec).over(moving).cast("double")
+        / count(lit(1)).over(moving), 6).as("moving_avg"),
+      sum(dec).over(running).cast("double").as("running_sum"))
+  }
+
   // --------------------------------------------------------------------- //
   // Sessionization: gap-based user sessions — the canonical event-analytics
   // derivation over a stream table. Two windows over one hash shuffle on

@@ -345,4 +345,31 @@ object Similarity {
       .filter(col("score") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
+
+  /** Per-cell index health report — the diagnostic a vector-index operator
+    * watches before trusting an IVF index (unbalanced cells → skewed probe
+    * latency; low centroid affinity → poor recall): per cell, the member
+    * count and the mean/min/max cosine between members and THEIR centroid.
+    *
+    * One scan: cell assignment is the codegen'd argMaxDot projection, the
+    * member→centroid cosine indexes the (nlist × dim) centroid matrix
+    * inlined as a literal — no join against a centroid table — and the
+    * rollup shuffles `nlist` groups of 4 counters. Deterministic
+    * first-`nlist` seeding so the DuckDB oracle mirrors the assignment
+    * (plug [[trainCentroids]] in for the production form). */
+  def clusterStats(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val cents: Array[Array[Double]] = emb
+      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centsCol = array(cents.map(c => array(c.map(lit): _*)): _*)
+    ivfCells(emb, nlist)
+      .withColumn("cos", VectorExpressions.cosineSim(col("v"),
+        element_at(centsCol, col("cell") + 1)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("mean_cos"),
+        round(min(col("cos")), 6).as("min_cos"),
+        round(max(col("cos")), 6).as("max_cos"))
+  }
 }

@@ -324,6 +324,143 @@ object TextAnalysis {
       .select(col("doc_id"), col("quality_score"))
   }
 
+  /** Composite Gopher-rule document filter (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A) — the rule stack production pipelines
+    * apply before model-based scoring: token-count range, mean token
+    * length range, alphabetic-token fraction, minimum stop-word count, and
+    * the duplicate-2-gram repetition cap. Emits every signal plus the
+    * conjunctive `keep` flag so downstream can audit WHICH rule dropped a
+    * document (the flags are the dataset-card input).
+    *
+    * Pure per-row array expressions over one scan — no shuffle, no UDF;
+    * same 100 TB shape as [[qualityScore]]. Thresholds default to scaled-
+    * down Gopher values (the paper's 50-token minimum assumes web pages;
+    * the fixtures are short documents). */
+  def gopherFilter(docs: DataFrame, minTokens: Int = 5,
+                   maxTokens: Int = 100000,
+                   minMeanTokenLen: Double = 2.0,
+                   maxMeanTokenLen: Double = 10.0,
+                   minAlphaFrac: Double = 0.8,
+                   minStopwords: Int = 1,
+                   maxDupGramFrac: Double = 0.5): DataFrame =
+    docs
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .withColumn("grams", expr(
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> toks[i] || ' ' || toks[i + 1]) END"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr("round(aggregate(toks, 0L, (a, x) -> a + length(x)) / CAST(size(toks) AS DOUBLE), 6)")
+          .as("mean_token_len"),
+        expr("round(size(filter(toks, t -> t rlike '^[a-z]+$')) / CAST(size(toks) AS DOUBLE), 6)")
+          .as("alpha_frac"),
+        expr(s"size(filter(toks, t -> t IN ${inList(stopwords)}))")
+          .as("n_stopwords"),
+        expr("""CASE WHEN grams IS NULL THEN CAST(0.0 AS DOUBLE)
+               |ELSE round(1.0 - CAST(size(array_distinct(grams)) AS DOUBLE) / size(grams), 6) END"""
+          .stripMargin).as("dup_gram_frac"))
+      .withColumn("keep",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_token_len") >= minMeanTokenLen &&
+          col("mean_token_len") <= maxMeanTokenLen &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stopwords") >= minStopwords &&
+          col("dup_gram_frac") <= maxDupGramFrac).cast("int"))
+
+  /** Unigram language-model score per document — the statistical quality
+    * signal of the CCNet pipeline (Wenzek et al. 2020, arXiv:1911.00359,
+    * which ranks by KenLM perplexity; the unigram form is the same shape
+    * with the model computed in-engine): mean log P(token) under the
+    * corpus's own unigram distribution. Natural-sounding documents score
+    * high; keyboard-mash and rare-token soup score low.
+    *
+    * Scale shape: the vocabulary is a grouped count over the exploded
+    * token stream (map-side partial counts; the shuffle carries (token,
+    * count) pairs bounded by the DISTINCT vocabulary, not the corpus);
+    * per-token log-probs then BROADCAST back onto the token stream —
+    * a vocabulary is millions of rows at web scale, tens of MB, the
+    * textbook broadcast dimension. Per-document summation runs on
+    * DECIMAL(20,9) over 9dp-rounded logs so the total is
+    * association-order-exact in any engine at any parallelism. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val lp = vocab.join(total) // 1-row side → broadcast, no shuffle
+      .select(col("tok"),
+        round(log(col("cnt") / col("total")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("lp"))
+    toks.join(broadcast(lp), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"))
+  }
+
+  /** Sequence-length distribution: fixed-width buckets of per-document
+    * token counts — the dataset-report histogram that drives context-length
+    * and packing decisions. Integer bucket arithmetic (`div`), not
+    * `floor(log2(...))`: float log at exact power-of-two boundaries is
+    * engine-dependent in the last ulp, integer division is not. One scan,
+    * one tiny-group shuffle. */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
+    docs
+      .select(size(expr(tokensExpr)).as("n_tokens"))
+      .groupBy(expr(s"n_tokens div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  /** Multi-cutoff generalization of [[qualityCutoff]]: assign every
+    * document a quality TIER (0 = bottom, `tiers - 1` = top) by exact
+    * interpolated quantile boundaries — the bucketing a curation pipeline
+    * uses for quality-stratified mixing (e.g. upsample the top decile).
+    *
+    * Same 100 TB shape as the single cutoff: the `tiers - 1` boundary
+    * values are ONE aggregate row (Spark `percentile` over an array of
+    * probabilities ≡ DuckDB `quantile_cont` — both exact interpolation,
+    * IEEE-identical), broadcast back onto the scan; the tier is
+    * `#cutoffs ≤ score`, a per-row filter over a tiny array. NOT `ntile`:
+    * a rank-based ntile needs a global sort (single-partition window — the
+    * scale-killer); boundary-value bucketing gives the same tiers up to
+    * tie handling at zero extra shuffles. */
+  def qualityTiers(docs: DataFrame, tiers: Int = 10): DataFrame = {
+    val probs = (1 until tiers).map(_.toDouble / tiers)
+    val scored = withQualityCols(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val cuts = scored.agg(
+      expr(s"transform(percentile(quality_score, array(${probs.mkString(",")})), c -> round(c, 6))")
+        .as("cuts"))
+    scored.join(cuts) // 1-row side → BroadcastNestedLoopJoin, no shuffle
+      .select(col("doc_id"), col("quality_score"),
+        expr("size(filter(cuts, c -> quality_score >= c))").as("tier"))
+  }
+
+  /** Per-source document cap — the domain-level throttle a crawl pipeline
+    * applies so no single site dominates the corpus (cap pages per domain
+    * before mixing): keep at most `maxDocs` documents per `source`,
+    * selected by the deterministic content-hash order (reproducible at any
+    * parallelism, no arrival-order dependence), ties broken by doc_id.
+    *
+    * Scale shape: the ranking window shuffles only (doc_id, source,
+    * 8-byte hash) triples — text stays in its scan; callers semi-join the
+    * survivors back on doc_id (same contract as [[Dedup.exactSurvivorIds]]).
+    * Per-source skew is the window's partition skew; a source with
+    * billions of pages still ranks in one partition, which is why the
+    * payload is 24 bytes/row and not the document. */
+  def capPerSource(docs: DataFrame, maxDocs: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"),
+        expr(Hashing.hash64("text")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxDocs)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** Within-document repetition signals — the Gopher-style quality rule
     * (Rae et al. 2021, arXiv:2112.11446 Appendix A: drop documents whose
     * duplicate n-gram fraction is high): per document, the token-2-gram

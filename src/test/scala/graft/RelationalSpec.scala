@@ -30,6 +30,40 @@ class RelationalSpec extends GraftSuite {
     assert(hop.select("window_start").distinct().count() > tumbling)
   }
 
+  test("topKPerGroup: k rows per group, ranked by count desc") {
+    val ev = Tables.events(spark, sf)
+    val top = Relational.topKPerGroup(ev, "event_type", "user_id", 3)
+    val perGroup = top.groupBy("event_type").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= 3))
+    // rank 1 really is the group's max count
+    val counts = ev.groupBy("event_type", "user_id").count()
+    val maxN = counts.groupBy("event_type").agg(max("count").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    top.filter(col("rk") === 1).collect().foreach { r =>
+      assert(r.getLong(2) === maxN(r.getString(0)))
+    }
+  }
+
+  test("movingAgg: running sum ends at the user's exact total") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val ma = Relational.movingAgg(ev)
+    // last running_sum per user == decimal-exact total per user
+    val last = Relational.latestByKey(ma, "user_id", col("ts"), col("event_id"))
+      .select(col("user_id"), col("running_sum"))
+      .as[(Long, Double)].collect().toMap
+    val totals = ev.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("t"))
+      .as[(Long, Double)].collect().toMap
+    assert(last === totals)
+    // moving window of 3 preceding: first row per user has avg == value
+    val first = ma.join(
+      ev.groupBy("user_id").agg(min("event_id").as("event_id")),
+      Seq("user_id", "event_id"))
+    assert(first.filter(
+      abs(col("moving_avg") - round(col("moving_sum"), 6)) > 1e-9).count() === 0)
+  }
+
   test("live/error filters partition the events stream") {
     val ev = Tables.events(spark, sf)
     val live = Relational.eventsLive(ev).count()

@@ -48,6 +48,20 @@ class SimilaritySpec extends GraftSuite {
     assert(ids.forall(c => c >= 0 && c < 16))
   }
 
+  test("clusterStats accounts for every vector; seed vectors score 1 with their centroid") {
+    val stats = Similarity.clusterStats(emb, nlist = 16).collect()
+    assert(stats.map(_.getLong(1)).sum === emb.count())
+    // every seed vector IS its cell's centroid, so its cell's max cosine
+    // is 1 (within rounding); affinity stats are valid cosines
+    stats.foreach { r =>
+      val (mean, mn, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean && mean <= mx)
+      assert(mx <= 1.000001)
+    }
+    assert(stats.exists(_.getDouble(4) >= 0.999999))
+  }
+
   test("k-means-trained centroids beat the placeholder on quantization quality") {
     // quality = mean cosine of each vector to its assigned centroid;
     // Lloyd's iterations must not make this worse than the first-16 seed

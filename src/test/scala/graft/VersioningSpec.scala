@@ -59,6 +59,76 @@ class VersioningSpec extends GraftSuite {
     assert(frac >= 0.2 && frac <= 0.35, s"kept fraction $frac")
   }
 
+  test("gopher filter drops exactly the rule-violating fixtures") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // clean
+      (2L, "a b"),                                   // too few tokens
+      (3L, "the 99 11 22 33 44 55 66 77 88"),        // alpha_frac < 0.8
+      (4L, "the cat the cat the cat the cat the cat"), // repetition
+      (5L, "zz yy xx ww vv uu tt ss rr qq")          // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(fixture).collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(got === Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0))
+  }
+
+  test("unigram logprob ranks common-token docs above rare-token docs") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the the the the the the the the"), // all high-frequency
+      (2L, "the the the the zzyzx qwfp vlurm"), // rare tail mixed in
+      (3L, "zzyzx qwfp vlurm xylo kzzt brrk")  // all singletons
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    // token accounting on the real corpus
+    val docs500 = docs
+    val sumTokens = TextAnalysis.unigramLogProb(docs500)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    val expected = docs500
+      .select(size(expr(TextAnalysis.tokensExpr)).as("n")).agg(sum("n"))
+      .collect()(0).getLong(0)
+    assert(sumTokens === expected)
+  }
+
+  test("length histogram accounts for every document exactly once") {
+    val hist = TextAnalysis.lengthHistogram(docs).collect()
+    assert(hist.map(_.getLong(1)).sum === docs.count())
+    hist.foreach { r =>
+      val (bucket, mn, mx) = (r.getLong(0), r.getInt(3), r.getInt(4))
+      assert(mn >= bucket * 16 && mx < (bucket + 1) * 16)
+    }
+  }
+
+  test("quality tiers bucket monotonically and spread near-evenly") {
+    val tiers = TextAnalysis.qualityTiers(docs, tiers = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(tiers.map(_._3).distinct.sorted.toSeq === (0 to 9))
+    // monotone: a higher score never lands in a lower tier
+    val sorted = tiers.sortBy(_._2)
+    assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // deciles over 500 docs: each tier within a loose band around 50
+    val sizes = tiers.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n >= 25 && n <= 85), sizes.toMap.toString)
+  }
+
+  test("per-source cap keeps at most maxDocs per source, deterministically") {
+    val capped = TextAnalysis.capPerSource(docs, maxDocs = 10)
+    val perSource = capped.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 10))
+    // sources with >10 docs are capped exactly at 10
+    val bigSources = docs.groupBy("source").count()
+      .filter(col("count") > 10).collect().map(_.getString(0)).toSet
+    val cappedAt = perSource.filter(r => bigSources(r.getString(0)))
+    assert(cappedAt.nonEmpty && cappedAt.forall(_.getLong(1) === 10))
+    // deterministic across runs
+    val again = TextAnalysis.capPerSource(docs, maxDocs = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === capped.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("approx quality cutoff lands near the exact one") {
     val exact = TextAnalysis.qualityCutoff(docs, 0.75).count().toDouble
     val approx = TextAnalysis.qualityCutoffApprox(docs, 0.75).count().toDouble
