@@ -237,6 +237,12 @@ object SparkEntry {
     // corpus-wide quality cutoff: keep docs at/above the exact p75 quality
     "q_quality_cutoff" -> ((s, d) =>
       TextAnalysis.qualityCutoff(Tables.documents(s, d))),
+    // leakage-safe train/val/test split by content hash (50‰/50‰/900‰)
+    "q_split" -> ((s, d) =>
+      TextAnalysis.splitByHash(Tables.documents(s, d))),
+    // top-5 TF-IDF keywords per document
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfKeywords(Tables.documents(s, d))),
     // composite Gopher rule filter: every signal + the conjunctive keep
     // flag (which rule dropped a doc is auditable)
     "q_gopher_filter" -> ((s, d) =>
@@ -279,6 +285,17 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
     }),
+    // quality-aware canonicalization: same clusters, keep the
+    // highest-quality member (ties → lowest doc_id), auditable keep flag
+    "q_canonical_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalByQuality(docs, Dedup.minhashCandidatePairs(docs),
+        TextAnalysis.qualityScore(docs))
+    }),
+    // minhash agreement fraction per candidate pair — the cheap Jaccard
+    // estimate before/instead of the exact shingle verify
+    "q_minhash_jaccard_est" -> ((s, d) =>
+      Dedup.minhashJaccardEstimate(Tables.documents(s, d))),
     "q_clean_corpus" -> ((s, d) => Dedup.cleanCorpus(Tables.documents(s, d))),
     // incremental dedup: the doc_id%4==1 slice ("new crawl") tested for
     // exact/near membership against the rest ("frozen reference corpus")
@@ -1199,6 +1216,75 @@ object SparkEntry {
           UNION
           SELECT e.doc_id, reach.r FROM edges e JOIN reach ON e.nbr = reach.doc_id)
         SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+      """,
+
+      // quality-aware canonical: cluster labels from the same recursive
+      // closure, winner = rank-1 by (quality DESC, doc_id ASC) per cluster
+      "q_canonical_quality" -> s"""
+        WITH RECURSIVE t AS ($shingles), $minhashPairsCte,
+        edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM mh_pairs
+                  UNION ALL
+                  SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.doc_id, reach.r FROM edges e JOIN reach ON e.nbr = reach.doc_id),
+        lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        rq AS (
+          SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter(toks, w -> w IN ${inList(TextAnalysis.stopwords)})) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio
+          FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents)),
+        q AS (SELECT doc_id,
+                     round(ln(1 + n_tokens) * (1.0 - punct_ratio)
+                           * (1.0 + stopword_ratio), 6) AS quality_score
+              FROM rq)
+        SELECT doc_id, cluster_id, quality_score,
+               CAST(row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY quality_score DESC, doc_id ASC) = 1 AS INTEGER) AS keep
+        FROM lab JOIN q USING (doc_id)
+      """,
+
+      // minhash agreement fraction over the shared signature CTE
+      "q_minhash_jaccard_est" -> s"""
+        WITH t AS ($shingles), $minhashPairsCte
+        SELECT p.doc_a, p.doc_b,
+               round(len(list_filter(range(1, 17),
+                 i -> sa.sig[i] = sb.sig[i])) / 16.0, 6) AS est_jaccard
+        FROM mh_pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+      """,
+
+      // content-hash split: same 60-bit hash, same permille bands
+      "q_split" -> s"""
+        SELECT doc_id,
+               CASE WHEN b < 50 THEN 'test'
+                    WHEN b < 100 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (SELECT doc_id, ${h64("text")} % 1000 AS b FROM documents)
+      """,
+
+      // TF-IDF: DF falls out of the TF table; ln over the same
+      // long/long→double division in both engines
+      "q_tfidf" -> s"""
+        WITH t AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(lower(text), '\\s+')) AS keyword
+                   FROM documents),
+        tf AS (SELECT doc_id, keyword, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT keyword, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.keyword, tf.tf,
+                     round(tf.tf * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 6)
+                       AS score
+              FROM tf JOIN df USING (keyword))
+        SELECT doc_id, keyword, tf, score, CAST(rk AS INTEGER) AS rk
+        FROM (SELECT s.*, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, keyword ASC) AS rk FROM s)
+        WHERE rk <= 5
       """,
 
       "q_simhash" -> simhashSql,

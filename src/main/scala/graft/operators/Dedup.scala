@@ -496,6 +496,53 @@ object Dedup {
     TextAnalysis.redactPii(kept.join(canon, "doc_id"))
   }
 
+  /** Canonical selection by QUALITY: like [[canonicalFromPairs]] the
+    * candidate pairs induce duplicate clusters, but the kept member is the
+    * highest-QUALITY one (ties → lowest doc_id), not the lowest id — the
+    * rule a production pipeline actually wants ("of these five mirrors of
+    * the same article, keep the cleanest copy"). Emits every clustered
+    * doc with its cluster label, score, and a `keep` flag so the survivor
+    * choice is auditable.
+    *
+    * Scale shape: cluster labels come from the same hash-only fixpoint as
+    * [[canonicalFromPairs]]; the quality table joins on doc_id and the
+    * winner is a rank window PARTITIONED by cluster — (8-byte, 8-byte,
+    * double) rows through every exchange, text untouched. */
+  def canonicalByQuality(docs: DataFrame, pairs: DataFrame,
+                         quality: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    canonicalFromPairs(docs, pairs)
+      .select(col("doc_id"), col("canonical_id").as("cluster_id"))
+      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
+    * agreeing signature positions — the cheap score an LSH pipeline uses
+    * to rank/threshold candidates before (or instead of) the exact
+    * shingle-set verify ([[ngramJaccardPairs]] is the exact form; E[est] =
+    * true Jaccard by the MinHash property, σ = √(J(1−J)/k)).
+    *
+    * The signature table is localCheckpoint'ed and joined twice (a/b side
+    * of each pair) — k longs per doc, so the pair join shuffles 2k longs
+    * per candidate and the per-pair compare is a k-element loop, never a
+    * shingle-set intersection. */
+  def minhashJaccardEstimate(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                             n: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, k, n).localCheckpoint(false)
+    minhashCandidatePairs(docs, k, bands, n)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), expr(
+        s"""round(aggregate(zip_with(sig_a, sig_b,
+           |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+           |  0, (a, e) -> a + e) / CAST($k AS DOUBLE), 6)""".stripMargin)
+        .as("est_jaccard"))
+  }
+
   /** Benchmark DECONTAMINATION: flag every training document sharing at
     * least one (more than `maxOverlap`) n-gram with the evaluation set —
     * the standard guard against eval leakage into a pretraining corpus.

@@ -324,6 +324,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("quality_score"))
   }
 
+  /** Deterministic train/val/test split by content hash — the
+    * leakage-safe assignment rule (hashing CONTENT, not position or
+    * arrival order, keeps byte-identical documents in the same split even
+    * across corpus versions, and re-runs reproduce the split at any
+    * parallelism). Pure projection over the scan, no shuffle — same
+    * membership rule as [[sampleByHash]]. */
+  def splitByHash(docs: DataFrame, valPermille: Int = 50,
+                  testPermille: Int = 50): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"pmod(${Hashing.hash64("text")}, 1000)").as("b"))
+      .select(col("doc_id"),
+        when(col("b") < testPermille, "test")
+          .when(col("b") < testPermille + valPermille, "val")
+          .otherwise("train").as("split"))
+
+  /** Top-k TF-IDF keywords per document — the classic content descriptor
+    * (per-doc term frequency × inverse document frequency, ties → smaller
+    * token). Three bounded shapes: TF is a grouped count over the exploded
+    * token stream; DF falls out of TF by a second tiny aggregate (one row
+    * per distinct (doc, token) already exists — no second corpus pass);
+    * the corpus size joins as a broadcast 1-row; the top-k window
+    * partitions by doc_id, so no global sort. Token strings ride the
+    * (doc_id, token, tf) shuffle — bounded by the distinct doc-term list,
+    * not raw corpus size. */
+  def tfIdfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("keyword"))
+      .groupBy(col("doc_id"), col("keyword"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("keyword")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("keyword").asc)
+    tf.join(broadcast(df_.join(n)), "keyword")
+      .select(col("doc_id"), col("keyword"), col("tf"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Composite Gopher-rule document filter (Rae et al. 2021,
     * arXiv:2112.11446 Appendix A) — the rule stack production pipelines
     * apply before model-based scoring: token-count range, mean token

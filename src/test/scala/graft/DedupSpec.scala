@@ -135,6 +135,43 @@ class DedupSpec extends GraftSuite {
     assert(got(12L) === ((false, false)))
   }
 
+  test("canonicalByQuality keeps exactly one member per cluster, the best one") {
+    val pairs = Dedup.minhashCandidatePairs(docs)
+    val quality = graft.operators.TextAnalysis.qualityScore(docs)
+    val got = Dedup.canonicalByQuality(docs, pairs, quality).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // one keeper per cluster
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.values.forall(_.count(_._4 == 1) === 1))
+    // the keeper has the cluster's max quality (ties -> lowest doc_id)
+    byCluster.values.foreach { members =>
+      val keeper = members.find(_._4 == 1).get
+      val best = members.map(_._3).max
+      assert(keeper._3 === best)
+      assert(keeper._1 === members.filter(_._3 == best).map(_._1).min)
+    }
+    // clusters are canonicalFromPairs' components, relabeled by nothing
+    val labels = Dedup.canonicalFromPairs(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, cl, _, _) => labels(id) === cl })
+  }
+
+  test("minhash jaccard estimate: identical docs estimate 1.0, all in [0,1]") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "completely different words in this tiny document here")
+    ).toDF("doc_id", "text")
+    val est = Dedup.minhashJaccardEstimate(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(est.exists(e => e._1 == 1L && e._2 == 2L && e._3 == 1.0))
+    // on the real corpus every estimate is a valid fraction of 16
+    val real = Dedup.minhashJaccardEstimate(docs)
+      .select("est_jaccard").collect().map(_.getDouble(0))
+    assert(real.nonEmpty && real.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
   test("bloom-prefilter incremental dedup agrees with the plain semi-join") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf)

@@ -59,6 +59,38 @@ class VersioningSpec extends GraftSuite {
     assert(frac >= 0.2 && frac <= 0.35, s"kept fraction $frac")
   }
 
+  test("content-hash split partitions the corpus with sane proportions") {
+    import spark.implicits._
+    val split = TextAnalysis.splitByHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(split.length === docs.count())
+    val frac = split.groupBy(_._2).view.mapValues(_.length.toDouble / split.length)
+    assert(frac("train") > 0.8 && frac.getOrElse("val", 0.0) < 0.15 &&
+      frac.getOrElse("test", 0.0) < 0.15)
+    // byte-identical content lands in the same split (leakage safety)
+    val twins = Seq((1000001L, "twin text payload"), (1000002L, "twin text payload"))
+      .toDF("doc_id", "text")
+    val s2 = TextAnalysis.splitByHash(twins).select("split")
+      .collect().map(_.getString(0)).distinct
+    assert(s2.length === 1)
+  }
+
+  test("tf-idf surfaces a doc's distinctive rare term above common ones") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the cat sat on the mat with zyggurat zyggurat zyggurat"),
+      (2L, "the dog sat on the log near the fire"),
+      (3L, "the bird sat on the wire by the sea")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfKeywords(fixture, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) === "zyggurat")
+    // at most k rows per doc on the real corpus
+    val perDoc = TextAnalysis.tfIdfKeywords(docs, k = 5)
+      .groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 5))
+  }
+
   test("gopher filter drops exactly the rule-violating fixtures") {
     import spark.implicits._
     val fixture = Seq(
