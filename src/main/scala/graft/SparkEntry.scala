@@ -134,6 +134,16 @@ object SparkEntry {
     "q_topk_users" -> ((s, d) =>
       Relational.topKByCount(Tables.events(s, d), "user_id", 5)),
 
+    // wide activity matrix: explicit-value pivot → N codegen'd
+    // conditional counts, one user_id shuffle, dense zeros
+    "q_event_pivot" -> ((s, d) =>
+      Relational.eventTypePivot(Tables.events(s, d),
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // growth curve: first-seen per user → daily new users → running total
+    // (the global window runs over one-row-per-day, not the corpus)
+    "q_user_growth" -> ((s, d) => Relational.userGrowth(Tables.events(s, d))),
+
     // D4 variant — per-dimension leaderboard: top 3 users per event_type
     // (rank window partitioned by the group; no global sort)
     "q_topk_per_group" -> ((s, d) =>
@@ -237,6 +247,10 @@ object SparkEntry {
     // corpus-wide quality cutoff: keep docs at/above the exact p75 quality
     "q_quality_cutoff" -> ((s, d) =>
       TextAnalysis.qualityCutoff(Tables.documents(s, d))),
+    // corpus-wide top-20 2-grams (dataset-card phrase report; per-partition
+    // top-k heaps via TakeOrderedAndProject, never a global sort)
+    "q_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(Tables.documents(s, d))),
     // leakage-safe train/val/test split by content hash (50‰/50‰/900‰)
     "q_split" -> ((s, d) =>
       TextAnalysis.splitByHash(Tables.documents(s, d))),
@@ -545,6 +559,30 @@ object SparkEntry {
     "q_topk_users" -> """
       SELECT user_id, COUNT(*) AS n FROM events
       GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 5
+    """,
+
+    // explicit-value pivot ≡ N conditional counts (COUNT(CASE) is 0 for
+    // empty groups, matching the filled dense matrix)
+    "q_event_pivot" -> """
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY 1
+    """,
+
+    "q_user_growth" -> """
+      WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+      d AS (SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS new_users
+            FROM f GROUP BY 1)
+      SELECT day, new_users,
+             CAST(sum(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+      FROM d
     """,
 
     "q_topk_per_group" -> """
@@ -1257,6 +1295,17 @@ object SparkEntry {
         FROM mh_pairs p
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b
+      """,
+
+      // top-20 2-grams: same 0-based gram grid (1-based DuckDB slices),
+      // ties at the boundary broken by gram text in both engines
+      "q_top_ngrams" -> s"""
+        SELECT gram, COUNT(*) AS n
+        FROM (SELECT unnest(list_transform(range(0, len(toks) - 1),
+                i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')))
+                AS gram
+              FROM ($toks) WHERE len(toks) >= 2)
+        GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20
       """,
 
       // content-hash split: same 60-bit hash, same permille bands

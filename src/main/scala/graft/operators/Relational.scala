@@ -200,6 +200,42 @@ object Relational {
       .orderBy(col("n").desc, col(keyCol).asc)
       .limit(k)
 
+  /** Per-user event-type PIVOT — the wide activity matrix a dashboard
+    * feeds from, as N codegen'd conditional counts (`COUNT(CASE WHEN …)`)
+    * in ONE aggregate. Deliberately NOT `Dataset.pivot`: even with
+    * explicit values it plans TWO exchanges (a (user, type) pre-count,
+    * then a pivotfirst re-shuffle on user) — conditional counts do it in
+    * one user_id shuffle with map-side partials, and the explicit value
+    * list keeps the schema static (a value-discovering pivot adds a
+    * distinct scan and a data-dependent schema — both wrong at 100 TB).
+    * `count` of a CASE is never null, so the matrix is dense by
+    * construction. */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String]): DataFrame = {
+    val cells = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    events.groupBy(col("user_id")).agg(cells.head, cells.tail: _*)
+  }
+
+  /** User growth curve: first-seen date per user → daily new-user counts →
+    * running cumulative total. The corpus-sized work is the first-seen
+    * aggregate (one user_id shuffle, map-side `min`); the running sum's
+    * partition-less window runs over the DAILY AGGREGATE — one row per
+    * day, thousands of rows at any corpus size — so the "global window"
+    * scale-killer does not apply (same argument as the centroid collects:
+    * bounded by the calendar, not the data). */
+  def userGrowth(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    val daily = firstSeen
+      .groupBy(date_trunc("day", col("first_ts")).as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("day"), col("new_users"),
+      sum(col("new_users")).over(w).as("cum_users"))
+  }
+
   /** Top-k keys WITHIN each group — the per-dimension leaderboard
     * (`topKByCount` is the global form): grouped counts, then a rank
     * window partitioned by the group. Two shuffles of (group, key, count)

@@ -324,6 +324,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("quality_score"))
   }
 
+  /** Corpus-wide top-k n-grams — the vocabulary/phrase report of a
+    * dataset card (and the input to stop-phrase lists). Grouped count over
+    * the exploded gram stream (map-side partials bound the shuffle by the
+    * DISTINCT gram vocabulary), then `orderBy.limit` → Spark plans
+    * TakeOrderedAndProject: per-partition top-k heaps, k rows to the
+    * driver, never a global sort. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20): DataFrame =
+    docs
+      .select(expr(tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(toks) - $n),
+           |  i -> array_join(slice(toks, i + 1, $n), ' '))""".stripMargin))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+
   /** Deterministic train/val/test split by content hash — the
     * leakage-safe assignment rule (hashing CONTENT, not position or
     * arrival order, keeps byte-identical documents in the same split even

@@ -96,6 +96,42 @@ class PlanSpec extends GraftSuite {
       "the boilerplate set must broadcast back as the anti-join build side")
   }
 
+  test("tf-idf and unigram LM broadcast their model tables onto the scan") {
+    assert(plan("q_tfidf").contains("BroadcastHashJoin"),
+      "the DF/N model table must broadcast, not shuffle the token stream")
+    assert(plan("q_unigram_logprob").contains("BroadcastHashJoin"),
+      "the vocabulary log-prob table must broadcast")
+  }
+
+  test("quality-aware canonicalization never shuffles document text") {
+    val qe = SparkEntry.queries("q_canonical_quality")(spark, sf).queryExecution
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(_.forall(_ != "text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
+  test("corpus top-ngrams uses per-partition top-k heaps, not a global sort") {
+    assert(plan("q_top_ngrams").contains("TakeOrderedAndProject"))
+  }
+
+  test("hash split is a pure projection - zero exchanges") {
+    val qe = SparkEntry.queries("q_split")(spark, sf).queryExecution
+    assert(org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan).isEmpty)
+  }
+
+  test("event pivot is one shuffle of conditional partial counts") {
+    val qe = SparkEntry.queries("q_event_pivot")(spark, sf).queryExecution
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.length === 1, s"expected 1 exchange, got $exchanges")
+    assert(qe.executedPlan.toString.contains("partial_pivot") ||
+      qe.executedPlan.toString.contains("partial_count"),
+      "pivot must apply map-side partial aggregation")
+  }
+
   test("scan-parallelism floor no-ops when the scan is already parallel") {
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
     val wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)

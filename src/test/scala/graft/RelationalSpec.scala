@@ -30,6 +30,27 @@ class RelationalSpec extends GraftSuite {
     assert(hop.select("window_start").distinct().count() > tumbling)
   }
 
+  test("event pivot is a dense per-user matrix whose cells sum to the corpus") {
+    val ev = Tables.events(spark, sf)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivot = Relational.eventTypePivot(ev, types)
+    assert(pivot.count() === ev.select("user_id").distinct().count())
+    val cellSum = pivot.select(types.map(t => sum(col(t))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).sum
+    assert(cellSum === ev.count())
+    // dense: no null cells anywhere
+    assert(types.forall(t => pivot.filter(col(t).isNull).count() === 0))
+  }
+
+  test("user growth curve is monotone and ends at the distinct-user total") {
+    val ev = Tables.events(spark, sf)
+    val growth = Relational.userGrowth(ev).orderBy("day").collect()
+    val cums = growth.map(_.getLong(2))
+    assert(cums.zip(cums.tail).forall(p => p._1 <= p._2))
+    assert(cums.last === ev.select("user_id").distinct().count())
+    assert(growth.map(_.getLong(1)).sum === cums.last)
+  }
+
   test("topKPerGroup: k rows per group, ranked by count desc") {
     val ev = Tables.events(spark, sf)
     val top = Relational.topKPerGroup(ev, "event_type", "user_id", 3)

@@ -63,6 +63,36 @@ class StreamingSpec extends GraftSuite {
     assert(batch === got)
   }
 
+  test("stream-stream WITHIN left outer emits unmatched rows after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val l = MemoryStream[(Long, Timestamp, String)]
+    val r = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      l.toDS().toDF("k", "lts", "lval"), r.toDS().toDF("k", "rts", "rval"),
+      "k", "lts", "rts", within = "10 seconds", joinType = "leftOuter",
+      watermarkDelay = "5 seconds")
+    val q = Streams.toMemoryTable(joined, "ss_louter_test")
+    l.addData((1L, t("00:00:10"), "L1"), (2L, t("00:00:20"), "L2"))
+    r.addData((1L, t("00:00:12"), "R1"))
+    q.processAllAvailable()
+    // push BOTH watermarks far past the join window, then run extra
+    // batches so the outer-null results flush
+    l.addData((9L, t("01:00:00"), "tick-l"))
+    r.addData((9L, t("01:00:00"), "tick-r"))
+    q.processAllAvailable()
+    l.addData((8L, t("01:00:01"), "tick-l2"))
+    r.addData((8L, t("01:00:01"), "tick-r2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_louter_test")
+      .select("k", "lval", "rval").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got.contains((1L, "L1", Some("R1"))))
+    assert(got.contains((2L, "L2", None)),
+      s"unmatched left row was never emitted: $got")
+  }
+
   test("stream-static enrichment join equals the batch plan on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Tables.customer(spark, sf)
