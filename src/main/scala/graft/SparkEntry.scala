@@ -144,6 +144,16 @@ object SparkEntry {
     // (the global window runs over one-row-per-day, not the corpus)
     "q_user_growth" -> ((s, d) => Relational.userGrowth(Tables.events(s, d))),
 
+    // ordered conversion funnel signup → click → purchase (first
+    // occurrences must be in stage order; one user_id shuffle)
+    "q_funnel" -> ((s, d) =>
+      Relational.funnel(Tables.events(s, d),
+        Seq("signup", "click", "purchase"))),
+
+    // retention triangle: first-seen cohort day × day offset
+    "q_retention" -> ((s, d) =>
+      Relational.retentionCohorts(Tables.events(s, d))),
+
     // D4 variant — per-dimension leaderboard: top 3 users per event_type
     // (rank window partitioned by the group; no global sort)
     "q_topk_per_group" -> ((s, d) =>
@@ -583,6 +593,44 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_users
       FROM d
+    """,
+
+    "q_funnel" -> """
+      WITH m AS (SELECT user_id,
+                        min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                        min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+                        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+                 FROM events GROUP BY 1)
+      SELECT 'signup' AS stage, 0 AS idx,
+             CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS users
+      FROM m
+      UNION ALL
+      SELECT 'click', 1,
+             CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                           AND t1 >= t0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM m
+      UNION ALL
+      SELECT 'purchase', 2,
+             CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                           AND t1 >= t0 AND t2 IS NOT NULL
+                           AND t2 >= t1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM m
+    """,
+
+    "q_retention" -> """
+      WITH f AS (SELECT user_id,
+                        CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+                 FROM events GROUP BY 1),
+      d AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events)
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, d.day) AS INTEGER)
+               AS day_offset,
+             COUNT(*) AS active_users
+      FROM d JOIN f USING (user_id)
+      GROUP BY 1, 2
     """,
 
     "q_topk_per_group" -> """

@@ -236,6 +236,56 @@ object Relational {
       sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** Conversion FUNNEL over ordered stages: a user "reaches" stage i when
+    * they have an event of every stage ≤ i and the first occurrences are
+    * in stage order (the standard ordered-funnel definition — a purchase
+    * before ever signing up does not count as conversion). Emits one row
+    * per stage with the user count, the dashboard funnel chart's input.
+    *
+    * Scale shape: ONE user_id shuffle computes the per-user first-seen
+    * timestamp of every stage as conditional `min`s (map-side partials);
+    * the reach flags and the per-stage totals are a projection plus a
+    * 1-row aggregate `stack`ed to (stage, idx, users) rows — nothing
+    * downstream of the single corpus shuffle is bigger than one row per
+    * user. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val mins = stages.zipWithIndex.map { case (s, i) =>
+      min(when(col("event_type") === s, col("ts"))).as(s"t$i")
+    }
+    val perUser = events.groupBy(col("user_id")).agg(mins.head, mins.tail: _*)
+    val reached = stages.indices.map { i =>
+      val ordered = (1 to i).map(j =>
+        s"t$j IS NOT NULL AND t$j >= t${j - 1}").mkString(" AND ")
+      val cond = if (i == 0) "t0 IS NOT NULL"
+                 else s"t0 IS NOT NULL AND $ordered"
+      sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END")).as(s"s$i")
+    }
+    val stackArgs = stages.zipWithIndex
+      .map { case (s, i) => s"'$s', $i, s$i" }.mkString(", ")
+    perUser.agg(reached.head, reached.tail: _*)
+      .selectExpr(
+        s"stack(${stages.length}, $stackArgs) AS (stage, idx, users)")
+  }
+
+  /** Retention COHORTS: users grouped by first-seen day, counted by how
+    * many days later they were active — the triangle matrix behind every
+    * retention dashboard. Two bounded shuffles: first-seen per user (one
+    * user_id exchange), then the (cohort_day, day_offset) rollup whose
+    * key space is days × horizon, not users. The first-seen table joins
+    * back BROADCAST at dashboard scales (one row per user; for a corpus
+    * where that no longer fits, the join key is still the 8-byte user_id
+    * — never event payloads). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .join(broadcast(firstSeen), "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   /** Top-k keys WITHIN each group — the per-dimension leaderboard
     * (`topKByCount` is the global form): grouped counts, then a rank
     * window partitioned by the group. Two shuffles of (group, key, count)

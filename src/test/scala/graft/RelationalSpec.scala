@@ -51,6 +51,40 @@ class RelationalSpec extends GraftSuite {
     assert(growth.map(_.getLong(1)).sum === cums.last)
   }
 
+  test("funnel is monotone and enforces stage order") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val stages = Seq("signup", "click", "purchase")
+    val counts = Relational.funnel(ev, stages).orderBy("idx").collect()
+      .map(_.getLong(2))
+    assert(counts.length === 3)
+    assert(counts.zip(counts.tail).forall(p => p._1 >= p._2))
+    // order rule: a purchase BEFORE signup does not convert
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val fixture = Seq(
+      (1L, t("00:01:00"), 10L, "signup", 1.0, "{}"),
+      (2L, t("00:02:00"), 10L, "purchase", 1.0, "{}"), // in order → converts
+      (3L, t("00:01:00"), 20L, "purchase", 1.0, "{}"),
+      (4L, t("00:02:00"), 20L, "signup", 1.0, "{}") // out of order → no
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val f2 = Relational.funnel(fixture, Seq("signup", "purchase"))
+      .orderBy("idx").collect().map(_.getLong(2))
+    assert(f2.toSeq === Seq(2L, 1L))
+  }
+
+  test("retention cohorts: offset 0 counts every cohort member exactly once") {
+    val ev = Tables.events(spark, sf)
+    val ret = Relational.retentionCohorts(ev).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+    assert(ret.forall(_._2 >= 0))
+    // day-0 row per cohort == cohort size; cohorts partition all users
+    val day0 = ret.filter(_._2 == 0).map(_._3).sum
+    assert(day0 === ev.select("user_id").distinct().count())
+    // no offset row can exceed its cohort's day-0 count
+    val day0ByCohort = ret.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    assert(ret.forall(r => r._3 <= day0ByCohort(r._1)))
+  }
+
   test("topKPerGroup: k rows per group, ranked by count desc") {
     val ev = Tables.events(spark, sf)
     val top = Relational.topKPerGroup(ev, "event_type", "user_id", 3)
