@@ -312,6 +312,12 @@ class Engine(val spark: SparkSession,
     spark.table(name).schema.treeString
   }
 
+  /** `SHOW FUNCTIONS` (readme-documented ksqlDB surface): the engine's
+    * registered extension functions with their usage strings. */
+  def showFunctions: Seq[(String, String)] =
+    graft.functions.GraftExtensions.functions
+      .map { case (name, info, _) => (name, info.getUsage) }.sortBy(_._1)
+
   /** `EXPLAIN <sql>` / `EXPLAIN <stream-or-table>` (ksqlDB's plan
     * introspection surface): the formatted physical plan — operators,
     * pushed filters, exchanges, codegen spans — of either an arbitrary

@@ -186,6 +186,11 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       } else if (upper == "SHOW TOPICS") {
         respond(ex, 200, engine.showTopics.map(jstr)
           .mkString("""{"topics":[""", ",", "]}"))
+      } else if (upper == "SHOW FUNCTIONS") {
+        val fs = engine.showFunctions.map { case (n, usage) =>
+          s"""{"name":${jstr(n)},"usage":${jstr(usage)}}"""
+        }.mkString("[", ",", "]")
+        respond(ex, 200, s"""{"functions":$fs}""")
       } else if (upper == "SHOW CONNECTORS") {
         val cs = engine.showConnectors.map { case (n, kind) =>
           s"""{"name":${jstr(n)},"type":${jstr(kind)}}"""

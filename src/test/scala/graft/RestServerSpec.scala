@@ -74,6 +74,12 @@ class RestServerSpec extends GraftSuite {
       assert(post(port, "/ksql", """{"ksql":"DESCRIBE no_such_table;"}""")
         .statusCode() === 400)
 
+      // SHOW FUNCTIONS: the engine's extension functions with usage
+      val funcs = post(port, "/ksql", """{"ksql":"SHOW FUNCTIONS;"}""")
+      assert(funcs.statusCode() === 200)
+      assert(funcs.body().contains("cosine_sim") &&
+        funcs.body().contains("graft_hash64"))
+
       // EXPLAIN: a SELECT gets a formatted physical plan; a registered
       // table name resolves too; unknown names are clean 400s
       val explSel = post(port, "/ksql",

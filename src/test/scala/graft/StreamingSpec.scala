@@ -35,6 +35,28 @@ class StreamingSpec extends GraftSuite {
     assert(got.toSeq === Seq(1L, 3L))
   }
 
+  test("hopping windows stream in update mode and match the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Relational.hoppingCountsByType(in.toDF()), "hopping_stream_test",
+      OutputMode.Update())
+    val rows = Tables.events(spark, sf).as[Event].collect().toIndexedSeq
+    in.addData(rows)
+    q.processAllAvailable(); q.stop()
+    // update-mode memory sink may hold superseded versions of a window's
+    // count; the LATEST per (window, type) must equal the batch result
+    val streamed = Relational.latestByKeys(
+      spark.table("hopping_stream_test").withColumn("__ord",
+        monotonically_increasing_id()),
+      Seq("window_start", "event_type"), col("__ord"))
+      .select("window_start", "event_type", "events_count")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Relational.hoppingCountsByType(Tables.events(spark, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("stream-stream WITHIN join: pairs inside the window, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
