@@ -397,6 +397,10 @@ object SparkEntry {
     // IVF index health: per-cell member count + centroid-affinity stats
     "q_cluster_stats" -> ((s, d) =>
       Similarity.clusterStats(Tables.embeddings(s, d))),
+    // product-quantization ANN: corpus encoded to m=4 codes, queries
+    // score candidates through codes only (ADC) — the memory-compression
+    // scale path next to IVF/LSH candidate pruning
+    "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // IVF multi-probe (nprobe=2): each query searches its two closest
@@ -1581,6 +1585,42 @@ object SparkEntry {
               FROM celled a JOIN celled b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      // PQ-ADC: per-(vector, subspace) L2 code assignment mirrors
+      // PqEncode's loops index-for-index (subspace s of centroid c = seed
+      // vector c's elements s*16+1 … s*16+16); ADC folds per-subspace
+      // partials in s order (list(sub ORDER BY s) → sequential reduce),
+      // the same association order as the expression's fold-of-folds
+      "q_ann_pq" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cb AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        sub AS (SELECT vec_id, unnest(range(0, 4)) AS s, v FROM e),
+        dists AS (SELECT vec_id, s,
+                    list_transform(cb.cs, c ->
+                      list_reduce(list_transform(range(1, 17), d ->
+                        (c[s*16+d] - v[s*16+d]) * (c[s*16+d] - v[s*16+d])),
+                        (x, y) -> x + y)) AS ds
+                  FROM sub, cb),
+        codes AS (SELECT vec_id, s,
+                    list_indexof(ds, list_min(ds)) - 1 AS code
+                  FROM dists),
+        adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s,
+                       list_reduce(list_transform(range(1, 17), d ->
+                         (cb.cs[c.code + 1][c.s*16+d] - q.v[c.s*16+d])
+                         * (cb.cs[c.code + 1][c.s*16+d] - q.v[c.s*16+d])),
+                         (x, y) -> x + y) AS sub
+                FROM codes c, e q, cb
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        tot AS (SELECT query_id, neighbor_id,
+                       list_reduce(list(sub ORDER BY s), (x, y) -> x + y)
+                         AS adist
+                FROM adc GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, round(adist, 6) AS adist,
+               CAST(rk AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rk FROM tot)
+        WHERE rk <= 3
       """,
 
       // per-cell index health: same cell assignment as q_ann_ivf, then

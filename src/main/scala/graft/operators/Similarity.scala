@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, TopKAggregate, VectorExpressions}
+import graft.functions.{Hashing, PqExpressions, TopKAggregate, VectorExpressions}
 
 /** Similarity search over an embedding column (`array<float>`, 64-dim):
   * brute-force cosine top-k as the exactness baseline, random-hyperplane
@@ -344,6 +344,44 @@ object Similarity {
       .withColumn("score", cosine(col("va"), col("vb")))
       .filter(col("score") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** ANN top-k via PRODUCT QUANTIZATION with ADC scoring (Jégou et al.
+    * 2011) — the memory-compression scale path next to the IVF/LSH
+    * candidate-pruning paths: every corpus vector is encoded once to `m`
+    * small codes (here 4 ints for a 64-dim float vector — a 64× squeeze at
+    * byte-code widths), and queries score candidates through the codes
+    * without ever touching the original vectors again. At 100 TB this is
+    * the difference between scanning vectors and scanning an index that
+    * fits in executor memory.
+    *
+    * Plan shape: ONE projection encodes the corpus (codegen'd
+    * [[graft.functions.PqEncode]]); the broadcast query side then scores
+    * (query, codes) pairs with the codegen'd ADC loop — the join ships
+    * (vec_id, m ints) per candidate, never the embedding. Deterministic
+    * first-`nCodes` seed codebooks (subspace s of centroid c = seed
+    * vector c's s-th slice) so the DuckDB oracle mirrors encode + ADC
+    * index-for-index; plug k-means-per-subspace centroids in for the
+    * production form (same [[trainCentroids]] recipe per slice). */
+  def annPq(emb: DataFrame, k: Int = 3, nQueries: Int = 10, m: Int = 4,
+            nCodes: Int = 16): DataFrame = {
+    val codebooks: Array[Array[Double]] = emb
+      .filter(col("vec_id") < nCodes).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val encoded = emb.select(col("vec_id").as("neighbor_id"),
+      PqExpressions.pqEncode(col("embedding"), codebooks, m).as("codes"))
+    val queries = broadcast(emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    encoded.join(queries, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist",
+        PqExpressions.pqAdcScore(col("qv"), col("codes"), codebooks, m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"), col("rank"))
   }
 
   /** Per-cell index health report — the diagnostic a vector-index operator

@@ -48,6 +48,44 @@ class SimilaritySpec extends GraftSuite {
     assert(ids.forall(c => c >= 0 && c < 16))
   }
 
+  test("PQ: seed vectors encode to themselves with zero ADC self-distance") {
+    val codebooks = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val seeds = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.PqExpressions.pqEncode(col("embedding"), codebooks, 4)
+          .as("codes"))
+      .withColumn("self_adist", graft.functions.PqExpressions
+        .pqAdcScore(col("embedding"), col("codes"), codebooks, 4))
+      .collect()
+    seeds.foreach { r =>
+      val id = r.getLong(0).toInt
+      assert(r.getSeq[Int](2) === Seq(id, id, id, id),
+        s"seed $id should quantize to its own centroid in every subspace")
+      assert(r.getDouble(3) === 0.0)
+    }
+  }
+
+  test("PQ top-k carries real signal: closer in ADC means closer in exact L2") {
+    import spark.implicits._
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val top = Similarity.annPq(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pqMean = top.map { case (q, n) => l2(vecs(q), vecs(n)) }.sum / top.length
+    val queries = top.map(_._1).distinct
+    val allMean = {
+      val ds = for (q <- queries; (n, v) <- vecs if n != q)
+        yield l2(vecs(q), v)
+      ds.sum / ds.size
+    }
+    assert(pqMean < allMean * 0.8,
+      s"PQ top-3 mean exact L2 $pqMean should beat the corpus mean $allMean")
+  }
+
   test("clusterStats accounts for every vector; seed vectors score 1 with their centroid") {
     val stats = Similarity.clusterStats(emb, nlist = 16).collect()
     assert(stats.map(_.getLong(1)).sum === emb.count())
