@@ -401,6 +401,13 @@ object SparkEntry {
     // score candidates through codes only (ADC) — the memory-compression
     // scale path next to IVF/LSH candidate pruning
     "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
+    // per-subspace k-means-trained PQ — rows-only driver check (Lloyd's
+    // not SQL-mirrorable); SimilaritySpec bounds distortion vs the seed
+    "q_ann_pq_trained" -> ((s, d) =>
+      Similarity.annPqTrained(Tables.embeddings(s, d))),
+    // IVF-PQ: cells prune candidates, codes compress scoring — the full
+    // production ANN architecture, both levers oracle-mirrorable
+    "q_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // IVF multi-probe (nprobe=2): each query searches its two closest
@@ -1612,6 +1619,47 @@ object SparkEntry {
                          (x, y) -> x + y) AS sub
                 FROM codes c, e q, cb
                 WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        tot AS (SELECT query_id, neighbor_id,
+                       list_reduce(list(sub ORDER BY s), (x, y) -> x + y)
+                         AS adist
+                FROM adc GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, round(adist, 6) AS adist,
+               CAST(rk AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist ASC, neighbor_id ASC) AS rk FROM tot)
+        WHERE rk <= 3
+      """,
+
+      // IVF-PQ: q_ann_ivf's cell assignment prunes candidates to the
+      // query's cell; q_ann_pq's encode+ADC scores them through codes
+      "q_ann_ivf_pq" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cb AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v,
+                           list_transform((SELECT cs FROM cb),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        sub AS (SELECT vec_id, unnest(range(0, 4)) AS s, v FROM e),
+        dists AS (SELECT vec_id, s,
+                    list_transform(cb.cs, c ->
+                      list_reduce(list_transform(range(1, 17), d ->
+                        (c[s*16+d] - v[s*16+d]) * (c[s*16+d] - v[s*16+d])),
+                        (x, y) -> x + y)) AS ds
+                  FROM sub, cb),
+        codes AS (SELECT vec_id, s,
+                    list_indexof(ds, list_min(ds)) - 1 AS code
+                  FROM dists),
+        adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.s,
+                       list_reduce(list_transform(range(1, 17), d ->
+                         (cb.cs[c.code + 1][c.s*16+d] - q.v[c.s*16+d])
+                         * (cb.cs[c.code + 1][c.s*16+d] - q.v[c.s*16+d])),
+                         (x, y) -> x + y) AS sub
+                FROM codes c, celled q, celled n, cb
+                WHERE q.vec_id < 10 AND n.vec_id = c.vec_id
+                  AND n.cell = q.cell AND c.vec_id <> q.vec_id),
         tot AS (SELECT query_id, neighbor_id,
                        list_reduce(list(sub ORDER BY s), (x, y) -> x + y)
                          AS adist

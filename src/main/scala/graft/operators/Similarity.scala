@@ -364,11 +364,53 @@ object Similarity {
     * index-for-index; plug k-means-per-subspace centroids in for the
     * production form (same [[trainCentroids]] recipe per slice). */
   def annPq(emb: DataFrame, k: Int = 3, nQueries: Int = 10, m: Int = 4,
-            nCodes: Int = 16): DataFrame = {
-    val codebooks: Array[Array[Double]] = emb
-      .filter(col("vec_id") < nCodes).orderBy(col("vec_id"))
+            nCodes: Int = 16): DataFrame =
+    annPqOver(emb, seedCodebooks(emb, nCodes), k, nQueries, m)
+
+  /** [[annPq]] with per-subspace k-means-trained codebooks
+    * ([[trainPqCodebooks]]) — the production PQ path. Like
+    * `q_ann_ivf_trained`, Lloyd's iterations are not practically
+    * SQL-mirrorable, so the driver records a rows-only check and
+    * SimilaritySpec asserts training never worsens quantization
+    * distortion. */
+  def annPqTrained(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+                   m: Int = 4, nCodes: Int = 16, iters: Int = 5): DataFrame =
+    annPqOver(emb, trainPqCodebooks(emb, m, nCodes, iters), k, nQueries, m)
+
+  /** IVF-PQ composition — the full production ANN architecture: IVF cells
+    * PRUNE candidates to the query's cell, PQ codes COMPRESS the scoring
+    * inside it. Candidate generation is the cell equi-join (never a full
+    * scan per query) and the join payload is (vec_id, cell, m codes) —
+    * both levers at once. Deterministic seeds on both levels keep the
+    * whole thing oracle-mirrorable. */
+  def annIvfPq(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+               nlist: Int = 16, m: Int = 4): DataFrame = {
+    val codebooks = seedCodebooks(emb, nlist)
+    val celled = ivfCells(emb, nlist)
+    val encoded = celled.select(col("vec_id").as("neighbor_id"), col("cell"),
+      PqExpressions.pqEncode(col("embedding"), codebooks, m).as("codes"))
+    val queries = broadcast(celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell").as("qcell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    encoded.join(queries,
+        col("cell") === col("qcell") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist",
+        PqExpressions.pqAdcScore(col("qv"), col("codes"), codebooks, m))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
+  private def seedCodebooks(emb: DataFrame, nCodes: Int): Array[Array[Double]] =
+    emb.filter(col("vec_id") < nCodes).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def annPqOver(emb: DataFrame, codebooks: Array[Array[Double]],
+                        k: Int, nQueries: Int, m: Int): DataFrame = {
     val encoded = emb.select(col("vec_id").as("neighbor_id"),
       PqExpressions.pqEncode(col("embedding"), codebooks, m).as("codes"))
     val queries = broadcast(emb.filter(col("vec_id") < nQueries)
@@ -382,6 +424,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adist"), 6).as("adist"), col("rank"))
+  }
+
+  /** Per-subspace k-means (plain L2 Lloyd's — PQ quantizes by Euclidean
+    * distance, so the update is the unnormalized mean, unlike the
+    * spherical [[trainCentroids]]) over ALL subspaces at once: assignment
+    * is the codegen'd [[graft.functions.PqEncode]] projection; the update
+    * explodes dimensions and groups by (code-at-that-dimension, dim), so
+    * the shuffle carries ≤ partitions × nCodes × dim partial sums and the
+    * driver collects exactly nCodes × dim aggregates per iteration —
+    * bounded like the IVF trainer. Empty cells keep their previous
+    * centroid; the seed is the deterministic first-`nCodes` rule. */
+  def trainPqCodebooks(emb: DataFrame, m: Int = 4, nCodes: Int = 16,
+                       iters: Int = 5): Array[Array[Double]] = {
+    var cb = seedCodebooks(emb, nCodes)
+    val dim = cb.head.length
+    val sd = dim / m
+    for (_ <- 0 until iters) {
+      val stats = emb
+        .withColumn("codes", PqExpressions.pqEncode(col("embedding"), cb, m))
+        .select(posexplode(col("embedding")).as(Seq("d", "x")), col("codes"))
+        .select(col("d"), col("x"),
+          expr(s"codes[CAST(d div $sd AS INT)]").as("code"))
+        .groupBy(col("code"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // bounded: nCodes × dim rows
+      val next = cb.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getAs[Int]("code"); val d = r.getAs[Int]("d")
+        val n = r.getAs[Long]("n")
+        if (n > 0L) next(c)(d) = r.getAs[Double]("sx") / n
+      }
+      cb = next
+    }
+    cb
   }
 
   /** Per-cell index health report — the diagnostic a vector-index operator

@@ -216,6 +216,63 @@ object GraftProperties extends Properties("graft") {
       out(1L) == 1
     }
 
+  private val genIdDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 15)
+    rows <- Gen.listOfN(n, for {
+      words <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(words, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    } yield toks.mkString(" "))
+  } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("splitByHash partitions every doc into exactly one split, deterministically") =
+    forAll(genIdDocs) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val a = graft.operators.TextAnalysis.splitByHash(df)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      val b = graft.operators.TextAnalysis.splitByHash(df)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      a == b && a.length == docs.length &&
+        a.forall(p => Set("train", "val", "test")(p._2)) &&
+        // identical text => identical split (content hash, not position)
+        a.zip(docs.sortBy(_._1)).groupBy(_._2._2).values
+          .forall(g => g.map(_._1._2).distinct.length == 1)
+    }
+
+  property("dedupPassages removes only repeated passages and keeps order") =
+    forAll(genIdDocs) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val cleaned = graft.operators.TextAnalysis
+        .dedupPassages(df, passageWords = 2, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.forall { case (id, text) =>
+        val orig = text.split(" ").grouped(2).map(_.mkString(" ")).toSeq
+        val kept = cleaned(id)
+        // every output doc is a subsequence of its original passage grid
+        val keptP = if (kept.isEmpty) Seq.empty
+                    else kept.split(" ").grouped(2).map(_.mkString(" ")).toSeq
+        var oi = 0
+        keptP.forall { p =>
+          val found = orig.indexWhere(_ == p, oi)
+          if (found >= 0) { oi = found + 1; true } else false
+        }
+      }
+    }
+
+  property("funnel counts are monotone non-increasing for any event history") =
+    forAll(genHistory) { rows =>
+      val s = spark; import s.implicits._
+      val df = rows.map { case (k, ts, off, v) =>
+        (off, new java.sql.Timestamp(ts * 1000), k.hashCode.toLong,
+          Seq("signup", "click", "purchase")((v % 3).toInt), v.toDouble, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val counts = Relational
+        .funnel(df, Seq("signup", "click", "purchase"))
+        .orderBy("idx").collect().map(_.getLong(2))
+      counts.zip(counts.tail).forall(p => p._1 >= p._2)
+    }
+
   property("asOfJoin == per-fact max version with vt <= ft (naive reference)") =
     forAll(genAsOf) { case (versions, facts) =>
       val s = spark; import s.implicits._

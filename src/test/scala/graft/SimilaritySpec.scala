@@ -86,6 +86,27 @@ class SimilaritySpec extends GraftSuite {
       s"PQ top-3 mean exact L2 $pqMean should beat the corpus mean $allMean")
   }
 
+  test("trained PQ codebooks never worsen quantization distortion") {
+    def distortion(cb: Array[Array[Double]]): Double =
+      emb.select(
+        graft.functions.PqExpressions.pqAdcScore(col("embedding"),
+          graft.functions.PqExpressions.pqEncode(col("embedding"), cb, 4),
+          cb, 4).as("d"))
+        .agg(avg(col("d"))).collect()(0).getDouble(0)
+    val seed = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val trained = Similarity.trainPqCodebooks(emb, m = 4, nCodes = 16)
+    // Lloyd's on the same metric starts FROM the seed: mean self-ADC
+    // (the k-means objective) must not increase, and on real data drops
+    val ds = distortion(seed); val dt = distortion(trained)
+    assert(dt <= ds * 1.0001, s"trained $dt vs seed $ds")
+    assert(dt < ds * 0.9, s"expected a real distortion drop, got $dt vs $ds")
+    // IVF-PQ returns k rows per query like the flat form
+    val ivfpq = Similarity.annIvfPq(emb)
+    assert(ivfpq.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("clusterStats accounts for every vector; seed vectors score 1 with their centroid") {
     val stats = Similarity.clusterStats(emb, nlist = 16).collect()
     assert(stats.map(_.getLong(1)).sum === emb.count())
