@@ -210,6 +210,8 @@ object SparkEntry {
 
     // Multi-join analytics (SURVEY §2.8 at warehouse scale) — bench headliners
     "q3_shipping" -> ((s, d) => Analytics.shippingPriority(s, d)),
+    // TPC-H Q10-style returned-item report (quarterly returns revenue)
+    "q10_returns" -> ((s, d) => Analytics.returnedItemReport(s, d)),
     "q5_local_supplier" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
     "q_top_brands" -> ((s, d) => Analytics.topBrandsByRevenue(s, d)),
     "q_order_priority" -> ((s, d) => Analytics.orderPriorityCount(s, d)),
@@ -336,6 +338,15 @@ object SparkEntry {
     "q_dedup_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalDedupBloom(
+        docs.filter(col("doc_id") % 4 === 1),
+        docs.filter(col("doc_id") % 4 =!= 1))
+    }),
+    // near-dup incremental membership with a Bloom prefilter over the
+    // reference BAND table (sketch composition; result ≡ the plain
+    // near_dup flag, so the oracle is the band semi-join)
+    "q_neardup_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalNearDupBloom(
         docs.filter(col("doc_id") % 4 === 1),
         docs.filter(col("doc_id") % 4 =!= 1))
     }),
@@ -775,6 +786,22 @@ object SparkEntry {
         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
       GROUP BY 1, 2, 3
       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+
+    "q10_returns" -> """
+      SELECT c_custkey, c_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey ASC LIMIT 20
     """,
 
     "q5_local_supplier" -> """
@@ -1313,6 +1340,18 @@ object SparkEntry {
           UNION
           SELECT e.doc_id, reach.r FROM edges e JOIN reach ON e.nbr = reach.doc_id)
         SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+      """,
+
+      // Bloom near-dup prefilter: sketch is an execution detail, the
+      // oracle is q_dedup_incremental's near-membership semi-join
+      "q_neardup_bloom" -> s"""
+        WITH t AS ($shingles), $minhashPairsCte,
+        nb AS (SELECT * FROM bands WHERE doc_id % 4 = 1),
+        rb AS (SELECT band_id, band_key FROM bands WHERE doc_id % 4 <> 1),
+        near AS (SELECT DISTINCT nb.doc_id FROM nb
+                 JOIN rb ON nb.band_id = rb.band_id AND nb.band_key = rb.band_key)
+        SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM near) AS near_dup
+        FROM documents d WHERE d.doc_id % 4 = 1
       """,
 
       // quality-aware canonical: cluster labels from the same recursive

@@ -69,6 +69,29 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q10-style returned-item report: top-k customers by revenue
+    * lost to returns in one quarter. Plan shape: the date filter pushes
+    * into the orders scan and the returnflag filter into the lineitem
+    * scan BEFORE the fact-fact join; customer and nation are broadcast
+    * dims; decimal-exact revenue; TakeOrderedAndProject for the top-k. */
+  def returnedItemReport(s: SparkSession, d: String,
+                         from: String = "1996-01-01",
+                         until: String = "1996-04-01",
+                         k: Int = 20): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
   /** Revenue per part brand, top-k — part is a broadcast dimension. */
   def topBrandsByRevenue(s: SparkSession, d: String, k: Int = 5): DataFrame =
     Tables.lineitem(s, d)

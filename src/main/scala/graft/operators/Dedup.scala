@@ -496,6 +496,35 @@ object Dedup {
     TextAnalysis.redactPii(kept.join(canon, "doc_id"))
   }
 
+  /** [[incrementalDedup]]'s NEAR-dup membership test with a Bloom
+    * prefilter over the reference BAND KEYS — the sketch-composition form:
+    * where [[incrementalDedupBloom]] sketches exact fingerprints, this
+    * sketches the MinHash LSH band table, so the new crawl's band rows are
+    * pruned in-scan before the (band_id, band_key) semi-join. Bloom
+    * false positives are removed by the confirm join and Bloom has no
+    * false negatives, so the result EXACTLY equals [[incrementalDedup]]'s
+    * `near_dup` flag — same oracle, sketch purely an execution detail.
+    * The persisted reference artifact is one ~1.2 MB filter per million
+    * band rows instead of the full band table. */
+  def incrementalNearDupBloom(newDocs: DataFrame, refDocs: DataFrame,
+                              k: Int = 16, bands: Int = 4, n: Int = 3,
+                              expectedRefBands: Long = 1L << 20,
+                              fpp: Double = 0.01): DataFrame = {
+    def keyed(df: DataFrame) = bandRows(df, k, bands, n)
+      .select(col("doc_id"), expr(
+        Hashing.hash64("concat(cast(band_id AS string), ':', band_key)"))
+        .as("bk"))
+    val refKeys = keyed(refDocs)
+    val bloom = refKeys.stat.bloomFilter("bk", expectedRefBands, fpp)
+    val nearIds = keyed(newDocs)
+      .filter(SketchExpressions.bloomMightContain(col("bk"), bloom))
+      .join(refKeys.select("bk").distinct(), Seq("bk"), "left_semi")
+      .select("doc_id").distinct()
+    newDocs.select(col("doc_id"))
+      .join(nearIds.withColumn("nd", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("nd"), lit(false)).as("near_dup"))
+  }
+
   /** Canonical selection by QUALITY: like [[canonicalFromPairs]] the
     * candidate pairs induce duplicate clusters, but the kept member is the
     * highest-QUALITY one (ties → lowest doc_id), not the lowest id — the

@@ -192,6 +192,16 @@ class DedupSpec extends GraftSuite {
     assert(got === Map(10L -> true, 11L -> false))
   }
 
+  test("bloom near-dup prefilter agrees with the plain band semi-join") {
+    val fresh = docs.filter(col("doc_id") % 4 === 1)
+    val ref = docs.filter(col("doc_id") % 4 =!= 1)
+    val bloom = Dedup.incrementalNearDupBloom(fresh, ref)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val plain = Dedup.incrementalDedup(fresh, ref)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(bloom === plain)
+  }
+
   test("passage boilerplate removal scrubs shared passages, keeps order") {
     import spark.implicits._
     val docs = Seq(

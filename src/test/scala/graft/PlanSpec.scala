@@ -17,6 +17,14 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))
   }
 
+  test("q10 pushes the returnflag filter and broadcasts both dims") {
+    val p = plan("q10_returns")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag must reach the lineitem parquet scan")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("top-k compiles to TakeOrderedAndProject, never a global sort") {
     assert(plan("q_topk_users").contains("TakeOrderedAndProject"))
     assert(plan("q_sorted_recent").contains("TakeOrderedAndProject"))
