@@ -154,6 +154,10 @@ object SparkEntry {
     "q_retention" -> ((s, d) =>
       Relational.retentionCohorts(Tables.events(s, d))),
 
+    // activity cadence: per-user inter-arrival gap count/mean/max
+    "q_inter_arrival" -> ((s, d) =>
+      Relational.interArrivalStats(Tables.events(s, d))),
+
     // D4 variant — per-dimension leaderboard: top 3 users per event_type
     // (rank window partitioned by the group; no global sort)
     "q_topk_per_group" -> ((s, d) =>
@@ -310,6 +314,11 @@ object SparkEntry {
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
+    }),
+    // dedup health report: duplicate-cluster size distribution
+    "q_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterSizeDistribution(docs, Dedup.minhashCandidatePairs(docs))
     }),
     // quality-aware canonicalization: same clusters, keep the
     // highest-quality member (ties → lowest doc_id), auditable keep flag
@@ -615,6 +624,20 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_users
       FROM d
+    """,
+
+    "q_inter_arrival" -> """
+      WITH g AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, COUNT(*) AS n_gaps,
+             round(CAST(sum(gap_sec) AS DOUBLE) / COUNT(*), 6) AS avg_gap_sec,
+             max(gap_sec) AS max_gap_sec
+      FROM g WHERE gap_sec IS NOT NULL
+      GROUP BY 1
     """,
 
     "q_funnel" -> """
@@ -1352,6 +1375,23 @@ object SparkEntry {
                  JOIN rb ON nb.band_id = rb.band_id AND nb.band_key = rb.band_key)
         SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM near) AS near_dup
         FROM documents d WHERE d.doc_id % 4 = 1
+      """,
+
+      // cluster-size distribution over the same recursive closure
+      "q_cluster_sizes" -> s"""
+        WITH RECURSIVE t AS ($shingles), $minhashPairsCte,
+        edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM mh_pairs
+                  UNION ALL
+                  SELECT doc_b AS doc_id, doc_a AS nbr FROM mh_pairs),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.doc_id, reach.r FROM edges e JOIN reach ON e.nbr = reach.doc_id),
+        lab AS (SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id),
+        cs AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM cs GROUP BY 1
       """,
 
       // quality-aware canonical: cluster labels from the same recursive

@@ -547,6 +547,20 @@ object Dedup {
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Duplicate-cluster SIZE DISTRIBUTION — the dedup health report
+    * ("how much of the corpus sits in clusters of 2? of 100?") a pipeline
+    * owner reads before choosing dedup thresholds: cluster sizes from
+    * [[canonicalFromPairs]], rolled up to (cluster_size, n_clusters,
+    * n_docs). Two tiny aggregates downstream of the hash-only fixpoint;
+    * nothing here ever exceeds (8-byte, 8-byte) rows. */
+  def clusterSizeDistribution(docs: DataFrame, pairs: DataFrame): DataFrame =
+    canonicalFromPairs(docs, pairs)
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+
   /** MinHash Jaccard ESTIMATE for candidate pairs: the fraction of
     * agreeing signature positions — the cheap score an LSH pipeline uses
     * to rank/threshold candidates before (or instead of) the exact

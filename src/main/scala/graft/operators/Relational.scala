@@ -236,6 +236,25 @@ object Relational {
       sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** Per-user inter-arrival statistics — the activity-cadence rollup
+    * (bot/burst detection, engagement scoring): consecutive-event gaps
+    * from one `lag` window, then count/mean/max per user. One user_id
+    * shuffle reused by both the window sort and the rollup; gap seconds
+    * are integer-exact so the mean is deterministic at any parallelism. */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        (unix_timestamp(col("ts"))
+          - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_sec"))
+      .filter(col("gap_sec").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_sec")).cast("double") / count(lit(1)), 6)
+          .as("avg_gap_sec"),
+        max(col("gap_sec")).as("max_gap_sec"))
+  }
+
   /** Conversion FUNNEL over ordered stages: a user "reaches" stage i when
     * they have an event of every stage ≤ i and the first occurrences are
     * in stage order (the standard ordered-funnel definition — a purchase

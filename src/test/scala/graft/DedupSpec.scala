@@ -135,6 +135,17 @@ class DedupSpec extends GraftSuite {
     assert(got(12L) === ((false, false)))
   }
 
+  test("cluster-size distribution accounts for the whole corpus") {
+    val dist = Dedup.clusterSizeDistribution(docs,
+      Dedup.minhashCandidatePairs(docs)).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(dist.map(_._2).sum === docs.count())
+    // at least one real duplicate cluster exists in the fixture
+    assert(Dedup.clusterSizeDistribution(docs,
+      Dedup.minhashCandidatePairs(docs))
+      .filter(col("cluster_size") > 1).count() > 0)
+  }
+
   test("canonicalByQuality keeps exactly one member per cluster, the best one") {
     val pairs = Dedup.minhashCandidatePairs(docs)
     val quality = graft.operators.TextAnalysis.qualityScore(docs)

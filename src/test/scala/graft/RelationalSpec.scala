@@ -51,6 +51,18 @@ class RelationalSpec extends GraftSuite {
     assert(growth.map(_.getLong(1)).sum === cums.last)
   }
 
+  test("inter-arrival stats: every user has exactly (events - 1) gaps") {
+    val ev = Tables.events(spark, sf)
+    val stats = Relational.interArrivalStats(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val perUser = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // single-event users produce no row; all others n_gaps = n - 1
+    assert(stats.forall { case (u, n, _, _) => n === perUser(u) - 1 })
+    assert(stats.length === perUser.count(_._2 > 1))
+    assert(stats.forall { case (_, _, avg, mx) => avg >= 0 && mx >= avg })
+  }
+
   test("funnel is monotone and enforces stage order") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
