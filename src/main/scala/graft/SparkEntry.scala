@@ -158,6 +158,10 @@ object SparkEntry {
     "q_inter_arrival" -> ((s, d) =>
       Relational.interArrivalStats(Tables.events(s, d))),
 
+    // metric-monitor outlier flags: per-type z-scores from decimal-exact
+    // moments (double stddev is association-order-dependent)
+    "q_zscores" -> ((s, d) => Relational.valueZScores(Tables.events(s, d))),
+
     // D4 variant — per-dimension leaderboard: top 3 users per event_type
     // (rank window partitioned by the group; no global sort)
     "q_topk_per_group" -> ((s, d) =>
@@ -624,6 +628,29 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_users
       FROM d
+    """,
+
+    // z-scores: both engines compute mean/std in double arithmetic from
+    // the same DECIMAL-exact sums, so every z matches bit-for-bit
+    "q_zscores" -> """
+      WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+               sum(CAST(value AS DECIMAL(18,6))) AS s,
+               sum(CAST(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+                 AS ss
+        FROM events GROUP BY 1),
+      w AS (SELECT event_type,
+                   CAST(s AS DOUBLE) / n AS mean,
+                   sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)) AS std
+            FROM m)
+      SELECT e.event_id, e.event_type, e.value,
+             round((e.value - w.mean) / w.std, 6) AS z,
+             CAST(abs(round((e.value - w.mean) / w.std, 6)) > 3.0 AS INTEGER)
+               AS is_outlier
+      FROM events e JOIN w USING (event_type)
     """,
 
     "q_inter_arrival" -> """

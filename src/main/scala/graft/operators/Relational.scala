@@ -236,6 +236,31 @@ object Relational {
       sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** Per-type z-score anomaly flags — the outlier alert behind every
+    * metric monitor. Determinism at any parallelism: the two moments are
+    * DECIMAL-exact sums (a double `stddev` is association-order-dependent
+    * and differs across engines and cluster sizes); mean/variance are then
+    * computed from those exact sums in double arithmetic, identically
+    * everywhere. The per-type moment table (one row per type) broadcasts
+    * back onto the scan — one shuffle of (type, 3 decimals) partials.
+    * DECIMAL(38,12) squares bound |value| < ~10¹³ with counts to ~10¹². */
+  def valueZScores(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val dec = col("value").cast(DecimalType(18, 6))
+    val stats = events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(dec).as("s"),
+      sum((dec * dec).cast(DecimalType(38, 12))).as("ss"))
+    val withM = stats.select(col("event_type"), col("n"),
+      (col("s").cast("double") / col("n")).as("mean"),
+      sqrt((col("ss").cast("double")
+        - col("s").cast("double") * col("s").cast("double") / col("n"))
+        / (col("n") - 1)).as("std"))
+    events.join(broadcast(withM), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+      .withColumn("is_outlier", (abs(col("z")) > threshold).cast("int"))
+  }
+
   /** Per-user inter-arrival statistics — the activity-cadence rollup
     * (bot/burst detection, engagement scoring): consecutive-event gaps
     * from one `lag` window, then count/mean/max per user. One user_id

@@ -273,6 +273,22 @@ object GraftProperties extends Properties("graft") {
       counts.zip(counts.tail).forall(p => p._1 >= p._2)
     }
 
+  property("retention cohorts: day-0 counts partition the users, offsets bounded") =
+    forAll(genHistory) { rows =>
+      val s = spark; import s.implicits._
+      val df = rows.map { case (k, ts, off, v) =>
+        (off, new java.sql.Timestamp(ts * 86400000L), k.hashCode.toLong,
+          "click", v.toDouble, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val ret = Relational.retentionCohorts(df).collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+      val day0 = ret.filter(_._2 == 0)
+      val day0ByCohort = day0.map(r => r._1 -> r._3).toMap
+      day0.map(_._3).sum == rows.map(_._1).distinct.length &&
+        ret.forall(_._2 >= 0) &&
+        ret.forall(r => r._3 <= day0ByCohort(r._1))
+    }
+
   property("asOfJoin == per-fact max version with vt <= ft (naive reference)") =
     forAll(genAsOf) { case (versions, facts) =>
       val s = spark; import s.implicits._

@@ -51,6 +51,17 @@ class RelationalSpec extends GraftSuite {
     assert(growth.map(_.getLong(1)).sum === cums.last)
   }
 
+  test("z-scores per type have ~zero mean and flag exactly the >3-sigma tail") {
+    val ev = Tables.events(spark, sf)
+    val z = Relational.valueZScores(ev)
+    assert(z.count() === ev.count())
+    // standardized: per-type z mean ~ 0, and flags match |z| > 3 exactly
+    val means = z.groupBy("event_type").agg(avg("z")).collect()
+    assert(means.forall(r => math.abs(r.getDouble(1)) < 1e-6))
+    assert(z.filter((abs(col("z")) > 3.0) =!= (col("is_outlier") === 1))
+      .count() === 0)
+  }
+
   test("inter-arrival stats: every user has exactly (events - 1) gaps") {
     val ev = Tables.events(spark, sf)
     val stats = Relational.interArrivalStats(ev).collect()
