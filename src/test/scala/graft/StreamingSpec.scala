@@ -35,6 +35,31 @@ class StreamingSpec extends GraftSuite {
     assert(got.toSeq === Seq(1L, 3L))
   }
 
+  test("streaming z-scores flag a planted outlier against pre-batch moments") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.toMemoryTable(
+      graft.streaming.AnomalyStream.zScoreStream(
+        in.toDS().toDF("event_id", "event_type", "value")).toDF(),
+      "zscore_stream_test")
+    // batch 1: establish tight moments for 'click' (no alerts: no priors)
+    in.addData((1L, "click", 10.0), (2L, "click", 10.2), (3L, "click", 9.8),
+      (4L, "click", 10.1), (5L, "click", 9.9))
+    q.processAllAvailable()
+    // batch 2: a wild outlier and a normal value, judged by batch-1 moments
+    in.addData((6L, "click", 50.0), (7L, "click", 10.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("zscore_stream_test").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    // batch 1 rows: no model yet -> null z, unflagged
+    (1L to 5L).foreach { id => assert(got(id) === ((None, false))) }
+    assert(got(6L)._2 === true, s"planted outlier not flagged: $got")
+    assert(got(7L)._2 === false)
+    // the normal row's z is small, the outlier's huge
+    assert(math.abs(got(7L)._1.get.asInstanceOf[Double]) < 2.0)
+    assert(math.abs(got(6L)._1.get.asInstanceOf[Double]) > 3.0)
+  }
+
   test("hopping windows stream in update mode and match the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
