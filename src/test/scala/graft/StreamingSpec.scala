@@ -35,6 +35,30 @@ class StreamingSpec extends GraftSuite {
     assert(got.toSeq === Seq(1L, 3L))
   }
 
+  test("streaming funnel advances in stage order across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Streams.toMemoryTable(
+      graft.streaming.FunnelStream.funnelStream(
+        in.toDS().toDF("user_id", "event_id", "event_type"),
+        Seq("signup", "click", "purchase")).toDF(),
+      "funnel_stream_test")
+    // batch 1: user 1 signs up and clicks; user 2 purchases FIRST (no
+    // advance); user 3 signs up
+    in.addData((1L, 1L, "signup"), (1L, 2L, "click"),
+      (2L, 3L, "purchase"), (3L, 4L, "signup"))
+    q.processAllAvailable()
+    // batch 2: user 1 purchases (completes); user 2 signs up then
+    // purchases (sequence-match: purchase after signup advances, but
+    // click was never seen so purchase stays pending); user 3 idle
+    in.addData((1L, 5L, "purchase"), (2L, 6L, "signup"), (2L, 7L, "purchase"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("funnel_stream_test").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === Set((1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0)),
+      s"unexpected advances: $got")
+  }
+
   test("streaming z-scores flag a planted outlier against pre-batch moments") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
