@@ -140,6 +140,16 @@ class PlanSpec extends GraftSuite {
       "pivot must apply map-side partial aggregation")
   }
 
+  test("z-scores broadcast the moment table; inter-arrival reuses one exchange") {
+    assert(plan("q_zscores").contains("BroadcastHashJoin"),
+      "the per-type moment table must broadcast back onto the scan")
+    val qe = SparkEntry.queries("q_inter_arrival")(spark, sf).queryExecution
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.length === 1,
+      s"window + rollup must share the user_id exchange, got $exchanges")
+  }
+
   test("scan-parallelism floor no-ops when the scan is already parallel") {
     val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
     val wide = docs.repartition(spark.sparkContext.defaultParallelism + 1)
