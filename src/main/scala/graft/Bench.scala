@@ -19,11 +19,15 @@ import org.apache.spark.sql.SparkSession
   * re-run the trials once; the clean median is reported and the discarded
   * one is kept in `"retried"` for audit.
   *
-  * Output: the JSON is written bare to `SPARK_GRAFT_BENCH_OUT`, printed as
-  * its own stdout line, and printed once more as the FINAL line anchored
-  * by the `BENCH_JSON ` marker, so a parser scraping sbt-wrapped stdout
-  * can regex `BENCH_JSON (\{.*\})` instead of guessing which line is the
-  * payload.
+  * Output: the FULL per-query JSON is written bare to
+  * `SPARK_GRAFT_BENCH_OUT` and printed as its own early stdout line. The
+  * FINAL line — anchored by the `BENCH_JSON ` marker on BOTH stdout and
+  * stderr — is a COMPACT summary (totals + the 10 slowest queries only),
+  * guaranteed well under 1 KB at any query count. Rounds 1-4 all came back
+  * `"parsed": null` because the driver retains only a ~2.2 KB tail of the
+  * process output and the full 99-query line (~4 KB) was truncated from
+  * the front, destroying the marker; shrinking the marker payload is the
+  * only fix that works at any future query count.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -111,12 +115,24 @@ object Bench {
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
+    // Compact marker payload: headline totals plus only the 10 slowest
+    // queries. ~600 bytes at 99 queries, and grows O(1) with query count,
+    // so it can never again outgrow the driver's tail window. Full detail
+    // stays in `out` and the early stdout line above.
+    val top10 = results.collect { case (k, Right(t)) => k -> t }
+      .sortBy(-_._2).take(10)
+      .map { case (k, t) => s"${jstr(k)}:${jnum(t)}" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
+        s""""n":${results.size},"n_failed":$nFailed,""" +
+        s""""n_retried":${retried.size},"queries":$top10,""" +
+        s""""detail":${jstr(out)},"sf":${jstr(sfDir)}}"""
     spark.stop()
     // Final line, uniquely anchored for log-scraping parsers — emitted to
     // BOTH stdout and stderr after spark.stop() so whichever stream the
     // parser tails ends with the marker, not sbt/Spark shutdown noise.
-    println(s"BENCH_JSON $json")
-    System.err.println(s"BENCH_JSON $json")
+    println(s"BENCH_JSON $compact")
+    System.err.println(s"BENCH_JSON $compact")
     System.out.flush(); System.err.flush()
   }
 }

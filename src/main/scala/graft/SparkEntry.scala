@@ -1793,7 +1793,8 @@ object SparkEntry {
                FROM (SELECT cell, v, (SELECT cs FROM cents)[cell + 1] AS cv
                      FROM celled))
         SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vecs,
-               round(avg(cos), 6) AS mean_cos,
+               round(CAST(sum(CAST(round(cos, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                     / count(*), 6) AS mean_cos,
                round(min(cos), 6) AS min_cos,
                round(max(cos), 6) AS max_cos
         FROM sc GROUP BY cell

@@ -325,7 +325,7 @@ class Engine(val spark: SparkSession,
   def explain(target: String): String = {
     refreshUpsertViews()
     val df =
-      if (target.matches("(?i)^\\s*SELECT\\b.*")) pullQuery(target)
+      if (target.matches("(?is)^\\s*SELECT\\b.*")) pullQuery(target)
       else topicStream(target).getOrElse(spark.table(target))
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)

@@ -11,8 +11,16 @@ import graft.sources.Tables
   *
   * These are the headline bench queries: they exercise exactly the physical
   * properties that matter at 100 TB —
-  *   - dimension joins (region/nation/customer/supplier/part) are
-  *     BroadcastHashJoins: the fact side never shuffles for them;
+  *   - fixed-size dimension joins (region: 5 rows, nation: 25 rows) carry
+  *     explicit `broadcast()` hints — their cardinality is a constant of
+  *     the schema, so the hint is safe at any scale factor;
+  *   - sf-scaling relations (customer, supplier, part) get NO explicit
+  *     hint: an explicit hint overrides AQE's size statistics, so a
+  *     forced broadcast that is convenient at sf0.1 becomes an OOM at
+  *     100×. AQE/`autoBroadcastJoinThreshold` picks BroadcastHashJoin
+  *     while they fit and degrades to a shuffled join when they don't —
+  *     PlanSpec locks the BHJ choice at fixture scale so the fast plan is
+  *     still provably chosen where it is correct;
   *   - the one genuinely large join (orders ⋈ lineitem) is a shuffle
   *     hash-join on the natural key, with both filters pushed below the
   *     join into the parquet scans (`PushedFilters` in `.explain`);
@@ -37,7 +45,7 @@ object Analytics {
     val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit(cutoff))
     val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cutoff))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(rev).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -60,8 +68,8 @@ object Analytics {
     val sup = Tables.supplier(s, d)
     Tables.lineitem(s, d)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
@@ -84,7 +92,7 @@ object Analytics {
     val cust = Tables.customer(s, d)
     val nat = Tables.nation(s, d)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(sum(rev).cast("double").as("revenue"))
@@ -92,10 +100,11 @@ object Analytics {
       .limit(k)
   }
 
-  /** Revenue per part brand, top-k — part is a broadcast dimension. */
+  /** Revenue per part brand, top-k — part is a dimension that scales with
+    * sf, so join strategy is left to AQE/threshold (BHJ while it fits). */
   def topBrandsByRevenue(s: SparkSession, d: String, k: Int = 5): DataFrame =
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)),
+      .join(Tables.part(s, d),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(sum(rev).cast("double").as("revenue"))

@@ -315,16 +315,18 @@ object Relational {
     * many days later they were active — the triangle matrix behind every
     * retention dashboard. Two bounded shuffles: first-seen per user (one
     * user_id exchange), then the (cohort_day, day_offset) rollup whose
-    * key space is days × horizon, not users. The first-seen table joins
-    * back BROADCAST at dashboard scales (one row per user; for a corpus
-    * where that no longer fits, the join key is still the 8-byte user_id
-    * — never event payloads). */
+    * key space is days × horizon, not users. The first-seen table is one
+    * row per user — a relation that GROWS with the data — so it carries no
+    * broadcast hint: AQE picks BHJ while it fits the threshold and a
+    * shuffled join on the 8-byte user_id (never event payloads) once it
+    * doesn't. A forced hint here would override AQE's size statistics and
+    * OOM at large user cardinality. */
   def retentionCohorts(events: DataFrame): DataFrame = {
     val firstSeen = events.groupBy(col("user_id"))
       .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
     events.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
-      .join(broadcast(firstSeen), "user_id")
+      .join(firstSeen, "user_id")
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("active_users"))

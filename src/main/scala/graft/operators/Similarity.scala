@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Hashing, PqExpressions, TopKAggregate, VectorExpressions}
 
@@ -477,12 +478,17 @@ object Similarity {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centsCol = array(cents.map(c => array(c.map(lit): _*)): _*)
+    // mean via a DECIMAL-exact sum of the pre-rounded cosine (repo
+    // convention — q_zscores/movingAgg/unigramLogprob): a double avg() is
+    // association-order-dependent across partitionings and can flip the
+    // 6dp-rounded value vs the sequential oracle at boundary cases.
+    val cosDec = round(col("cos"), 9).cast(DecimalType(28, 9))
     ivfCells(emb, nlist)
       .withColumn("cos", VectorExpressions.cosineSim(col("v"),
         element_at(centsCol, col("cell") + 1)))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("cos")), 6).as("mean_cos"),
+        round(sum(cosDec).cast("double") / count(lit(1)), 6).as("mean_cos"),
         round(min(col("cos")), 6).as("min_cos"),
         round(max(col("cos")), 6).as("max_cos"))
   }

@@ -204,6 +204,30 @@ class PlanSpec extends GraftSuite {
       s"document text crossed a shuffle: $exchanges")
   }
 
+  test("sf-scaling dims: threshold picks BHJ at fixture scale, no hint overrides it") {
+    // customer/part/supplier/firstSeen grow with the data, so they carry NO
+    // explicit broadcast() hint (a hint overrides AQE's size statistics —
+    // convenient at sf0.1, an OOM at 100×). Two-way lock:
+    //  (a) at fixture scale the stats-based planner still picks
+    //      BroadcastHashJoin for them — the fast plan is not lost;
+    //  (b) with the threshold disabled the same queries plan shuffled
+    //      joins — proving no forced hint is overriding the statistics.
+    for (q <- Seq("q10_returns", "q_top_brands", "q_retention"))
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q lost its stats-chosen broadcast at fixture scale")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("q3_shipping", "q5_local_supplier", "q_top_brands",
+                    "q_retention")) {
+        val p = plan(q)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q must degrade to a shuffled join when the threshold forbids " +
+            s"broadcast — a surviving forced hint would OOM at 100×:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
     val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
