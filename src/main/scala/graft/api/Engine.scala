@@ -35,7 +35,8 @@ class Engine(val spark: SparkSession,
                .createTempDirectory("graft-connect").toString,
              esTransport: String => BulkTransport = _ =>
                new FileBulkTransport(java.nio.file.Files
-                 .createTempDirectory("graft-es").toString)) {
+                 .createTempDirectory("graft-es").toString),
+             val registry: Option[graft.streaming.SchemaResolver] = None) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
   // name -> (changelog path, key columns) for upsert-materialized tables
@@ -232,6 +233,40 @@ class Engine(val spark: SparkSession,
   def declareStream(name: String, topic: String): Unit = {
     val df = topicStream(topic).getOrElse(throw new IllegalArgumentException(
       s"CREATE STREAM $name: unknown topic '$topic'"))
+    df.createOrReplaceTempView(name)
+    topics.put(name.toLowerCase, df)
+    ()
+  }
+
+  /** `CREATE STREAM <name> WITH (KAFKA_TOPIC='t', VALUE_FORMAT='AVRO')`
+    * with NO column list — the schema is INFERRED from the registry's
+    * latest version for subject `<topic>-value`
+    * (`/root/reference/commands.sql:13`, SURVEY §1.2): the StructType is
+    * constructed from the registered Avro schema
+    * ([[graft.streaming.AvroSerde.sparkSchemaFor]]) and the raw topic's
+    * binary `value` payloads decode registry-backed BY THE ID EACH RECORD
+    * CARRIES — older-generation records resolve onto the inferred reader
+    * schema via Avro schema resolution, exactly as on a mixed-version
+    * topic. The topic must be a raw stream with a binary `value` column
+    * (a registered-and-already-typed topic needs no inference — use
+    * [[declareStream]]). */
+  def declareStreamInferred(name: String, topic: String): Unit = {
+    val reg = registry.getOrElse(throw new IllegalArgumentException(
+      s"CREATE STREAM $name: schema inference needs a schema registry " +
+        "(Engine registry = None) — declare columns explicitly instead"))
+    val raw = topicStream(topic).getOrElse(throw new IllegalArgumentException(
+      s"CREATE STREAM $name: unknown topic '$topic'"))
+    require(raw.columns.contains("value") &&
+      raw.schema("value").dataType == org.apache.spark.sql.types.BinaryType,
+      s"CREATE STREAM $name: topic '$topic' has no binary 'value' column " +
+        "to decode — inference applies to raw Avro topics")
+    val subject = s"$topic-value"
+    val (_, schemaJson) = reg.latestFor(subject).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE STREAM $name: registry has no schema for subject " +
+          s"'$subject'"))
+    val inferred = graft.streaming.AvroSerde.sparkSchemaFor(schemaJson)
+    val df = graft.streaming.AvroSerde.decodeWithRegistry(raw, inferred, reg)
     df.createOrReplaceTempView(name)
     topics.put(name.toLowerCase, df)
     ()

@@ -63,6 +63,7 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
   server.setExecutor(Executors.newCachedThreadPool())
 
   private val pushNames = new AtomicLong()
+  private val instanceTag = RestServer.instanceIds.incrementAndGet()
 
   /** Bound port (useful when constructed with port 0 for tests). */
   def boundPort: Int = server.getAddress.getPort
@@ -149,6 +150,16 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
   // `... EMIT CHANGES [LIMIT n]` suffix → push query
   private val emitRe = java.util.regex.Pattern.compile(
     "(?is)^(.*?)\\s+EMIT\\s+CHANGES(?:\\s+LIMIT\\s+(\\d+))?\\s*$")
+  // `PRINT ['"]<topic>['"] [FROM BEGINNING] [INTERVAL n] [LIMIT n]` — the
+  // reference CLI's first inspection step (readme.md:70,266). FROM
+  // BEGINNING is accepted as written: the registered streaming topics here
+  // replay from their start within the process (offset choice is a
+  // source-registration option — Streams.kafkaEvents startingOffsets);
+  // INTERVAL (print every nth message) is accepted and ignored.
+  private val printRe = java.util.regex.Pattern.compile(
+    "(?is)^PRINT\\s+['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?" +
+      "(?:\\s+FROM\\s+BEGINNING)?(?:\\s+INTERVAL\\s+\\d+)?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?\\s*$")
 
   private def withProps(raw: String): Map[String, String] = {
     val m = propRe.matcher(raw)
@@ -171,8 +182,18 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val create = createRe.matcher(stmt)
     val connector = connectorRe.matcher(stmt)
     val decl = declRe.matcher(stmt)
+    val print = printRe.matcher(stmt)
     try {
-      if (upper == "SHOW QUERIES") {
+      if (print.matches()) {
+        // `PRINT <topic>` — tail the raw topic as chunked NDJSON over the
+        // same push path as EMIT CHANGES (the ksql CLI streams PRINT
+        // output exactly like a push query), self-terminating at LIMIT
+        val df = engine.topicStream(print.group(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"PRINT: unknown topic '${print.group(1)}'"))
+        pushQuery(ex, df,
+          Option(print.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
+      } else if (upper == "SHOW QUERIES") {
         val qs = engine.showQueries.map { case (n, active) =>
           s"""{"name":${jstr(n)},"state":${jstr(if (active) "RUNNING" else "STOPPED")}}"""
         }.mkString("[", ",", "]")
@@ -273,8 +294,16 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
         val topic = props.getOrElse("KAFKA_TOPIC",
           throw new IllegalArgumentException(
             s"CREATE $kind $name: WITH (KAFKA_TOPIC='...') is required"))
-        if (kind == "STREAM") engine.declareStream(name, topic)
-        else {
+        if (kind == "STREAM") {
+          // no column list + VALUE_FORMAT='AVRO' + a registry-backed
+          // engine → subject-latest schema inference (commands.sql:13's
+          // `CREATE STREAM RATINGS WITH (VALUE_FORMAT='AVRO')` form);
+          // otherwise the topic's own (already-typed) schema wins
+          val avro = props.get("VALUE_FORMAT").exists(_.equalsIgnoreCase("AVRO"))
+          if (decl.group(3) == null && avro && engine.registry.isDefined)
+            engine.declareStreamInferred(name, topic)
+          else engine.declareStream(name, topic)
+        } else {
           val pkm = primaryKeyRe.matcher(Option(decl.group(3)).getOrElse(""))
           engine.declareTable(name, topic,
             if (pkm.find()) Some(pkm.group(1)) else None,
@@ -296,9 +325,17 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val sql = jsonField(body, "sql").orElse(jsonField(body, "ksql"))
       .getOrElse("").trim.stripSuffix(";").trim
     val emit = emitRe.matcher(sql)
+    val print = printRe.matcher(sql)
     try {
-      if (emit.matches()) pushQuery(ex, emit.group(1),
-        Option(emit.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
+      if (print.matches()) {
+        val df = engine.topicStream(print.group(1)).getOrElse(
+          throw new IllegalArgumentException(
+            s"PRINT: unknown topic '${print.group(1)}'"))
+        pushQuery(ex, df,
+          Option(print.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
+      } else if (emit.matches())
+        pushQuery(ex, engine.spark.sql(emit.group(1)),
+          Option(emit.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
       else {
         val rows = engine.pullQuery(sql).limit(maxRows).toJSON.collect()
         respond(ex, 200, rows.mkString("[", ",", "]"))
@@ -308,22 +345,27 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     }
   })
 
-  /** Push query over HTTP: run the SELECT as a continuous query into a
-    * uniquely-named memory sink and stream its rows back as chunked NDJSON
-    * as they arrive — ksqlDB's `/query` + `EMIT CHANGES` contract. The
-    * memory sink appends whole microbatches in order, so the already-sent
-    * prefix is stable and each poll emits only the suffix. Terminates when
-    * the LIMIT is reached (the query self-stops —
-    * [[Streams.pushQueryWithLimit]]) or the client disconnects (the write
-    * fails → query stopped, state cleaned). */
-  private def pushQuery(ex: HttpExchange, select: String, limit: Int): Unit = {
+  /** Push query over HTTP: run a streaming plan (an `EMIT CHANGES` SELECT
+    * or a `PRINT`ed raw topic) as a continuous query into a uniquely-named
+    * memory sink and stream its rows back as chunked NDJSON as they arrive
+    * — ksqlDB's `/query` + `EMIT CHANGES` contract. The memory sink
+    * appends whole microbatches in order, so the already-sent prefix is
+    * stable and each poll emits only the suffix. Terminates when the LIMIT
+    * is reached (the query self-stops — [[Streams.pushQueryWithLimit]]) or
+    * the client disconnects (the write fails → query stopped, state
+    * cleaned). */
+  private def pushQuery(ex: HttpExchange, df: org.apache.spark.sql.DataFrame,
+                        limit: Int): Unit = {
     val spark = engine.spark
-    val df = spark.sql(select)
     if (!df.isStreaming)
       throw new IllegalArgumentException(
         "EMIT CHANGES requires a streaming source; use a bare SELECT for " +
           "pull queries")
-    val name = s"graft_push_${pushNames.incrementAndGet()}"
+    // Query names are scoped to the SparkSession, not this server — a
+    // second RestServer (or a restart) over the same session must not
+    // collide with a still-draining query from another instance, so the
+    // name carries a per-JVM unique id on top of the per-server counter.
+    val name = s"graft_push_${instanceTag}_${pushNames.incrementAndGet()}"
     val q = Streams.pushQueryWithLimit(df, limit, name)
     // Everything after the query starts — INCLUDING sending the response
     // headers, which throws if the client already disconnected — runs
@@ -360,4 +402,11 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
   def start(): RestServer = { server.start(); this }
 
   def stop(): Unit = server.stop(0)
+}
+
+object RestServer {
+  /** Per-JVM server id sequence — streaming query names are unique per
+    * SparkSession, so each server instance prefixes its push-query names
+    * with its own id (two servers over one session must not collide). */
+  private val instanceIds = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -91,6 +91,44 @@ object AvroSerde {
     Schema.createRecord(recordName, null, namespace, false, fields.toList.asJava)
   }
 
+  /** The REVERSE of [[avroSchemaFor]]: a Spark StructType mirroring a
+    * registry-held Avro record schema — the construction step behind
+    * subject-latest schema INFERENCE at declaration time (`CREATE STREAM
+    * RATINGS WITH (VALUE_FORMAT='AVRO')` with no column list infers the
+    * value schema from the registry — `/root/reference/commands.sql:13`,
+    * SURVEY §1.2). `["null", T]` unions become nullable fields;
+    * `long(timestamp-micros)` becomes TimestampType. */
+  def sparkSchemaFor(avroJson: String): StructType = {
+    val schema = new Schema.Parser().parse(avroJson)
+    require(schema.getType == Schema.Type.RECORD,
+      s"AvroSerde: schema inference needs a RECORD schema, got ${schema.getType}")
+    def sparkType(s: Schema): DataType = s.getType match {
+      case Schema.Type.LONG =>
+        if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros])
+          TimestampType
+        else LongType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"AvroSerde: unsupported Avro type $other in inferred schema")
+    }
+    StructType(schema.getFields.asScala.map { f =>
+      f.schema().getType match {
+        case Schema.Type.UNION =>
+          val nonNull = f.schema().getTypes.asScala
+            .filterNot(_.getType == Schema.Type.NULL)
+          require(nonNull.size == 1, s"AvroSerde: field '${f.name}' union " +
+            "must be [null, T] — multi-type unions have no Spark analog")
+          StructField(f.name, sparkType(nonNull.head), nullable = true)
+        case _ => StructField(f.name, sparkType(f.schema()), nullable = false)
+      }
+    }.toSeq)
+  }
+
   /** Encode the non-`passthrough` columns of `df` into a single
     * Avro-binary `value` column (the CSAS→topic value payload, K1 with
     * VALUE_FORMAT='AVRO'); `passthrough` columns (e.g. the Kafka key)
@@ -293,11 +331,25 @@ object AvroSerde {
   * local cache; tests: [[MapSchemaRegistry]]. */
 trait SchemaResolver extends Serializable {
   def schemaJson(id: Int): Option[String]
+
+  /** Latest (schema id, schema JSON) registered under a SUBJECT — the
+    * registry's `/subjects/<subject>/versions/latest` surface, used to
+    * INFER a declared stream's schema when the DDL carries no column list
+    * (`CREATE STREAM RATINGS WITH (VALUE_FORMAT='AVRO')`,
+    * `/root/reference/commands.sql:13`). Decode-by-id ([[AvroSerde
+    * .decodeWithRegistry]]) never consults this — each record decodes
+    * under the writer schema its header names; this is the
+    * declaration-time half. Default: subjects unknown. */
+  def latestFor(subject: String): Option[(Int, String)] = None
 }
 
 /** Map-backed registry (test scale): the id → schema-JSON assignments are
-  * fixed up front, mirroring a registry whose subjects are pre-registered. */
-final case class MapSchemaRegistry(schemas: Map[Int, String])
+  * fixed up front, mirroring a registry whose subjects are pre-registered;
+  * `subjects` maps a subject name (`<topic>-value`) to its LATEST id. */
+final case class MapSchemaRegistry(schemas: Map[Int, String],
+                                   subjects: Map[String, Int] = Map.empty)
     extends SchemaResolver {
   def schemaJson(id: Int): Option[String] = schemas.get(id)
+  override def latestFor(subject: String): Option[(Int, String)] =
+    subjects.get(subject).flatMap(id => schemas.get(id).map(id -> _))
 }

@@ -19,7 +19,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (stages completed), the smallest possible funnel state; the only
   * shuffle is the user_id hash partition. Advances survive microbatch
   * boundaries: stage 0 in batch 1 and stage 1 in batch 2 emit in their
-  * own batches. */
+  * own batches.
+  *
+  * State retention: without a bound, one Int per ALL-TIME distinct user
+  * accumulates forever — tiny per user but unbounded at crawl scale.
+  * `inactivityTimeout` (e.g. `"30 days"`) arms a processing-time timeout
+  * per user, re-armed on every event; a user idle past the horizon has
+  * their state EVICTED, so the store is O(users-active-in-horizon). The
+  * semantic consequence is the standard session-funnel contract: a user
+  * returning after the horizon starts the funnel from stage 0 (their
+  * earlier advances remain in the sink — funnels are append-only — but
+  * re-qualification re-emits stages). `None` keeps all-time semantics.
+  *
+  * Operational note: once ProcessingTimeTimeout is configured, Spark's
+  * microbatch engine constructs batches continuously (timeouts can change
+  * state without data — `FlatMapGroupsWithStateExec.shouldRunAnotherBatch`
+  * is unconditionally true), so run the query with a real processing-time
+  * trigger (idle batches then cost one no-data pass per interval) and
+  * synchronize tests by polling the sink — `processAllAvailable` never
+  * returns under this timeout mode because `noNewData` is never set. */
 object FunnelStream {
 
   case class FunnelEvent(userId: Long, seq: Long, eventType: String)
@@ -27,27 +45,38 @@ object FunnelStream {
 
   /** Input: any frame with (user_id, event_id, event_type); `event_id` is
     * the within-stream order (offset analog). Use `outputMode("append")`. */
-  def funnelStream(events: DataFrame,
-                   stages: Seq[String]): Dataset[StageAdvance] = {
+  def funnelStream(events: DataFrame, stages: Seq[String],
+                   inactivityTimeout: Option[String] = None): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (inactivityTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .select(col("user_id").as("userId"), col("event_id").as("seq"),
         col("event_type").as("eventType"))
       .as[FunnelEvent]
       .groupByKey(_.userId)
       .flatMapGroupsWithState[Int, StageAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[Int]) =>
-          var reached = state.getOption.getOrElse(0)
-          val out = Vector.newBuilder[StageAdvance]
-          batch.toSeq.sortBy(_.seq).foreach { e =>
-            if (reached < stages.length && e.eventType == stages(reached)) {
-              out += StageAdvance(uid, reached, stages(reached))
-              reached += 1
+          if (state.hasTimedOut) {
+            // horizon passed with no events: evict — the user's next event
+            // (in a later batch) restarts the funnel from stage 0
+            state.remove()
+            Iterator.empty
+          } else {
+            var reached = state.getOption.getOrElse(0)
+            val out = Vector.newBuilder[StageAdvance]
+            batch.toSeq.sortBy(_.seq).foreach { e =>
+              if (reached < stages.length && e.eventType == stages(reached)) {
+                out += StageAdvance(uid, reached, stages(reached))
+                reached += 1
+              }
             }
+            state.update(reached)
+            inactivityTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(reached)
-          out.result().iterator
       }
   }
 }

@@ -170,4 +170,24 @@ class AvroSerdeSpec extends GraftSuite {
       assert(n > 0)
     } finally q.stop()
   }
+
+  test("sparkSchemaFor inverts avroSchemaFor (incl. unions and timestamps)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flags", IntegerType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    val back = AvroSerde.sparkSchemaFor(
+      AvroSerde.avroSchemaFor(schema, "roundtrip").toString)
+    assert(back === schema)
+    // latestFor: subject → latest (id, schema); unknown subject → None
+    val reg = graft.streaming.MapSchemaRegistry(
+      Map(5 -> AvroSerde.avroSchemaFor(schema).toString),
+      subjects = Map("t-value" -> 5))
+    assert(reg.latestFor("t-value").map(_._1) === Some(5))
+    assert(reg.latestFor("absent-value") === None)
+  }
 }

@@ -362,4 +362,101 @@ class RestServerSpec extends GraftSuite {
       engine.terminateAll()
     }
   }
+
+  test("PRINT tails a topic over /ksql as NDJSON and self-terminates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val engine = new Engine(spark)
+    engine.registerTopic("ratings", in.toDF())
+    val srv = new RestServer(engine).start()
+    val port = srv.boundPort
+    try {
+      in.addData(Tables.events(spark, sf).as[Event].collect().take(5).toIndexedSeq)
+      // the reference readme's first inspection step (readme.md:70,266):
+      // PRINT 'topic' FROM BEGINNING — over /ksql, streamed like a push
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ksql"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"ksql":"PRINT 'ratings' FROM BEGINNING LIMIT 2;"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("")
+        .contains("ndjson"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body()))
+      val lines = (1 to 2).map(_ => reader.readLine())
+      assert(lines.forall(l => l != null && l.contains("\"event_id\"")),
+        s"unexpected PRINT rows: $lines")
+      assert(reader.readLine() == null) // LIMIT reached → stream closed
+      // unquoted form over /query, and a clean 400 for an unknown topic
+      val resp2 = post(port, "/query", """{"sql":"PRINT ratings LIMIT 1;"}""")
+      assert(resp2.statusCode() === 200, resp2.body())
+      assert(resp2.body().contains("event_id"), resp2.body())
+      assert(post(port, "/ksql", """{"ksql":"PRINT no_such_topic;"}""")
+        .statusCode() === 400)
+    } finally {
+      srv.stop()
+      engine.terminateAll()
+    }
+  }
+
+  test("CREATE STREAM with no columns infers its schema from the registry") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    import graft.streaming.{AvroSerde, MapSchemaRegistry}
+    // two writer generations on the topic; the registry's LATEST for
+    // subject 'movies-value' is v2 (commands.sql:13's declaration form)
+    val v1 = StructType(Seq(StructField("id", LongType, false),
+      StructField("title", StringType, true)))
+    val v2 = StructType(Seq(StructField("id", LongType, false),
+      StructField("title", StringType, true),
+      StructField("score", DoubleType, true)))
+    val registry = MapSchemaRegistry(
+      Map(1 -> AvroSerde.avroSchemaFor(v1).toString,
+        2 -> AvroSerde.avroSchemaFor(v2).toString),
+      subjects = Map("movies-value" -> 2))
+    val in = MemoryStream[(Long, String)]
+    // raw topic: binary Avro 'value' payloads written under v1
+    val raw = AvroSerde.encode(in.toDS().toDF("id", "title"),
+      confluentSchemaId = Some(1))
+    val engine = new Engine(spark, registry = Some(registry))
+    engine.registerTopic("movies", raw)
+    val srv = new RestServer(engine).start()
+    val port = srv.boundPort
+    try {
+      val made = post(port, "/ksql",
+        """{"ksql":"CREATE STREAM MOVIES_TYPED WITH (KAFKA_TOPIC='movies', VALUE_FORMAT='AVRO');"}""")
+      assert(made.statusCode() === 200, made.body())
+      // the declared stream carries the INFERRED v2 schema...
+      val desc = post(port, "/ksql", """{"ksql":"DESCRIBE MOVIES_TYPED;"}""")
+      assert(desc.body().contains("score"), desc.body())
+      // ...and v1-written records decode onto it (score nulls in) — prove
+      // it end-to-end with a push query over the declared stream
+      in.addData((7L, "heat"), (8L, "ronin"))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"sql":"SELECT id, title, score FROM MOVIES_TYPED EMIT CHANGES LIMIT 2"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body()))
+      val lines = (1 to 2).map(_ => reader.readLine())
+      assert(lines.exists(l => l != null && l.contains("heat")),
+        s"inferred-stream rows: $lines")
+      // a registry-less engine rejects the inference form cleanly
+      val bare = new Engine(spark)
+      bare.registerTopic("movies_bare", raw)
+      val err = intercept[IllegalArgumentException] {
+        bare.declareStreamInferred("NOPE", "movies_bare")
+      }
+      assert(err.getMessage.contains("registry"))
+    } finally {
+      srv.stop()
+      engine.terminateAll()
+    }
+  }
 }

@@ -84,6 +84,102 @@ class StreamingSpec extends GraftSuite {
     assert(math.abs(got(6L)._1.get.asInstanceOf[Double]) > 3.0)
   }
 
+  test("salted z-score stream: flags match unsalted, k-wide state per type") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-zsalt").toString
+    val (stateDir, scoredDir, ckpt) =
+      (s"$dir/state", s"$dir/scored", s"$dir/ckpt")
+    val batch1 = Seq((1L, "click", 10.0), (2L, "click", 10.2),
+      (3L, "click", 9.8), (4L, "click", 10.1), (5L, "click", 9.9),
+      (11L, "view", 1.0), (12L, "view", 1.2))
+    val batch2 = Seq((6L, "click", 50.0), (7L, "click", 10.0),
+      (13L, "view", 1.1))
+    // unsalted reference run
+    val inU = MemoryStream[(Long, String, Double)]
+    val qU = Streams.toMemoryTable(
+      graft.streaming.AnomalyStream.zScoreStream(
+        inU.toDS().toDF("event_id", "event_type", "value")).toDF(),
+      "zscore_unsalted_ref")
+    inU.addData(batch1: _*); qU.processAllAvailable()
+    inU.addData(batch2: _*); qU.processAllAvailable(); qU.stop()
+    // salted run over the same two batches
+    val inS = MemoryStream[(Long, String, Double)]
+    val qS = graft.streaming.AnomalyStream.zScoreStreamSalted(
+      inS.toDS().toDF("event_id", "event_type", "value"),
+      stateDir, scoredDir, ckpt, k = 4)
+    inS.addData(batch1: _*); qS.processAllAvailable()
+    inS.addData(batch2: _*); qS.processAllAvailable(); qS.stop()
+    val unsalted = spark.table("zscore_unsalted_ref").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    val salted = spark.read.parquet(scoredDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    assert(salted.keySet === unsalted.keySet)
+    // flag-for-flag agreement; z agrees to float-association tolerance
+    for ((id, (zU, flagU)) <- unsalted) {
+      assert(salted(id)._2 === flagU, s"flag mismatch on event $id")
+      (zU, salted(id)._1) match {
+        case (Some(a: java.lang.Double), Some(b: java.lang.Double)) =>
+          assert(math.abs(a - b) < 1e-9, s"z mismatch on event $id: $a vs $b")
+        case (a, b) => assert(a.isDefined === b.isDefined,
+          s"z presence mismatch on event $id")
+      }
+    }
+    // state is k-wide per type: multiple salts, total count = events seen,
+    // and the Chan-merged moments match the sequential Welford fold
+    val state = spark.read.parquet(stateDir)
+    val perType = state.groupBy("event_type")
+      .agg(count(lit(1)).as("salts"), sum("n").as("events"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(perType("click")._1 > 1 && perType("click")._1 <= 4,
+      s"expected 2..4 salt rows for click, got ${perType("click")._1}")
+    assert(perType("click")._2 === 7L && perType("view")._2 === 3L)
+  }
+
+  test("funnel stream evicts idle users after the inactivity horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    // With ProcessingTimeTimeout the engine constructs batches forever
+    // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+    // true), so `noNewData` is never set and processAllAvailable would
+    // block indefinitely — synchronize by POLLING the sink to a deadline,
+    // and give the query a real trigger so the idle batches don't hot-spin
+    // (the same trigger a production deployment would use).
+    val q = graft.streaming.FunnelStream.funnelStream(
+        in.toDS().toDF("user_id", "event_id", "event_type"),
+        Seq("signup", "click"),
+        inactivityTimeout = Some("100 milliseconds")).toDF()
+      .writeStream.format("memory").queryName("funnel_evict_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    def countsNow(): Map[(Long, Int), Int] =
+      spark.table("funnel_evict_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    def awaitSink(want: Map[(Long, Int), Int]): Map[(Long, Int), Int] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var got = countsNow()
+      while (got != want && System.nanoTime() < deadline) {
+        Thread.sleep(50); got = countsNow()
+      }
+      assert(got === want, s"sink never reached $want (last: $got)")
+      got
+    }
+    try {
+      // batch 1: user 1 signs up → stage-0 advance, timeout armed
+      in.addData((1L, 1L, "signup"))
+      awaitSink(Map((1L, 0) -> 1))
+      Thread.sleep(800) // idle batches fire user 1's timeout → state evicted
+      // One batch, three events: user 2 runs signup→click (normal
+      // in-horizon advances — single-batch so the 100 ms horizon can't
+      // lapse between their stages); user 1 signs up AGAIN → a SECOND
+      // stage-0 advance is the observable proof the state was evicted
+      // (with retained state a repeat signup advances nothing)
+      in.addData((2L, 2L, "signup"), (2L, 3L, "click"), (1L, 4L, "signup"))
+      awaitSink(Map((1L, 0) -> 2, (2L, 0) -> 1, (2L, 1) -> 1))
+    } finally q.stop()
+  }
+
   test("hopping windows stream in update mode and match the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
