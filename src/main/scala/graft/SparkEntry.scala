@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis, Versioning}
+import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Retrieval, Similarity, Skew, Temporal, TextAnalysis, Versioning}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -154,6 +154,11 @@ object SparkEntry {
     "q_retention" -> ((s, d) =>
       Relational.retentionCohorts(Tables.events(s, d))),
 
+    // engagement stickiness: avg-DAU / WAU per week off one distinct
+    // (week, day, user) exchange
+    "q_stickiness" -> ((s, d) =>
+      Relational.stickiness(Tables.events(s, d))),
+
     // activity cadence: per-user inter-arrival gap count/mean/max
     "q_inter_arrival" -> ((s, d) =>
       Relational.interArrivalStats(Tables.events(s, d))),
@@ -224,6 +229,14 @@ object SparkEntry {
     "q_top_brands" -> ((s, d) => Analytics.topBrandsByRevenue(s, d)),
     "q_order_priority" -> ((s, d) => Analytics.orderPriorityCount(s, d)),
     "q_yearly_spend" -> ((s, d) => Analytics.customerYearlySpend(s, d)),
+    // TPC-H Q14-style promotion effect: PROMO revenue share in one month
+    "q14_promo" -> ((s, d) => Analytics.promoRevenue(s, d)),
+    // TPC-H Q18-style large-volume orders (HAVING pre-agg before any join)
+    "q18_large_orders" -> ((s, d) => Analytics.largeOrders(s, d)),
+    // TPC-H Q6-style forecast: zero-join scan-side filter + 1-row agg
+    "q6_forecast" -> ((s, d) => Analytics.revenueChange(s, d)),
+    // Q12-flavored late-vs-on-time lines per order priority
+    "q12_ship_lag" -> ((s, d) => Analytics.shipLagByPriority(s, d)),
 
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -277,6 +290,14 @@ object SparkEntry {
     // top-5 TF-IDF keywords per document
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfKeywords(Tables.documents(s, d))),
+    // BM25 top-10 for a bag-of-words query (ES default-similarity analog);
+    // query terms push into the token explode, so cost ∝ posting lists
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d),
+        Seq("spark", "window", "merge"))),
+    // Zipf-law slope/intercept/r² over the top-1000 token head
+    "q_zipf_fit" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d))),
     // composite Gopher rule filter: every signal + the conjunctive keep
     // flag (which rule dropped a doc is auditable)
     "q_gopher_filter" -> ((s, d) =>
@@ -896,6 +917,72 @@ object SparkEntry {
       FROM orders GROUP BY 1, 2
     """,
 
+    "q14_promo" -> """
+      SELECT round(CAST(100.0 AS DOUBLE) *
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             6) AS promo_revenue_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+
+    "q18_large_orders" -> """
+      WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0)
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+             total_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
+    """,
+
+    "q6_forecast" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue_change
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+
+    "q12_ship_lag" -> """
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                           THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+             CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                           THEN 0 ELSE 1 END) AS BIGINT) AS ontime_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """,
+
+    "q_stickiness" -> """
+      WITH triples AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        FROM events),
+      dau AS (SELECT week, CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_dau
+              FROM (SELECT week, day, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM triples GROUP BY 1, 2)
+              GROUP BY 1),
+      wau AS (SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+              FROM triples GROUP BY 1)
+      SELECT dau.week, round(avg_dau, 6) AS avg_dau, wau,
+             round(avg_dau / wau, 6) AS stickiness
+      FROM dau JOIN wau USING (week)
+    """,
+
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -1499,6 +1586,57 @@ object SparkEntry {
         FROM (SELECT s.*, row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, keyword ASC) AS rk FROM s)
         WHERE rk <= 5
+      """,
+
+      // BM25 (Lucene idf variant, k1=1.2 b=0.75): tf restricted to the
+      // query terms, BIGINT dl sums divided as double, score rounded to
+      // 6dp BEFORE ranking in both engines so the top-k boundary agrees
+      "q_bm25" -> s"""
+        WITH t AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(lower(text), '\\s+'))
+                            AS term
+                   FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM t GROUP BY 1),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM t WHERE term IN ('spark', 'window', 'merge')
+               GROUP BY 1, 2),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                      CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) /
+                        CAST((SELECT COUNT(*) FROM dl) AS DOUBLE) AS avgdl)
+        SELECT doc_id,
+               round(SUM(ln(CAST(1.0 AS DOUBLE)
+                            + (n - df + CAST(0.5 AS DOUBLE))
+                              / (df + CAST(0.5 AS DOUBLE)))
+                         * (tf * CAST(2.2 AS DOUBLE))
+                           / (tf + CAST(1.2 AS DOUBLE)
+                                   * (CAST(0.25 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE) * dl / avgdl))),
+                     6) AS score
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+      """,
+
+      // Zipf fit on the top-1000 token head: same (freq desc, tok asc)
+      // rank, ln/ln OLS slope + intercept + Pearson r²
+      "q_zipf_fit" -> s"""
+        WITH freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+                      FROM (SELECT unnest(toks) AS tok FROM ($toks))
+                      GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT 1000),
+        ranked AS (SELECT freq,
+                          row_number() OVER (ORDER BY freq DESC, tok ASC)
+                            AS rank
+                   FROM freq)
+        SELECT round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rank AS DOUBLE))), 6) AS slope,
+               round(regr_intercept(ln(CAST(freq AS DOUBLE)),
+                                    ln(CAST(rank AS DOUBLE))), 6) AS intercept,
+               round(pow(corr(ln(CAST(freq AS DOUBLE)),
+                              ln(CAST(rank AS DOUBLE))), 2), 6) AS r2,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ranked
       """,
 
       "q_simhash" -> simhashSql,

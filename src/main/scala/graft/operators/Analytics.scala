@@ -135,4 +135,80 @@ object Analytics {
       .groupBy(col("o_custkey"), year(col("o_orderdate")).as("order_year"))
       .agg(Relational.sumExact(col("o_totalprice")).as("spend"),
         count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q14-style promotion effect: the revenue share of PROMO-type
+    * parts in one ship-month, as a single percentage. The date filter
+    * pushes into the lineitem scan; part (sf-scaling) joins with NO hint —
+    * AQE picks BHJ while it fits; both conditional sums are decimal-exact
+    * partial aggregates feeding ONE 1-row reduction. */
+  def promoRevenue(s: SparkSession, d: String,
+                   from: String = "1996-03-01",
+                   until: String = "1996-04-01"): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+    li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold, with their customer. Plan shape: the HAVING
+    * pre-aggregates lineitem on its natural key BEFORE any join — the
+    * survivor set (large orders) is tiny, so the orders/customer joins run
+    * over a filtered fact, and AQE sizes them at runtime. Top-k is
+    * TakeOrderedAndProject. */
+  def largeOrders(s: SparkSession, d: String, minQty: Double = 300.0,
+                  k: Int = 20): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+        .as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q6-style forecasting revenue change: the revenue a given
+    * discount band would have added in one ship-year. ZERO joins and ZERO
+    * group keys — all three filters push into the parquet scan
+    * (`PushedFilters`), the decimal product partially aggregates map-side,
+    * and one row crosses the wire: the cheapest possible 100 TB shape. */
+  def revenueChange(s: SparkSession, d: String, yearFrom: String = "1996-01-01",
+                    yearUntil: String = "1997-01-01", discLo: Double = 0.05,
+                    discHi: Double = 0.07, maxQty: Double = 24.0): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(yearFrom) &&
+        col("l_shipdate") < lit(yearUntil) &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+        col("l_discount").cast("decimal(18,4)")).cast("double")
+        .as("revenue_change"))
+
+  /** TPC-H Q12-flavored shipping-lag report (the fixtures carry no
+    * l_shipmode/commitdate, so the two-class split is late-vs-on-time by
+    * ship lag): per order priority, how many lineitems shipped more than
+    * `lateDays` after the order date. One orders⋈lineitem shuffle join on
+    * the natural key (both sides projected to 2-3 columns at the scan),
+    * conditional counts partially aggregated map-side, priority-sized
+    * result. */
+  def shipLagByPriority(s: SparkSession, d: String,
+                        lateDays: Int = 90): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
+          1L).otherwise(0L)).as("late_lines"),
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
+          0L).otherwise(1L)).as("ontime_lines"))
 }

@@ -404,4 +404,31 @@ object Relational {
   // --------------------------------------------------------------------- //
   def sortedRecent(events: DataFrame, n: Int): DataFrame =
     events.orderBy(col("ts").desc, col("event_id").desc).limit(n)
+
+  // --------------------------------------------------------------------- //
+  // Engagement stickiness — avg-DAU / WAU per week, the DAU/MAU-family
+  // ratio on every product dashboard. One exchange of DISTINCT
+  // (week, day, user) triples does the heavy lifting; both rollups (daily
+  // actives, weekly distinct actives) run over that already-deduped table,
+  // whose cardinality is active-user-days — bounded by real engagement,
+  // not event volume. The avg divides decimal-exact BIGINT sums as double
+  // (repo convention), so the ratio is partitioning-independent.
+  // --------------------------------------------------------------------- //
+  def stickiness(events: DataFrame): DataFrame = {
+    val triples = events.select(
+        date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = triples.groupBy(col("week"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("week"))
+      .agg((sum(col("dau")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_dau"))
+    val wau = triples.select(col("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "week")
+      .select(col("week"), round(col("avg_dau"), 6).as("avg_dau"), col("wau"),
+        round(col("avg_dau") / col("wau"), 6).as("stickiness"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus — the search-engine
+  * capability a training-data platform needs next to its dedup/quality
+  * stack (query-relevant subcorpus extraction, hard-negative mining for
+  * embedding training, eval-set retrieval baselines).
+  *
+  * BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework") is the lexical-ranking baseline every production retrieval
+  * system starts from; the reference's pipeline feeds Elasticsearch, whose
+  * default similarity IS BM25 (practical scoring per its docs) — this is
+  * the engine-side re-derivation of that ranking over the same corpus,
+  * re-expressed as Spark relational algebra instead of a Lucene index.
+  *
+  * 100 TB shape: the query-term set is a literal pushed INTO the token
+  * explode as a lambda filter, so the exploded stream — and everything
+  * shuffled afterwards — is bounded by docs-containing-query-terms, never
+  * the corpus token count. Corpus stats (N, avgdl) reduce to ONE row and
+  * broadcast; per-term document frequencies are one tiny aggregate off the
+  * already-filtered tf table (|terms| rows, broadcast back). Top-k is
+  * TakeOrderedAndProject — no global sort. Nothing in the plan scales with
+  * anything but the posting-list sizes of the query terms, which is exactly
+  * the cost model of an inverted-index engine. */
+object Retrieval {
+
+  /** Top-k documents by BM25 score for a bag-of-words query.
+    *
+    * Scoring: `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))` (the Lucene
+    * variant — positive for every df), and per (doc, term)
+    * `idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, summed per doc
+    * and rounded to 6dp BEFORE ranking so the ordering is reproducible
+    * across partitionings and engines (repo convention — float sums are
+    * association-order-dependent; ties break to the smaller doc_id). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK: query terms must be non-empty")
+    val termsLit = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    // one pass: doc length for every doc, tf restricted to query terms
+    val toks = docs.select(col("doc_id"),
+      expr(TextAnalysis.tokensExpr).as("toks"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(expr(s"filter(toks, t -> t IN ($termsLit))")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df per query term (≤ |terms| rows) and 1-row corpus stats — both
+    // broadcast; dl sums as BIGINT (exact), divides as double
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n"),
+      (sum(size(col("toks"))).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df_), "term")
+      .join(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * norm), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -635,4 +635,36 @@ object TextAnalysis {
       .filter(expr(s"pmod(${Hashing.hash64("text")}, 1000)") < col("keep_permille"))
       .select(col("doc_id"), col("lang_guess"), col("keep_permille"))
   }
+
+  /** Zipf-law fit over the corpus token distribution — the corpus-health
+    * diagnostic (natural text follows freq ∝ rank^s with s ≈ −1; a slope
+    * far from −1 signals boilerplate floods, template spam, or truncated
+    * vocabulary — the same signal dataset cards report). Returns the OLS
+    * slope/intercept of ln(freq) on ln(rank) plus Pearson r², fit over the
+    * top-`vocabCap` tokens.
+    *
+    * Scale shape: the token histogram is one exploded groupBy (map-side
+    * partial counts); the head is TakeOrderedAndProject — `vocabCap` rows
+    * total, NOT a global sort of the Heaps-law vocabulary — so the rank
+    * window and regression aggregates run on a driver-bounded table. The
+    * fit-on-the-head restriction is also the statistically honest form:
+    * Zipf regressions are standardly fit on the high-frequency head, where
+    * the power law holds. */
+  def zipfFit(docs: DataFrame, vocabCap: Int = 1000): DataFrame = {
+    val head = docs
+      .select(explode(expr(tokensExpr)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(vocabCap)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok").asc)
+    val (x, y) = (log(col("rank").cast("double")), log(col("freq").cast("double")))
+    head
+      .withColumn("rank", row_number().over(w))
+      .agg(
+        round(regr_slope(y, x), 6).as("slope"),
+        round(regr_intercept(y, x), 6).as("intercept"),
+        round(pow(corr(y, x), 2.0), 6).as("r2"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

@@ -228,6 +228,55 @@ class PlanSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q6 pushes every filter into the lineitem scan; one row crosses the wire") {
+    val p = plan("q6_forecast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"all three Q6 filters must reach the parquet scan:\n$p")
+    assert(p.contains("partial_sum"), "revenue must partially aggregate map-side")
+    assert(!p.contains("JoinExec"), "Q6 is a zero-join scan shape")
+  }
+
+  test("q18 pre-aggregates lineitem on its key BEFORE any join") {
+    // the HAVING survivor set must come out of a grouped aggregate keyed
+    // on l_orderkey with a partial_sum below it — joining first would
+    // shuffle the whole fact table against orders before the filter can
+    // shrink it. (String-match the plan: AQE wraps the tree, so typed
+    // collect() does not traverse it.)
+    val p = plan("q18_large_orders")
+    assert(p.contains("partial_sum"),
+      "lineitem quantity must partially aggregate map-side")
+    assert("HashAggregate(?:Exec)?\\(keys=\\[l_orderkey".r
+      .findFirstIn(p).isDefined,
+      s"expected a grouped aggregate keyed on l_orderkey:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("bm25 explodes only query-term postings and never sorts globally") {
+    val p = plan("q_bm25")
+    // the lambda filter must sit inside the Generate input, so the
+    // exploded row count is the query terms' posting lists, not the corpus
+    // token count
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    val qe = SparkEntry.queries("q_bm25")(spark, sf).queryExecution
+    val shuffled = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(shuffled.forall(_.forall(c => c != "text" && c != "toks")),
+      s"document text/token arrays crossed a shuffle: $shuffled")
+  }
+
+  test("stickiness rollups run off one distinct-triple exchange") {
+    val qe = SparkEntry.queries("q_stickiness")(spark, sf).queryExecution
+    val shuffled = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    // the only shuffles carrying user_id are the (week, day, user)
+    // distinct and its weekly-distinct rollup — post-dedup cardinality,
+    // never raw event volume twice
+    assert(shuffled.count(_.contains("user_id")) <= 3,
+      s"too many user-bearing exchanges: $shuffled")
+    assert(qe.executedPlan.toString.contains("partial_count") ||
+      qe.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
     val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
