@@ -236,6 +236,72 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         col("band.band_id"), col("band.band_byte"))
 
+  /** 64-bit simhash — the WIDE-BAND scale path the round-5 scaling smoke
+    * motivated: the 32-bit form's 4×8-bit pigeonhole bands give only 256
+    * buckets per band, so RANDOM band collisions (and with them candidate
+    * join fanout) grow ~N²/256 at fixed width — measurably the steepest
+    * curve in the 10× smoke (README "Scaling smoke"). Doubling the
+    * signature to 64 bits (two independent md5-derived 32-bit halves —
+    * same one-md5-per-token CSE as MinHash's (h1, h2) trick) makes the
+    * bands 16-bit: 65,536 buckets per band, pushing the quadratic knee
+    * out 256×. Same explode-first codegen'd bit-sum shape as [[simhash]].
+    *
+    * Kept separate from the 32-bit operator (not a default-flip): the
+    * oracle SQL and NearDupStream's band_byte partition pruning mirror
+    * the 32-bit signature bit-for-bit. */
+  def simhashWide(docs: DataFrame): DataFrame = {
+    val tokens = spreadByKey(
+        docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks")),
+        "doc_id")
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"),
+        expr(Hashing.hash64("t")).as("h1"),
+        expr(Hashing.hash64Hi("t")).as("h2"))
+    val bitSums = (0 until 64).map { j =>
+      val (src, b) = if (j < 32) ("h1", j) else ("h2", j - 32)
+      sum(when(expr(s"(shiftright($src, $b) & 1) = 1"), 1).otherwise(-1))
+        .as(s"b_$j")
+    }
+    tokens.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Pigeonhole bands of configurable width over a signature table —
+    * 4 bands of `bandBits` each; two signatures within Hamming distance 3
+    * agree on at least one band (4 bands, ≤3 flipped bits). */
+  private[graft] def simhashBandsN(sig: DataFrame, bandBits: Int): DataFrame =
+    sig.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          s"transform(sequence(0, 3), b -> struct(b AS band_id, " +
+            s"CAST(shiftright(simhash, b * $bandBits) & ${(1 << bandBits) - 1} " +
+            "AS INT) AS band_byte))"))
+          .as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id"), col("band.band_byte"))
+
+  /** Near-dup pairs over the 64-bit signature with 16-bit bands — the
+    * drop-in replacement for [[simhashNearDups]] once corpus size makes
+    * the byte-band collision rate (~N²/256 candidate pairs) the
+    * bottleneck; same candidates-then-verify shape and shuffle payload
+    * (a few dozen bytes per doc, never text). */
+  def simhashWideNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = simhashBandsN(simhashWide(docs), 16).localCheckpoint(false)
+    val a = bands.alias("a")
+    val b = bands.hint("shuffle_hash").alias("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_byte") === col("b.band_byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = simhashBands(simhash(docs))
       // lazy localCheckpoint — see minhashCandidatePairs: without it the

@@ -35,6 +35,32 @@ class DedupSpec extends GraftSuite {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
   }
 
+  test("wide simhash near-dups match exact all-pairs hamming on the fixture") {
+    import spark.implicits._
+    // the 64-bit / 16-bit-band scale variant must be EXACT for hamming ≤ 3
+    // (4 bands over 64 bits pigeonhole ≤3 flipped bits): compare against a
+    // naive cross-join over the real sf0.001 documents table
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = Dedup.simhashWideNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = Dedup.simhashWide(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ida, sa) <- sig; (idb, sb) <- sig if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    assert(got === want, "wide-band candidates must equal exact hamming ≤ 3")
+    // the wide signature actually uses the high 32 bits (the whole point:
+    // 65,536-value bands, not 256)
+    assert(sig.exists { case (_, s) => (s >>> 32) != 0L },
+      "no signature used its high 32 bits — wide simhash is not wide")
+    val bandVals = Dedup.simhashBandsN(
+      Dedup.simhashWide(docs), 16).select("band_byte")
+      .collect().map(_.getInt(0))
+    assert(bandVals.exists(_ > 255), "16-bit bands should exceed byte range")
+    assert(bandVals.forall(v => v >= 0 && v <= 65535))
+  }
+
   test("canonicalFromPairs reaches the fixpoint on a chain A~B~C~D") {
     import spark.implicits._
     val chainDocs = Seq(10L, 20L, 30L, 40L, 99L).toDF("doc_id")
