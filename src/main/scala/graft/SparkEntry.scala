@@ -159,6 +159,10 @@ object SparkEntry {
     "q_stickiness" -> ((s, d) =>
       Relational.stickiness(Tables.events(s, d))),
 
+    // weekly growth accounting: new/retained/resurrected/churned ledger
+    "q_growth_accounting" -> ((s, d) =>
+      Relational.growthAccounting(Tables.events(s, d))),
+
     // activity cadence: per-user inter-arrival gap count/mean/max
     "q_inter_arrival" -> ((s, d) =>
       Relational.interArrivalStats(Tables.events(s, d))),
@@ -237,6 +241,13 @@ object SparkEntry {
     "q6_forecast" -> ((s, d) => Analytics.revenueChange(s, d)),
     // Q12-flavored late-vs-on-time lines per order priority
     "q12_ship_lag" -> ((s, d) => Analytics.shipLagByPriority(s, d)),
+    // TPC-H Q13-style customer order-count distribution (LEFT join keeps
+    // the zero-order customers)
+    "q13_custdist" -> ((s, d) => Analytics.customerOrderDistribution(s, d)),
+    // TPC-H Q15-style top supplier(s) by quarterly revenue, ties included
+    "q15_top_supplier" -> ((s, d) => Analytics.topSupplier(s, d)),
+    // TPC-H Q22-style lapsed high-balance customers by nation
+    "q22_lapsed" -> ((s, d) => Analytics.lapsedHighBalance(s, d)),
 
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -298,6 +309,11 @@ object SparkEntry {
     // Zipf-law slope/intercept/r² over the top-1000 token head
     "q_zipf_fit" -> ((s, d) =>
       TextAnalysis.zipfFit(Tables.documents(s, d))),
+    // bigram-LM quality score: mean ln P(w_i | w_{i-1}) under the
+    // corpus's own bigram distribution (model joined on the gram key,
+    // NOT broadcast — bigram vocab outgrows the unigram table)
+    "q_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d))),
     // composite Gopher rule filter: every signal + the conjunctive keep
     // flag (which rule dropped a doc is auditable)
     "q_gopher_filter" -> ((s, d) =>
@@ -967,6 +983,81 @@ object SparkEntry {
       GROUP BY 1
     """,
 
+    "q13_custdist" -> """
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1)
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+
+    "q15_top_supplier" -> """
+      WITH r AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM r JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_revenue = (SELECT MAX(total_revenue) FROM r)
+      ORDER BY s_suppkey
+    """,
+
+    "q22_lapsed" -> """
+      WITH a AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS totacctbal
+      FROM customer, a
+      WHERE c_acctbal > avg_bal
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      GROUP BY 1
+    """,
+
+    "q_growth_accounting" -> """
+      WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        FROM events),
+      fw AS (SELECT user_id, MIN(week) AS first_week FROM weekly GROUP BY 1),
+      prev AS (SELECT user_id, week + INTERVAL 7 DAY AS week, 1 AS was_active
+               FROM weekly),
+      cls AS (SELECT w.week,
+                CASE WHEN w.week = f.first_week THEN 'new'
+                     WHEN p.was_active IS NOT NULL THEN 'retained'
+                     ELSE 'resurrected' END AS status
+              FROM weekly w
+              JOIN fw f USING (user_id)
+              LEFT JOIN prev p ON p.user_id = w.user_id AND p.week = w.week),
+      agg AS (SELECT week,
+                CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS new_users,
+                CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS retained_users,
+                CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS resurrected_users
+              FROM cls GROUP BY 1),
+      churn AS (SELECT p.week, CAST(COUNT(*) AS BIGINT) AS churned_users
+                FROM prev p
+                WHERE NOT EXISTS (SELECT 1 FROM weekly w
+                                  WHERE w.user_id = p.user_id
+                                    AND w.week = p.week)
+                  AND p.week IN (SELECT week FROM weekly)
+                GROUP BY 1)
+      SELECT agg.week, new_users, retained_users, resurrected_users,
+             CAST(COALESCE(churned_users, 0) AS BIGINT) AS churned_users
+      FROM agg LEFT JOIN churn USING (week)
+    """,
+
     "q_stickiness" -> """
       WITH triples AS (
         SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
@@ -1212,6 +1303,28 @@ object SparkEntry {
                round(CAST(sum(lp.lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
         FROM t JOIN lp USING (tok)
         GROUP BY t.doc_id
+      """,
+
+      // bigram LM: prefix normalizer is a rollup of the bigram table;
+      // parallel unnest zips the (w1, w2) columns (1-based DuckDB slices)
+      "q_bigram_logprob" -> s"""
+        WITH t AS ($toks),
+        g AS (SELECT doc_id,
+                     unnest(list_transform(range(0, len(toks) - 1),
+                            i -> toks[i+1])) AS w1,
+                     unnest(list_transform(range(0, len(toks) - 1),
+                            i -> toks[i+2])) AS w2
+              FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT w1, w2, COUNT(*) AS c2 FROM g GROUP BY 1, 2),
+        pf AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        m AS (SELECT w1, w2,
+                     CAST(round(ln(c2 / CAST(c1 AS DOUBLE)), 9)
+                       AS DECIMAL(20,9)) AS lp
+              FROM bg JOIN pf USING (w1))
+        SELECT g.doc_id, COUNT(*) AS n_bigrams,
+               round(CAST(sum(m.lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+        FROM g JOIN m USING (w1, w2)
+        GROUP BY 1
       """,
 
       // length histogram: integer bucket arithmetic (// ≡ Spark div);

@@ -192,6 +192,69 @@ object Analytics {
         col("l_discount").cast("decimal(18,4)")).cast("double")
         .as("revenue_change"))
 
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly N orders (N = 0 included — the LEFT join is
+    * the point of Q13). Two shuffles, both shrinking: the c_custkey
+    * left-join+count (map-side partial counts on the orders side), then a
+    * rollup whose key space is the distinct order-count range (~tens of
+    * rows). Customer is the probe side — never broadcast (it scales). */
+  def customerOrderDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15-style top supplier(s): the supplier(s) whose quarterly
+    * revenue equals the maximum — ties INCLUDED, as in the spec (no
+    * LIMIT-1 shortcut). The revenue table aggregates lineitem once on
+    * s_suppkey; the max is ONE row broadcast back (a scalar-subquery
+    * analog), and supplier joins on the tiny winner set. */
+  def topSupplier(s: SparkSession, d: String,
+                  from: String = "1996-01-01",
+                  until: String = "1996-04-01"): DataFrame = {
+    val supRev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).cast("double").as("total_revenue"))
+    val top = supRev.agg(max(col("total_revenue")).as("mx"))
+    supRev.join(broadcast(top), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q22-style lapsed high-balance customers: customers whose
+    * balance exceeds the positive-balance average and who placed NO order
+    * on/after `lapsedSince`, rolled up by nation (the fixtures carry no
+    * phone country code, and every fixture customer has ordered at least
+    * once, so "never ordered" would be vacuous — "gone quiet since a
+    * cutoff" is the same plan shape and the more realistic churn
+    * question). The average is ONE broadcast row; the lapse test is a
+    * LEFT ANTI join against the date-filtered orders key projection (the
+    * date filter pushes into the orders scan) — no row duplication, no
+    * distinct pass; decimal-exact balance sums. */
+  def lapsedHighBalance(s: SparkSession, d: String,
+                        lapsedSince: String = "1999-01-01"): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(lapsedSince))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+          .as("totacctbal"))
+  }
+
   /** TPC-H Q12-flavored shipping-lag report (the fixtures carry no
     * l_shipmode/commitdate, so the two-class split is late-vs-on-time by
     * ship lag): per order priority, how many lineitems shipped more than

@@ -431,4 +431,54 @@ object Relational {
       .select(col("week"), round(col("avg_dau"), 6).as("avg_dau"), col("wau"),
         round(col("avg_dau") / col("wau"), 6).as("stickiness"))
   }
+
+  // --------------------------------------------------------------------- //
+  // Weekly growth accounting — every weekly active user classified as
+  // new (first-ever week), retained (also active the previous week) or
+  // resurrected (active before, but not last week); churned counts last
+  // week's actives who went silent this week. The canonical startup
+  // growth ledger: new + retained + resurrected = WAU, and churn is the
+  // other side of retention.
+  //
+  // Scale shape: ONE distinct (user_id, week) exchange is the base table;
+  // first-seen is a min-rollup of it; previous-week activity is a
+  // SELF-join of the weekly table shifted by 7 days — all joins carry
+  // (8-byte user, timestamp) pairs, cardinality = active-user-weeks.
+  // Weeks after the observed range never appear (churn of the final week
+  // is unobservable by construction in both engines).
+  // --------------------------------------------------------------------- //
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val firstSeen = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("first_week"))
+    val prev = weekly.select(col("user_id"),
+      (col("week") + expr("INTERVAL 7 DAYS")).as("week"),
+      lit(1).as("was_active"))
+    val classified = weekly
+      .join(firstSeen, "user_id")
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        when(col("week") === col("first_week"), "new")
+          .when(col("was_active").isNotNull, "retained")
+          .otherwise("resurrected").as("status"))
+      .groupBy(col("week"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("retained_users"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("resurrected_users"))
+    // churned in week w: active in w-7d, absent in w — only for weeks that
+    // exist in the observed range (the final week's churn is unobservable)
+    val churned = prev.join(weekly, Seq("user_id", "week"), "left_anti")
+      .join(weekly.select(col("week")).distinct(), Seq("week"), "left_semi")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("churned_users"))
+    classified.join(churned, Seq("week"), "left")
+      .select(col("week"), col("new_users"), col("retained_users"),
+        col("resurrected_users"),
+        coalesce(col("churned_users"), lit(0L)).as("churned_users"))
+  }
 }

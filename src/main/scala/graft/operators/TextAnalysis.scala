@@ -636,6 +636,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang_guess"), col("keep_permille"))
   }
 
+  /** Bigram-LM document scoring — the conditional upgrade of
+    * [[unigramLogProb]] (CCNet-style model-based quality, one order up):
+    * per document, the mean ln P(wᵢ | wᵢ₋₁) under the corpus's own bigram
+    * distribution, P(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w). Repetitive template
+    * text scores HIGH (its transitions dominate the model), incoherent
+    * token soup scores LOW — the discriminator unigram models miss, since
+    * shuffling a document leaves its unigram score unchanged.
+    *
+    * Scale shape: the bigram model is two grouped counts (the prefix
+    * normalizer is a rollup OF the bigram table — no second corpus pass);
+    * unlike the unigram vocab, the bigram vocabulary is NOT broadcast —
+    * it grows super-Heaps with corpus size — so docs join the model on
+    * the (w₁, w₂) shuffle key instead (per-doc gram rows vs model rows,
+    * both map-side-combined). Log-probs ride as DECIMAL(20,9) so doc sums
+    * are association-order-exact at any parallelism. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val bg = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val pref = bg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = bg.join(pref, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c2") / col("c1")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 9)).as("lp"))
+    grams.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+          .as("mean_logprob"))
+  }
+
   /** Zipf-law fit over the corpus token distribution — the corpus-health
     * diagnostic (natural text follows freq ∝ rank^s with s ≈ −1; a slope
     * far from −1 signals boilerplate floods, template spam, or truncated

@@ -95,6 +95,39 @@ class RelationalSpec extends GraftSuite {
     assert(f2.toSeq === Seq(2L, 1L))
   }
 
+  test("growth accounting: ledger identities hold on a hand-built history") {
+    import spark.implicits._
+    def e(id: Long, day: String, uid: Long) =
+      (id, java.sql.Timestamp.valueOf(s"2024-01-$day 12:00:00"), uid)
+    // weeks (Mondays): w1=2024-01-01, w2=01-08, w3=01-15
+    // u1: active w1, w2, w3  → new@w1, retained@w2, retained@w3
+    // u2: active w1, w3      → new@w1, resurrected@w3, churned@w2
+    // u3: active w2          → new@w2, churned@w3
+    val ev = Seq(
+      e(1, "02", 1), e(2, "09", 1), e(3, "16", 1),
+      e(4, "03", 2), e(5, "17", 2),
+      e(6, "10", 3)
+    ).toDF("event_id", "ts", "user_id")
+    val got = Relational.growthAccounting(ev).collect()
+      .map(r => r.getTimestamp(0).toString.take(10) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("2024-01-01") === ((2L, 0L, 0L, 0L)))
+    assert(got("2024-01-08") === ((1L, 1L, 0L, 1L)))
+    assert(got("2024-01-15") === ((0L, 1L, 1L, 1L)))
+    // identity on the real corpus: new + retained + resurrected = WAU
+    val real = Tables.events(spark, sf)
+    val ledger = Relational.growthAccounting(real)
+      .select(col("week"),
+        (col("new_users") + col("retained_users") + col("resurrected_users"))
+          .as("sum"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val wau = real
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct().groupBy("week").count()
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(ledger === wau, "new+retained+resurrected must equal WAU")
+  }
+
   test("retention cohorts: offset 0 counts every cohort member exactly once") {
     val ev = Tables.events(spark, sf)
     val ret = Relational.retentionCohorts(ev).collect()

@@ -125,6 +125,34 @@ class VersioningSpec extends GraftSuite {
     assert(sumTokens === expected)
   }
 
+  test("bigram logprob separates coherent from scrambled text; unigram cannot") {
+    import spark.implicits._
+    // doc 1 and doc 2 are TOKEN-MULTISET-identical — doc 2 is doc 1 with
+    // its word order scrambled. A unigram model scores them EXACTLY equal;
+    // the bigram model must rank the coherent one higher because its
+    // transitions recur across the corpus (docs 3-6 repeat the phrase).
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox brown jumps the"
+    val fixture = (Seq((1L, phrase), (2L, scrambled))
+      ++ (3L to 6L).map(i => (i, phrase))).toDF("doc_id", "text")
+    val bi = TextAnalysis.bigramLogProb(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = TextAnalysis.unigramLogProb(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) === uni(2L),
+      "unigram must be blind to word order (same token multiset)")
+    assert(bi(1L) > bi(2L),
+      s"bigram must prefer coherent transitions: ${bi(1L)} !> ${bi(2L)}")
+    // bigram accounting: every doc with ≥2 tokens contributes len−1 grams
+    val nB = TextAnalysis.bigramLogProb(docs).agg(sum("n_bigrams"))
+      .collect()(0).getLong(0)
+    val expected = docs
+      .select(size(expr(TextAnalysis.tokensExpr)).as("n"))
+      .filter(col("n") >= 2).agg(sum(col("n") - 1))
+      .collect()(0).getLong(0)
+    assert(nB === expected)
+  }
+
   test("length histogram accounts for every document exactly once") {
     val hist = TextAnalysis.lengthHistogram(docs).collect()
     assert(hist.map(_.getLong(1)).sum === docs.count())
