@@ -314,6 +314,18 @@ object SparkEntry {
     // NOT broadcast — bigram vocab outgrows the unigram table)
     "q_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, d))),
+    // per-label embedding drift between two snapshot halves (parity
+    // split): centroid L2 move + size delta, decimal-exact means
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Versioning.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
+    }),
+    // MMR diversification rerank over the top-50 candidates (greedy is
+    // inherently sequential → driver stage bounded at 50 rows; rows-only)
+    "q_mmr_rerank" -> ((s, d) =>
+      Similarity.mmrRerank(Tables.embeddings(s, d))),
     // composite Gopher rule filter: every signal + the conjunctive keep
     // flag (which rule dropped a doc is auditable)
     "q_gopher_filter" -> ((s, d) =>
@@ -1325,6 +1337,37 @@ object SparkEntry {
                round(CAST(sum(m.lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
         FROM g JOIN m USING (w1, w2)
         GROUP BY 1
+      """,
+
+      // embedding drift: zipped parallel unnest gives (dim, x) pairs;
+      // decimal-exact per-dim means, 6dp-rounded before the squared diff
+      "q_embedding_drift" -> s"""
+        WITH o AS (SELECT label, unnest(range(0, 64)) AS dim,
+                          unnest(embedding) AS x
+                   FROM embeddings WHERE vec_id % 2 = 0),
+        nn AS (SELECT label, unnest(range(0, 64)) AS dim,
+                      unnest(embedding) AS x
+               FROM embeddings WHERE vec_id % 2 = 1),
+        oc AS (SELECT label, dim,
+                      round(CAST(SUM(CAST(round(CAST(x AS DOUBLE), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+                        AS old_mean,
+                      CAST(COUNT(*) AS BIGINT) AS old_n
+               FROM o GROUP BY 1, 2),
+        nc AS (SELECT label, dim,
+                      round(CAST(SUM(CAST(round(CAST(x AS DOUBLE), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+                        AS new_mean,
+                      CAST(COUNT(*) AS BIGINT) AS new_n
+               FROM nn GROUP BY 1, 2),
+        j AS (SELECT label,
+                     CAST(round((old_mean - new_mean) * (old_mean - new_mean),
+                                9) AS DECIMAL(28,9)) AS sq,
+                     old_n, new_n
+              FROM oc JOIN nc USING (label, dim))
+        SELECT label, round(sqrt(CAST(SUM(sq) AS DOUBLE)), 6) AS centroid_l2,
+               CAST(MAX(new_n) - MAX(old_n) AS BIGINT) AS size_delta
+        FROM j GROUP BY 1 ORDER BY 1
       """,
 
       // length histogram: integer bucket arithmetic (// ≡ Spark div);

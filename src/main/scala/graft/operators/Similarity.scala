@@ -492,4 +492,65 @@ object Similarity {
         round(min(col("cos")), 6).as("min_cos"),
         round(max(col("cos")), 6).as("max_cos"))
   }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversification rerank — the standard post-ANN step when near-dup
+    * results waste the result page (or the context window, in RAG): pick
+    * `k` of the top-`candidates` greedily, each step maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`; λ=1 degenerates to
+    * plain top-k, λ→0 maximizes diversity.
+    *
+    * Scale shape — two stages with an explicitly bounded middle: the
+    * DISTRIBUTED stage scores the full corpus against the query and keeps
+    * the top-`candidates` via TakeOrderedAndProject (identical to
+    * [[knnBruteForce]]'s plan; swap in [[annIvf]] candidates at corpus
+    * scale); the greedy stage then runs on the DRIVER over the collected
+    * candidate set — a deliberate, documented O(candidates²·k) on ≤
+    * `candidates` rows (default 50 → 2.5k sims·step), the textbook MMR
+    * formulation. Greedy MMR is inherently sequential (step i depends on
+    * the i−1 selections), so distributing it buys nothing at any scale —
+    * bounding its INPUT is the design. Ties break to the smaller vec_id;
+    * all sims are the same codegen'd [[cosine]] evaluated driver-side via
+    * plain dot products for bit-identical determinism. */
+  def mmrRerank(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+                candidates: Int = 50, lambda: Double = 0.7): DataFrame = {
+    require(k <= candidates, "mmrRerank: k must be <= candidates")
+    val spark = emb.sparkSession
+    val qv = broadcast(emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv")))
+    val top = emb.filter(col("vec_id") =!= queryId)
+      .join(qv)
+      .select(col("vec_id"), col("embedding"),
+        cosine(col("qv"), col("embedding")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    while (selected.size < math.min(k, top.length)) {
+      val best = top.iterator.filterNot(t => chosen(t._1)).map {
+        case (id, v, rel) =>
+          val maxSim = selected.iterator
+            .map { case (sid, _) => cos(v, top.find(_._1 == sid).get._2) }
+            .foldLeft(Double.NegativeInfinity)(math.max)
+          val penalty = if (selected.isEmpty) 0.0 else maxSim
+          (id, lambda * rel - (1 - lambda) * penalty)
+      }.minBy { case (id, score) => (-score, id) }
+      chosen += best._1
+      selected += best
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, score), i) => (i + 1, id, math.rint(score * 1e6) / 1e6) }
+      .toDF("rank", "selected_id", "mmr_score")
+  }
 }

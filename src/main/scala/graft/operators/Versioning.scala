@@ -51,4 +51,42 @@ object Versioning {
     corpusDiff(oldDocs, newDocs)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Embedding drift between two snapshots of a labeled vector corpus —
+    * the monitoring twin of [[corpusDiff]] for the EMBEDDING side of a
+    * training mixture ("did re-embedding / re-crawling move the class
+    * geometry?"): per label, both snapshot centroids and the L2 distance
+    * between them, plus the size delta.
+    *
+    * Scale shape: each side collapses to (label, dim, mean) via ONE
+    * zipped posexplode + grouped aggregate — labels × dim rows (a few
+    * thousand), however many billions of vectors went in; the centroid
+    * join is on that tiny table. Per-dim means ride DECIMAL(28,9) sums
+    * (float avg is association-order-dependent across partitionings —
+    * repo convention), are rounded to 6dp, and the squared diffs
+    * re-enter DECIMAL before the final per-label sum, so the reported
+    * drift is bit-identical at any parallelism and engine. */
+  def embeddingDrift(oldEmb: DataFrame, newEmb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def centroids(df: DataFrame, pre: String): DataFrame =
+      df.select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"),
+          col("col").cast("double").as("x"))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(sum(round(col("x"), 9).cast(DecimalType(28, 9)))
+          .cast("double") / count(lit(1)), 6).as(s"${pre}_mean"),
+          count(lit(1)).as(s"${pre}_n"))
+    val o = centroids(oldEmb, "old")
+    val n = centroids(newEmb, "new")
+    o.join(n, Seq("label", "dim"))
+      .select(col("label"),
+        round((col("old_mean") - col("new_mean"))
+          * (col("old_mean") - col("new_mean")), 9)
+          .cast(DecimalType(28, 9)).as("sq"),
+        col("old_n"), col("new_n"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("sq")).cast("double")), 6).as("centroid_l2"),
+        (max(col("new_n")) - max(col("old_n"))).as("size_delta"))
+      .orderBy(col("label"))
+  }
 }

@@ -218,4 +218,32 @@ class SimilaritySpec extends GraftSuite {
         math.abs(exact(key) - r.getDouble(2)) < 1e-9)
     }
   }
+
+  test("MMR: lambda=1 is plain top-k; low lambda diversifies across clusters") {
+    import spark.implicits._
+    // vec 0 = query; 1-5 cluster tightly around the query direction,
+    // 6-8 form a second, less-relevant but distinct direction
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat)
+    val emb3 = Seq(
+      0L -> v(1, 0, 0),
+      1L -> v(1, 0.01, 0), 2L -> v(1, 0.02, 0), 3L -> v(1, 0.03, 0),
+      4L -> v(1, 0.04, 0), 5L -> v(1, 0.05, 0),
+      6L -> v(0.5, 0.86, 0), 7L -> v(0.5, 0.87, 0), 8L -> v(0.5, 0.88, 0)
+    ).toDF("vec_id", "embedding")
+    val pure = Similarity.mmrRerank(emb3, k = 3, candidates = 8, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(pure === Seq(1L, 2L, 3L),
+      s"lambda=1 must reduce to relevance top-k, got $pure")
+    val diverse = Similarity.mmrRerank(emb3, k = 3, candidates = 8,
+        lambda = 0.3).collect().map(_.getLong(1)).toSet
+    assert(diverse.exists(_ >= 6L),
+      s"low lambda must pull in the second cluster, got $diverse")
+    assert(diverse.exists(_ <= 5L), "the top hit still leads the selection")
+    // scores are non-increasing in rank on the real corpus... not required
+    // by MMR (penalties shift per step); instead lock determinism:
+    val a = Similarity.mmrRerank(emb, k = 5).collect().map(_.getLong(1)).toSeq
+    val b = Similarity.mmrRerank(emb, k = 5).collect().map(_.getLong(1)).toSeq
+    assert(a === b && a.distinct.size === 5)
+  }
 }
