@@ -383,6 +383,38 @@ object Streams {
       col("__batch_id")).drop("__batch_id")
   }
 
+  /** Continuous windowed per-key counts — the streaming half of a ksqlDB
+    * `TOPK`-style leaderboard, decomposed the way Structured Streaming
+    * requires (chained stateful aggregations are unsupported in update
+    * mode): THIS stage maintains one count per (window, key) in update
+    * mode — pipe it into [[toUpsertTable]] as the windowed-table
+    * changelog — and [[leaderboard]] ranks the materialized counts on
+    * read. ksqlDB makes exactly the same split: the windowed aggregate is
+    * a continuously-updated TABLE, and the top-k is served off it by pull
+    * queries. State is one counter per (window, key) inside the watermark
+    * horizon; nothing about the rank lives in stream state. */
+  def windowedCountsStream(events: DataFrame,
+                           windowDur: String = "15 minutes",
+                           keyCol: String = "user_id",
+                           watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  /** Read-side top-k per window over a [[windowedCountsStream]] upsert
+    * store — latest count per (window, key), then a rank window
+    * PARTITIONED by window_start (k-bounded per window, no global sort).
+    * Ties break to the smaller key for determinism. */
+  def leaderboard(spark: SparkSession, storePath: String,
+                  keyCol: String = "user_id", k: Int = 3): DataFrame = {
+    val latest = upsertView(spark, storePath, Seq("window_start", keyCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col(keyCol).asc)
+    latest.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Materialize a continuous query into an in-memory table — the pull-query
     * serving layer for tests/demos (EP3): batch `spark.sql` against
     * `tableName` is the pull query. */

@@ -180,6 +180,51 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("windowed leaderboard: stream counts + read-side rank match batch top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-leaderboard").toString
+    val q = Streams.toUpsertTable(
+      Streams.windowedCountsStream(in.toDF()),
+      s"$dir/store", s"$dir/ckpt")
+    // batch 1: user 7 leads window A; batch 2 flips the lead to user 8 —
+    // the update-mode changelog must re-rank, not append a stale rank
+    in.addData(
+      ev(1, "2024-01-01 00:01:00", 7, "click", 1),
+      ev(2, "2024-01-01 00:02:00", 7, "click", 1),
+      ev(3, "2024-01-01 00:03:00", 8, "click", 1),
+      ev(4, "2024-01-01 00:20:00", 9, "view", 1)) // window B
+    q.processAllAvailable()
+    in.addData(
+      ev(5, "2024-01-01 00:04:00", 8, "click", 1),
+      ev(6, "2024-01-01 00:05:00", 8, "click", 1))
+    q.processAllAvailable(); q.stop()
+    val got = Streams.leaderboard(spark, s"$dir/store", k = 2)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // batch reference over the same events: count per (window, user), rank
+    val batchEvents = Seq(
+        ("2024-01-01 00:01:00", 7L), ("2024-01-01 00:02:00", 7L),
+        ("2024-01-01 00:03:00", 8L), ("2024-01-01 00:20:00", 9L),
+        ("2024-01-01 00:04:00", 8L), ("2024-01-01 00:05:00", 8L))
+      .map { case (ts, u) => (java.sql.Timestamp.valueOf(ts), u) }
+      .toDF("ts", "user_id")
+      .select(window(col("ts"), "15 minutes")("start").as("window_start"),
+        col("user_id"))
+    val batch = Relational.topKPerGroup(batchEvents,
+        "window_start", "user_id", 2)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === batch, s"stream leaderboard $got != batch $batch")
+    // the final window-A order is 8 above 7 (the re-rank took effect)
+    val wa = got.filter(_._1 == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(wa.find(_._4 == 1).get._2 === 8L)
+    assert(wa.find(_._4 == 2).get._2 === 7L)
+  }
+
   test("hopping windows stream in update mode and match the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
