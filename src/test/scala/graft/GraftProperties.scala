@@ -289,6 +289,56 @@ object GraftProperties extends Properties("graft") {
         ret.forall(r => r._3 <= day0ByCohort(r._1))
     }
 
+  property("bm25: every hit contains a query term; scores positive; k bounds") =
+    forAll(for {
+      n <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(n, Gen.nonEmptyListOf(
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")))
+    } yield docs) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val hits = graft.operators.Retrieval
+        .bm25TopK(df, Seq("alpha", "gamma"), k = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      val matching = docs.zipWithIndex.collect {
+        case (ws, i) if ws.contains("alpha") || ws.contains("gamma") => i.toLong
+      }.toSet
+      hits.length <= 5 &&
+        hits.forall { case (id, _) => matching(id) } &&
+        hits.forall(_._2 > 0.0) &&
+        (matching.isEmpty || hits.nonEmpty)
+    }
+
+  property("growth ledger: new+retained+resurrected == WAU; churn == lost actives") =
+    forAll(genHistory) { rows =>
+      val s = spark; import s.implicits._
+      val df = rows.map { case (k, ts, off, v) =>
+        (off, new java.sql.Timestamp(ts * 86400000L * 7), k.hashCode.toLong,
+          "click", v.toDouble, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val got = Relational.growthAccounting(df).collect()
+        .map(r => r.getTimestamp(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val weekly = rows
+        .map { case (k, ts, _, _) =>
+          (k.hashCode.toLong,
+            new java.sql.Timestamp(ts * 86400000L * 7).toInstant
+              .atZone(java.time.ZoneOffset.UTC).toLocalDate
+              .`with`(java.time.DayOfWeek.MONDAY)) }
+        .distinct
+      val byWeek = weekly.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      got.forall { case (w, (nw, rt, rs, ch)) =>
+        val day = w.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val act = byWeek(day)
+        val prev = byWeek.getOrElse(day.minusDays(7), Set.empty[Long])
+        nw + rt + rs == act.size &&
+          rt == act.count(prev) &&
+          ch == prev.count(u => !act(u))
+      }
+    }
+
   property("asOfJoin == per-fact max version with vt <= ft (naive reference)") =
     forAll(genAsOf) { case (versions, facts) =>
       val s = spark; import s.implicits._
