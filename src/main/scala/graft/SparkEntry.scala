@@ -326,6 +326,19 @@ object SparkEntry {
     // inherently sequential → driver stage bounded at 50 rows; rows-only)
     "q_mmr_rerank" -> ((s, d) =>
       Similarity.mmrRerank(Tables.embeddings(s, d))),
+    // KWIC snippets: ±3-token context around each doc's first query hit
+    "q_snippets" -> ((s, d) =>
+      Retrieval.snippets(Tables.documents(s, d), Seq("spark", "merge"))),
+    // token-budget mixture plan at 90% of the corpus: water-filling level
+    // throttles the large sources, keeps small ones whole (the 1-row
+    // total collect is bounded; the plan itself is n_sources rows)
+    "q_budget_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val total = docs
+        .select(sum(size(expr(TextAnalysis.tokensExpr))).as("t"))
+        .collect()(0).getLong(0)
+      TextAnalysis.tokenBudgetPlan(docs, total * 9L / 10L)
+    }),
     // composite Gopher rule filter: every signal + the conjunctive keep
     // flag (which rule dropped a doc is auditable)
     "q_gopher_filter" -> ((s, d) =>
@@ -1773,6 +1786,53 @@ object SparkEntry {
         FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 10
+      """,
+
+      // KWIC snippets: first-hit position via a conditional index
+      // transform (list_min skips NULLs in both engines); 1-based DuckDB
+      // slice mirrors Spark's (start, LENGTH) slice
+      "q_snippets" -> s"""
+        WITH t AS ($toks),
+        p AS (SELECT doc_id, toks,
+                     CAST(list_min(list_transform(range(0, len(toks)),
+                            i -> CASE WHEN toks[i+1] IN ('spark', 'merge')
+                                      THEN i END)) AS INTEGER) AS pos
+              FROM t)
+        SELECT doc_id, toks[pos + 1] AS hit_term, pos,
+               array_to_string(list_slice(toks,
+                 greatest(0, pos - 3) + 1,
+                 least(len(toks) - 1, pos + 3) + 1), ' ') AS snippet
+        FROM p WHERE pos IS NOT NULL
+      """,
+
+      // token-budget plan: closed-form water-filling on the per-source
+      // histogram; binding level = FIRST violated row (arg_min by rn)
+      "q_budget_plan" -> s"""
+        WITH t AS (SELECT source,
+                          CAST(SUM(len(regexp_split_to_array(lower(text),
+                            '\\s+'))) AS BIGINT) AS tokens
+                   FROM documents GROUP BY 1),
+        b AS (SELECT CAST((SUM(tokens) * 9) // 10 AS BIGINT) AS budget FROM t),
+        lv AS (SELECT source, tokens,
+                      CAST(row_number() OVER
+                        (ORDER BY tokens ASC, source ASC) AS BIGINT) AS rn,
+                      CAST(COALESCE(SUM(tokens) OVER
+                        (ORDER BY tokens ASC, source ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS prefix,
+                      CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+               FROM t),
+        lv2 AS (SELECT *, CAST((SELECT budget FROM b) - prefix AS DOUBLE)
+                          / (n_src - rn + 1) AS level
+                FROM lv),
+        bind AS (SELECT arg_min(level, rn) AS l FROM lv2 WHERE level < tokens)
+        SELECT source, tokens,
+               CAST(CASE WHEN (SELECT l FROM bind) IS NULL
+                              OR tokens <= (SELECT l FROM bind) THEN 1000
+                         ELSE floor(CAST(1000.0 AS DOUBLE)
+                                    * (SELECT l FROM bind) / tokens)
+                    END AS INTEGER) AS keep_permille
+        FROM lv2
       """,
 
       // Zipf fit on the top-1000 token head: same (freq desc, tok asc)

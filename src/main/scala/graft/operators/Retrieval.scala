@@ -63,4 +63,32 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** KWIC (keyword-in-context) snippet extraction — the result-page half
+    * of a search stack ([[bm25TopK]] ranks, this renders): for every doc
+    * containing a query term, the ±`window`-token context around the
+    * FIRST hit, plus the hit term and its 0-based position.
+    *
+    * Pure per-row array expressions over one scan — the first-hit
+    * position is an `array_min` over a conditional index transform, the
+    * snippet a bounds-clamped `slice`; no shuffle, no UDF, nothing
+    * leaves the row. Docs with no hit are filtered out by the non-null
+    * position (the filter sits on the projection, so at scale this
+    * composes with a pushed-down BM25 candidate semi-join). */
+  def snippets(docs: DataFrame, terms: Seq[String],
+               window: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "snippets: query terms must be non-empty")
+    val termsLit = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
+      .withColumn("pos", expr(
+        s"""array_min(transform(sequence(0, size(toks) - 1),
+           |  i -> IF(toks[i] IN ($termsLit), i, NULL)))""".stripMargin)
+        .cast("int"))
+      .filter(col("pos").isNotNull)
+      .select(col("doc_id"), expr("toks[pos]").as("hit_term"), col("pos"),
+        expr(s"""array_join(slice(toks, greatest(0, pos - $window) + 1,
+                 |  least(size(toks) - 1, pos + $window)
+                 |    - greatest(0, pos - $window) + 1), ' ')""".stripMargin)
+          .as("snippet"))
+  }
 }

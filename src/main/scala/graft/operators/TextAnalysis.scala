@@ -177,7 +177,8 @@ object TextAnalysis {
     chunks
       .withColumn("start_tok",
         coalesce(sum(col("n_tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
       .withColumn("seq_id", (col("start_tok") / budget).cast("long"))
       .groupBy(col("lane"), col("seq_id"))
       .agg(count(lit(1)).cast("int").as("n_chunks"),
@@ -634,6 +635,52 @@ object TextAnalysis {
       .join(broadcast(rates), col("lang_guess") === col("rate_lang"))
       .filter(expr(s"pmod(${Hashing.hash64("text")}, 1000)") < col("keep_permille"))
       .select(col("doc_id"), col("lang_guess"), col("keep_permille"))
+  }
+
+  /** Token-budget mixture plan — water-filling allocation of a total
+    * token budget across sources: every source keeps all its tokens up to
+    * a common level L, where L solves Σ min(T_s, L) = budget — the
+    * standard answer to "fill N tokens from these crawls without letting
+    * the biggest source drown the mixture" (small sources survive whole,
+    * large sources are throttled to the same ceiling).
+    *
+    * Closed form, no iteration: with sources sorted by size ascending,
+    * L_i = (budget − prefix_{i−1}) / (n − i + 1) is the level assuming
+    * sources 1..i−1 are kept whole; the FIRST i where L_i < T_i binds.
+    * Everything happens on the per-source histogram — n_sources rows —
+    * after ONE corpus scan for token totals; the emitted keep_permille
+    * column composes with the content-hash samplers
+    * ([[sampleStratified]]) to apply the plan in a second scan-only pass.
+    * Window functions over n_sources rows, not documents. */
+  def tokenBudgetPlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens").asc, col("source").asc)
+    val totals = docs
+      .select(col("source"), size(expr(tokensExpr)).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    val leveled = totals
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prefix",
+        coalesce(sum(col("tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", count(lit(1)).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("level",
+        (lit(budgetTokens) - col("prefix")).cast("double") /
+          (col("n_src") - col("rn") + 1).cast("double"))
+    // the binding level is the FIRST (smallest-rn) violated row — later
+    // rows' levels are computed under a wrong keep-whole assumption and
+    // undershoot, so min(level) would be wrong; min_by(level, rn) is right
+    val binding = leveled.filter(col("level") < col("tokens"))
+      .agg(min_by(col("level"), col("rn")).as("l"))
+    leveled.join(broadcast(binding), joinExprs = lit(true), "left")
+      .select(col("source"), col("tokens"),
+        when(col("l").isNull || col("tokens") <= col("l"), lit(1000))
+          .otherwise(floor(lit(1000.0) * col("l") / col("tokens")))
+          .cast("int").as("keep_permille"))
   }
 
   /** Bigram-LM document scoring — the conditional upgrade of

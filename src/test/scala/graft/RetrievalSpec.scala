@@ -50,6 +50,23 @@ class RetrievalSpec extends GraftSuite {
       s"tf=50 vs tf=5 must saturate: ${scores(1L)} !< 2 × ${scores(2L)}")
   }
 
+  test("snippets clamp at doc edges, report the FIRST hit, skip no-hit docs") {
+    val docs = Seq(
+      (1L, "spark a b c d e f"),       // hit at position 0: left clamp
+      (2L, "a b c d e f spark"),       // hit at the end: right clamp
+      (3L, "a b c spark d e spark f"), // two hits: first one wins
+      (4L, "a b c d e f g")            // no hit: excluded
+    ).toDF("doc_id", "text")
+    val got = Retrieval.snippets(docs, Seq("spark"), window = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === (("spark", 0, "spark a b")))
+    assert(got(2L) === (("spark", 6, "e f spark")))
+    assert(got(3L) === (("spark", 3, "b c spark d e")))
+  }
+
   test("zipf fit recovers a negative slope with high r² on zipfian counts") {
     // synthesize a corpus whose token frequencies are exactly 120/rank:
     // the ln-ln regression must come back near slope −1 with r² ≈ 1

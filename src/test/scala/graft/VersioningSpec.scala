@@ -125,6 +125,32 @@ class VersioningSpec extends GraftSuite {
     assert(sumTokens === expected)
   }
 
+  test("token budget plan water-fills: small sources whole, large throttled") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    // A: 10 tokens, B: 100, C: 1000; budget 200 → A whole (10 < the 95
+    // level), B and C throttled to the common level 95
+    val docs3 = Seq(doc(1, "A", 10), doc(2, "B", 100), doc(3, "C", 1000))
+      .toDF("doc_id", "text", "source")
+    val plan = TextAnalysis.tokenBudgetPlan(docs3, 200L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(plan("A") === ((10L, 1000)))
+    assert(plan("B") === ((100L, 950)))  // floor(1000·95/100)
+    assert(plan("C") === ((1000L, 95))) // floor(1000·95/1000)
+    // kept tokens hit the budget up to flooring loss (< 1‰ per source)
+    val kept = plan.values.map { case (t, p) => t * p / 1000.0 }.sum
+    assert(kept <= 200.0 + 1e-9 && kept > 200.0 - 3.0)
+    // budget >= total → every source kept whole
+    val all = TextAnalysis.tokenBudgetPlan(docs3, 5000L).collect()
+      .map(_.getInt(2))
+    assert(all.forall(_ === 1000))
+    // a larger source never gets a HIGHER keep rate (level is common)
+    val real = TextAnalysis.tokenBudgetPlan(docs, 10000L).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(real.zip(real.tail).forall { case ((_, p1), (_, p2)) => p1 >= p2 })
+  }
+
   test("bigram logprob separates coherent from scrambled text; unigram cannot") {
     import spark.implicits._
     // doc 1 and doc 2 are TOKEN-MULTISET-identical — doc 2 is doc 1 with
