@@ -248,6 +248,16 @@ object SparkEntry {
     "q15_top_supplier" -> ((s, d) => Analytics.topSupplier(s, d)),
     // TPC-H Q22-style lapsed high-balance customers by nation
     "q22_lapsed" -> ((s, d) => Analytics.lapsedHighBalance(s, d)),
+    // TPC-H Q7-style bilateral nation trade volume by ship-year
+    "q7_nation_volume" -> ((s, d) => Analytics.nationVolume(s, d)),
+    // TPC-H Q8-style national market share per order-year
+    "q8_market_share" -> ((s, d) => Analytics.marketShare(s, d)),
+    // TPC-H Q17-style small-quantity revenue (correlated avg → join-back)
+    "q17_small_qty" -> ((s, d) => Analytics.smallQtyRevenue(s, d)),
+    // TPC-H Q19-style three-branch disjunctive brand/size/qty revenue
+    "q19_disjunctive" -> ((s, d) => Analytics.disjunctiveRevenue(s, d)),
+    // TPC-H Q21-style waiting suppliers: 3 self-joins → 1 order-key agg
+    "q21_waiting" -> ((s, d) => Analytics.waitingSuppliers(s, d)),
 
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -350,6 +360,10 @@ object SparkEntry {
     // sequence-length histogram: 16-token-wide buckets (integer-exact)
     "q_length_hist" -> ((s, d) =>
       TextAnalysis.lengthHistogram(Tables.documents(s, d))),
+    // CCNet perplexity triage: head/middle/tail per language at exact
+    // interpolated terciles of the unigram-LM score
+    "q_ccnet_buckets" -> ((s, d) =>
+      TextAnalysis.ccnetBuckets(Tables.documents(s, d))),
     // quality DECILE tiers from exact interpolated boundaries (broadcast
     // 9-value cutoff row, no ntile global sort)
     "q_quality_tiers" -> ((s, d) =>
@@ -495,6 +509,9 @@ object SparkEntry {
     // production ANN architecture, both levers oracle-mirrorable
     "q_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(Tables.embeddings(s, d))),
     "q_ann_lsh" -> ((s, d) => Similarity.annLsh(Tables.embeddings(s, d))),
+    // ANN acceptance gate: recall@3 of the IVF index vs exact top-3 per
+    // query — the eval-on-a-query-sample shape, not an index-wide O(N²)
+    "q_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
     // IVF multi-probe (nprobe=2): each query searches its two closest
     // cells — the standard recall lever over single-probe IVF
@@ -1048,6 +1065,94 @@ object SparkEntry {
       GROUP BY 1
     """,
 
+    "q7_nation_volume" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+
+    "q8_market_share" -> """
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             ROUND(
+               CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+               6) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1
+    """,
+
+    "q17_small_qty" -> """
+      WITH li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#11' AND p_type = 'SMALL'),
+      cutoff AS (
+        SELECT l_partkey AS cut_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*)) AS qty_cut
+        FROM li GROUP BY 1)
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+      FROM li JOIN cutoff ON l_partkey = cut_partkey
+      WHERE l_quantity < qty_cut
+    """,
+
+    "q19_disjunctive" -> """
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+             AND p_size BETWEEN 1 AND 5)
+         OR (p_brand = 'Brand#21' AND l_quantity BETWEEN 10 AND 20
+             AND p_size BETWEEN 1 AND 10)
+         OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 30
+             AND p_size BETWEEN 1 AND 15)
+    """,
+
+    "q21_waiting" -> """
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+
     "q_growth_accounting" -> """
       WITH weekly AS (
         SELECT DISTINCT user_id,
@@ -1328,6 +1433,38 @@ object SparkEntry {
                round(CAST(sum(lp.lp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
         FROM t JOIN lp USING (tok)
         GROUP BY t.doc_id
+      """,
+
+      // CCNet triage: q_unigram_logprob's score CTE + per-language exact
+      // terciles (quantile_cont ≡ Spark percentile); score and cuts both
+      // 6dp-rounded before the boundary compare
+      "q_ccnet_buckets" -> s"""
+        WITH t AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                   FROM documents),
+        v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY 1),
+        lp AS (SELECT tok,
+                      CAST(round(ln(cnt / CAST((SELECT sum(cnt) FROM v) AS DOUBLE)), 9)
+                        AS DECIMAL(20,9)) AS lp
+               FROM v),
+        scored AS (
+          SELECT d.doc_id, d.lang, s.mean_logprob
+          FROM documents d
+          JOIN (SELECT t.doc_id,
+                       round(CAST(sum(lp.lp) AS DOUBLE) / COUNT(*), 6)
+                         AS mean_logprob
+                FROM t JOIN lp USING (tok)
+                GROUP BY t.doc_id) s ON d.doc_id = s.doc_id),
+        cuts AS (
+          SELECT lang,
+                 round(quantile_cont(mean_logprob, 1.0/3), 6) AS p33,
+                 round(quantile_cont(mean_logprob, 2.0/3), 6) AS p66
+          FROM scored GROUP BY 1)
+        SELECT doc_id, scored.lang, mean_logprob,
+               CASE WHEN mean_logprob >= p66 THEN 'head'
+                    WHEN mean_logprob >= p33 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored JOIN cuts ON scored.lang = cuts.lang
       """,
 
       // bigram LM: prefix normalizer is a rollup of the bigram table;
@@ -2224,6 +2361,46 @@ object SparkEntry {
                 PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
               FROM s)
         WHERE rn <= 3
+      """,
+
+      // recall@3 of the IVF index vs the exact top-3 — the exact side is
+      // q_knn's contract at k=3, the approx side q_ann_ivf's; recall is
+      // the per-query overlap count over k
+      "q_ann_recall" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v,
+                           list_transform((SELECT cs FROM cents),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell
+              FROM celled WHERE vec_id < 10),
+        si AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                      ${cosSql("qv", "v")} AS score
+               FROM q JOIN celled c
+                 ON c.cell = q.qcell AND c.vec_id <> q.query_id),
+        ivf AS (SELECT query_id, neighbor_id
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id ASC) AS rn FROM si)
+                WHERE rn <= 3),
+        se AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ${cosSql("qv", "v")} AS score
+               FROM q JOIN e ON e.vec_id <> q.query_id),
+        exact AS (SELECT query_id, neighbor_id
+                  FROM (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn FROM se)
+                  WHERE rn <= 3)
+        SELECT x.query_id,
+               ROUND(CAST(COUNT(i.neighbor_id) AS DOUBLE) / 3.0, 6)
+                 AS recall_at_k
+        FROM exact x LEFT JOIN ivf i
+          ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+        GROUP BY 1 ORDER BY 1
       """
     )
   }

@@ -274,4 +274,167 @@ object Analytics {
           1L).otherwise(0L)).as("late_lines"),
         sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > lateDays,
           0L).otherwise(1L)).as("ontime_lines"))
+
+  /** TPC-H Q7-style volume shipping: bilateral trade revenue between two
+    * nations by ship-year. The nation filter is applied to the 2-row
+    * nation slice FIRST and pushed through supplier/customer BEFORE either
+    * touches a fact table — the fact joins then carry only the ~2/25 of
+    * suppliers/customers that can possibly qualify. nation is a
+    * schema-constant 25 rows (broadcast safe at any sf); supplier/customer
+    * scale, so their joins carry no hint (AQE sizes them). The pair
+    * disjunction runs post-join on two tiny dimension columns. */
+  def nationVolume(s: SparkSession, d: String,
+                   nationA: String = "NATION_3", nationB: String = "NATION_7",
+                   from: String = "1996-01-01",
+                   until: String = "1998-01-01"): DataFrame = {
+    val n = Tables.nation(s, d)
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8-style national market share: of all revenue a region's
+    * customers spent on one part type, the fraction supplied by one
+    * nation, per order-year. The region's nation set (≤25 rows) broadcasts
+    * into customer; the part-type filter shrinks part before the fact
+    * join; both conditional sums are decimal partial aggregates feeding a
+    * year-sized reduction. The share divides two exact decimal sums as
+    * doubles, rounded to 6dp — shuffle-order-independent. */
+  def marketShare(s: SparkSession, d: String,
+                  nation: String = "NATION_2", region: String = "ASIA",
+                  ptype: String = "ECONOMY",
+                  from: String = "1996-01-01",
+                  until: String = "1998-01-01"): DataFrame = {
+    val regionNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select(
+        col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === ptype)
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(from) &&
+            col("o_orderdate") < lit(until))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nation, rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue that
+    * would be lost by refusing orders below 20% of a part's mean order
+    * quantity, for one brand+type. The correlated scalar subquery becomes
+    * a per-part aggregate JOINED BACK on the part key: the brand/type
+    * filter shrinks both sides to ~1/150 of parts before any shuffle, the
+    * per-part mean is decimal-exact, and the filtered lineitem slice is
+    * aggregated once on l_partkey and reused for both the cutoff and the
+    * final sum (no second corpus scan). */
+  def smallQtyRevenue(s: SparkSession, d: String,
+                      brand: String = "Brand#11", ptype: String = "SMALL",
+                      factor: Double = 0.2): DataFrame = {
+    val pk = Tables.part(s, d)
+      .filter(col("p_brand") === brand && col("p_type") === ptype)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(pk, col("l_partkey") === col("p_partkey"))
+    val cutoff = li.groupBy(col("l_partkey").as("cut_partkey"))
+      .agg((lit(factor) *
+        (Relational.sumExact(col("l_quantity")) / count(lit(1))))
+        .as("qty_cut"))
+    li.join(cutoff, col("l_partkey") === col("cut_partkey"))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((Relational.sumExact(col("l_extendedprice")) / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-style discounted revenue over a three-branch disjunctive
+    * brand/size/quantity predicate. The predicate spans both tables, so no
+    * single branch pushes into a scan — but the brand disjunction's
+    * part-side implicant (`p_brand IN (...)`) shrinks the build side, and
+    * the join stays a plain equi-join on l_partkey with the residual
+    * disjunction evaluated post-join in codegen. */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+    val branch2 = col("p_brand") === "Brand#21" &&
+      col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+    val branch3 = col("p_brand") === "Brand#5" &&
+      col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#12", "Brand#21", "Brand#5"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum(rev).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q21-style waiting suppliers (adapted: the fixtures carry no
+    * commit/receipt dates, so "kept the order waiting" is the returns
+    * flag — the sole supplier whose lines came back 'R' in a
+    * multi-supplier finalized order). The classic form is THREE lineitem
+    * self-joins (join + EXISTS + NOT EXISTS); here all three collapse
+    * into ONE aggregate over the order key — per order: the distinct
+    * supplier count (EXISTS), the set of 'R' suppliers (NOT EXISTS ⇔ set
+    * size 1), and the 'R' line count (the contribution) — then one
+    * shrinking rollup per supplier. One fact shuffle instead of three. */
+  def waitingSuppliers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(
+        size(collect_set(col("l_suppkey"))).as("n_supp"),
+        collect_set(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("r_supps"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_rows"))
+      .filter(col("n_supp") > 1 && size(col("r_supps")) === 1)
+      .select(element_at(col("r_supps"), 1).as("suppkey"), col("r_rows"))
+    perOrder.groupBy(col("suppkey"))
+      .agg(sum(col("r_rows")).as("nw"))
+      .join(Tables.supplier(s, d), col("suppkey") === col("s_suppkey"))
+      // the oracle groups by NAME; re-roll the (tiny) per-supplier survivor
+      // set on s_name so a duplicate name can never diverge from it
+      .groupBy(col("s_name"))
+      .agg(sum(col("nw")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(k)
+  }
 }

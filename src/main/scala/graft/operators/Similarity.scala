@@ -553,4 +553,29 @@ object Similarity {
       .map { case ((id, score), i) => (i + 1, id, math.rint(score * 1e6) / 1e6) }
       .toDF("rank", "selected_id", "mmr_score")
   }
+
+  /** ANN index-quality report: recall@k of the IVF index against the
+    * exact brute-force top-k, per query. This is the acceptance gate every
+    * production ANN deployment runs before flipping traffic to the index —
+    * "is cell pruning losing real neighbors?" — and the dial for
+    * nlist/nprobe tuning. Cost is dominated by the exact side, which is
+    * why it runs over the SAMPLED query set (nQueries rows broadcast; the
+    * corpus is scanned once per side, never pairwise beyond the broadcast
+    * join) — at 100 TB this is the standard "eval on a 1k-query sample"
+    * shape, not an index-wide O(N²). The overlap join carries only
+    * (query_id, neighbor_id) int pairs; recall divides two exact counts. */
+  def annRecall(emb: DataFrame, k: Int = 3, nQueries: Int = 10,
+                nlist: Int = 16): DataFrame = {
+    val exact = knnBruteForce(emb, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = annIvf(emb, k, nQueries, nlist)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    exact.join(approx,
+        col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(round(count(col("an")).cast("double") / lit(k.toDouble), 6)
+        .as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
 }

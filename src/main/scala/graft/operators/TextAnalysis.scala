@@ -750,4 +750,29 @@ object TextAnalysis {
         round(pow(corr(y, x), 2.0), 6).as("r2"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document under the corpus LM ([[unigramLogProb]]), then split EACH
+    * LANGUAGE into head/middle/tail at its own exact interpolated
+    * terciles — the standard pre-training triage (keep head, sample
+    * middle, drop tail), per-language because LM scores are not
+    * comparable across languages. The cut table is 2 doubles per language
+    * (broadcast, bounded by the language inventory); the corpus-sized
+    * work is the LM scoring itself, and the bucket assignment is a
+    * codegen'd two-way compare against the broadcast cuts — no sort, no
+    * second scan. Scores and cuts are both 6dp-rounded before the
+    * boundary compare, so the bucket edge is engine-stable. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(unigramLogProb(docs).select(col("doc_id"), col("mean_logprob")),
+        "doc_id")
+    val cuts = scored.groupBy(col("lang")).agg(
+      round(percentile(col("mean_logprob"), lit(1.0 / 3)), 6).as("p33"),
+      round(percentile(col("mean_logprob"), lit(2.0 / 3)), 6).as("p66"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_logprob"),
+        when(col("mean_logprob") >= col("p66"), "head")
+          .when(col("mean_logprob") >= col("p33"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -277,6 +277,40 @@ class PlanSpec extends GraftSuite {
       qe.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("q7 pushes the ship-date window into the scan; nation slice broadcasts") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"Q7's date window must reach the lineitem parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 2-row nation slice must broadcast into supplier/customer")
+  }
+
+  test("q19's brand IN implicant pushes into the part scan") {
+    // the three-branch disjunction spans both tables and cannot push
+    // anywhere whole — but its part-side implicant (brand IN (...)) must
+    // shrink the build side at the scan
+    val p = plan("q19_disjunctive")
+    assert(p.contains("In(p_brand"),
+      s"brand-IN implicant must reach the part parquet scan:\n$p")
+  }
+
+  test("q17 pushes brand+type into the part scan") {
+    val p = plan("q17_small_qty")
+    assert(p.contains("EqualTo(p_brand,Brand#11)") &&
+      p.contains("EqualTo(p_type,SMALL)"),
+      s"Q17's brand/type filter must reach the part parquet scan:\n$p")
+  }
+
+  test("q21 scans lineitem once (classic form is three self-joins)") {
+    val p = plan("q21_waiting")
+    assert(p.contains("LeftSemi"),
+      "order-status filter must apply as a semi join, not row duplication")
+    val liScans = "Scan parquet .*lineitem".r.findAllIn(p).length
+    assert(liScans == 1,
+      s"expected exactly one lineitem scan, found $liScans — the EXISTS / " +
+        s"NOT EXISTS pair must fold into the per-order aggregate:\n$p")
+  }
+
   test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
     val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
     val p = qe.executedPlan.toString

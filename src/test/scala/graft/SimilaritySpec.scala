@@ -219,6 +219,17 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("annRecall: in [0,1] per query; exactly 1 when nlist=1 (no pruning)") {
+    val r = Similarity.annRecall(emb).collect()
+    assert(r.length === 10, "one recall row per sampled query")
+    assert(r.forall(row => row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0))
+    // nlist=1 puts the whole corpus in one cell: IVF IS brute force, so
+    // cell pruning can lose nothing and recall must be exactly 1
+    val perfect = Similarity.annRecall(emb, nlist = 1).collect()
+    assert(perfect.forall(_.getDouble(1) === 1.0),
+      s"nlist=1 recall must be 1.0: ${perfect.mkString(",")}")
+  }
+
   test("MMR: lambda=1 is plain top-k; low lambda diversifies across clusters") {
     import spark.implicits._
     // vec 0 = query; 1-5 cluster tightly around the query direction,
