@@ -258,6 +258,19 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Analytics.disjunctiveRevenue(s, d)),
     // TPC-H Q21-style waiting suppliers: 3 self-joins → 1 order-key agg
     "q21_waiting" -> ((s, d) => Analytics.waitingSuppliers(s, d)),
+    // nation × year revenue with ROLLUP subtotals — Expand runs over the
+    // pre-aggregated ~25×7 decimal cell table, never the fact
+    "q_rollup_revenue" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // gap-based sessions via built-in session_window (batch twin of the
+    // streaming sessionizeStream; end = last event + gap)
+    "q_session_window" -> ((s, d) =>
+      Relational.sessionWindows(Tables.events(s, d))),
+    // graded decontamination: per-doc fraction of distinct 3-grams that
+    // appear in the eval slice (same broadcast shape as q_decontaminate)
+    "q_contamination_frac" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFraction(docs, docs.filter(col("doc_id") % 29 === 0))
+    }),
 
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -1153,6 +1166,39 @@ object SparkEntry {
       GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20
     """,
 
+    "q_rollup_revenue" -> """
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, o_year)
+    """,
+
+    "q_session_window" -> """
+      WITH m AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT user_id, ts, value,
+               sum(is_start) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM m
+      )
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, sid
+    """,
+
     "q_growth_accounting" -> """
       WITH weekly AS (
         SELECT DISTINCT user_id,
@@ -2018,6 +2064,25 @@ object SparkEntry {
         SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
                CAST(COALESCE(ov.n_overlap, 0) > 0 AS INTEGER) AS contaminated
         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+      """,
+
+      // graded decontamination: one LEFT join keeps every corpus shingle,
+      // so the denominator and numerator come from the same rollup
+      "q_contamination_frac" -> s"""
+        WITH t AS ($shingles),
+        e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
+              FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),
+        ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 29 = 0),
+        st AS (SELECT e.doc_id, count(*) AS n_shingles,
+                      count(ev.s) AS n_overlap
+               FROM e LEFT JOIN ev ON e.s = ev.s GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               COALESCE(st.n_shingles, 0) AS n_shingles,
+               COALESCE(st.n_overlap, 0) AS n_overlap,
+               round(CAST(COALESCE(st.n_overlap, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(st.n_shingles, 0), 1), 6)
+                 AS overlap_frac
+        FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
       """,
 
       "q_ngram_jaccard" -> s"""

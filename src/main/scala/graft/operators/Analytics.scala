@@ -404,6 +404,28 @@ object Analytics {
       .agg(sum(rev).cast("double").as("revenue"))
   }
 
+  /** Revenue by nation × order-year with ROLLUP subtotals (per-nation
+    * totals + grand total) — the standard drill-down report head. Scale
+    * shape: `rollup` plans an Expand that MULTIPLIES input rows by the
+    * grouping-set count, so it must never run over the fact table; here
+    * the fact is first aggregated once to (nation, year) DECIMAL cells —
+    * one orders-sized shuffle — and the rollup expands only the ~25×7
+    * cell table. Decimal sums re-aggregate exactly, so the subtotal rows
+    * equal a direct rollup of the base table in any engine. */
+  def revenueRollup(s: SparkSession, d: String): DataFrame = {
+    val custNation = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val cells = Tables.orders(s, d)
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev_dec"))
+    cells.rollup(col("n_name"), col("o_year"))
+      .agg(sum(col("rev_dec")).cast("double").as("revenue"))
+      .select(col("n_name"), col("o_year"), col("revenue"))
+  }
+
   /** TPC-H Q21-style waiting suppliers (adapted: the fixtures carry no
     * commit/receipt dates, so "kept the order waiting" is the returns
     * flag — the sole supplier whose lines came back 'R' in a

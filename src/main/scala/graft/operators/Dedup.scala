@@ -680,6 +680,34 @@ object Dedup {
         (col("n_overlap") > maxOverlap).cast("int"))
   }
 
+  /** Graded twin of [[decontaminate]]: instead of a boolean flag, the
+    * FRACTION of each document's distinct n-gram shingles that appear in
+    * the eval set — the number a decontamination policy actually
+    * thresholds on (Brown et al. 2020 drop at 13-gram overlap; graded
+    * scores let the threshold be tuned post-hoc without re-scanning).
+    * Identical scale shape to the boolean form: eval shingles broadcast,
+    * one corpus shingle projection, the LEFT join preserves every corpus
+    * shingle so numerator and denominator come out of ONE doc_id rollup. */
+  def contaminationFraction(docs: DataFrame, evalDocs: DataFrame,
+                            n: Int = 3): DataFrame = {
+    val evalSh = broadcast(
+      shingleRows(evalDocs, n).select(col("h1").as("s")).distinct()
+        .withColumn("hit", lit(1)))
+    val stats = shingleRows(docs, n)
+      .select(col("doc_id"), col("h1").as("s")).distinct()
+      .join(evalSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+    docs.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+            .cast("double"), 6).as("overlap_frac"))
+  }
+
   /** Skew guard for the shingle self-join: shingles appearing in more
     * documents than this are dropped before pairing. */
   val maxShingleDf = 100

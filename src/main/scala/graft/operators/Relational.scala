@@ -396,6 +396,26 @@ object Relational {
         sumExact(col("value")).as("total_value"))
   }
 
+  /** Gap-based sessions via the built-in `session_window` — the batch
+    * twin of [[graft.streaming.Streams.sessionizeStream]], so the lake
+    * backfill and the live stream share ONE definition of "session"
+    * (window = [first_ts, last_ts + gap); an event extends the session
+    * when it lands within `gap` of the previous one). Same single
+    * user-key shuffle as [[sessionize]]; differs from it only in the end
+    * bound (+gap, the streaming-emission convention) and in emitting no
+    * per-user ordinal. Fixture timestamps carry microsecond components,
+    * so the merge boundary compares at micro precision in both engines. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sumExact(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   // --------------------------------------------------------------------- //
   // D5 — sorted detail search: latest-n events by timestamp desc
   // (docker-compose.yml:344-345, sort on EXTRACT_TS desc). Physical plan is

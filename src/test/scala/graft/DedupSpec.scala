@@ -106,6 +106,21 @@ class DedupSpec extends GraftSuite {
     assert(out(2L) === ((0L, 0)))
     assert(out(3L) === ((0L, 0))) // shingle-less docs are never flagged
     assert(out.keySet === Set(1L, 2L, 3L, 4L))
+
+    // graded twin: same numerators, denominator = distinct shingles,
+    // frac > 0 exactly where the boolean form flags
+    val frac = Dedup.contaminationFraction(corpus, eval_)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    frac.foreach { case (id, (nSh, nOv, f)) =>
+      assert(nOv === out(id)._1, s"doc $id overlap count diverged")
+      assert((f > 0.0) === (out(id)._2 == 1), s"doc $id flag/frac mismatch")
+      assert(f >= 0.0 && f <= 1.0 && nOv <= nSh)
+    }
+    // doc 4 "a quick brown fox appears again": 4 distinct shingles, 1 hit
+    assert(frac(4L) === ((4L, 1L, 0.25)))
+    assert(frac(3L) === ((0L, 0L, 0.0))) // shingle-less: 0/max(0,1)
   }
 
   test("sequence packing conserves chunks and respects the start-offset budget") {

@@ -311,6 +311,18 @@ class PlanSpec extends GraftSuite {
         s"NOT EXISTS pair must fold into the per-order aggregate:\n$p")
   }
 
+  test("rollup expands the pre-aggregated cells, never the fact table") {
+    val qe = SparkEntry.queries("q_rollup_revenue")(spark, sf).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("Expand"), "ROLLUP must plan an Expand")
+    // the fact's money column must be partially aggregated BEFORE any
+    // exchange — an Expand over raw orders would triple the fact shuffle
+    val shuffled = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(shuffled.forall(!_.contains("o_totalprice")),
+      s"raw o_totalprice crossed a shuffle (Expand over the fact): $shuffled")
+  }
+
   test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
     val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
     val p = qe.executedPlan.toString

@@ -210,6 +210,26 @@ class RelationalSpec extends GraftSuite {
     assert(totalCnt === Tables.lineitem(spark, sf).count())
   }
 
+  test("sessionWindows agrees with the islands sessionize (end shifted by gap)") {
+    val ev = Tables.events(spark, sf)
+    // key both results by (user, session_start): the two definitions must
+    // produce identical session boundaries, counts, and value sums; the
+    // only contract difference is session_window's end = last event + gap
+    val a = Relational.sessionize(ev, 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2)) ->
+        ((r.getTimestamp(3), r.getLong(4), r.getDouble(5)))).toMap
+    val b = Relational.sessionWindows(ev, 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getTimestamp(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(a.keySet === b.keySet, "session starts diverge between the forms")
+    a.foreach { case (k, (endA, nA, vA)) =>
+      val (endB, nB, vB) = b(k)
+      assert(nA === nB && vA === vB, s"session $k stats diverge")
+      assert(endB.getTime - endA.getTime === 30L * 60 * 1000,
+        s"session_window end must be islands end + gap at $k")
+    }
+  }
+
   test("latestByKey keeps exactly one row per key, the max-ordering one") {
     val ev = Tables.events(spark, sf)
     val latest = Relational.latestByKey(ev, "user_id",
