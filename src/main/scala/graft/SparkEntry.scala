@@ -87,6 +87,11 @@ object SparkEntry {
     "q_cdc_latest" -> ((s, d) =>
       Cdc.latestByKeyTable(Cdc.envelope(Tables.events(s, d)))),
 
+    // SCD2 history: one row per key VERSION with half-open validity
+    // intervals; deletes close intervals without emitting rows
+    "q_cdc_scd2" -> ((s, d) =>
+      Cdc.scd2History(Cdc.envelope(Tables.events(s, d)))),
+
     // AS-OF temporal join: each event enriched with the CDC dimension
     // state in effect AT THE EVENT'S TIMESTAMP (leakage-safe point-in-time
     // enrichment, vs the stream-table join's current-state). Versions are
@@ -311,6 +316,10 @@ object SparkEntry {
     // largest language keeps 200‰ — the multilingual rebalancing rule
     "q_sample_temperature" -> ((s, d) =>
       TextAnalysis.sampleTemperature(Tables.documents(s, d))),
+    // quality-weighted sampling: keep-rate ∝ quality/max-quality (soft
+    // alternative to the hard cutoff), content-hash membership
+    "q_sample_weighted" -> ((s, d) =>
+      TextAnalysis.sampleWeighted(Tables.documents(s, d))),
     // corpus-wide quality cutoff: keep docs at/above the exact p75 quality
     "q_quality_cutoff" -> ((s, d) =>
       TextAnalysis.qualityCutoff(Tables.documents(s, d))),
@@ -495,6 +504,13 @@ object SparkEntry {
     // sketch twin of q_quality_cutoff: approx_percentile cutoff, same plan
     "q_quality_cutoff_approx" -> ((s, d) =>
       TextAnalysis.qualityCutoffApprox(Tables.documents(s, d))),
+    // count-min sketch keyword counts: 32 KB mergeable summary answers
+    // point queries; counter sums commute, so (unlike Misra-Gries) the
+    // sketch is partition-order-exact and the DuckDB oracle reproduces
+    // the counter layout from the same md5/KM hash fragments
+    "q_cms_counts" -> ((s, d) =>
+      graft.functions.CmsSketch.tokenCounts(Tables.documents(s, d),
+        Seq("join", "hash", "filter", "window", "zzzz_absent"))),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -628,6 +644,28 @@ object SparkEntry {
       QUALIFY row_number() OVER (
           PARTITION BY key ORDER BY ts_ms DESC, event_id DESC) = 1
         AND op <> 'd'
+    """,
+
+    "q_cdc_scd2" -> """
+      WITH env AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN event_id % 10 = 0 THEN 'd'
+                    WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+               event_id, user_id, event_type, value, props,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+      ),
+      h AS (
+        SELECT key, op, event_id, user_id, event_type, value, props,
+               ts_ms AS valid_from,
+               lead(ts_ms) OVER (
+                 PARTITION BY key ORDER BY ts_ms, event_id) AS valid_to
+        FROM env
+      )
+      SELECT key, event_id AS id, user_id, event_type, value, props,
+             valid_from, valid_to,
+             CAST(valid_to IS NULL AS INTEGER) AS is_current
+      FROM h WHERE op <> 'd'
     """,
 
     // oracle uses DuckDB's native ASOF LEFT JOIN — an independent
@@ -1381,6 +1419,31 @@ object SparkEntry {
         FROM r
       """,
 
+      // quality-weighted sampling: same quality CTE; keep-rate ∝ q/max(q),
+      // membership by the shared content-hash rule
+      "q_sample_weighted" -> s"""
+        WITH r AS (
+          SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text), 6) AS punct_ratio,
+                 round(CAST(len(list_filter(toks, w -> w IN ${inList(TextAnalysis.stopwords)})) AS DOUBLE)
+                       / len(toks), 6) AS stopword_ratio
+          FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents)),
+        s AS (
+          SELECT doc_id, text,
+                 round(ln(1 + n_tokens) * (1.0 - punct_ratio)
+                       * (1.0 + stopword_ratio), 6) AS quality_score
+          FROM r),
+        m AS (SELECT MAX(quality_score) AS max_q FROM s)
+        SELECT doc_id, quality_score,
+               CAST(floor(500.0 * quality_score / max_q) AS INTEGER)
+                 AS keep_permille
+        FROM s, m
+        WHERE ${h64("text")} % 1000
+              < CAST(floor(500.0 * quality_score / max_q) AS INTEGER)
+      """,
+
       "q_fingerprint" -> s"""
         SELECT doc_id, md5(norm_text) AS fp, ${h64("norm_text")} AS fp_int
         FROM (SELECT doc_id,
@@ -2064,6 +2127,35 @@ object SparkEntry {
         SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
                CAST(COALESCE(ov.n_overlap, 0) > 0 AS INTEGER) AS contaminated
         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+      """,
+
+      // count-min sketch: DuckDB rebuilds the exact d×w counter layout
+      // from the same md5/KM hash fragments, then answers the same point
+      // queries — counter sums commute, so the layouts are bit-identical
+      "q_cms_counts" -> s"""
+        WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+'))
+                     AS tok
+                   FROM documents),
+        h AS (SELECT ${h64("tok")} AS h1,
+                     ${graft.functions.Hashing.hash64HiDuckDb("tok")} AS h2
+              FROM t),
+        b AS (SELECT r.i,
+                     (h1 + r.i * (h2 & ${graft.functions.Hashing.maskKM}))
+                       % 1024 AS bucket
+              FROM h CROSS JOIN range(0, 4) r(i)),
+        c AS (SELECT i, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        q AS (SELECT tok FROM (VALUES ('join'), ('hash'), ('filter'),
+                                      ('window'), ('zzzz_absent')) v(tok)),
+        qb AS (SELECT tok, r.i,
+                      (${h64("tok")}
+                       + r.i * (${graft.functions.Hashing.hash64HiDuckDb("tok")}
+                                & ${graft.functions.Hashing.maskKM}))
+                        % 1024 AS bucket
+               FROM q CROSS JOIN range(0, 4) r(i))
+        SELECT qb.tok AS token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT)
+                 AS est_count
+        FROM qb LEFT JOIN c ON c.i = qb.i AND c.bucket = qb.bucket
+        GROUP BY 1
       """,
 
       // graded decontamination: one LEFT join keeps every corpus shingle,

@@ -1,0 +1,84 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a typed MERGEABLE
+  * aggregator — the streaming/distributed answer to "how often does each
+  * of these keywords occur" when the exact token histogram is too big to
+  * keep: the whole summary is d×w long counters (32 KB at the defaults)
+  * with the one-sided guarantee true ≤ est ≤ true + ε·N at ε = e/w.
+  *
+  * Why THIS sketch is the oracle-checkable one: CMS counter updates are
+  * pure sums, so the finished sketch is bit-identical under any
+  * partitioning or merge order — unlike Misra-Gries/SpaceSaving, whose
+  * summaries are merge-order-dependent and could never hash-match a
+  * sequential DuckDB mirror. The aggregation runs as map-side partial
+  * buffers merged associatively (the same shape as the Bloom build at
+  * `Dedup.incrementalDedupBloom`); one 32 KB row reaches the driver.
+  *
+  * Bucket family: Kirsch-Mitzenmacher double hashing over the repo's
+  * md5-derived 60-bit fingerprints ([[Hashing.hash64]]/[[hash64Hi]]) —
+  * row i probes `pmod(h1 + i·(h2 & maskKM), w)` — so the DuckDB oracle
+  * reproduces the exact counter layout from the same SQL fragments.
+  */
+object CmsSketch {
+
+  /** KM bucket for depth row `i`; all terms non-negative and < 2^61, so
+    * the sum stays inside int64 in every engine (same bound argument as
+    * [[Hashing.maskKM]]). */
+  def bucket(h1: Long, h2: Long, i: Int, w: Int): Int =
+    ((h1 + i * (h2 & Hashing.maskKM)) % w).toInt
+
+  /** JVM-side twin of the [[Hashing.hash64]]/[[Hashing.hash64Hi]] SQL
+    * fragments (1-based SQL substring(1,15)/(17,15) → 0-based slices);
+    * SketchSpec asserts bit-parity against the Catalyst evaluation. */
+  def fingerprints(s: String): (Long, Long) = {
+    val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+      java.lang.Long.parseLong(hex.substring(16, 31), 16))
+  }
+
+  class CmsAggregator(d: Int, w: Int)
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], t: (Long, Long)): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + bucket(t._1, t._2, i, w)) += 1L; i += 1 }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Sketch the corpus token stream once, then answer point queries for
+    * `targets` from the 32 KB summary. Estimates are EXACT for any token
+    * whose d counters suffer no collision, and never undercount. */
+  def tokenCounts(docs: DataFrame, targets: Seq[String],
+                  d: Int = 4, w: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(expr(graft.operators.TextAnalysis.tokensExpr)).as("tok"))
+      .select(expr(Hashing.hash64("tok")).as("h1"),
+        expr(Hashing.hash64Hi("tok")).as("h2"))
+      .as[(Long, Long)]
+    val sketch = toks.select(new CmsAggregator(d, w).toColumn).head()
+    targets.distinct.sorted.map { t =>
+      val (h1, h2) = fingerprints(t)
+      val est = (0 until d).map(i => sketch(i * w + bucket(h1, h2, i, w))).min
+      (t, est)
+    }.toDF("token", "est_count")
+  }
+}

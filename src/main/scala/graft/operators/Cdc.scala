@@ -66,4 +66,26 @@ object Cdc {
     Relational.latestByKey(envelope, "key", col("ts_ms"), col("offset"))
       .filter(col("op") =!= "d")
       .select(col("after.*"), col("ts_ms"))
+
+  /** SCD type-2 history from the CDC changelog — the warehouse-side
+    * materialization every Debezium pipeline eventually needs: one row
+    * per VERSION of a key with its validity interval, instead of
+    * [[latestByKeyTable]]'s current snapshot. `valid_from` is the
+    * envelope timestamp; `valid_to` is the NEXT envelope's timestamp for
+    * the key (half-open intervals chain gaplessly); the newest version is
+    * open-ended (`valid_to` null, `is_current` 1) unless a DELETE closed
+    * it — delete envelopes close the prior version's interval but emit no
+    * row themselves, so a deleted key has history and no current row.
+    * One hash shuffle on the key (the same distribution the latest-table
+    * uses); `lead` over (ts_ms, offset) makes tie order binlog-exact. */
+  def scd2History(envelope: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts_ms"), col("offset"))
+    envelope
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .filter(col("op") =!= "d")
+      .select(col("key"), col("after.*"),
+        col("ts_ms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
 }

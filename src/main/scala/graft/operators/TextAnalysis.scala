@@ -751,6 +751,27 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Quality-weighted sampling — keep probability PROPORTIONAL to the
+    * document's quality score (normalized by the corpus max, a 1-row
+    * broadcast), the soft alternative to a hard quality cutoff: the best
+    * docs keep `basePermille`, a half-quality doc keeps half that.
+    * Membership is the repo's deterministic content-hash rule (same as
+    * [[sampleByHash]]/[[sampleStratified]]), so the sample is reproducible,
+    * leakage-coherent across engines, and one codegen'd scan — no
+    * rand(), no sort, no second pass. */
+  def sampleWeighted(docs: DataFrame, basePermille: Int = 500): DataFrame = {
+    val scored = withQualityCols(docs)
+      .select(col("doc_id"), col("text"), col("quality_score"))
+    val mx = scored.agg(max(col("quality_score")).as("max_q"))
+    scored.join(broadcast(mx))
+      .withColumn("keep_permille",
+        floor(lit(basePermille.toDouble) * col("quality_score") / col("max_q"))
+          .cast("int"))
+      .filter(expr(s"pmod(${Hashing.hash64("text")}, 1000)") <
+        col("keep_permille"))
+      .select(col("doc_id"), col("quality_score"), col("keep_permille"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document under the corpus LM ([[unigramLogProb]]), then split EACH
     * LANGUAGE into head/middle/tail at its own exact interpolated

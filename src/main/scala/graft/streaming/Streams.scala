@@ -133,8 +133,10 @@ object Streams {
     *
     * Column contract: non-key columns of the two inputs must be disjoint
     * (rename upstream, as ksqlDB forces via aliases); the key column is
-    * emitted once. `joinType` may be `inner` or `leftOuter` (left outer
-    * emits unmatched left rows once the watermark passes the window). */
+    * emitted once. `joinType` may be `inner`, `leftOuter`, or `fullOuter`
+    * (outer kinds emit unmatched rows once the watermark passes the
+    * window; for fullOuter the emitted key coalesces the two sides, since
+    * a right-only row has a null left key). */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
                        within: String, joinType: String = "inner",
@@ -143,13 +145,17 @@ object Streams {
     val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
     val rCols = right.columns.filter(_ != key)
       .map(c => col(s"r.$c")).toSeq
-    val lCols = left.columns.map(c => col(s"l.$c")).toSeq
-    l.join(r,
-        col(s"l.$key") === col(s"r.$key") &&
-          col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
-          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
-        joinType)
-      .select(lCols ++ rCols: _*)
+    val joined = l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $within") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within"),
+      joinType)
+    if (joinType.toLowerCase.replace("_", "") == "fullouter") {
+      val lNonKey = left.columns.filter(_ != key).map(c => col(s"l.$c")).toSeq
+      joined.select(coalesce(col(s"l.$key"), col(s"r.$key")).as(key) +:
+        (lNonKey ++ rCols): _*)
+    } else
+      joined.select(left.columns.map(c => col(s"l.$c")).toSeq ++ rCols: _*)
   }
 
   /** `UNHAPPY_PLATINUM_CUSTOMERS` CSAS (ksqldb-statements.sql:63-68). */

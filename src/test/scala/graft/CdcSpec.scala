@@ -33,4 +33,31 @@ class CdcSpec extends GraftSuite {
     assert(present.join(deletedKeys, "key").count() === 0)
     assert(table.count() === latest.filter(col("op") =!= "d").count())
   }
+
+  test("SCD2 history: gapless intervals, current rows = the live snapshot") {
+    val hist = Cdc.scd2History(env).cache()
+    // intervals never overlap and only the key's LAST version may be
+    // open-ended (a delete may close an interval EARLY — before the next
+    // create — so chains may have gaps, but never overlaps)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("valid_from"), col("id"))
+    val overlapping = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        (col("valid_to").isNull || col("valid_to") > col("next_from")))
+    assert(overlapping.count() === 0,
+      "validity intervals must be closed and non-overlapping except the last")
+    // at most one current version per key, and the set of current rows
+    // must be EXACTLY the latest-table snapshot (same keys + values)
+    assert(hist.filter(col("is_current") === 1)
+      .groupBy("key").count().filter(col("count") > 1).count() === 0)
+    val current = hist.filter(col("is_current") === 1)
+      .select(col("id"), col("user_id"), col("event_type"), col("value"))
+    val snapshot = Cdc.latestByKeyTable(env)
+      .select(col("id"), col("user_id"), col("event_type"), col("value"))
+    assert(current.exceptAll(snapshot).count() === 0 &&
+      snapshot.exceptAll(current).count() === 0,
+      "current SCD2 rows must equal the latest-by-key table")
+    hist.unpersist()
+  }
 }

@@ -58,4 +58,44 @@ class SketchSpec extends GraftSuite {
           s"${r.getAs[Any]("bucket_start")}/${r.getString(1)}")
     }
   }
+
+  test("CMS fingerprints: JVM md5 twin is bit-identical to the SQL fragments") {
+    import graft.functions.{CmsSketch, Hashing}
+    val toks = Seq("join", "hash", "zzzz_absent", "ünïcode", "")
+    val sql = spark.sql(toks.map(t =>
+      s"SELECT ${Hashing.hash64(s"'$t'")} AS h1, " +
+        s"${Hashing.hash64Hi(s"'$t'")} AS h2").mkString(" UNION ALL "))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // UNION ALL preserves no order — compare as sets of pairs
+    assert(sql.toSet === toks.map(CmsSketch.fingerprints).toSet)
+  }
+
+  test("CMS never undercounts, honors the eps*N bound, exact without collisions") {
+    import graft.functions.CmsSketch
+    val docs = Tables.documents(spark, sf001)
+    val targets = Seq("join", "hash", "filter", "window", "zzzz_absent")
+    val est = CmsSketch.tokenCounts(docs, targets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select(explode(expr(graft.operators.TextAnalysis.tokensExpr)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("tok").isin(targets: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.select(sum(size(expr(
+      graft.operators.TextAnalysis.tokensExpr)))).first().getLong(0)
+    val eps = math.E / 1024
+    targets.foreach { t =>
+      val e = exact.getOrElse(t, 0L)
+      assert(est(t) >= e, s"$t undercounted: ${est(t)} < $e")
+      assert(est(t) <= e + (eps * n).toLong,
+        s"$t above the CMS bound: ${est(t)} vs $e + ${(eps * n).toLong}")
+    }
+    // a 4-token corpus cannot collide at w=1024 with overwhelming
+    // probability under the fixed md5 family — the sketch must be EXACT
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a c"), (2L, "a d")).toDF("doc_id", "text")
+    val tinyEst = CmsSketch.tokenCounts(tiny, Seq("a", "b", "c", "d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tinyEst === Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+  }
 }

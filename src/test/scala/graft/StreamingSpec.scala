@@ -305,6 +305,39 @@ class StreamingSpec extends GraftSuite {
       s"unmatched left row was never emitted: $got")
   }
 
+  test("stream-stream WITHIN full outer emits unmatched rows from BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val l = MemoryStream[(Long, Timestamp, String)]
+    val r = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.streamStreamJoin(
+      l.toDS().toDF("k", "lts", "lval"), r.toDS().toDF("k", "rts", "rval"),
+      "k", "lts", "rts", within = "10 seconds", joinType = "fullOuter",
+      watermarkDelay = "5 seconds")
+    val q = Streams.toMemoryTable(joined, "ss_fouter_test")
+    l.addData((1L, t("00:00:10"), "L1"), (2L, t("00:00:20"), "L2"))
+    r.addData((1L, t("00:00:12"), "R1"), (4L, t("00:00:30"), "R4"))
+    q.processAllAvailable()
+    // push both watermarks past the window, twice, to flush outer nulls
+    l.addData((9L, t("01:00:00"), "tick-l"))
+    r.addData((9L, t("01:00:00"), "tick-r"))
+    q.processAllAvailable()
+    l.addData((8L, t("01:00:01"), "tick-l2"))
+    r.addData((8L, t("01:00:01"), "tick-r2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_fouter_test")
+      .select("k", "lval", "rval").collect()
+      .map(x => (x.getLong(0), Option(x.getString(1)), Option(x.getString(2))))
+      .toSet
+    assert(got.contains((1L, Some("L1"), Some("R1"))))
+    assert(got.contains((2L, Some("L2"), None)),
+      s"unmatched left row missing: $got")
+    assert(got.contains((4L, None, Some("R4"))),
+      s"unmatched RIGHT row missing (the full-outer delta; its key must " +
+        s"coalesce from the right side): $got")
+  }
+
   test("stream-static enrichment join equals the batch plan on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val customers = Tables.customer(spark, sf)
