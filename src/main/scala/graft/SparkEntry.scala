@@ -92,6 +92,11 @@ object SparkEntry {
     "q_cdc_scd2" -> ((s, d) =>
       Cdc.scd2History(Cdc.envelope(Tables.events(s, d)))),
 
+    // time travel: the table AS OF a mid-range instant, reconstructed
+    // from SCD2 intervals (keys deleted before the instant vanish)
+    "q_cdc_snapshot" -> ((s, d) =>
+      Cdc.snapshotAt(Cdc.envelope(Tables.events(s, d)), 1705500000000L)),
+
     // AS-OF temporal join: each event enriched with the CDC dimension
     // state in effect AT THE EVENT'S TIMESTAMP (leakage-safe point-in-time
     // enrichment, vs the stream-table join's current-state). Versions are
@@ -666,6 +671,29 @@ object SparkEntry {
              valid_from, valid_to,
              CAST(valid_to IS NULL AS INTEGER) AS is_current
       FROM h WHERE op <> 'd'
+    """,
+
+    "q_cdc_snapshot" -> """
+      WITH env AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN event_id % 10 = 0 THEN 'd'
+                    WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+               event_id, user_id, event_type, value, props,
+               epoch_ms(ts) AS ts_ms
+        FROM events
+      ),
+      h AS (
+        SELECT key, op, event_id, user_id, event_type, value, props,
+               ts_ms AS valid_from,
+               lead(ts_ms) OVER (
+                 PARTITION BY key ORDER BY ts_ms, event_id) AS valid_to
+        FROM env
+      )
+      SELECT key, event_id AS id, user_id, event_type, value, props,
+             valid_from
+      FROM h
+      WHERE op <> 'd' AND valid_from <= 1705500000000
+        AND (valid_to IS NULL OR valid_to > 1705500000000)
     """,
 
     // oracle uses DuckDB's native ASOF LEFT JOIN — an independent

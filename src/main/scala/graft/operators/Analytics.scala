@@ -435,10 +435,18 @@ object Analytics {
     * supplier count (EXISTS), the set of 'R' suppliers (NOT EXISTS ⇔ set
     * size 1), and the 'R' line count (the contribution) — then one
     * shrinking rollup per supplier. One fact shuffle instead of three. */
-  def waitingSuppliers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
-    val li = Tables.lineitem(s, d)
+  def waitingSuppliers(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    waitingSuppliersFrom(Tables.lineitem(s, d), Tables.orders(s, d),
+      Tables.supplier(s, d), k)
+
+  /** [[waitingSuppliers]] over explicit frames — the property-testable
+    * core (GraftProperties pits it against a literal three-join form on
+    * random histories). */
+  def waitingSuppliersFrom(lineitem: DataFrame, orders: DataFrame,
+                           supplier: DataFrame, k: Int): DataFrame = {
+    val li = lineitem
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .join(orders.filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
     val perOrder = li.groupBy(col("l_orderkey"))
@@ -451,7 +459,7 @@ object Analytics {
       .select(element_at(col("r_supps"), 1).as("suppkey"), col("r_rows"))
     perOrder.groupBy(col("suppkey"))
       .agg(sum(col("r_rows")).as("nw"))
-      .join(Tables.supplier(s, d), col("suppkey") === col("s_suppkey"))
+      .join(supplier, col("suppkey") === col("s_suppkey"))
       // the oracle groups by NAME; re-roll the (tiny) per-supplier survivor
       // set on s_name so a duplicate name can never diverge from it
       .groupBy(col("s_name"))

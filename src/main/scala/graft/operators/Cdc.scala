@@ -88,4 +88,16 @@ object Cdc {
         col("ts_ms").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.cast("int").as("is_current"))
   }
+
+  /** Time travel: the table AS OF `tsMs` reconstructed from the SCD2
+    * history — the version whose half-open validity interval contains the
+    * instant. A pure filter over [[scd2History]] (at rest this is a
+    * partition-prunable predicate on a history table; no join, no extra
+    * shuffle beyond the history's own). Keys deleted before `tsMs` have a
+    * closed last interval and correctly vanish. */
+  def snapshotAt(envelope: DataFrame, tsMs: Long): DataFrame =
+    scd2History(envelope)
+      .filter(col("valid_from") <= tsMs &&
+        (col("valid_to").isNull || col("valid_to") > tsMs))
+      .drop("valid_to", "is_current")
 }

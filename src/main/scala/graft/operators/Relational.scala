@@ -403,8 +403,12 @@ object Relational {
     * when it lands within `gap` of the previous one). Same single
     * user-key shuffle as [[sessionize]]; differs from it only in the end
     * bound (+gap, the streaming-emission convention) and in emitting no
-    * per-user ordinal. Fixture timestamps carry microsecond components,
-    * so the merge boundary compares at micro precision in both engines. */
+    * per-user ordinal. Boundary semantics verified empirically: an event
+    * EXACTLY `gap` after its predecessor merges (inclusive), identical to
+    * the islands form's strict `diff > gap` new-session test — the two
+    * definitions agree even at the boundary. Fixture timestamps carry
+    * microsecond components, so the merge compare runs at micro precision
+    * in both engines. */
   def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     events
       .groupBy(col("user_id"),

