@@ -366,6 +366,51 @@ class Engine(val spark: SparkSession,
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  /** `INSERT INTO <topic> (cols) VALUES (...)` — the engine analog of the
+    * reference demo's "make changes in MySQL, observe it downstream" step
+    * (`readme.md:302-312`): appends ONE CDC envelope ("binlog event") to a
+    * file-backed source-connector topic, which the connector's stream
+    * picks up as its next microbatch. Columns address the envelope's
+    * after-image fields (`id`, `user_id`, `event_type`, `value`, `props`)
+    * plus optional `key`/`op`/`ts_ms`/`offset` overrides — key defaults to
+    * `id`, op to 'c', ts_ms/offset to the wall clock (pass them explicitly
+    * for deterministic tests). Re-inserting a key replays the readme's
+    * UPDATE steps: latest-by-key tables compact to the new row. */
+  def insertInto(topic: String, cols: Seq[String], vals: Seq[Any]): Unit = {
+    val dir = java.nio.file.Paths.get(connectorDataDir, topic)
+    require(java.nio.file.Files.isDirectory(dir),
+      s"INSERT INTO: '$topic' is not a file-backed source-connector topic")
+    val m = cols.map(_.trim.toLowerCase).zip(vals).toMap
+    def longAt(k: String): Option[Long] = m.get(k).collect {
+      case l: Long => l
+      case d: Double => d.toLong
+      case s: String => s.toLong
+    }
+    def str(k: String): Option[String] = m.get(k).map(String.valueOf)
+    val now = System.currentTimeMillis()
+    val op = str("op").getOrElse("c")
+    val after =
+      if (op == "d") null
+      else org.apache.spark.sql.Row(
+        longAt("id").getOrElse(throw new IllegalArgumentException(
+          "INSERT INTO: 'id' is required")).asInstanceOf[java.lang.Long],
+        longAt("user_id").map(Long.box).orNull,
+        str("event_type").orNull,
+        m.get("value").collect { case d: Double => Double.box(d)
+          case l: Long => Double.box(l.toDouble) }.orNull,
+        str("props").orNull)
+    val key = str("key").orElse(longAt("id").map(_.toString)).getOrElse(
+      throw new IllegalArgumentException("INSERT INTO: 'key' or 'id' required"))
+    val row = org.apache.spark.sql.Row(
+      key, after, op,
+      Long.box(longAt("ts_ms").getOrElse(now)),
+      Long.box(longAt("offset").getOrElse(now)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row),
+      Engine.cdcEnvelopeSchema(spark))
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+  }
+
   /** `DROP`/terminate a persistent query. */
   def terminate(name: String): Unit =
     queries.remove(name).foreach(_.stop())

@@ -161,6 +161,46 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       "(?:\\s+FROM\\s+BEGINNING)?(?:\\s+INTERVAL\\s+\\d+)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$")
 
+  // `INSERT INTO <topic> (c1, c2, ...) VALUES (v1, v2, ...)` — the
+  // reference demo's "make changes in MySQL" step (readme.md:302-312)
+  // replayed against a file-backed source-connector topic
+  private val insertRe = java.util.regex.Pattern.compile(
+    "(?is)^INSERT\\s+INTO\\s+['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?" +
+      "\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*$")
+
+  /** Parse a VALUES list: 'single-quoted strings' (with '' escapes),
+    * integers, decimals, NULL. Commas inside quotes stay in the value. */
+  private def parseValues(raw: String): Seq[Any] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      while (i < n && (raw(i) == ' ' || raw(i) == ',')) i += 1
+      if (i < n) {
+        if (raw(i) == '\'') {
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (!done && i < n) {
+            if (raw(i) == '\'' && i + 1 < n && raw(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else if (raw(i) == '\'') { i += 1; done = true }
+            else { sb.append(raw(i)); i += 1 }
+          }
+          out += sb.toString
+        } else {
+          val start = i
+          while (i < n && raw(i) != ',') i += 1
+          val tok = raw.substring(start, i).trim
+          out += (if (tok.equalsIgnoreCase("NULL")) null
+                  else if (tok.matches("[+-]?\\d+")) tok.toLong
+                  else tok.toDouble)
+        }
+      }
+    }
+    out.toSeq
+  }
+
   private def withProps(raw: String): Map[String, String] = {
     val m = propRe.matcher(raw)
     val b = Map.newBuilder[String, String]
@@ -183,8 +223,17 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val connector = connectorRe.matcher(stmt)
     val decl = declRe.matcher(stmt)
     val print = printRe.matcher(stmt)
+    val insert = insertRe.matcher(stmt)
     try {
-      if (print.matches()) {
+      if (insert.matches()) {
+        val topic = insert.group(1)
+        val cols = insert.group(2).split(",").map(_.trim).toSeq
+        val vals = parseValues(insert.group(3))
+        require(cols.length == vals.length,
+          s"INSERT INTO $topic: ${cols.length} columns but ${vals.length} values")
+        engine.insertInto(topic, cols, vals)
+        respond(ex, 200, s"""{"status":"SUCCESS","topic":${jstr(topic)}}""")
+      } else if (print.matches()) {
         // `PRINT <topic>` — tail the raw topic as chunked NDJSON over the
         // same push path as EMIT CHANGES (the ksql CLI streams PRINT
         // output exactly like a push query), self-terminating at LIMIT

@@ -291,6 +291,23 @@ class RestServerSpec extends GraftSuite {
       assert(pulled.statusCode() === 200, pulled.body())
       assert(pulled.body().contains("CUSTOMER_ID"))
 
+      // --- readme.md:302-312: make changes "in MySQL", observe them
+      // downstream — INSERT INTO over /ksql appends binlog envelopes;
+      // the re-insert of key 4242 replays the readme's UPDATE steps and
+      // must compact to the newest row in the TABLE
+      assert(ksql(
+        "INSERT INTO 'asgard.demo.customers' (key, id, user_id, event_type, value, ts_ms, offset) VALUES ('4242', 424201, 4242, 'rick', 1.0, 9000000000001, 9000000000001);")
+        .statusCode() === 200)
+      assert(ksql(
+        "INSERT INTO 'asgard.demo.customers' (key, id, user_id, event_type, value, op, ts_ms, offset) VALUES ('4242', 424202, 4242, 'astley', 5.0, 'u', 9000000000002, 9000000000002);")
+        .statusCode() === 200)
+      engine.processAllAvailable()
+      val rick = post(port, "/query",
+        """{"sql":"SELECT CUSTOMER_ID, event_type, value FROM CUSTOMERS WHERE CUSTOMER_ID = '4242'"}""")
+      assert(rick.statusCode() === 200, rick.body())
+      assert(rick.body().contains("astley") && !rick.body().contains("rick"),
+        s"latest-by-key table must show the updated row: ${rick.body()}")
+
       // metadata + lifecycle
       val shown = ksql("SHOW CONNECTORS;").body()
       assert(shown.contains("SINK_ES_RATINGS") && shown.contains("SOURCE_MYSQL_01")
