@@ -136,6 +136,11 @@ object SparkEntry {
     "q_median_by_type" -> ((s, d) =>
       Relational.medianOverTime(Tables.events(s, d), "1 hour")),
 
+    // tail-latency panel: exact p50/p95/p99 per (hour, type) — the
+    // Kibana percentiles(50,95,99) aggregation in one group pass
+    "q_latency_percentiles" -> ((s, d) =>
+      Relational.latencyPercentiles(Tables.events(s, d), "1 hour")),
+
     // D3 — count histogram by type over time (docker-compose.yml:348)
     "q_counts_by_type" -> ((s, d) =>
       Relational.countsByTypeOverTime(Tables.events(s, d), "1 hour")),
@@ -733,6 +738,15 @@ object SparkEntry {
     "q_median_by_type" -> """
       SELECT date_trunc('hour', ts) AS bucket_start, event_type,
              round(quantile_cont(value, 0.5), 4) AS median_value
+      FROM events GROUP BY 1, 2
+    """,
+
+    "q_latency_percentiles" -> """
+      SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.95), 4) AS p95,
+             round(quantile_cont(value, 0.99), 4) AS p99,
+             COUNT(*) AS n
       FROM events GROUP BY 1, 2
     """,
 

@@ -178,6 +178,23 @@ object Relational {
       .select(col("window.start").as("bucket_start"), col("event_type"),
         col("median_value"))
 
+  /** Tail-latency panel: exact interpolated p50/p95/p99 of `value` per
+    * (window, type) — the SLO dashboard's standard triple. One shuffle on
+    * the composite window key; the three quantiles come out of ONE sort
+    * of each group's values (Spark evaluates the percentile triple over a
+    * single buffer), and at 100 TB the drop-in sketch twin is
+    * `percentile_approx` exactly as with [[medianOverTimeApprox]]. */
+  def latencyPercentiles(events: DataFrame, interval: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), interval), col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("p50"), col("p95"), col("p99"), col("n"))
+
   // --------------------------------------------------------------------- //
   // D3 — count × date_histogram × terms(channel, top 5 by count)
   // (docker-compose.yml:348).
