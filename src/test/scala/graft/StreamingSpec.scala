@@ -553,6 +553,23 @@ class StreamingSpec extends GraftSuite {
       .filter(col("user_id") === 7).orderBy("session_start")
       .select("n_events").as[Long].collect()
     assert(sessions.toSeq === Seq(2L, 1L))
+    // batch twin parity: the finalized streaming sessions must equal
+    // Relational.sessionWindows over the same events — one session
+    // definition for backfill and live (boundaries AND ends)
+    val batch = Relational.sessionWindows(Seq(
+      ev(1, "2024-01-01 00:00:00", 7, "click", 1),
+      ev(2, "2024-01-01 00:10:00", 7, "view", 1),
+      ev(3, "2024-01-01 02:00:00", 7, "click", 1)).toDF(), 30)
+      .select(col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    val streamed = spark.table("session_stream_test")
+      .filter(col("user_id") === 7)
+      .select(col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch,
+      s"stream sessions $streamed must equal batch twin $batch")
   }
 
   test("streaming near-dup detection matches within and across microbatches") {
