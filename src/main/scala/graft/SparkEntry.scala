@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
 import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Retrieval, Similarity, Skew, Temporal, TextAnalysis, Versioning}
 import graft.sources.Tables
 
@@ -422,6 +423,9 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, d) => Dedup.minhashCandidatePairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => Dedup.simhashNearDups(Tables.documents(s, d))),
+    // the 64-bit / 16-bit-band scale default: 65,536 buckets per band push
+    // the random-collision knee 256× past the 32-bit form above
+    "q_simhash_neardup_wide" -> ((s, d) => Dedup.simhashWideNearDups(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -2149,6 +2153,43 @@ object SparkEntry {
         WITH sh AS ($simhashSql),
         bands AS (SELECT doc_id, simhash, b AS band_id,
                          CAST((simhash >> (b * 8)) & 255 AS INTEGER) AS band_byte
+                  FROM sh, (SELECT unnest(range(0, 4)) AS b))
+        SELECT * FROM (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_byte = b.band_byte
+            AND a.doc_id < b.doc_id)
+        WHERE hamming <= 3
+      """,
+
+      // 64-bit twin of q_simhash_neardup: two independent 60-bit md5 halves
+      // give bits 0-31 (low) / 32-63 (high); the per-bit powers run in
+      // HUGEINT (DuckDB BIGINT << 63 would overflow) and wrap back to the
+      // signed 64-bit value Spark's Long arithmetic produces, then the same
+      // shift/mask banding at 16 bits per band and bit_count(xor) verify.
+      "q_simhash_neardup_wide" -> s"""
+        WITH hs_t AS (
+          SELECT doc_id, list_transform(
+            regexp_split_to_array(lower(text), '\\s+'),
+            w -> [${Hashing.hash64DuckDb("w")},
+                  ${Hashing.hash64HiDuckDb("w")}]) AS hs
+          FROM documents),
+        us AS (
+          SELECT doc_id, list_sum(list_transform(range(0, 64), j -> CASE
+              WHEN list_sum(list_transform(hs, h -> CASE
+                     WHEN ((CASE WHEN j < 32 THEN h[1] ELSE h[2] END)
+                           >> (CASE WHEN j < 32 THEN j ELSE j - 32 END)) & 1 = 1
+                     THEN 1 ELSE -1 END)) > 0
+              THEN CAST(1 AS HUGEINT) << j ELSE CAST(0 AS HUGEINT) END)) AS u
+          FROM hs_t),
+        sh AS (
+          SELECT doc_id, CAST(CASE WHEN u >= CAST(power(2, 63) AS HUGEINT)
+                   THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT)
+                 AS simhash
+          FROM us),
+        bands AS (SELECT doc_id, simhash, b AS band_id,
+                         CAST((simhash >> (b * 16)) & 65535 AS INTEGER) AS band_byte
                   FROM sh, (SELECT unnest(range(0, 4)) AS b))
         SELECT * FROM (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
