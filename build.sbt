@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through VERBATIM instead of routing
+// them via sbt's logger: the driver's bench parser anchors `BENCH_JSON {...}`
+// at line start, and sbt's default LoggedOutput decoration ([info]/[error]
+// prefixes) kept it from matching five rounds running (BENCH_r01-r05 all
+// `"parsed": null` despite the marker surviving intact in the tail).
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,6 +19,16 @@ import org.apache.spark.sql.SparkSession
   * re-run the trials once; the clean median is reported and the discarded
   * one is kept in `"retried"` for audit.
   *
+  * Cross-sweep guard (round-5 verdict: SUSTAINED pressure pins all three
+  * trials equally high — `q_dedup_incremental` recorded 10.39 s with
+  * `n_retried: 0` vs its judge-isolated 1.19 s — so intra-query spread
+  * never fires): each sweep persists its per-query medians to
+  * `SPARK_GRAFT_BENCH_OUT + ".medians"`; when a fresh median exceeds 3×
+  * the previous sweep's for the same query (and 1 s absolute, so cheap
+  * queries don't thrash), force a GC, settle, and re-run the trials once,
+  * recording the discarded median under `"retried"`. A genuine regression
+  * reproduces on the retry and is reported; a pressure phantom does not.
+  *
   * Output: the FULL per-query JSON is written bare to
   * `SPARK_GRAFT_BENCH_OUT` and printed as its own early stdout line. The
   * FINAL line — anchored by the `BENCH_JSON ` marker on BOTH stdout and
@@ -74,6 +84,22 @@ object Bench {
       }
     }
 
+    // Previous sweep's per-query medians (one `name value` line each),
+    // persisted below; absent on a cold machine → cross-sweep guard is a
+    // no-op and only the intra-query guard applies.
+    val mediansPath = java.nio.file.Paths.get(out + ".medians")
+    val prevMedians: Map[String, Double] =
+      if (java.nio.file.Files.exists(mediansPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(mediansPath)).asScala
+          .flatMap { line =>
+            line.split(' ') match {
+              case Array(k, v) => v.toDoubleOption.map(k -> _)
+              case _ => None
+            }
+          }.toMap
+      else Map.empty
+
     var retried = Map.empty[String, Double]
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
       runOnce(name) match {
@@ -81,8 +107,12 @@ object Bench {
         case Right(_) => // warmup done
           name -> (trials(name) match {
             case Left(e) => Left(e)
-            case Right((median, minT)) if median > 4 * minT && median > 1.0 =>
-              // Environment hiccup, not plan cost: GC, settle, one redo.
+            case Right((median, minT))
+                if (median > 4 * minT && median > 1.0) ||
+                  (median > 1.0 &&
+                    prevMedians.get(name).exists(p => median > 3 * p)) =>
+              // Environment hiccup (intra-query spread) or sustained
+              // pressure (3× the previous sweep): GC, settle, one redo.
               System.gc()
               Thread.sleep(200)
               retried += name -> median
@@ -91,6 +121,9 @@ object Bench {
           })
       }
     }
+    // Persist this sweep's medians for the next sweep's cross-run guard.
+    java.nio.file.Files.writeString(mediansPath,
+      results.collect { case (k, Right(t)) => s"$k $t" }.mkString("", "\n", "\n"))
 
     def jstr(s: String): String = graft.functions.Json.quote(s)
     // 3-decimal values: keeps the whole marker line small enough to survive

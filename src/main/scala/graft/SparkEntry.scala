@@ -366,7 +366,9 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1))
     }),
     // MMR diversification rerank over the top-50 candidates (greedy is
-    // inherently sequential → driver stage bounded at 50 rows; rows-only)
+    // inherently sequential → driver stage bounded at 50 rows); oracled
+    // via unrolled chained CTEs — see oracleSql
+    // (q_mmr_rerank)
     "q_mmr_rerank" -> ((s, d) =>
       Similarity.mmrRerank(Tables.embeddings(s, d))),
     // KWIC snippets: ±3-token context around each doc's first query hit
@@ -2079,6 +2081,49 @@ object SparkEntry {
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 10
       """,
+
+      // MMR rerank: the greedy loop IS SQL-expressible over the bounded
+      // top-50 candidate set — unroll the k=10 steps as chained CTEs
+      // (selected set `ch{i}` grows one row per step; each step argmaxes
+      // λ·rel − (1−λ)·max-sim-to-selected with the same (score desc,
+      // vec_id asc) tie-break as Similarity.mmrRerank). MATERIALIZED is
+      // load-bearing twice over: it stops DuckDB re-inlining the chain
+      // (exponential re-evaluation) and caps parquet re-opens at one.
+      "q_mmr_rerank" -> {
+        val steps = (2 to 10).map { i =>
+          s"""s$i AS MATERIALIZED (SELECT c.vec_id, c.rel,
+                   0.7 * c.rel - 0.3 * (SELECT max(p.sim)
+                                        FROM ps p, ch${i - 1} ch
+                                        WHERE p.a_id = c.vec_id
+                                          AND p.b_id = ch.id) AS score
+                 FROM cand c
+                 WHERE c.vec_id NOT IN (SELECT id FROM ch${i - 1})
+                 ORDER BY score DESC, c.vec_id ASC LIMIT 1),
+        ch$i AS MATERIALIZED (SELECT id FROM ch${i - 1}
+                              UNION ALL SELECT vec_id FROM s$i)"""
+        }.mkString(",\n        ")
+        val finals = (1 to 10).map { i =>
+          s"""SELECT CAST($i AS INTEGER) AS rank, vec_id AS selected_id,
+                     round(score, 6) AS mmr_score FROM s$i"""
+        }.mkString("\n        UNION ALL ")
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id,
+                 CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cand AS MATERIALIZED (SELECT e.vec_id, e.v,
+                 ${cosSql("qv", "v")} AS rel
+                 FROM e, q WHERE e.vec_id <> 0
+                 ORDER BY rel DESC, vec_id ASC LIMIT 50),
+        ps AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 ${cosSql("a.v", "b.v")} AS sim
+               FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        s1 AS MATERIALIZED (SELECT vec_id, rel, 0.7 * rel AS score FROM cand
+               ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        ch1 AS MATERIALIZED (SELECT vec_id AS id FROM s1),
+        $steps
+        $finals
+      """
+      },
 
       // KWIC snippets: first-hit position via a conditional index
       // transform (list_min skips NULLs in both engines); 1-based DuckDB

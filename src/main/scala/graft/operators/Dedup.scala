@@ -302,6 +302,13 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** 32-bit signature / 8-bit-band near-dup pairs. The 256 buckets per
+    * band give ~N²/256 random-collision candidate pairs — fine at demo
+    * scale, a quadratic knee beyond ~10⁶ docs. **Prefer
+    * [[simhashWideNearDups]] (64-bit / 16-bit bands, 65,536 buckets per
+    * band) for any real corpus** — it is the documented scale default and
+    * carries its own CORRECTNESS entry (`q_simhash_neardup_wide`); this
+    * form is kept as the reference-fidelity 32-bit twin. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = simhashBands(simhash(docs))
       // lazy localCheckpoint — see minhashCandidatePairs: without it the

@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Timestamp columns per table. The fixtures store TIMESTAMP(NANOS), which
-    * Spark's vectorized parquet reader rejects; we read them as raw
-    * nano-longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert to
-    * micro-precision TimestampType. The fixtures carry no sub-microsecond
-    * components (verified), so this is lossless and matches DuckDB's
-    * TIMESTAMP view of the same files. */
+  /** Timestamp columns per table. Fixture generations have varied the
+    * physical type — TIMESTAMP(NANOS) in early rounds (which Spark's
+    * vectorized reader rejects; read as raw nano-longs via
+    * `spark.sql.legacy.parquet.nanosAsLong` and convert), naive
+    * `timestamp[us]` since round 6 (which Spark reads as TIMESTAMP_NTZ).
+    * Both are normalized here to session-zoned TimestampType under a UTC
+    * session zone, the repo-wide convention: DuckDB (the oracle) reads the
+    * same files as naive timestamps whose epoch math treats the wall time
+    * as UTC, so UTC is the one interpretation under which Spark's
+    * `unix_millis`/window arithmetic agrees with the oracle bit-for-bit. */
   private val tsColumns: Map[String, Seq[String]] = Map(
     "events"   -> Seq("ts"),
     "lineitem" -> Seq("l_shipdate"),
@@ -30,11 +34,19 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NTZ→TIMESTAMP casts read the session zone at execution; pin it so
+    // entry points that don't set it (tests, Bench) agree with Verify.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     tsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
-      else df
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) era
+          df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(c,
+            col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     }
   }
 
