@@ -274,6 +274,17 @@ object SparkEntry {
     "q19_disjunctive" -> ((s, d) => Analytics.disjunctiveRevenue(s, d)),
     // TPC-H Q21-style waiting suppliers: 3 self-joins → 1 order-key agg
     "q21_waiting" -> ((s, d) => Analytics.waitingSuppliers(s, d)),
+    // TPC-H Q2-style min-cost supplier (correlated min → agg + join-back;
+    // the fixtures' partsupp analog is lineitem's unit price)
+    "q2_min_cost" -> ((s, d) => Analytics.minCostSupplier(s, d)),
+    // TPC-H Q9-style profit by supplier nation × order year
+    "q9_profit" -> ((s, d) => Analytics.profitByNationYear(s, d)),
+    // TPC-H Q11-style important parts (share-of-total HAVING in decimals)
+    "q11_important_parts" -> ((s, d) => Analytics.importantParts(s, d)),
+    // TPC-H Q16-style supplier census per part descriptor (anti-join NOT IN)
+    "q16_part_suppliers" -> ((s, d) => Analytics.partSupplierCounts(s, d)),
+    // TPC-H Q20-style dominant shippers (nested-IN → semi-join chain)
+    "q20_excess_shippers" -> ((s, d) => Analytics.excessShippers(s, d)),
     // nation × year revenue with ROLLUP subtotals — Expand runs over the
     // pre-aggregated ~25×7 decimal cell table, never the fact
     "q_rollup_revenue" -> ((s, d) => Analytics.revenueRollup(s, d)),
@@ -1260,6 +1271,93 @@ object SparkEntry {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP(n_name, o_year)
+    """,
+
+    // Q2 analog: per-row double division is identical IEEE arithmetic in
+    // both engines, so the min-equality join is exact
+    "q2_min_cost" -> """
+      WITH offers AS (
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+               l_extendedprice / l_quantity AS unit_cost
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+             AND p_size <= 25 AND p_type = 'SMALL'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      ),
+      mc AS (SELECT p_partkey AS mc_partkey, min(unit_cost) AS min_cost
+             FROM offers GROUP BY 1)
+      SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+             round(unit_cost, 6) AS unit_cost
+      FROM offers JOIN mc
+        ON p_partkey = mc_partkey AND unit_cost = min_cost
+      ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+      LIMIT 100
+    """,
+
+    "q9_profit" -> """
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC
+    """,
+
+    // Q11 analog: the share comparison stays in exact decimals (0.001 is
+    // an exact decimal literal in both engines)
+    "q11_important_parts" -> """
+      WITH slice AS (
+        SELECT l_partkey,
+               CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(8,4)) AS val
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                            JOIN nation ON s_nationkey = n_nationkey
+                            WHERE n_name = 'NATION_5')
+      )
+      SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS value
+      FROM slice GROUP BY 1
+      HAVING SUM(val) > (SELECT SUM(val) FROM slice) * 0.001
+      ORDER BY value DESC, l_partkey ASC
+    """,
+
+    "q16_part_suppliers" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+           AND p_brand <> 'Brand#1' AND p_size <= 20
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+
+    "q20_excess_shippers" -> """
+      WITH slice AS (
+        SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,4)) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+      ),
+      pair AS (SELECT l_partkey, l_suppkey, SUM(qty) AS pair_qty
+               FROM slice GROUP BY 1, 2),
+      tot AS (SELECT l_partkey AS pp_partkey, SUM(qty) AS part_qty
+              FROM slice GROUP BY 1)
+      SELECT s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      WHERE s_suppkey IN (SELECT DISTINCT l_suppkey
+                          FROM pair JOIN tot ON l_partkey = pp_partkey
+                          WHERE pair_qty > part_qty * 0.3)
+      ORDER BY s_name ASC
     """,
 
     "q_session_window" -> """

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -466,5 +467,167 @@ object Analytics {
       .agg(sum(col("nw")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
       .limit(k)
+  }
+
+  // --------------------------------------------------------------------- //
+  // The five remaining TPC-H patterns (Q2/Q9/Q11/Q16/Q20), adapted to the
+  // fixture schema: the fixtures carry no `partsupp` table, so the
+  // part↔supplier relation comes from `lineitem`'s (l_partkey, l_suppkey)
+  // pairs and ps_supplycost/ps_availqty become unit-price/shipped-quantity
+  // analogs. The PLAN shapes — correlated min join-back, global-share
+  // HAVING against a 1-row aggregate, anti-join exclusion, semi-join
+  // chains — are the original queries' shapes, which is what matters for
+  // the 100 TB design audit.
+  // --------------------------------------------------------------------- //
+
+  /** TPC-H Q2-style min-cost supplier: for each part of one size+type,
+    * the region's supplier(s) offering the lowest unit price. The
+    * correlated `= (SELECT min ...)` becomes a per-part aggregate joined
+    * back on the part key (map-side partial min — no window sort). The
+    * unit price is a PER-ROW double division, identical IEEE arithmetic in
+    * Spark and DuckDB, so the min-selection equality join is exact — no
+    * accumulation, no tolerance needed. Part/supplier shrink by their
+    * filters before any fact shuffle; only nation/region broadcast. */
+  def minCostSupplier(s: SparkSession, d: String, maxSize: Int = 25,
+                      ptype: String = "SMALL", region: String = "EUROPE",
+                      k: Int = 100): DataFrame = {
+    val regionNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(s, d)
+      .join(Tables.part(s, d)
+          .filter(col("p_size") <= maxSize && col("p_type") === ptype)
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val minCost = offers.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("unit_cost")).as("min_cost"))
+    offers
+      .join(minCost, col("p_partkey") === col("mc_partkey") &&
+        col("unit_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), round(col("unit_cost"), 6).as("unit_cost"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q9-style product-line profit by supplier nation and order year
+    * (profit = shipped revenue, the fixture's supplycost-free analog).
+    * The part-name keyword filter shrinks the part side before the fact
+    * join; nation broadcasts; the one fact shuffle is the final
+    * (nation, year) aggregation with decimal partials. */
+  def profitByNationYear(s: SparkSession, d: String,
+                         kw: String = "widget"): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").contains(kw))
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(rev).cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+
+  /** TPC-H Q11-style important parts: parts whose shipped value from one
+    * nation's suppliers exceeds a fraction of that nation's total. The
+    * global total is a 1-row decimal aggregate cross-joined (broadcast by
+    * construction); the share comparison stays in EXACT decimals on both
+    * sides — a double boundary can't flip membership vs the oracle. */
+  def importantParts(s: SparkSession, d: String,
+                     nation: String = "NATION_5",
+                     frac: Double = 0.001): DataFrame = {
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === nation)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val slice = Tables.lineitem(s, d)
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+    val perPart = slice.groupBy(col("l_partkey"))
+      .agg(sum(rev).as("value_dec"))
+    val total = slice.agg(sum(rev).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") >
+        col("total_dec") * lit(frac).cast(DecimalType(10, 6)))
+      .select(col("l_partkey"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  /** TPC-H Q16-style part-supplier relationship census: distinct supplier
+    * count per (brand, type, size) descriptor, excluding one brand and
+    * excluding negative-balance suppliers (the fixture's "complaints"
+    * analog — Q16's NOT IN becomes a broadcast-able anti join on the
+    * small excluded-supplier set). The distinct pairs come from lineitem;
+    * countDistinct's partial dedup keeps the shuffle at pair granularity,
+    * never row granularity. */
+  def partSupplierCounts(s: SparkSession, d: String,
+                         excludeBrand: String = "Brand#1",
+                         maxSize: Int = 20): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(s, d)
+          .filter(col("p_brand") =!= excludeBrand &&
+            col("p_size") <= maxSize)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+
+  /** TPC-H Q20-style dominant shippers: suppliers who shipped more than
+    * `frac` of some keyword-part's total volume in a year window (the
+    * availqty > ½·shipped analog), restricted to one nation. Two
+    * aggregates over the SAME filtered slice — per (part, supplier) and
+    * per part — then an exact-decimal share comparison, a distinct
+    * supplier set, and a semi-join into the supplier dim. Exactly Q20's
+    * nested-IN chain, as shrinking joins. */
+  def excessShippers(s: SparkSession, d: String, kw: String = "small",
+                     nation: String = "NATION_3", frac: Double = 0.3,
+                     from: String = "1996-01-01",
+                     until: String = "1997-01-01"): DataFrame = {
+    val slice = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(Tables.part(s, d).filter(col("p_name").startsWith(kw))
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast(DecimalType(18, 4)).as("qty"))
+    val perPair = slice.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("pair_qty"))
+    val perPart = slice.groupBy(col("l_partkey").as("pp_partkey"))
+      .agg(sum(col("qty")).as("part_qty"))
+    val dominant = perPair
+      .join(perPart, col("l_partkey") === col("pp_partkey"))
+      .filter(col("pair_qty") >
+        col("part_qty") * lit(frac).cast(DecimalType(10, 6)))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === nation)
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name").asc)
   }
 }

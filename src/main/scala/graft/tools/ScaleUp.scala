@@ -28,7 +28,10 @@ import graft.sources.Tables
   * selectivities are unchanged; fixed-cardinality dims (region, nation)
   * are copied as-is, exactly like TPC-H at higher SF.
   *
-  * Usage: `runMain graft.tools.ScaleUp <inDir> <outDir> [replicas=10]`. */
+  * Usage: `runMain graft.tools.ScaleUp <inDir> <outDir> [replicas=10]
+  * [tables]` — `tables` is an optional comma-separated subset (e.g.
+  * `documents`), for big-replica batches where generating the full star
+  * schema would dominate the experiment's wall-clock. */
 object ScaleUp {
 
   /** Larger than any fixture key at sf0.1 (≤ ~10^7), far from Long overflow
@@ -39,6 +42,8 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [replicas]")
     val (inDir, outDir) = (args(0), args(1))
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val tableFilter: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scaleup")
@@ -49,6 +54,7 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicated(name: String)(shift: (DataFrame, Long, Int) => DataFrame): Unit = {
+      if (!tableFilter(name)) return
       val base = Tables.load(spark, inDir, name)
       val out = (0 until replicas).map(i => shift(base, Stride * i, i))
         .reduce(_ unionAll _)
@@ -59,7 +65,7 @@ object ScaleUp {
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(s)))
 
     // fixed-cardinality dims: cardinality is a constant of the schema
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if tableFilter(t))
       Tables.load(spark, inDir, t).write.mode(SaveMode.Overwrite)
         .parquet(s"$outDir/$t.parquet")
 

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Streaming throughput headline: drive the reference's EP2 pipeline —
+  * filter (RATINGS_LIVE) → stream-static enrich (RATINGS_WITH_CUSTOMER_DATA)
+  * → unhappy re-key (UNHAPPY_PLATINUM_CUSTOMERS), and filter → enrich →
+  * 15-minute tumbling agg (RATINGS_PER_CUSTOMER_PER_15MINUTE),
+  * ksqldb-statements.sql:13-93 — and report sustained events/s per
+  * deployed query.
+  *
+  * The reference's intrinsic ingest bound is the datagen connector's
+  * ~1.3 events/s (docker-compose.yml:145-147, BASELINE.md); this measures
+  * what the same logical pipelines sustain on local[32] when the source
+  * isn't the bottleneck. The source is `rate-micro-batch` — rows are
+  * GENERATED IN EXECUTOR TASKS (a MemoryStream feed would serialize every
+  * row into the task binary: a 2M-event run broadcasts ~170 MB per batch
+  * and OOMs the driver — measured, not hypothetical). Event fields derive
+  * deterministically from the row index via xxhash64: ~10% error-channel
+  * rows exercise the filter, user_ids land uniformly in the customer key
+  * range so the broadcast enrich hits, stars 0..4 drive the unhappy
+  * branch, and event-time advances one second per 50 events so the
+  * windowed agg maintains real window state.
+  *
+  * Usage: `runMain graft.tools.StreamBench [rowsPerBatch=250000]
+  * [batches=8]` (2 warmup batches are excluded from each measurement).
+  * Prints one `STREAMBENCH {...}` JSON line. */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rowsPerBatch = if (args.length > 0) args(0).toInt else 250000
+    val batches = if (args.length > 1) args(1).toInt else 8
+    val warmup = 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streambench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val customers = Tables.customer(spark, sfDir)
+    val nCust = customers.count() // sf0.1: 15k — the broadcast dim
+
+    // The fixture event schema, derived per-row in executors — no driver
+    // state, no task-binary payload.
+    def events(): DataFrame =
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("numPartitions", cpus.toInt)
+        .load()
+        .select(
+          col("value").as("event_id"),
+          timestamp_millis(lit(1704067200000L) + expr("value DIV 50") * 1000)
+            .as("ts"),
+          (pmod(xxhash64(col("value")), lit(nCust)) + 1).as("user_id"),
+          when(pmod(xxhash64(col("value"), lit(1)), lit(10)) === 0,
+            lit("ERROR_page"))
+            .when(pmod(xxhash64(col("value"), lit(2)), lit(2)) === 0,
+              lit("click"))
+            .otherwise(lit("view")).as("event_type"),
+          pmod(xxhash64(col("value"), lit(3)), lit(5)).cast("double")
+            .as("value"),
+          concat(lit("""{"k": """), col("value"), lit("}")).as("props"))
+
+    // Run one deployed query for `batches` microbatches against the noop
+    // streaming sink (executes the full pipeline, materializes nothing);
+    // events/s over the post-warmup batches, from the engine's own
+    // progress ledger.
+    def measure(build: DataFrame => DataFrame,
+                mode: OutputMode): (Long, Double) = {
+      val q: StreamingQuery = build(events()).writeStream
+        .format("noop").outputMode(mode).start()
+      try {
+        while (q.recentProgress.count(_.numInputRows > 0) < batches)
+          Thread.sleep(200)
+      } finally q.stop()
+      val measured = q.recentProgress.filter(_.numInputRows > 0)
+        .drop(warmup).take(batches - warmup)
+      val rows = measured.map(_.numInputRows).sum
+      val secs = measured.map(_.durationMs.get("triggerExecution").toLong)
+        .sum / 1000.0
+      (rows, secs)
+    }
+
+    val (unhappyRows, unhappySec) = measure(
+      df => Streams.unhappyStream(
+        Streams.enrichedStream(Streams.liveEvents(df), customers)),
+      OutputMode.Append())
+    val (windowRows, windowSec) = measure(
+      df => Streams.windowedRatings(
+        Streams.enrichedStream(Streams.liveEvents(df), customers)),
+      OutputMode.Update())
+
+    def rate(rows: Long, sec: Double): Long = (rows / sec).round
+    println(s"""STREAMBENCH {"pipeline":"EP2","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -323,6 +323,31 @@ class PlanSpec extends GraftSuite {
       s"raw o_totalprice crossed a shuffle (Expand over the fact): $shuffled")
   }
 
+  test("TPC-H analog suite completions keep their scale shapes") {
+    // Q2: correlated min as agg + join-back; dims broadcast, top-k never
+    // globally sorts
+    val q2 = plan("q2_min_cost")
+    assert(q2.contains("BroadcastHashJoin"), "Q2 region/nation must broadcast")
+    assert(q2.contains("TakeOrderedAndProject"), "Q2 LIMIT must be top-k")
+    assert(q2.contains("partial_min"), "Q2 per-part min must partial-agg")
+    // Q9: the part keyword filter must reach the scan, profit partial-sums
+    val q9 = plan("q9_profit")
+    assert(q9.contains("StringContains(p_name,widget)"),
+      "Q9 part keyword must push into the parquet scan")
+    assert(q9.contains("partial_sum"), "Q9 must partial-aggregate")
+    // Q11: nation membership is a semi join; the 1-row total broadcasts
+    val q11 = plan("q11_important_parts")
+    assert(q11.contains("LeftSemi"), "Q11 supplier membership must be semi")
+    assert(q11.contains("BroadcastNestedLoopJoin"),
+      "Q11 1-row total must broadcast, never shuffle")
+    // Q16: the complaints exclusion is an ANTI join, not a distinct+filter
+    val q16 = plan("q16_part_suppliers")
+    assert(q16.contains("LeftAnti"), "Q16 NOT IN must compile to anti join")
+    // Q20: both membership chains are semi joins (no row duplication)
+    val q20 = plan("q20_excess_shippers")
+    assert(q20.contains("LeftSemi"), "Q20 nested-IN must stay semi joins")
+  }
+
   test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
     val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
