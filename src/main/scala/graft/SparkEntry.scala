@@ -569,6 +569,21 @@ object SparkEntry {
     // query — the eval-on-a-query-sample shape, not an index-wide O(N²)
     "q_ann_recall" -> ((s, d) => Similarity.annRecall(Tables.embeddings(s, d))),
     "q_ann_ivf" -> ((s, d) => Similarity.annIvf(Tables.embeddings(s, d))),
+    // filtered vector search: same-label constraint PRE-filtered into the
+    // scoring join (exact w.r.t. the filtered corpus)
+    "q_knn_filtered" -> ((s, d) =>
+      Similarity.knnFiltered(Tables.embeddings(s, d))),
+    // the same constraint pruning INSIDE the IVF cells
+    "q_ann_ivf_filtered" -> ((s, d) =>
+      Similarity.annIvfFiltered(Tables.embeddings(s, d))),
+    // the POST-filter contrast: unfiltered top-3k, filter, keep <= k —
+    // returns fewer than k when the neighborhood is label-diverse
+    "q_knn_postfilter" -> ((s, d) =>
+      Similarity.knnPostFilter(Tables.embeddings(s, d))),
+    // offline ranking scorecard: MRR + binary nDCG@k of the exact top-k
+    // under same-label relevance
+    "q_retrieval_eval" -> ((s, d) =>
+      Similarity.retrievalEval(Tables.embeddings(s, d))),
     // IVF multi-probe (nprobe=2): each query searches its two closest
     // cells — the standard recall lever over single-probe IVF
     "q_ann_ivf_probe2" -> ((s, d) =>
@@ -2695,6 +2710,107 @@ object SparkEntry {
                 PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
               FROM s)
         WHERE rn <= 3
+      """,
+
+      // pre-filtered exact knn: label equality inside the scoring join
+      "q_knn_filtered" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+              FROM e WHERE vec_id < 10),
+        s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ${cosSql("qv", "v")} AS score
+              FROM q JOIN e ON e.vec_id <> q.query_id
+                           AND e.label = q.qlabel)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 5
+      """,
+
+      // filtered IVF: q_ann_ivf's cell assignment + the label equality
+      // riding the cell join
+      "q_ann_ivf_filtered" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v, label,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v, label,
+                           list_transform((SELECT cs FROM cents),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        q AS (SELECT vec_id AS query_id, v AS qv, cell AS qcell,
+                     label AS qlabel
+              FROM celled WHERE vec_id < 10),
+        s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                     ${cosSql("qv", "v")} AS score
+              FROM q JOIN celled c ON c.cell = q.qcell
+                                  AND c.vec_id <> q.query_id
+                                  AND c.label = q.qlabel)
+        SELECT query_id, neighbor_id, round(score, 6) AS score,
+               CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+              FROM s)
+        WHERE rn <= 3
+      """,
+
+      // post-filter: unfiltered top-15 first, label filter second, re-rank
+      "q_knn_postfilter" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+              FROM e WHERE vec_id < 10),
+        s AS (SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+                     e.label AS nlabel, ${cosSql("qv", "v")} AS score
+              FROM q JOIN e ON e.vec_id <> q.query_id),
+        topn AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rn
+                 FROM s),
+        kept AS (SELECT query_id, neighbor_id, round(score, 6) AS score,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY rn ASC) AS fr
+                 FROM topn WHERE rn <= 15 AND nlabel = qlabel)
+        SELECT query_id, neighbor_id, score, CAST(fr AS INTEGER) AS rank
+        FROM kept WHERE fr <= 5
+      """,
+
+      // MRR + binary nDCG@10 under same-label relevance; DCG terms summed
+      // as 9dp decimals, IDCG closed-form over min(R, 10)
+      "q_retrieval_eval" -> s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        lc AS (SELECT label AS qlabel, COUNT(*) AS label_n FROM e GROUP BY 1),
+        q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+              FROM e WHERE vec_id < 10),
+        s AS (SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+                     e.label AS nlabel, ${cosSql("qv", "v")} AS score
+              FROM q JOIN e ON e.vec_id <> q.query_id),
+        topk AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rnk
+                 FROM s QUALIFY rnk <= 10),
+        agg AS (SELECT query_id, qlabel,
+                       min(CASE WHEN nlabel = qlabel THEN rnk END) AS first_rel,
+                       CAST(SUM(CAST(round(CASE WHEN nlabel = qlabel
+                           THEN 1.0 / log2(rnk + 1) ELSE 0.0 END, 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) AS dcg
+                FROM topk GROUP BY 1, 2)
+        SELECT query_id,
+               CAST(COALESCE(first_rel, 0) AS INTEGER) AS first_rel_rank,
+               round(COALESCE(1.0 / first_rel, 0.0), 6) AS mrr,
+               round(CASE WHEN lc.label_n - 1 > 0 THEN dcg /
+                   list_reduce(list_transform(
+                     range(1, CAST(least(lc.label_n - 1, 10) AS INTEGER) + 1),
+                     i -> 1.0 / log2(i + 1)), (x, y) -> x + y)
+                 ELSE 0.0 END, 6) AS ndcg
+        FROM agg JOIN lc USING (qlabel)
+        ORDER BY query_id
       """,
 
       // multi-probe IVF: identical cell assignment, but each query probes

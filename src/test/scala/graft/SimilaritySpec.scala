@@ -257,4 +257,63 @@ class SimilaritySpec extends GraftSuite {
     val b = Similarity.mmrRerank(emb, k = 5).collect().map(_.getLong(1)).toSeq
     assert(a === b && a.distinct.size === 5)
   }
+
+  test("filtered kNN: every result shares the query's label; pre-filter is complete") {
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labelN = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    val pre = Similarity.knnFiltered(emb, k = 5, nQueries = 10).collect()
+    assert(pre.forall(r => labels(r.getLong(1)) == labels(r.getLong(0))),
+      "pre-filter must only return same-label neighbors")
+    // completeness: each query gets min(k, same-label corpus size - 1)
+    val byQ = pre.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0L until 10L).foreach { q =>
+      val expect = math.min(5, labelN(labels(q)) - 1)
+      assert(byQ.getOrElse(q, 0) == expect,
+        s"query $q: got ${byQ.getOrElse(q, 0)}, want $expect")
+    }
+  }
+
+  test("post-filter returns a same-scored subset with the documented deficit") {
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pre = Similarity.knnFiltered(emb, k = 5, nQueries = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val post = Similarity.knnPostFilter(emb, k = 5, nQueries = 10).collect()
+    assert(post.forall(r => labels(r.getLong(1)) == labels(r.getLong(0))))
+    // every post-filter hit is a pre-filter hit with the identical score
+    // (post-filter can only LOSE results, never find different ones)
+    assert(post.forall(r => pre.get((r.getLong(0), r.getLong(1)))
+      .contains(r.getDouble(2))),
+      "post-filter results must be a subset of pre-filter, same scores")
+    assert(post.length < pre.size,
+      "on the label-diverse fixture the overfetch deficit must be visible")
+  }
+
+  test("filtered IVF results are a subset of filtered exact, scored identically") {
+    val exact = Similarity.knnFiltered(emb, k = 1000000, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvfFiltered(emb, k = 3, nQueries = 10).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => exact.get((r.getLong(0), r.getLong(1)))
+      .contains(r.getDouble(2))))
+  }
+
+  test("retrieval eval: metrics in [0,1]; mrr consistent with first_rel_rank") {
+    val rows = Similarity.retrievalEval(emb, k = 10, nQueries = 10).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (fr, mrr, ndcg) = (r.getInt(1), r.getDouble(2), r.getDouble(3))
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0)
+      if (fr == 0) assert(mrr == 0.0)
+      else assert(math.abs(mrr - 1.0 / fr) < 1e-6)
+    }
+    // a query whose top hits are all same-label must score ndcg near 1:
+    // guaranteed to exist? not on every fixture — instead lock monotonicity:
+    // ndcg is 0 exactly when no relevant result appears in the top k
+    rows.foreach { r =>
+      if (r.getInt(1) == 0) assert(r.getDouble(3) == 0.0,
+        "no relevant hit in top-k must mean ndcg 0")
+    }
+  }
 }
