@@ -352,6 +352,10 @@ object SparkEntry {
     // leakage-safe train/val/test split by content hash (50‰/50‰/900‰)
     "q_split" -> ((s, d) =>
       TextAnalysis.splitByHash(Tables.documents(s, d))),
+    // training-export shard manifest: 16 seeded-hash shards with
+    // doc/token/char volume and the dominant source per shard
+    "q_shard_plan" -> ((s, d) =>
+      TextAnalysis.shardPlan(Tables.documents(s, d))),
     // top-5 TF-IDF keywords per document
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfKeywords(Tables.documents(s, d))),
@@ -2143,6 +2147,31 @@ object SparkEntry {
                     WHEN b < 100 THEN 'val'
                     ELSE 'train' END AS split
         FROM (SELECT doc_id, ${h64("text")} % 1000 AS b FROM documents)
+      """,
+
+      // export shard manifest: same seeded id-hash, same (docs desc,
+      // source asc) dominance tie-break
+      "q_shard_plan" -> s"""
+        WITH a AS (SELECT doc_id, source,
+                     CAST(${h64("CAST(doc_id AS VARCHAR) || '_v1'")} % 16
+                       AS INTEGER) AS shard,
+                     CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                       AS BIGINT) AS toks,
+                     CAST(length(text) AS BIGINT) AS chars
+                   FROM documents),
+        cells AS (SELECT shard, source, COUNT(*) AS src_docs,
+                         SUM(toks) AS src_toks, SUM(chars) AS src_chars
+                  FROM a GROUP BY 1, 2),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY shard
+                     ORDER BY src_docs DESC, source ASC) AS rk
+                   FROM cells)
+        SELECT shard,
+               CAST(SUM(src_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(src_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(src_chars) AS BIGINT) AS n_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MAX(CASE WHEN rk = 1 THEN source END) AS top_source
+        FROM ranked GROUP BY shard ORDER BY shard
       """,
 
       // TF-IDF: DF falls out of the TF table; ln over the same

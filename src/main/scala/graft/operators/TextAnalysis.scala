@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -795,5 +796,50 @@ object TextAnalysis {
         when(col("mean_logprob") >= col("p66"), "head")
           .when(col("mean_logprob") >= col("p33"), "middle")
           .otherwise("tail").as("bucket"))
+  }
+
+  /** Training-export shard assignment: shard = seeded content-independent
+    * hash of doc_id mod `nShards` — the deterministic corpus "shuffle"
+    * every training run needs (stable across corpus versions for
+    * unchanged ids; changing `seed` re-deals the whole corpus). A pure
+    * projection — no shuffle, no state. */
+  def shardAssign(docs: DataFrame, nShards: Int = 16,
+                  seed: String = "v1"): DataFrame =
+    docs.withColumn("shard",
+      expr(s"pmod(${Hashing.hash64(s"concat(cast(doc_id AS STRING), '_$seed')")}, $nShards)")
+        .cast("int"))
+
+  /** Per-shard export manifest — the summary a training job reads before
+    * consuming shards: doc/token/char volume and the dominant source per
+    * shard (dominance ties → lexicographically smaller source). Two
+    * bounded aggregations: (shard, source) cells first — ≤ nShards ×
+    * n_sources rows — then a rank-1 window ON THE CELL TABLE and a
+    * shard-level rollup; raw text never crosses an exchange, and token
+    * counts use the repo's whitespace convention ([[tokenCounts]]). At
+    * 100 TB this manifest is the handshake between the data pipeline and
+    * the trainer — doc membership is [[shardAssign]]'s pure projection,
+    * so writing the actual shards is an embarrassingly parallel
+    * `partitionBy(shard)` with no extra planning. */
+  def shardPlan(docs: DataFrame, nShards: Int = 16,
+                seed: String = "v1"): DataFrame = {
+    val cells = shardAssign(docs, nShards, seed)
+      .select(col("shard"), col("source"),
+        size(expr(tokensExpr)).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("src_docs"), sum(col("toks")).as("src_toks"),
+        sum(col("chars")).as("src_chars"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("src_docs").desc, col("source").asc)
+    cells
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("src_docs")).as("n_docs"),
+        sum(col("src_toks")).as("n_tokens"),
+        sum(col("src_chars")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        max(when(col("rk") === 1, col("source"))).as("top_source"))
+      .orderBy(col("shard"))
   }
 }

@@ -244,4 +244,23 @@ class VersioningSpec extends GraftSuite {
       .as[Long].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("shard plan covers the corpus; assignment is a seeded deal") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val plan = TextAnalysis.shardPlan(docs, nShards = 16).collect()
+    assert(plan.map(_.getLong(1)).sum == n, "every doc lands in one shard")
+    assert(plan.length == 16 && plan.forall(_.getLong(1) > 0),
+      "hash dealing must populate every shard at corpus size >> shards")
+    // deterministic per seed; a different seed re-deals
+    val a1 = TextAnalysis.shardAssign(docs).select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = TextAnalysis.shardAssign(docs).select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+    val reDealt = TextAnalysis.shardAssign(docs, seed = "v2")
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 != reDealt, "changing the seed must re-deal the corpus")
+  }
 }
