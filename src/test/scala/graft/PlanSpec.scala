@@ -348,6 +348,29 @@ class PlanSpec extends GraftSuite {
     assert(q20.contains("LeftSemi"), "Q20 nested-IN must stay semi joins")
   }
 
+  test("filtered ANN keeps its scale shapes; shard plan never shuffles text") {
+    // pre-filter: queries broadcast; the label predicate must not force a
+    // cartesian (the join keeps its broadcast nested-loop/hash form with
+    // the predicate inside)
+    val pre = plan("q_knn_filtered")
+    assert(pre.contains("Broadcast"), "query side must broadcast")
+    assert(!pre.contains("CartesianProduct"),
+      "label predicate must ride the join, not degrade to a cartesian")
+    // filtered IVF: label equality joins WITH the cell key — an equi-join,
+    // not a nested loop
+    val ivf = plan("q_ann_ivf_filtered")
+    assert(ivf.contains("BroadcastHashJoin"),
+      "cell+label equi-join against broadcast queries")
+    // shard manifest: raw document text must never cross an exchange —
+    // only (shard, source, counters) cells do
+    val qe = SparkEntry.queries("q_shard_plan")(spark, sf).queryExecution
+    val exchanges = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(exchanges.nonEmpty, "manifest has its two bounded aggregations")
+    assert(exchanges.forall(_.forall(c => c != "text")),
+      s"document text crossed a shuffle: $exchanges")
+  }
+
   test("quality cutoff is a broadcast compare, not a sort or text shuffle") {
     val qe = SparkEntry.queries("q_quality_cutoff")(spark, sf).queryExecution
     val p = qe.executedPlan.toString
