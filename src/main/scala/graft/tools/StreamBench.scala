@@ -98,9 +98,18 @@ object StreamBench {
       df => Streams.windowedRatings(
         Streams.enrichedStream(Streams.liveEvents(df), customers)),
       OutputMode.Update())
+    // The stateful training-data path: gap-based sessionization —
+    // session_window keeps per-user open-session state across batches
+    // (watermark-bounded), the heaviest state shape in the repo.
+    // Append is the only supported mode for streaming session windows:
+    // a session row emits once, when the watermark passes its close.
+    val (sessRows, sessSec) = measure(
+      df => Streams.sessionizeStream(df, gap = "10 minutes",
+        watermarkDelay = "30 minutes"),
+      OutputMode.Append())
 
     def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"cpus":$cpus}""")
+    println(s"""STREAMBENCH {"pipeline":"EP2","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"cpus":$cpus}""")
     spark.stop()
   }
 }
