@@ -359,6 +359,11 @@ object SparkEntry {
     // top-5 TF-IDF keywords per document
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfKeywords(Tables.documents(s, d))),
+    // hybrid retrieval: BM25 lexical top-10 ⊕ vector top-10 fused by
+    // reciprocal rank (score-scale-free; agreement wins)
+    "q_rrf_hybrid" -> ((s, d) =>
+      Retrieval.hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("spark", "window", "merge"))),
     // BM25 top-10 for a bag-of-words query (ES default-similarity analog);
     // query terms push into the token explode, so cost ∝ posting lists
     "q_bm25" -> ((s, d) =>
@@ -2222,6 +2227,54 @@ object SparkEntry {
         FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 10
+      """,
+
+      // RRF hybrid: the q_bm25 body re-ranked + the q_knn body for query
+      // 0, full-outer fused at 1/(60+rank) — per-row arithmetic over two
+      // doubles, engine-exact at 6dp
+      "q_rrf_hybrid" -> s"""
+        WITH t AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(lower(text), '\\s+'))
+                            AS term
+                   FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM t GROUP BY 1),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM t WHERE term IN ('spark', 'window', 'merge')
+               GROUP BY 1, 2),
+        dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                      CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) /
+                        CAST((SELECT COUNT(*) FROM dl) AS DOUBLE) AS avgdl),
+        bm AS (SELECT doc_id,
+                 round(SUM(ln(CAST(1.0 AS DOUBLE)
+                              + (n - df + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE)))
+                           * (tf * CAST(2.2 AS DOUBLE))
+                             / (tf + CAST(1.2 AS DOUBLE)
+                                     * (CAST(0.25 AS DOUBLE)
+                                        + CAST(0.75 AS DOUBLE) * dl / avgdl))),
+                       6) AS score
+               FROM tf JOIN dl USING (doc_id) JOIN dfr USING (term)
+                 CROSS JOIN st
+               GROUP BY doc_id
+               ORDER BY score DESC, doc_id ASC LIMIT 10),
+        lex AS (SELECT doc_id AS id, CAST(row_number() OVER (
+                  ORDER BY score DESC, doc_id ASC) AS INTEGER) AS lex_rnk
+                FROM bm),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        kn AS (SELECT e.vec_id AS id, ${cosSql("qv", "v")} AS score
+               FROM e, q WHERE e.vec_id <> 0
+               ORDER BY score DESC, id ASC LIMIT 10),
+        vec AS (SELECT id, CAST(row_number() OVER (
+                  ORDER BY score DESC, id ASC) AS INTEGER) AS vec_rnk
+                FROM kn)
+        SELECT id, lex_rnk, vec_rnk,
+               round(COALESCE(1.0 / (60 + lex_rnk), 0.0)
+                     + COALESCE(1.0 / (60 + vec_rnk), 0.0), 6) AS rrf_score
+        FROM lex FULL OUTER JOIN vec USING (id)
+        ORDER BY rrf_score DESC, id ASC LIMIT 10
       """,
 
       // MMR rerank: the greedy loop IS SQL-expressible over the bounded

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the document corpus — the search-engine
@@ -93,5 +94,39 @@ object Retrieval {
                  |  least(size(toks) - 1, pos + $window)
                  |    - greatest(0, pos - $window) + 1), ' ')""".stripMargin)
           .as("snippet"))
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009): fuse the [[bm25TopK]] LEXICAL ranking with the
+    * [[Similarity.knnBruteForce]] VECTOR ranking for one query —
+    * `rrf(d) = Σ_sides 1/(k0 + rank_side(d))`, the score-scale-free
+    * fusion every hybrid search stack defaults to (no tuning of
+    * incomparable BM25/cosine magnitudes; rank is the only signal). An
+    * id present in both lists beats one present in either alone — the
+    * lexical/semantic agreement bonus is the point of hybrid search.
+    *
+    * Scale shape: both inputs arrive ALREADY bounded at n rows
+    * (TakeOrderedAndProject on each side), so the fusion — the rank
+    * windows, the full-outer join, the top-N — runs on ≤ 2n rows; the
+    * distributed work is entirely inside the two upstream retrievers.
+    * RRF terms are per-row arithmetic over exactly two doubles, no
+    * accumulation, so the 6dp score is engine-exact. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                n: Int = 10, k0: Int = 60, topN: Int = 10): DataFrame = {
+    // single-partition window is deliberate: input is the ≤ n-row top-k
+    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = bm25TopK(docs, terms, n)
+      .withColumn("lex_rnk", row_number().over(wLex))
+      .select(col("doc_id").as("id"), col("lex_rnk"))
+    val vec = Similarity.knnBruteForce(emb, n, nQueries = 1)
+      .select(col("neighbor_id").as("id"), col("rank").as("vec_rnk"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rnk"), col("vec_rnk"),
+        round(
+          coalesce(lit(1.0) / (lit(k0) + col("lex_rnk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k0) + col("vec_rnk")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(topN)
   }
 }

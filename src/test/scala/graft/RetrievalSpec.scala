@@ -80,4 +80,38 @@ class RetrievalSpec extends GraftSuite {
     assert(r2 > 0.98, s"r² $r2 should be ≈ 1 on exact zipfian input")
     assert(row.getLong(3) === 30L)
   }
+
+  test("RRF fusion: scores follow the rank formula; agreement beats either alone") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val out = Retrieval.hybridRrf(docs, emb, Seq("spark", "window", "merge"))
+      .collect()
+    assert(out.nonEmpty && out.length <= 10)
+    // score is exactly the closed form of the two (nullable) ranks
+    out.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val vec = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(lex.nonEmpty || vec.nonEmpty)
+      val want = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        vec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    }
+    // ordering is (score desc, id asc)
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the agreement property, analytically: any doc in BOTH top-10 lists
+    // outranks any doc in only one list at rank >= 2 (1/(60+r1)+1/(60+r2)
+    // > 1/61 requires both; worst both-case 2/70 > best single-case 1/61
+    // fails — so assert the formula's actual guarantee: a both-lists doc
+    // at ranks (i, j) beats a single-list doc at rank >= min(i, j))
+    val both = out.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    val single = out.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+    for (b <- both; s <- single) {
+      val bMin = math.min(b.getInt(1), b.getInt(2))
+      val sRank = if (s.isNullAt(1)) s.getInt(2) else s.getInt(1)
+      if (sRank >= bMin)
+        assert(b.getDouble(3) > s.getDouble(3),
+          "agreement at equal-or-better rank must win")
+    }
+  }
 }
