@@ -288,6 +288,8 @@ object SparkEntry {
     // nation × year revenue with ROLLUP subtotals — Expand runs over the
     // pre-aggregated ~25×7 decimal cell table, never the fact
     "q_rollup_revenue" -> ((s, d) => Analytics.revenueRollup(s, d)),
+    // seasonal-naive hourly forecast + APE on the held-out last day
+    "q_seasonal_forecast" -> ((s, d) => Analytics.seasonalForecast(s, d)),
     // gap-based sessions via built-in session_window (batch twin of the
     // streaming sessionizeStream; end = last event + gap)
     "q_session_window" -> ((s, d) =>
@@ -1295,6 +1297,23 @@ object SparkEntry {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP(n_name, o_year)
+    """,
+
+    // seasonal-naive forecast: hour-of-day mean over observed prior-day
+    // cells (decimal-exact BIGINT sums), APE on the held-out day
+    "q_seasonal_forecast" -> """
+      WITH hourly AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(hour(ts) AS INTEGER) AS h,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1, 2),
+      model AS (SELECT h, round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+                         AS forecast
+                FROM hourly WHERE day < DATE '2024-01-30' GROUP BY h)
+      SELECT h, n AS actual, forecast,
+             round(abs(n - forecast) / n, 6) AS ape
+      FROM hourly JOIN model USING (h)
+      WHERE day = DATE '2024-01-30'
+      ORDER BY h
     """,
 
     // Q2 analog: per-row double division is identical IEEE arithmetic in

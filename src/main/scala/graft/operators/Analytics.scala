@@ -630,4 +630,32 @@ object Analytics {
       .select(col("s_name"), col("s_acctbal"))
       .orderBy(col("s_name").asc)
   }
+
+  /** Seasonal-naive forecast scorecard: hourly event counts on a held-out
+    * day forecast by the hour-of-day mean over all prior days, with the
+    * absolute percentage error per hour — the baseline every ops
+    * dashboard needs before anything fancier ("is current traffic
+    * abnormal FOR THIS HOUR?"; the forecast twin of the z-score panel).
+    * One (date, hour) aggregation of the fact stream is the only
+    * fact-sized shuffle; the 24-row model and 24-row test day join at the
+    * end. The hourly mean averages OBSERVED (date, hour) cells — a
+    * decimal-exact sum of BIGINT counts over the cell count, so the 6dp
+    * value is partition-order-exact and DuckDB-identical. */
+  def seasonalForecast(s: SparkSession, d: String,
+                       testDate: String = "2024-01-30"): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val model = hourly.filter(col("day") < lit(testDate))
+      .groupBy(col("h").as("mh"))
+      .agg(round(sum(col("n").cast(DecimalType(18, 0))).cast("double") /
+        count(lit(1)), 6).as("forecast"))
+    hourly.filter(col("day") === lit(testDate))
+      .select(col("h"), col("n").as("actual"))
+      .join(model, col("h") === col("mh"))
+      .select(col("h"), col("actual"), col("forecast"),
+        round(abs(col("actual") - col("forecast")) / col("actual"), 6)
+          .as("ape"))
+      .orderBy(col("h"))
+  }
 }
