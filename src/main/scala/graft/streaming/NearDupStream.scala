@@ -22,11 +22,12 @@ import graft.operators.Dedup
   * streaming engine.
   *
   * Scale notes: the state store is band-keyed 8-byte rows laid out as a
-  * `band_byte`-PARTITIONED parquet table (≤256 partitions), and the
-  * cross-batch lookup filters the store to the batch's own distinct
-  * `band_byte` values before the join — static partition pruning, so a
-  * small batch reads only the store slices its bands can possibly match,
-  * never the full history. The join itself is band-on-band equi (never
+  * `band_part`-PARTITIONED parquet table (≤256 partitions — band_byte
+  * itself in the 8-bit form, its high byte in the 16-bit `wide` form),
+  * and the cross-batch lookup filters the store to the batch's own
+  * distinct `band_part` values before the join — static partition
+  * pruning, so a small batch reads only the store slices its bands can
+  * possibly match, never the full history. The join itself is band-on-band equi (never
   * all-pairs). State retention: with `retainBatches > 0` the store is
   * periodically REWRITTEN (every `pruneEvery` batches, crash-safe
   * [[Streams.rewriteStore]] swap) keeping only the last `retainBatches`
@@ -46,10 +47,17 @@ object NearDupStream {
     * horizon (0 = unbounded); `pruneEvery` sets how often the retention
     * rewrite runs (default: every `retainBatches` batches — each rewrite
     * is O(store) so it should amortize over the horizon, not run per
-    * batch). */
+    * batch). `wide = true` switches to the 64-bit / 16-bit-band signature
+    * ([[Dedup.simhashWideNearDups]]'s scale path — 65,536 buckets per
+    * band instead of 256, the same knee-removal as batch); the store then
+    * partitions on the band key's HIGH byte (`band_byte >> 8`, still ≤256
+    * directories — 65k band_byte partitions would be a small-files
+    * problem) and pruning filters that coarser key, so a pruned read
+    * still touches at most the batch's 256 high-byte slices. */
   def start(docs: DataFrame, stateDir: String, matchesDir: String,
             checkpoint: String, maxHamming: Int = 3,
-            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+            retainBatches: Int = 0, pruneEvery: Int = 0,
+            wide: Boolean = false): StreamingQuery = {
     require(retainBatches >= 0 && pruneEvery >= 0,
       "retainBatches/pruneEvery must be >= 0")
     val pruneInterval =
@@ -60,8 +68,14 @@ object NearDupStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // one signature pipeline per batch, shared by all three uses below
-        val bands = Dedup.simhashBands(Dedup.simhash(batch))
+        // one signature pipeline per batch, shared by all three uses
+        // below; band_part is the store partition key — identical to
+        // band_byte in the 8-bit form, its high byte in the 16-bit form
+        val bands = (if (wide)
+            Dedup.simhashBandsN(Dedup.simhashWide(batch), 16)
+          else Dedup.simhashBands(Dedup.simhash(batch)))
+          .withColumn("band_part",
+            if (wide) shiftright(col("band_byte"), 8) else col("band_byte"))
           .localCheckpoint(false)
         // (2) within-batch pairs
         val a = bands.alias("a")
@@ -86,14 +100,14 @@ object NearDupStream {
         val cross = (if (stateFs.exists(statePath))
           Some(spark.read.parquet(stateDir)) else None)
           .map { prior =>
-            // prune the partitioned store to the batch's own band_byte
-            // values: ≤256 distinct bytes (a bounded collect), and every
+            // prune the partitioned store to the batch's own band_part
+            // values: ≤256 distinct parts (a bounded collect), and every
             // store partition outside that set cannot match — the read
             // touches only the pruned slices
-            val batchBytes = bands.select("band_byte").distinct()
+            val batchParts = bands.select("band_part").distinct()
               .collect().map(_.getInt(0))
             bands.alias("n").join(
-                prior.filter(col("band_byte").isin(batchBytes.toIndexedSeq: _*))
+                prior.filter(col("band_part").isin(batchParts.toIndexedSeq: _*))
                   .alias("p"),
                 col("n.band_id") === col("p.band_id") &&
                   col("n.band_byte") === col("p.band_byte") &&
@@ -111,13 +125,13 @@ object NearDupStream {
         matches.write.mode(SaveMode.Append).parquet(matchesDir)
         // (4) grow the store AFTER the lookup so a doc never matches itself
         bands.withColumn("__batch_id", lit(batchId))
-          .write.mode(SaveMode.Append).partitionBy("band_byte")
+          .write.mode(SaveMode.Append).partitionBy("band_part")
           .parquet(stateDir)
         // retention: periodically drop band rows older than the horizon.
         // Runs AFTER this batch's append, inside the same foreachBatch —
         // single-writer, and the swap is crash-safe (rewriteStore).
         if (pruneInterval > 0 && batchId % pruneInterval == (pruneInterval - 1))
-          Streams.rewriteStore(spark, stateDir, Seq("band_byte"))(
+          Streams.rewriteStore(spark, stateDir, Seq("band_part"))(
             _.filter(col("__batch_id") > batchId - retainBatches))
         // free the per-batch checkpoint's cached blocks NOW —
         // Dataset.unpersist() never reaches a localCheckpoint RDD, and

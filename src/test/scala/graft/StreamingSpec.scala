@@ -572,6 +572,37 @@ class StreamingSpec extends GraftSuite {
       s"stream sessions $streamed must equal batch twin $batch")
   }
 
+  test("wide-band streaming near-dup agrees with the batch wide operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-wide").toString
+    val q = graft.streaming.NearDupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/checkpoint", wide = true)
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "metric spaces and measure theory lecture notes volume two",
+      4L -> "the quick brown fox jumps over the lazy dog again and again")
+    try {
+      // split across two microbatches to exercise the cross-batch path
+      in.addData(docs.take(3)); q.processAllAvailable()
+      in.addData(docs.drop(3)); q.processAllAvailable()
+      val got = graft.streaming.NearDupStream.matches(spark, s"$base/matches")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      import spark.implicits._
+      val batchWide = graft.operators.Dedup
+        .simhashWideNearDups(docs.toDF("doc_id", "text"))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batchWide,
+        s"stream/batch wide parity broken: stream $got vs batch $batchWide")
+    } finally q.stop()
+  }
+
   test("streaming near-dup detection matches within and across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -633,11 +664,12 @@ class StreamingSpec extends GraftSuite {
       val state = spark.read.parquet(s"$base/state")
       assert(state.select("__batch_id").distinct().count() <= 2,
         "retention rewrite did not bound the store")
-      // and it is laid out partitioned by band_byte (pruned reads)
+      // and it is laid out partitioned by band_part (pruned reads;
+      // = band_byte in the 8-bit form, its high byte in the wide form)
       val dirs = new java.io.File(s"$base/state").listFiles()
         .filter(_.isDirectory).map(_.getName)
-      assert(dirs.exists(_.startsWith("band_byte=")),
-        s"state store is not band_byte-partitioned: ${dirs.mkString(",")}")
+      assert(dirs.exists(_.startsWith("band_part=")),
+        s"state store is not band_part-partitioned: ${dirs.mkString(",")}")
     } finally q.stop()
   }
 
