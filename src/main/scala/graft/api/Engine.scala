@@ -48,6 +48,10 @@ class Engine(val spark: SparkSession,
   private val topics = TrieMap.empty[String, DataFrame]
   // connector name -> (kind, query names it started)
   private val connectors = TrieMap.empty[String, (String, Seq[String])]
+  // connector name -> its Kafka-Connect config, verbatim — served back by
+  // GET /connectors/<name>[/config] (the Connect REST contract echoes the
+  // submitted config)
+  private val connectorConfigs = TrieMap.empty[String, Map[String, String]]
 
   /** Check-and-start under one lock: REST handlers run concurrently (the
     * server uses a thread pool), so a bare contains-then-put would let two

@@ -32,11 +32,28 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "orders"   -> Seq("o_orderdate"))
 
+  /** One warning per JVM when load() has to flip a non-UTC session zone:
+    * the override is required for oracle agreement (see scaladoc above),
+    * but a caller that deliberately set another zone for its own
+    * casts/displays should hear that it was reverted, not find out from
+    * shifted timestamps. Entry points that set UTC at session build
+    * (Verify, Bench, StreamBench, the test harness) never trigger it. */
+  private val warnedZoneOverride =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // NTZ→TIMESTAMP casts read the session zone at execution; pin it so
     // entry points that don't set it (tests, Bench) agree with Verify.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (spark.conf.get("spark.sql.session.timeZone") != "UTC") {
+      if (warnedZoneOverride.compareAndSet(false, true))
+        System.err.println(
+          "[graft] Tables.load: overriding spark.sql.session.timeZone -> " +
+            "UTC (fixture/oracle convention; set UTC when building the " +
+            "SparkSession to keep your own zone out of graft reads)")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     tsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       df.schema(c).dataType match {

@@ -40,6 +40,73 @@ import graft.operators.Dedup
   * idempotent-append contract. */
 object NearDupStream {
 
+  /** Store-format tag: names the signature/band layout so a restart with a
+    * mismatched `wide` flag (64-bit signatures banded into 16-bit keys vs
+    * 32-bit/8-bit) fails fast instead of silently joining incompatible
+    * band keys against the accumulated store. */
+  private def formatTag(wide: Boolean): String =
+    if (wide) "simhash64/band16" else "simhash32/band8"
+
+  /** Validate (or stamp) the signature store's format marker. The marker
+    * lives BESIDE the store (`<stateDir>.__format`) — [[Streams.rewriteStore]]
+    * replaces the live directory wholesale during retention pruning, so a
+    * file inside it would not survive the swap. Three cases:
+    *   - marker present: must equal this query's format, else fail fast
+    *     (resuming `wide = true` against an 8-bit store — or vice versa —
+    *     would join 16-bit band keys against 8-bit ones and silently emit
+    *     garbage matches);
+    *   - no marker but the store exists (pre-marker store): infer the
+    *     layout from the data — a store without the `band_part` partition
+    *     column is the legacy band_byte-partitioned layout (unreadable by
+    *     the pruned-read path: `col("band_part")` would throw
+    *     AnalysisException mid-stream) → fail fast with a migration
+    *     message; a `band_part` store is probed for the wide/narrow
+    *     relation (8-bit: band_part == band_byte; 16-bit:
+    *     band_part == band_byte >> 8) and the marker is stamped once the
+    *     probe passes;
+    *   - fresh store: stamp the marker before the first append. */
+  private def checkStoreFormat(spark: org.apache.spark.sql.SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               stateDir: String, wide: Boolean): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val expected = formatTag(wide)
+    def stamp(): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val actual =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (actual != expected) throw new IllegalStateException(
+        s"NearDupStream state store at $stateDir was written with format " +
+          s"'$actual' but this query is configured for '$expected' " +
+          s"(wide = $wide). The signature widths and band keys are " +
+          "incompatible; point the query at a fresh stateDir or restart " +
+          "with the store's wide flag.")
+    } else if (fs.exists(live)) {
+      val prior = spark.read.parquet(stateDir)
+      if (!prior.columns.contains("band_part")) throw new IllegalStateException(
+        s"NearDupStream state store at $stateDir uses the legacy " +
+          "band_byte partition layout (no band_part column); the pruned " +
+          "cross-batch read cannot use it. Migrate it once with " +
+          "Streams.rewriteStore(spark, stateDir, Seq(\"band_part\"))" +
+          "(_.withColumn(\"band_part\", col(\"band_byte\"))) — 8-bit " +
+          "stores only — or start a fresh stateDir.")
+      val rel = if (wide) shiftright(col("band_byte"), 8) else col("band_byte")
+      if (!prior.filter(col("band_part") =!= rel).isEmpty)
+        throw new IllegalStateException(
+          s"NearDupStream state store at $stateDir does not match the " +
+            s"configured format '$expected' (wide = $wide): its " +
+            "band_part/band_byte relation is the other signature width. " +
+            "Point the query at a fresh stateDir or flip the wide flag.")
+      stamp()
+    } else stamp()
+  }
+
   /** Start the detector: emits (doc_a, doc_b, hamming) rows to
     * `matchesDir` (parquet, append) and maintains the signature store at
     * `stateDir`. `docs` must be a streaming DataFrame with
@@ -63,6 +130,10 @@ object NearDupStream {
     val pruneInterval =
       if (retainBatches == 0) 0
       else if (pruneEvery > 0) pruneEvery else retainBatches
+    // format-guard runs once per query start (foreachBatch is serialized,
+    // so a plain flag is safe); the store layout can't change under a
+    // single writer after that
+    var formatChecked = false
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -97,6 +168,10 @@ object NearDupStream {
         val stateFs = statePath
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         Streams.recoverCompaction(stateFs, stateDir)
+        if (!formatChecked) {
+          checkStoreFormat(spark, stateFs, stateDir, wide)
+          formatChecked = true
+        }
         val cross = (if (stateFs.exists(statePath))
           Some(spark.read.parquet(stateDir)) else None)
           .map { prior =>

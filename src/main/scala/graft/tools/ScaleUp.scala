@@ -42,8 +42,22 @@ object ScaleUp {
     require(args.length >= 2, "usage: ScaleUp <inDir> <outDir> [replicas]")
     val (inDir, outDir) = (args(0), args(1))
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val knownTables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val tableFilter: String => Boolean =
-      if (args.length > 3) args(3).split(",").toSet else _ => true
+      if (args.length > 3) {
+        // trim + validate: `"documents, events"` must mean both tables,
+        // and a misspelled name must fail loudly, not produce an empty
+        // output directory with exit code 0
+        val requested = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        require(requested.nonEmpty, "empty tables list; valid names: " +
+          knownTables.toSeq.sorted.mkString(", "))
+        val unknown = requested -- knownTables
+        require(unknown.isEmpty,
+          s"unknown tables: ${unknown.toSeq.sorted.mkString(", ")}; " +
+            s"valid names: ${knownTables.toSeq.sorted.mkString(", ")}")
+        requested
+      } else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scaleup")

@@ -79,8 +79,13 @@ object StreamBench {
       val q: StreamingQuery = build(events()).writeStream
         .format("noop").outputMode(mode).start()
       try {
-        while (q.recentProgress.count(_.numInputRows > 0) < batches)
+        // stop waiting if the query dies (bad checkpoint dir, source
+        // error): progress would never accrue and the loop would spin
+        // forever; surface the failure instead
+        while (q.isActive &&
+            q.recentProgress.count(_.numInputRows > 0) < batches)
           Thread.sleep(200)
+        q.exception.foreach(throw _)
       } finally q.stop()
       val measured = q.recentProgress.filter(_.numInputRows > 0)
         .drop(warmup).take(batches - warmup)

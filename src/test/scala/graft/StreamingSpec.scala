@@ -673,6 +673,80 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("near-dup store rejects a restart with a mismatched wide flag") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-format").toString
+    // build a narrow (8-bit) store...
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.NearDupStream.start(
+      in1.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/cp1")
+    try {
+      in1.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/state.__format")),
+      "first append must stamp the store-format marker")
+    // ...then resume against it with wide = true: incompatible band keys,
+    // must fail fast with the format message instead of silently joining
+    // 16-bit bands against the 8-bit store
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.NearDupStream.start(
+      in2.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/cp2", wide = true)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        in2.addData((2L, "another document entirely"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+        Option(c.getMessage).exists(_.contains("simhash32/band8"))),
+      s"expected the store-format mismatch message, got: ${err.getMessage}")
+  }
+
+  test("near-dup store without a marker is probed and accepted when compatible") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-probe").toString
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    // create a store, then delete its marker — simulates a pre-marker
+    // store from an earlier deployment of the current band_part layout
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.NearDupStream.start(
+      in1.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/cp1")
+    try { in1.addData((1L, dup)); q1.processAllAvailable() } finally q1.stop()
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/state.__format"))
+    // a matching-format resume must probe the band_part/band_byte
+    // relation, accept the store, re-stamp the marker, and keep detecting
+    // cross-batch matches against the pre-existing state
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.NearDupStream.start(
+      in2.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/matches", s"$base/cp2")
+    try {
+      in2.addData((2L, dup))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty,
+        s"compatible unmarked store must be accepted: ${q2.exception}")
+    } finally q2.stop()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/state.__format")),
+      "the probe must re-stamp the marker")
+    val got = graft.streaming.NearDupStream.matches(spark, s"$base/matches")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)),
+      "cross-batch match against the pre-marker store missed")
+  }
+
   test("streaming limit emits exactly n rows then nothing") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
