@@ -101,6 +101,23 @@ class Engine(val spark: SparkSession,
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
 
+  /** Push query over a TABLE (`ksqldb-statements.sql:96-102`: `SELECT ...
+    * FROM RATINGS_PER_CUSTOMER_PER_15MINUTE ... EMIT CHANGES`): a TABLE's
+    * push emission is its CHANGELOG — every update to a key re-emits that
+    * key's refined row. The upsert store IS that changelog (append-only
+    * parquet, one row per key update), so the streaming view is a file
+    * stream over it. A retention compaction running mid-push re-emits the
+    * latest row per key (the compacted snapshot's files are new to the
+    * reader) — benign under upsert semantics, the same refinement
+    * contract as ksqlDB's table push over a changelog topic. None for
+    * names that are not upsert tables; AnalysisException if the table has
+    * not received its first batch yet (no store to infer a schema from). */
+  def changelogStream(name: String): Option[DataFrame] =
+    upserts.find(_._1.equalsIgnoreCase(name)).map { case (_, (path, _)) =>
+      val schema = spark.read.parquet(path).schema
+      spark.readStream.schema(schema).parquet(path).drop("__batch_id")
+    }
+
   /** CTAS with ES sink — the reference's sink-connector path. */
   def sinkToEs(name: String, df: DataFrame, index: String,
                idCol: Option[String], checkpoint: String,
@@ -183,6 +200,7 @@ class Engine(val spark: SparkSession,
         qName
       }
       connectors.put(name, ("SINK", qNames))
+      connectorConfigs.put(name, props)
       qNames
     } catch { case e: Throwable => connectors.remove(name); throw e }
   }
@@ -211,7 +229,7 @@ class Engine(val spark: SparkSession,
         .flatMap(_.split(",").map(_.trim))
         .exists(t => props.get(s"transforms.$t.type")
           .exists(_.contains("ExtractNewRecordState")))
-      tables.map { table =>
+      val made = tables.map { table =>
         val topic = s"$server.$table"
         val dir = java.nio.file.Paths.get(connectorDataDir, topic)
         java.nio.file.Files.createDirectories(dir)
@@ -224,8 +242,47 @@ class Engine(val spark: SparkSession,
         topics.put(topic.toLowerCase, df)
         topic
       }
+      // record the topics as the connector's "tasks" (Connect REST exposes
+      // a task list; the file-stream analog has one per whitelisted table)
+      connectors.put(name, ("SOURCE", made))
+      connectorConfigs.put(name, props)
+      made
     } catch { case e: Throwable => connectors.remove(name); throw e }
   }
+
+  /** Create a connector from a raw Kafka-Connect config map — the
+    * `POST /connectors` analog (`rest_example.sh:13-24,102-133`). The
+    * source/sink split comes from `connector.class`, exactly as Connect
+    * resolves it: `*SinkConnector` classes are sinks (the framework
+    * requires the suffix), everything else is a source. Returns
+    * (kind, task names). */
+  def createConnector(name: String, props: Map[String, String]): (String, Seq[String]) = {
+    val clazz = props.getOrElse("connector.class",
+      throw new IllegalArgumentException(
+        s"connector '$name': 'connector.class' is required"))
+    if (clazz.contains("Sink")) ("SINK", createSinkConnector(name, props))
+    else ("SOURCE", createSourceConnector(name, props))
+  }
+
+  /** Create-or-replace a connector — the `PUT /connectors/<name>/config`
+    * analog (`rest_example.sh:56-70`): Connect's PUT is upsert semantics
+    * (201 on create, 200 on config replace + restart). Replacing stops the
+    * old instance's queries first; a source connector's topics stay
+    * registered across the swap (as in Connect, where topics outlive the
+    * connector). Returns (createdNew, kind, task names). */
+  def putConnector(name: String, props: Map[String, String]): (Boolean, String, Seq[String]) = {
+    val existed = connectors.contains(name)
+    if (existed) dropConnector(name)
+    val (kind, tasks) = createConnector(name, props)
+    (!existed, kind, tasks)
+  }
+
+  /** Connector registry lookup: (kind, task names, config) — the
+    * `GET /connectors/<name>[/config|/status]` surface. */
+  def connectorInfo(name: String): Option[(String, Seq[String], Map[String, String])] =
+    connectors.get(name).map { case (kind, tasks) =>
+      (kind, tasks, connectorConfigs.getOrElse(name, Map.empty))
+    }
 
   /** `CREATE STREAM <name> [(cols)] WITH (KAFKA_TOPIC='t', ...)` — declare
     * a stream OVER an existing topic (`commands.sql:13`,
@@ -305,10 +362,15 @@ class Engine(val spark: SparkSession,
   /** `DROP CONNECTOR <name>`: stop the queries it started; a source
     * connector's topics stay registered (dropping a Connect source does not
     * delete its topics either). */
-  def dropConnector(name: String): Unit =
+  def dropConnector(name: String): Unit = {
     connectors.remove(name).foreach { case (_, qNames) =>
+      // for a SINK these are query names; for a SOURCE they are topic
+      // names, which terminate() ignores (topics outlive their connector)
       qNames.foreach(terminate)
     }
+    connectorConfigs.remove(name)
+    ()
+  }
 
   /** `SHOW QUERIES` (readme.md:150). */
   def showQueries: Seq[(String, Boolean)] =

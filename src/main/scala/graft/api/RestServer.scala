@@ -34,6 +34,12 @@ import graft.streaming.Streams
   *    SOURCE|SINK CONNECTOR <name> WITH ('k'='v', ...)`
   *    (ksqldb-statements.sql:1-11,19-38,70-85 replay verbatim —
   *    [[Engine.createSinkConnector]]/[[Engine.createSourceConnector]])
+  *  - `/connectors`            → the Kafka-Connect REST analog on the same
+  *    registry (`rest_example.sh:13,56,102` hits Connect directly on
+  *    :8083): `POST /connectors` `{"name","config"}` → 201,
+  *    `PUT /connectors/<name>/config` (bare config object, upsert) →
+  *    200/201, `GET /connectors`, `GET /connectors/<name>[/config|/status]`,
+  *    `DELETE /connectors/<name>` → 204.
   *  - `POST /query`            → `{"sql":"..."}`. A bare SELECT is a pull
   *    query: point-in-time result as one JSON array, `maxRows`-capped. A
   *    `SELECT ... EMIT CHANGES [LIMIT n]` is a PUSH query: rows stream back
@@ -98,26 +104,73 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val m = java.util.regex.Pattern
       .compile("\"" + key + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
       .matcher(body)
-    if (!m.find()) None
+    if (m.find()) Some(unescapeJson(m.group(1))) else None
+  }
+
+  private def unescapeJson(raw: String): String = {
+    val sb = new StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' if i + 5 < raw.length =>
+            sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2 // \" \\ \/ etc.
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // every `"key": "value"` pair in a (flat) JSON object — the shape of a
+  // Kafka-Connect config map, where all values are strings
+  private val stringPairRe = java.util.regex.Pattern.compile(
+    "\"((?:[^\"\\\\]|\\\\.)+)\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"")
+
+  /** Parse a flat JSON object of string→string pairs (a Connect config).
+    * Non-string values (nested objects, numbers) don't match and are
+    * skipped — Connect configs are all-string by contract. */
+  private def jsonStringPairs(body: String): Map[String, String] = {
+    val m = stringPairRe.matcher(body)
+    val b = Map.newBuilder[String, String]
+    while (m.find()) b += unescapeJson(m.group(1)) -> unescapeJson(m.group(2))
+    b.result()
+  }
+
+  /** Slice the `"config": { ... }` object out of a `POST /connectors` body
+    * by brace-matching (config values are strings, so the first balanced
+    * close brace ends the object; braces inside quoted values are skipped
+    * by tracking the in-string state). */
+  private def configSlice(body: String): Option[String] = {
+    val km = java.util.regex.Pattern.compile("\"config\"\\s*:\\s*\\{")
+      .matcher(body)
+    if (!km.find()) None
     else {
-      val raw = m.group(1)
-      val sb = new StringBuilder(raw.length)
-      var i = 0
-      while (i < raw.length) {
-        val c = raw.charAt(i)
-        if (c == '\\' && i + 1 < raw.length) {
-          raw.charAt(i + 1) match {
-            case 'n' => sb.append('\n'); i += 2
-            case 't' => sb.append('\t'); i += 2
-            case 'r' => sb.append('\r'); i += 2
-            case 'u' if i + 5 < raw.length =>
-              sb.append(Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar)
-              i += 6
-            case other => sb.append(other); i += 2 // \" \\ \/ etc.
-          }
-        } else { sb.append(c); i += 1 }
+      val start = km.end() - 1 // at the '{'
+      var i = start
+      var depth = 0
+      var inString = false
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (inString) {
+          if (c == '\\') i += 1 // skip the escaped char
+          else if (c == '"') inString = false
+        } else c match {
+          case '"' => inString = true
+          case '{' => depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) return Some(body.substring(start, i + 1))
+          case _ =>
+        }
+        i += 1
       }
-      Some(sb.toString)
+      None // unbalanced — caller reports the 400
     }
   }
 
@@ -214,6 +267,107 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
   server.createContext("/info", (ex: HttpExchange) =>
     respond(ex, 200,
       s"""{"engine":"graft","runningQueries":${engine.showQueries.size}}"""))
+
+  // ------------------------------------------------------------------- //
+  // Kafka-Connect REST analog — the reference ALSO drives connectors
+  // through Connect's own API on :8083 (`rest_example.sh:13-24` POST
+  // /connectors with {"name","config"}, `:56-70` PUT
+  // /connectors/register-mysql/config with a bare config object, `:102-133`
+  // the multi-topic ES sink). Same registry as the `/ksql`
+  // CREATE SOURCE|SINK CONNECTOR path — this is routing, not a second
+  // implementation. Response shapes follow Connect's contract: 201 +
+  // connector info on create, 200 on config replace, 204 on delete,
+  // GET /connectors → name array, GET <name>/status → state tree.
+  // ------------------------------------------------------------------- //
+
+  private def connectorJson(name: String, kind: String, tasks: Seq[String],
+                            config: Map[String, String]): String = {
+    val cfg = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val ts = tasks.indices
+      .map(i => s"""{"connector":${jstr(name)},"task":$i}""")
+      .mkString("[", ",", "]")
+    s"""{"name":${jstr(name)},"config":$cfg,"tasks":$ts,""" +
+      s""""type":${jstr(kind.toLowerCase)}}"""
+  }
+
+  server.createContext("/connectors", (ex: HttpExchange) => {
+    val segments = ex.getRequestURI.getPath.stripPrefix("/connectors")
+      .split("/").filter(_.nonEmpty).toList
+    try {
+      (ex.getRequestMethod, segments) match {
+        case ("GET", Nil) =>
+          respond(ex, 200, engine.showConnectors.map(c => jstr(c._1))
+            .mkString("[", ",", "]"))
+        case ("POST", Nil) =>
+          val body = readBody(ex)
+          val name = jsonField(body, "name").getOrElse(
+            throw new IllegalArgumentException(
+              """POST /connectors requires a "name" field"""))
+          val config = configSlice(body).map(jsonStringPairs).getOrElse(
+            throw new IllegalArgumentException(
+              """POST /connectors requires a "config" object"""))
+          val (kind, tasks) = engine.createConnector(name, config)
+          respond(ex, 201, connectorJson(name, kind, tasks, config))
+        case ("GET", name :: Nil) =>
+          engine.connectorInfo(name) match {
+            case Some((kind, tasks, config)) =>
+              respond(ex, 200, connectorJson(name, kind, tasks, config))
+            case None => respond(ex, 404,
+              s"""{"error":${jstr(s"connector $name not found")}}""")
+          }
+        case ("DELETE", name :: Nil) =>
+          if (engine.connectorInfo(name).isDefined) {
+            engine.dropConnector(name)
+            ex.sendResponseHeaders(204, -1) // Connect: empty 204 on delete
+            ex.getResponseBody.close()
+          } else respond(ex, 404,
+            s"""{"error":${jstr(s"connector $name not found")}}""")
+        case ("GET", name :: "config" :: Nil) =>
+          engine.connectorInfo(name) match {
+            case Some((_, _, config)) =>
+              respond(ex, 200, config.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+                .mkString("{", ",", "}"))
+            case None => respond(ex, 404,
+              s"""{"error":${jstr(s"connector $name not found")}}""")
+          }
+        case ("PUT", name :: "config" :: Nil) =>
+          val config = jsonStringPairs(readBody(ex))
+          require(config.nonEmpty,
+            s"PUT /connectors/$name/config: empty or non-JSON config body")
+          val (created, kind, tasks) = engine.putConnector(name, config)
+          respond(ex, if (created) 201 else 200,
+            connectorJson(name, kind, tasks, config))
+        case ("GET", name :: "status" :: Nil) =>
+          engine.connectorInfo(name) match {
+            case Some((kind, tasks, _)) =>
+              // SINK tasks are streaming queries (state from the engine's
+              // ledger); SOURCE tasks are registered topics, RUNNING by
+              // construction (the file-stream source is passive until read)
+              val active = engine.showQueries.toMap
+              val worker = jstr(s"graft:${boundPort}")
+              val ts = tasks.zipWithIndex.map { case (t, i) =>
+                val state =
+                  if (kind == "SOURCE" || active.getOrElse(t, false)) "RUNNING"
+                  else "STOPPED"
+                s"""{"id":$i,"state":${jstr(state)},"worker_id":$worker}"""
+              }.mkString("[", ",", "]")
+              respond(ex, 200,
+                s"""{"name":${jstr(name)},"connector":{"state":"RUNNING",""" +
+                  s""""worker_id":$worker},"tasks":$ts,""" +
+                  s""""type":${jstr(kind.toLowerCase)}}""")
+            case None => respond(ex, 404,
+              s"""{"error":${jstr(s"connector $name not found")}}""")
+          }
+        case (method, path) =>
+          respond(ex, 404, s"""{"error":"no route for $method """ +
+            s"""/connectors/${path.mkString("/")}"}""")
+      }
+    } catch {
+      case e: Exception => errorResponse(ex, e)
+    }
+  })
 
   server.createContext("/ksql", (ex: HttpExchange) => {
     val stmt = jsonField(readBody(ex), "ksql").getOrElse("").trim
@@ -382,10 +536,34 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
             s"PRINT: unknown topic '${print.group(1)}'"))
         pushQuery(ex, df,
           Option(print.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
-      } else if (emit.matches())
-        pushQuery(ex, engine.spark.sql(emit.group(1)),
-          Option(emit.group(2)).map(_.toInt).getOrElse(maxRows).min(maxRows))
-      else {
+      } else if (emit.matches()) {
+        val sel = emit.group(1)
+        val lim = Option(emit.group(2)).map(_.toInt).getOrElse(maxRows)
+          .min(maxRows)
+        // TABLE push (ksqldb-statements.sql:96-102): when the FROM target
+        // is an upsert-materialized TABLE, the push subscription is its
+        // changelog — substitute the streaming changelog view for the
+        // batch upsert view so a key RE-EMITS on every update, then run
+        // the same SELECT over it.
+        val fromM = java.util.regex.Pattern
+          .compile("(?i)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)").matcher(sel)
+        val tablePush =
+          if (fromM.find())
+            engine.changelogStream(fromM.group(1)).map((fromM.group(1), _))
+          else None
+        tablePush match {
+          case Some((tableName, changelog)) =>
+            val view = s"graft_chlog_${instanceTag}_${pushNames.incrementAndGet()}"
+            changelog.createOrReplaceTempView(view)
+            try pushQuery(ex, engine.spark.sql(
+                sel.replaceAll("(?i)\\b" + tableName + "\\b", view)), lim)
+            finally {
+              try engine.spark.catalog.dropTempView(view)
+              catch { case _: Exception => () }
+            }
+          case None => pushQuery(ex, engine.spark.sql(sel), lim)
+        }
+      } else {
         val rows = engine.pullQuery(sql).limit(maxRows).toJSON.collect()
         respond(ex, 200, rows.mkString("[", ",", "]"))
       }

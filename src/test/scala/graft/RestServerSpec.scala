@@ -324,6 +324,212 @@ class RestServerSpec extends GraftSuite {
     }
   }
 
+  test("Kafka-Connect REST analog: rest_example.sh's raw curl bodies replay verbatim") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val esDir = java.nio.file.Files.createTempDirectory("graft-es-http").toString
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-connect-http").toString
+    val engine = new Engine(spark, connectorDataDir = dataDir,
+      esTransport = _ => new graft.sinks.FileBulkTransport(esDir))
+    val srv = new RestServer(engine).start()
+    val port = srv.boundPort
+    def put(path: String, body: String) =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+    def delete(path: String) =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+    try {
+      // the datagen 'ratings' topic (docker-compose.yml:140-148), key =
+      // user_id string — same setup as the /ksql connector-DDL replay
+      val in = MemoryStream[Event]
+      engine.registerTopic("ratings",
+        in.toDF().withColumn("key", col("user_id").cast("string")))
+
+      // --- rest_example.sh:11-24, the exact curl -d body ---
+      val sinkRatings = post(port, "/connectors", """{
+    "name": "SINK_ES_RATINGS",
+    "config": {
+        "connector.class" : "io.confluent.connect.elasticsearch.ElasticsearchSinkConnector",
+         "topics"          : "ratings",
+"connection.url"  : "http://elasticsearch:9200",
+    "type.name"       : "_doc",
+    "key.ignore"      : "false",
+    "schema.ignore"   : "true",
+    "transforms": "ExtractTimestamp",
+    "transforms.ExtractTimestamp.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+    "transforms.ExtractTimestamp.timestamp.field" : "RATING_TS"
+    }
+}""")
+      assert(sinkRatings.statusCode() === 201, sinkRatings.body())
+      assert(sinkRatings.body().contains("\"type\":\"sink\""))
+
+      // --- rest_example.sh:56-70, PUT with the bare config object ---
+      val mysqlConfig = """{
+    "connector.class":"io.debezium.connector.mysql.MySqlConnector",
+    "database.hostname":"mysql",
+    "database.port":"3306",
+    "database.user":"debezium",
+    "database.password":"dbz",
+    "database.server.id":"42",
+    "database.server.name":"asgard",
+    "table.whitelist":"demo.customers",
+    "database.history.kafka.bootstrap.servers":"kafka:29092",
+    "database.history.kafka.topic":"dbhistory.demo" ,
+    "include.schema.changes":"false",
+    "transforms": "unwrap,extractkey",
+    "transforms.unwrap.type": "io.debezium.transforms.ExtractNewRecordState",
+    "transforms.extractkey.type": "org.apache.kafka.connect.transforms.ExtractField$Key",
+    "transforms.extractkey.field": "id",
+    "key.converter": "org.apache.kafka.connect.storage.StringConverter",
+    "value.converter": "io.confluent.connect.avro.AvroConverter",
+    "value.converter.schema.registry.url": "http://schema-registry:8081"
+ }"""
+      val srcMysql = put("/connectors/register-mysql/config", mysqlConfig)
+      assert(srcMysql.statusCode() === 201, srcMysql.body()) // created new
+      assert(srcMysql.body().contains("\"type\":\"source\""))
+      // a re-PUT is Connect's config-replace: 200, connector recreated
+      assert(put("/connectors/register-mysql/config", mysqlConfig)
+        .statusCode() === 200)
+
+      // the "binlog": CDC envelopes appended under the connector's topic;
+      // the Debezium-fed TABLE then serves a pull query over REST
+      graft.operators.Cdc.envelope(Tables.events(spark, sf))
+        .write.mode("append").parquet(s"$dataDir/asgard.demo.customers")
+      assert(post(port, "/ksql",
+        """{"ksql":"CREATE TABLE CUSTOMERS_HTTP (CUSTOMER_ID VARCHAR PRIMARY KEY) WITH (KAFKA_TOPIC='asgard.demo.CUSTOMERS', VALUE_FORMAT='AVRO');"}""")
+        .statusCode() === 200)
+      engine.processAllAvailable()
+      val pulled = post(port, "/query",
+        """{"sql":"SELECT CUSTOMER_ID, event_type FROM CUSTOMERS_HTTP LIMIT 5"}""")
+      assert(pulled.statusCode() === 200, pulled.body())
+      assert(pulled.body().contains("CUSTOMER_ID"))
+
+      // the enriched topics the final sink attaches to (the reference
+      // creates them via /ksql CSAS between the two connector POSTs)
+      assert(post(port, "/ksql",
+        """{"ksql":"CREATE STREAM RATINGS_ENRICHED_HTTP WITH (KAFKA_TOPIC='ratings-enriched') AS SELECT key, event_id, user_id, event_type, value FROM ratings EMIT CHANGES;"}""")
+        .statusCode() === 200)
+      assert(post(port, "/ksql",
+        """{"ksql":"CREATE STREAM UNHAPPY_PLATINUM_CUSTOMERS AS SELECT key, event_id, user_id, value FROM ratings WHERE value < 3 EMIT CHANGES;"}""")
+        .statusCode() === 200)
+
+      // --- rest_example.sh:102-133, the exact curl -d body ---
+      val sinkElastic = post(port, "/connectors", """{
+    "name": "elastic-search",
+    "config": {
+        "connector.class" : "io.confluent.connect.elasticsearch.ElasticsearchSinkConnector",
+        "connection.url" : "http://elasticsearch:9200",
+        "type.name" : "",
+        "behavior.on.malformed.documents" : "warn",
+        "errors.tolerance" : "all",
+        "errors.log.enable" : "true",
+        "errors.log.include.messages" : "true",
+        "topics" : "ratings-enriched,UNHAPPY_PLATINUM_CUSTOMERS",
+        "key.ignore" : "true",
+        "schema.ignore" : "true",
+        "key.converter" : "org.apache.kafka.connect.storage.StringConverter",
+        "transforms": "ExtractTimestamp",
+        "transforms.ExtractTimestamp.type": "org.apache.kafka.connect.transforms.InsertField$Value",
+        "transforms.ExtractTimestamp.timestamp.field" : "EXTRACT_TS"
+    }
+}""")
+      assert(sinkElastic.statusCode() === 201, sinkElastic.body())
+
+      // drive data through: docs from both sinks land in the ES transport
+      in.addData(Tables.events(spark, sf).as[Event].collect().toIndexedSeq)
+      engine.processAllAvailable()
+      val docs = java.nio.file.Files.list(java.nio.file.Paths.get(esDir))
+        .toArray.map(p => java.nio.file.Files.readString(
+          p.asInstanceOf[java.nio.file.Path])).mkString("\n")
+      assert(docs.contains("\"_index\":\"ratings\"") && docs.contains("RATING_TS"))
+      assert(docs.contains("\"_index\":\"ratings-enriched\"")
+        && docs.contains("EXTRACT_TS"))
+
+      // registry + status surface
+      val listed = get(port, "/connectors").body()
+      assert(listed.contains("SINK_ES_RATINGS")
+        && listed.contains("register-mysql") && listed.contains("elastic-search"),
+        listed)
+      val status = get(port, "/connectors/SINK_ES_RATINGS/status")
+      assert(status.statusCode() === 200)
+      assert(status.body().contains("\"state\":\"RUNNING\""), status.body())
+      val cfg = get(port, "/connectors/register-mysql/config")
+      assert(cfg.statusCode() === 200
+        && cfg.body().contains("\"table.whitelist\":\"demo.customers\""))
+      val info = get(port, "/connectors/elastic-search")
+      assert(info.statusCode() === 200
+        && info.body().contains("\"tasks\":[{\"connector\":\"elastic-search\",\"task\":0},"))
+
+      // lifecycle: DELETE is Connect's 204; the connector leaves the list
+      assert(delete("/connectors/elastic-search").statusCode() === 204)
+      assert(!get(port, "/connectors").body().contains("elastic-search"))
+      assert(get(port, "/connectors/elastic-search").statusCode() === 404)
+      assert(delete("/connectors/elastic-search").statusCode() === 404)
+      // malformed create bodies are clean client errors
+      assert(post(port, "/connectors",
+        """{"config":{"connector.class":"x"}}""").statusCode() === 400)
+      assert(post(port, "/connectors",
+        """{"name":"no-config"}""").statusCode() === 400)
+    } finally {
+      srv.stop()
+      engine.terminateAll()
+    }
+  }
+
+  test("push query over a windowed TABLE re-emits a key on update (ksqldb-statements.sql:96-102)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val engine = ReferencePipeline.start(
+      new Engine(spark), in.toDF(), Tables.customer(spark, sf))
+    val srv = new RestServer(engine).start()
+    val port = srv.boundPort
+    try {
+      // the customer whose key will update; full_name is the enrichment's
+      // "<c_name> [<c_mktsegment>]" rendering
+      val cust = Tables.customer(spark, sf)
+        .select("c_custkey", "c_name", "c_mktsegment").head()
+      val fullName = s"${cust.getString(1)} [${cust.getString(2)}]"
+      def ev(id: Long) = Event(id, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"),
+        cust.getAs[Number]("c_custkey").longValue, "click", 4.0, "{}")
+      // first rating lands -> the table's changelog holds count=1
+      in.addData(ev(1)); engine.processAllAvailable()
+
+      // the reference's table push, mirrored: SELECT over the TABLE with
+      // EMIT CHANGES — served as the upsert CHANGELOG, not a one-shot pull
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"sql":"SELECT window_start, full_name, ratings_count FROM ratings_per_customer_per_15minute WHERE full_name = '$fullName' EMIT CHANGES LIMIT 2"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofInputStream())
+      assert(resp.statusCode() === 200)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(resp.body()))
+      val first = reader.readLine()
+      assert(first != null && first.contains("\"ratings_count\":1"),
+        s"table push must first emit the current changelog row: $first")
+      // a second rating in the SAME window updates the key -> the table
+      // push must RE-EMIT it with the refined count (the changelog
+      // contract; a pull query would only ever show the latest row)
+      in.addData(ev(2)); engine.processAllAvailable()
+      val second = reader.readLine()
+      assert(second != null && second.contains("\"ratings_count\":2"),
+        s"update must re-emit the key with the refined count: $second")
+      assert(second.contains(fullName.split(" ")(0)))
+      assert(reader.readLine() == null) // LIMIT 2 -> self-terminated
+    } finally {
+      srv.stop()
+      engine.terminateAll()
+    }
+  }
+
   test("REST /query push: EMIT CHANGES streams NDJSON and self-terminates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
