@@ -356,7 +356,14 @@ object Streams {
     recoverCompaction(fs, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
-    val writer = rewrite(spark.read.parquet(path)).write.mode("overwrite")
+    val rewritten = rewrite(spark.read.parquet(path))
+    // cluster on the partition key so each partition dir gets ONE file
+    // from one task, not one from every task — a partitioned rewrite
+    // without it multiplies file count by the task count, and readers of
+    // the compacted store pay per-file open cost forever after
+    val writer = (if (partitionCols.nonEmpty)
+        rewritten.repartition(partitionCols.map(col): _*)
+      else rewritten).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
     fs.delete(old, true) // leftover from an interrupted PREVIOUS swap

@@ -29,6 +29,11 @@ import graft.streaming.Streams
   *
   * Usage: `runMain graft.tools.StreamBench [rowsPerBatch=250000]
   * [batches=8]` (2 warmup batches are excluded from each measurement).
+  * `SPARK_GRAFT_STATESTORE=rocksdb` switches the stateful queries (the
+  * windowed agg and sessionize) onto the RocksDB state-store provider —
+  * the at-scale configuration README recommends (state off-heap and
+  * spillable, vs the default HDFS-backed in-memory map) — so the
+  * throughput delta between the two providers is measured, not assumed.
   * Prints one `STREAMBENCH {...}` JSON line. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -37,13 +42,17 @@ object StreamBench {
     val warmup = 2
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "default")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-streambench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore.equalsIgnoreCase("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val customers = Tables.customer(spark, sfDir)
@@ -114,7 +123,7 @@ object StreamBench {
       OutputMode.Append())
 
     def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"cpus":$cpus}""")
+    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"cpus":$cpus}""")
     spark.stop()
   }
 }
