@@ -22,12 +22,19 @@ import org.apache.spark.sql.SparkSession
   * Cross-sweep guard (round-5 verdict: SUSTAINED pressure pins all three
   * trials equally high — `q_dedup_incremental` recorded 10.39 s with
   * `n_retried: 0` vs its judge-isolated 1.19 s — so intra-query spread
-  * never fires): each sweep persists its per-query medians to
-  * `SPARK_GRAFT_BENCH_OUT + ".medians"`; when a fresh median exceeds 3×
-  * the previous sweep's for the same query (and 1 s absolute, so cheap
-  * queries don't thrash), force a GC, settle, and re-run the trials once,
-  * recording the discarded median under `"retried"`. A genuine regression
-  * reproduces on the retry and is reported; a pressure phantom does not.
+  * never fires): each sweep persists its per-query medians to a file keyed
+  * by the SF DIRECTORY (default `bench/graft_bench_<sfdir>.medians` under
+  * the working directory, overridable via `SPARK_GRAFT_BENCH_MEDIANS`);
+  * when a fresh median exceeds 3× the previous sweep's for the same query
+  * (and 1 s absolute, so cheap queries don't thrash), force a GC, settle,
+  * and re-run the trials once, recording the discarded median under
+  * `"retried"`. A genuine regression reproduces on the retry and is
+  * reported; a pressure phantom does not. The medians live under the repo
+  * (not /tmp) so the baseline survives reboots and can be re-seeded by
+  * committing one clean settle-sweep's output (round-7 adjudication: the
+  * r7 sweep ran with an empty baseline at a freshly-migrated path, then
+  * seeded it with its own pressure-inflated values — a repo-tracked seed
+  * from an idle sweep prevents both failure modes).
   *
   * Output: the FULL per-query JSON is written bare to
   * `SPARK_GRAFT_BENCH_OUT` and printed as its own early stdout line. The
@@ -157,11 +164,15 @@ object Bench {
     // the SF DIR, not the per-round output name (BENCH_r06.json →
     // BENCH_r07.json would otherwise never compare across rounds), and
     // never by SPARK_GRAFT_ONLY — but per-SF, so a dev sweep at sf0.01
-    // doesn't make every sf0.1 query look like a 10× regression.
+    // doesn't make every sf0.1 query look like a 10× regression. Stored
+    // under ./bench (repo-tracked, survives reboots; /tmp silently
+    // disarmed the guard on restart — round-7 advice).
     val mediansPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIANS",
-        "/tmp/graft_bench_" +
+        "bench/graft_bench_" +
           sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".medians"))
+    Option(mediansPath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
     val prevMedians: Map[String, Double] = readMedians(mediansPath)
 
     var retried = Map.empty[String, Double]

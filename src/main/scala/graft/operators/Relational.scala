@@ -53,8 +53,30 @@ object Relational {
   // `concat`, which is null-propagating exactly like ksqlDB's `+` (E2) —
   // NOT concat_ws, which would skip nulls and diverge.
   // --------------------------------------------------------------------- //
+
+  /** SIZE-GATED broadcast hint (round-7 verdict item 5): apply
+    * `broadcast()` only when the optimizer's size estimate fits under the
+    * session's `spark.sql.autoBroadcastJoinThreshold`. The reference's
+    * CDC dimension is 20 rows, so at fixture scale the hint always fires
+    * and PlanSpec still locks BroadcastHashJoin — but an unconditional
+    * hint overrides AQE for an over-threshold dimension and would OOM the
+    * driver on a hundreds-of-millions-key CDC table instead of degrading
+    * to a shuffled join. With the gate, an oversized (or
+    * threshold-disabled, −1) dimension carries NO hint and Catalyst/AQE
+    * pick the join strategy from runtime statistics. Streaming plans,
+    * where the optimizer can't produce a size estimate, fall back to
+    * no-hint (microbatch planning re-estimates per batch anyway). */
+  private[graft] def broadcastIfSmall(dim: DataFrame): DataFrame = {
+    val threshold = org.apache.spark.sql.GraftColumnBridge
+      .autoBroadcastThreshold(dim.sparkSession)
+    val estimated = scala.util.Try(
+      dim.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+    if (threshold > 0 && estimated.exists(_ <= threshold)) broadcast(dim)
+    else dim
+  }
+
   def enriched(events: DataFrame, customers: DataFrame): DataFrame = {
-    val dim = broadcast(
+    val dim = broadcastIfSmall(
       customers.select(
         col("c_custkey").cast("string").as("customer_id"),
         concat(col("c_name"), lit(" ["), col("c_mktsegment"), lit("]"))

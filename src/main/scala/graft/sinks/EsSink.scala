@@ -66,10 +66,35 @@ object EsSink {
     * `idCol = Some(key)` is the `key.ignore=false` mode (doc `_id` = key →
     * idempotent upsert); `None` is `key.ignore=true` (auto `_id`,
     * append-only). Malformed rows (null docs) are dropped, mirroring
-    * `behavior.on.malformed.documents=warn` + `errors.tolerance=all`. */
+    * `behavior.on.malformed.documents=warn` + `errors.tolerance=all`.
+    *
+    * TOMBSTONES (Kafka-Connect `behavior.on.null.values`, round-7 verdict
+    * item 2): a Connect record with a null VALUE is a tombstone; in this
+    * engine's flattened topics the value-nullness is carried by a marker
+    * column (`tombstoneCol` — for Debezium-enveloped topics that is the
+    * `after` image, null exactly when the upstream row was deleted).
+    *  - `onNull = "ignore"` (the Connect ES sink default): tombstones are
+    *    skipped — the index keeps the last-written doc forever.
+    *  - `onNull = "delete"`: tombstones emit a `{"delete":{"_index":…,
+    *    "_id":…}}` action (no source line), so a CDC'd row deleted
+    *    upstream disappears from the index. Requires `idCol` (Connect
+    *    likewise rejects delete mode with `key.ignore=true` — there is no
+    *    id to delete by). ES deletes by `_id` are idempotent (a replayed
+    *    microbatch re-deletes a missing doc → 404-per-item, not an
+    *    error), so checkpoint-replay semantics are unchanged.
+    *  - `onNull = "fail"`: a tombstone fails the batch (Connect's FAIL).
+    * With `tombstoneCol = None` (default) no tombstone concept applies and
+    * every row renders as a doc — the pre-round-8 behavior, used by all
+    * non-CDC sinks. */
   def bulkLines(df: DataFrame, index: String,
-                idCol: Option[String] = None): Dataset[String] = {
+                idCol: Option[String] = None,
+                tombstoneCol: Option[String] = None,
+                onNull: String = "ignore"): Dataset[String] = {
     import df.sparkSession.implicits._
+    require(Set("ignore", "delete", "fail").contains(onNull),
+      s"behavior.on.null.values must be ignore|delete|fail, got '$onNull'")
+    require(tombstoneCol.isEmpty || onNull != "delete" || idCol.nonEmpty,
+      "behavior.on.null.values=delete needs a doc id (key.ignore=false)")
     val rendered = renderTimestamps(df)
     val action = idCol match {
       // to_json of a nested struct emits the exact bulk action line with
@@ -79,9 +104,30 @@ object EsSink {
           col(k).cast("string").as("_id")).as("index")))
       case None => lit(s"""{"index":{"_index":"$index"}}""")
     }
+    val docEntry = concat(action, lit("\n"),
+      to_json(struct(rendered.columns.toIndexedSeq.map(col): _*)))
+    val entry = tombstoneCol match {
+      case None => docEntry
+      case Some(tc) => onNull match {
+        case "ignore" => when(col(tc).isNotNull, docEntry)
+        case "delete" =>
+          val del = to_json(struct(
+            struct(lit(index).as("_index"),
+              col(idCol.get).cast("string").as("_id")).as("delete")))
+          when(col(tc).isNull, del).otherwise(docEntry)
+        case "fail" =>
+          // raise_error inside the codegen'd projection: the first
+          // tombstone in any partition fails the (micro)batch, which the
+          // checkpoint then retries — Connect's FAIL stops the task the
+          // same way.
+          when(col(tc).isNull, raise_error(concat(
+            lit(s"tombstone for index '$index' with behavior.on.null.values=fail, key="),
+            coalesce(col(idCol.getOrElse(tc)).cast("string"), lit("<null>")))))
+            .otherwise(docEntry)
+      }
+    }
     rendered
-      .select(concat(action, lit("\n"),
-        to_json(struct(rendered.columns.toIndexedSeq.map(col): _*))).as("line"))
+      .select(entry.as("line"))
       .filter(col("line").isNotNull)
       .as[String]
   }
@@ -93,18 +139,22 @@ object EsSink {
     * retried from the checkpoint — at-least-once, idempotent when
     * `idCol` is set. */
   def writeStream(df: DataFrame, index: String, idCol: Option[String],
-                  checkpoint: String, transport: BulkTransport): StreamingQuery =
+                  checkpoint: String, transport: BulkTransport,
+                  tombstoneCol: Option[String] = None,
+                  onNull: String = "ignore"): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, index, idCol, transport); ()
+        writeBatch(batch, index, idCol, transport, tombstoneCol, onNull); ()
       }
       .start()
 
   /** Batch form of the sink (also the `foreachBatch` body). */
   def writeBatch(batch: DataFrame, index: String, idCol: Option[String],
-                 transport: BulkTransport): Unit =
-    bulkLines(batch, index, idCol).foreachPartition {
+                 transport: BulkTransport,
+                 tombstoneCol: Option[String] = None,
+                 onNull: String = "ignore"): Unit =
+    bulkLines(batch, index, idCol, tombstoneCol, onNull).foreachPartition {
       (lines: Iterator[String]) => transport.send(lines)
     }
 }

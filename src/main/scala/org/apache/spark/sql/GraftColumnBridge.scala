@@ -21,6 +21,13 @@ object GraftColumnBridge {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
 
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` in bytes
+    * (−1 = broadcasting disabled). Read via `sessionState.conf` (the
+    * typed SQLConf accessor is `private[sql]`) so size-gated broadcast
+    * hints respect the same knob Catalyst's own join planning uses. */
+  def autoBroadcastThreshold(spark: SparkSession): Long =
+    spark.sessionState.conf.autoBroadcastJoinThreshold
+
   /** Column names crossing each shuffle exchange in a physical plan —
     * lets PlanSpec assert that wide payloads (document text) never ride an
     * exchange. Descends into AQE's adaptive wrapper, which hides the

@@ -72,6 +72,97 @@ class EsSinkSpec extends GraftSuite {
     assert(index.size === 2)
   }
 
+  // ------------------------------------------------------------------ //
+  // CDC DELETE propagation — Kafka-Connect `behavior.on.null.values`
+  // (round-7 verdict item 2): a tombstone (null value column) must be able
+  // to DELETE its doc from the index, not linger forever.
+  // ------------------------------------------------------------------ //
+
+  /** Tiny ES model: apply bulk entries in order — `index` actions upsert
+    * by `_id`, `delete` actions remove the `_id`. ES deletes are
+    * idempotent (deleting a missing doc is a per-item 404, not an error),
+    * which the plain `remove` mirrors. */
+  private def applyBulk(index: scala.collection.mutable.Map[String, String],
+                        entries: Seq[String]): Unit =
+    entries.foreach { entry =>
+      val parts = entry.split("\n", 2)
+      val id = parts(0).split(""""_id":"""")(1).takeWhile(_ != '"')
+      if (parts(0).startsWith("""{"delete"""")) index.remove(id)
+      else index(id) = parts(1)
+    }
+
+  private def cdcBatch(rows: (String, Option[String], String)*) =
+    rows.toSeq.toDF("key", "after", "op")
+
+  test("behavior.on.null.values: ignore skips tombstones, delete emits a " +
+    "bulk delete action, fail raises") {
+    val df = cdcBatch(("1", Some("alice"), "c"), ("2", None, "d"))
+    val ign = EsSink.bulkLines(df, "customers", Some("key"),
+      Some("after"), "ignore").collect()
+    assert(ign.length === 1 && ign.head.contains(""""_id":"1""""))
+
+    val del = EsSink.bulkLines(df, "customers", Some("key"),
+      Some("after"), "delete").collect()
+    assert(del.length === 2)
+    val delLine = del.find(_.startsWith("""{"delete"""")).get
+    assert(delLine === """{"delete":{"_index":"customers","_id":"2"}}""")
+    assert(!delLine.contains("\n"), "a delete action carries no source doc")
+
+    val ex = intercept[Throwable] {
+      EsSink.bulkLines(df, "customers", Some("key"),
+        Some("after"), "fail").collect()
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("tombstone"), s"unexpected failure: $messages")
+
+    // Connect rejects delete mode without a record key (key.ignore=true):
+    // there is no _id to delete by
+    intercept[IllegalArgumentException] {
+      EsSink.bulkLines(df, "customers", None, Some("after"), "delete")
+    }
+  }
+
+  test("a key deleted upstream disappears from the index and replaying the " +
+    "microbatch is a no-op") {
+    val b1 = cdcBatch(("1", Some("alice"), "c"), ("2", Some("bob"), "c"))
+    val b2 = cdcBatch(("2", None, "d"), ("1", Some("alicia"), "u"))
+    def lines(b: org.apache.spark.sql.DataFrame) =
+      EsSink.bulkLines(b, "customers", Some("key"), Some("after"), "delete")
+        .collect().toSeq
+    val index = scala.collection.mutable.Map[String, String]()
+    applyBulk(index, lines(b1))
+    assert(index.keySet === Set("1", "2"))
+    applyBulk(index, lines(b2))
+    assert(index.keySet === Set("1"), "deleted key must leave the index")
+    assert(index("1").contains("alicia"))
+    // checkpoint replay (at-least-once): re-applying the same microbatch
+    // must converge to the same index — upserts overwrite, deletes 404
+    val before = index.toMap
+    applyBulk(index, lines(b2))
+    assert(index.toMap === before, "replay must be a no-op")
+  }
+
+  test("streaming CDC sink with delete behavior spools delete actions for " +
+    "tombstoned keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("es-del-spool")
+    val ckpt = tmpDir("es-del-ckpt")
+    val in = MemoryStream[(String, Option[String], String)]
+    val q = EsSink.writeStream(
+      in.toDF().toDF("key", "after", "op"), "customers", Some("key"), ckpt,
+      new FileBulkTransport(dir), Some("after"), "delete")
+    in.addData(("7", Some("grace"), "c"))
+    q.processAllAvailable()
+    in.addData(("7", Option.empty[String], "d"))
+    q.processAllAvailable(); q.stop()
+    val spooled = Files.list(Paths.get(dir)).iterator().asScala
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(spooled.exists(_.startsWith(
+      """{"index":{"_index":"customers","_id":"7"""")))
+    assert(spooled.contains("""{"delete":{"_index":"customers","_id":"7"}}"""))
+  }
+
   test("streaming foreachBatch sink spools bulk files per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("es-spool")

@@ -12,6 +12,31 @@ class PlanSpec extends GraftSuite {
     assert(plan("q_enrich").contains("BroadcastHashJoin"))
   }
 
+  test("enrichment broadcast hint is size-gated: over-threshold dim falls " +
+    "back to a shuffled join with identical rows") {
+    // Round-7 verdict item 5: the hint used to be unconditional — faithful
+    // to the reference's 20-row dim, but a plan that can't survive an
+    // adversarial scale-up (a 100M-key CDC dimension would OOM the driver
+    // rather than degrade). Forcing the threshold to -1 models the
+    // over-threshold case exactly (the gate compares estimate ≤ threshold);
+    // the fallback plan must NOT carry the hint and must return the same
+    // rows via whatever join Catalyst picks.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val hinted = SparkEntry.queries("q_enrich")(spark, sf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = SparkEntry.queries("q_enrich")(spark, sf)
+      val logical = gated.queryExecution.optimizedPlan.toString
+      assert(!gated.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"gate must drop the broadcast hint at threshold -1:\n$logical")
+      val physical = gated.queryExecution.executedPlan.toString
+      assert(!physical.contains("BroadcastHashJoin"),
+        "threshold -1 must not plan a broadcast join")
+      assert(gated.exceptAll(hinted).isEmpty && hinted.exceptAll(gated).isEmpty,
+        "fallback join must return identical rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q3 pushes date filters into the parquet scan") {
     val p = plan("q3_shipping")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"))

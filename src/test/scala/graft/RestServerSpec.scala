@@ -482,6 +482,73 @@ class RestServerSpec extends GraftSuite {
     }
   }
 
+  test("sink connector with behavior.on.null.values=delete propagates CDC " +
+    "deletes to the ES transport") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, struct, when, lit}
+    val esDir = java.nio.file.Files.createTempDirectory("graft-es-del").toString
+    val engine = new Engine(spark,
+      esTransport = _ => new graft.sinks.FileBulkTransport(esDir))
+    val srv = new RestServer(engine).start()
+    val port = srv.boundPort
+    def ksql(stmt: String) =
+      post(port, "/ksql", s"""{"ksql":${graft.functions.Json.quote(stmt)}}""")
+    try {
+      // a Debezium-shaped topic: key + nullable after-image (null = the
+      // upstream row was deleted) — the unwrap SMT with deletes passed
+      // through, which is what `behavior.on.null.values=delete` acts on
+      val in = MemoryStream[(String, String, String)]
+      engine.registerTopic("asgard.demo.customers",
+        in.toDF().toDF("key", "name", "op")
+          .withColumn("after",
+            when(col("op") =!= "d", struct(col("name"))))
+          .select("key", "after", "op"))
+
+      // delete mode without a record key must be rejected up front —
+      // Connect's ES sink errors the same way (no _id to delete by)
+      val bad = ksql(
+        """CREATE SINK CONNECTOR SINK_ES_BAD WITH (
+          |  'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+          |  'topics' = 'asgard.demo.customers',
+          |  'connection.url' = 'http://elasticsearch:9200',
+          |  'key.ignore' = 'true',
+          |  'behavior.on.null.values' = 'delete'
+          |);""".stripMargin)
+      assert(bad.statusCode() === 400, bad.body())
+
+      val ok = ksql(
+        """CREATE SINK CONNECTOR SINK_ES_CUSTOMERS WITH (
+          |  'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+          |  'topics' = 'asgard.demo.customers',
+          |  'connection.url' = 'http://elasticsearch:9200',
+          |  'key.ignore' = 'false',
+          |  'behavior.on.null.values' = 'delete'
+          |);""".stripMargin)
+      assert(ok.statusCode() === 200, ok.body())
+      // config is echoed back verbatim through the Connect REST analog
+      val cfg = get(port, "/connectors/SINK_ES_CUSTOMERS/config")
+      assert(cfg.body().contains("\"behavior.on.null.values\""), cfg.body())
+
+      in.addData(("42", "rebecca", "c"))
+      engine.processAllAvailable()
+      in.addData(("42", "", "d"))
+      engine.processAllAvailable()
+      val spooled = java.nio.file.Files.list(java.nio.file.Paths.get(esDir))
+        .iterator()
+      val lines = scala.jdk.CollectionConverters.IteratorHasAsScala(spooled)
+        .asScala.flatMap(p => scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala).toSeq
+      assert(lines.exists(l => l.startsWith("""{"index"""") &&
+        l.contains(""""_id":"42"""")), lines.mkString("\n"))
+      assert(lines.contains(
+        """{"delete":{"_index":"asgard.demo.customers","_id":"42"}}"""),
+        lines.mkString("\n"))
+    } finally {
+      srv.stop()
+      engine.terminateAll()
+    }
+  }
+
   test("push query over a windowed TABLE re-emits a key on update (ksqldb-statements.sql:96-102)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
