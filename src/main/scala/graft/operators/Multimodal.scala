@@ -8,11 +8,18 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample as per-partition
   * operators.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC STUB (md5-derived pseudo-features, clearly marked below);
-  * everything around it — the binary column schema, the typed-metadata
-  * struct, the `mapPartitions` batch shape, the partition sizing — is the
-  * real Spark plumbing a codec-backed implementation would drop into.
+  * IMAGE decode is REAL as of round 8: `javax.imageio` ships in the JDK
+  * (zero added dependencies), so JPEG/PNG/GIF/BMP payloads are actually
+  * decoded — true dimensions, raster-pixel hashes, `Graphics2D` bilinear
+  * resize, per-channel mean/std features. Payloads no registered reader
+  * accepts (including the text-derived fixture bytes) fall back to the
+  * DETERMINISTIC STUB (md5-derived pseudo-features, clearly marked
+  * below), so fixture oracles are content-independent while the spec
+  * exercises the real codec on an embedded PNG. Audio/video codecs still
+  * don't exist in-JDK; those kinds remain stubbed, with the binary
+  * column schema, typed-metadata struct, `mapPartitions` batch shape and
+  * partition sizing as the real Spark plumbing a codec-backed
+  * implementation drops into.
   *
   * Scale notes:
   *  - Payloads stay opaque `BinaryType`: parquet stores them as byte arrays
@@ -71,35 +78,95 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  /** Decode: one codec init per partition, then per-row header parse.
-    * >>> STUB: a real implementation hands `payload` to an image/audio
-    * decoder here; this one derives `content_hash` (md5) and echoes the
-    * metadata dimensions, which is deterministic and oracle-checkable. <<< */
+  /** REAL image decode via the in-JDK `javax.imageio` registry (JPEG,
+    * PNG, GIF, BMP, WBMP readers ship with every JDK 17). `None` when no
+    * registered reader accepts the bytes — corrupt payloads and the
+    * text-derived fixtures — which callers route to the deterministic
+    * stub, mirroring `errors.tolerance`-style skip-don't-crash handling
+    * a 100 TB media sweep needs (one bad blob must not fail a 512 MB
+    * task). */
+  private[operators] def tryDecodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Codec-independent content hash of a decoded image: md5 over the
+    * ARGB raster (row-major), so two encodings of the same pixels hash
+    * identically — the property exact-dedup over decoded media needs. */
+  private[operators] def pixelHash(img: java.awt.image.BufferedImage): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+    px.foreach(bb.putInt)
+    md5Hex(bb.array)
+  }
+
+  /** Decode: one codec init per partition, then per-row decode. Images
+    * go through the REAL `javax.imageio` path — true width/height and a
+    * raster-pixel content hash. Non-image kinds and undecodable payloads
+    * take the STUB branch (md5 of the raw bytes, metadata dimensions),
+    * deterministic and oracle-checkable. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition "codec" initialization happens here (amortized)
+      // per-partition codec initialization happens here (amortized);
+      // ImageIO's reader registry is also warmed by the first decode
       val digest = java.security.MessageDigest.getInstance("MD5")
       rows.map { m =>
-        digest.reset()
-        val hash = digest.digest(m.payload).map("%02x".format(_)).mkString
-        DecodedRow(m.media_id, m.kind, m.payload.length, hash,
-          m.meta.width, m.meta.height)
+        val real =
+          if (m.kind == "image") tryDecodeImage(m.payload) else None
+        real match {
+          case Some(img) =>
+            DecodedRow(m.media_id, m.kind, m.payload.length,
+              pixelHash(img), img.getWidth, img.getHeight)
+          case None => // >>> STUB fallback: undecodable bytes <<<
+            digest.reset()
+            val hash = digest.digest(m.payload).map("%02x".format(_)).mkString
+            DecodedRow(m.media_id, m.kind, m.payload.length, hash,
+              m.meta.width, m.meta.height)
+        }
       }
     }
   }
 
-  /** Feature extraction: payload → fixed-width embedding.
-    * >>> STUB: real code runs a vision/audio encoder per batch; this one
-    * derives `dim` doubles from the payload md5 (byte j scaled to [0,1]),
-    * preserving the batch shape and output schema. <<< */
+  /** Feature extraction: payload → fixed-width vector in [0,1]. Decodable
+    * images get REAL per-channel statistics — mean(R,G,B), std(R,G,B) and
+    * the two aspect fractions w/(w+h), h/(w+h) — the normalization stats
+    * a vision pipeline computes before training; `dim` ≠ 8 cycles that
+    * base vector. Everything else takes the STUB branch (md5-derived
+    * bytes scaled to [0,1]), preserving batch shape and schema. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val hex = md5Hex(m.payload)
-        val fs = Array.tabulate(dim)(j =>
-          Integer.parseInt(hex.substring(j * 2, j * 2 + 2), 16) / 255.0)
+        val real =
+          if (m.kind == "image") tryDecodeImage(m.payload) else None
+        val fs = real match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val n = px.length.toDouble
+            val sums = new Array[Double](3); val sqs = new Array[Double](3)
+            px.foreach { p =>
+              val c = Array((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+              var i = 0
+              while (i < 3) {
+                val v = c(i) / 255.0
+                sums(i) += v; sqs(i) += v * v; i += 1
+              }
+            }
+            val means = sums.map(_ / n)
+            val stds = (0 until 3).map(i =>
+              math.sqrt(math.max(0.0, sqs(i) / n - means(i) * means(i))))
+            val base = means.toIndexedSeq ++ stds ++
+              Seq(w.toDouble / (w + h), h.toDouble / (w + h))
+            Array.tabulate(dim)(j => base(j % base.length))
+          case None => // >>> STUB fallback: no in-JDK audio/video codec <<<
+            val hex = md5Hex(m.payload)
+            Array.tabulate(dim)(j =>
+              Integer.parseInt(hex.substring(j * 2, j * 2 + 2), 16) / 255.0)
+        }
         MediaFeatures(m.media_id, fs)
       }
     }
@@ -118,14 +185,32 @@ object Multimodal {
     }
   }
 
-  /** Resize: new dimensions + a deterministic STUB of the resized content
-    * (real code: decode → scale → re-encode per partition). */
+  /** Resize: REAL decode → `Graphics2D` bilinear scale for decodable
+    * images (content_hash = raster hash of the RESIZED pixels; a
+    * production sink would `ImageIO.write` the scaled raster back to
+    * bytes in the same loop). Undecodable payloads keep the
+    * deterministic STUB rehash so fixture runs stay content-stable. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { rows =>
       rows.map { m =>
-        val rehash = md5Hex(s"${md5Hex(m.payload)}:${w}x$h".getBytes("UTF-8"))
-        DecodedRow(m.media_id, m.kind, m.payload.length, rehash, w, h)
+        tryDecodeImage(m.payload) match {
+          case Some(img) =>
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            DecodedRow(m.media_id, m.kind, m.payload.length,
+              pixelHash(dst), w, h)
+          case None => // >>> STUB fallback: undecodable bytes <<<
+            val rehash =
+              md5Hex(s"${md5Hex(m.payload)}:${w}x$h".getBytes("UTF-8"))
+            DecodedRow(m.media_id, m.kind, m.payload.length, rehash, w, h)
+        }
       }
     }
   }
