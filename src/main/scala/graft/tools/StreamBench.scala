@@ -34,7 +34,20 @@ import graft.streaming.Streams
   * the at-scale configuration README recommends (state off-heap and
   * spillable, vs the default HDFS-backed in-memory map) — so the
   * throughput delta between the two providers is measured, not assumed.
-  * Prints one `STREAMBENCH {...}` JSON line. */
+  * Prints one `STREAMBENCH {...}` JSON line.
+  *
+  * STATE-STRESS MODE (round-7 verdict item 4 — measure RocksDB where it
+  * is claimed to win, not just where it loses): `SPARK_GRAFT_STRESS_KEYS=N`
+  * replaces the three pipelines with ONE deliberately state-heavy query —
+  * a running per-key aggregate over an N-key user space with NO watermark
+  * eviction, so state grows monotonically toward N keys. Run it in a
+  * forked JVM with `-Xmx` pinned BELOW the state size and the provider
+  * comparison becomes an existence proof: the default HDFS-backed store
+  * keeps every version of state on-heap and dies (GC thrash → OOM), while
+  * RocksDB holds state in native memory + local SST files and completes.
+  * The JSON line adds `state_rows` and `state_bytes` from the engine's own
+  * stateOperators ledger so the crossover is recorded from measurement.
+  * Driven by `tools/overheap_bench.sh`. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rowsPerBatch = if (args.length > 0) args(0).toInt else 250000
@@ -102,6 +115,34 @@ object StreamBench {
       val secs = measured.map(_.durationMs.get("triggerExecution").toLong)
         .sum / 1000.0
       (rows, secs)
+    }
+
+    // ---- state-stress mode: one over-heap stateful query, then exit ----
+    sys.env.get("SPARK_GRAFT_STRESS_KEYS").map(_.toLong).foreach { nKeys =>
+      val q = events()
+        // re-key into an nKeys-wide space (the EP2 shape keys by customer,
+        // bounded at 15k — far too small to outgrow any heap)
+        .withColumn("user_id", pmod(xxhash64(col("event_id"), lit(7)), lit(nKeys)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          max(col("ts")).as("last_ts"))
+        .writeStream.format("noop").outputMode(OutputMode.Update()).start()
+      try {
+        while (q.isActive &&
+            q.recentProgress.count(_.numInputRows > 0) < batches)
+          Thread.sleep(200)
+        q.exception.foreach(throw _)
+      } finally q.stop()
+      val measured = q.recentProgress.filter(_.numInputRows > 0)
+        .drop(warmup).take(batches - warmup)
+      val rows = measured.map(_.numInputRows).sum
+      val secs = measured.map(_.durationMs.get("triggerExecution").toLong)
+        .sum / 1000.0
+      val st = q.recentProgress.filter(_.numInputRows > 0).lastOption
+        .flatMap(_.stateOperators.headOption)
+      println(s"""STREAMBENCH {"pipeline":"state_stress","state_store":"${stateStore.toLowerCase}","stress_keys":$nKeys,"rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"events_per_sec":${(rows / secs).round},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_bytes":${st.map(_.memoryUsedBytes).getOrElse(-1L)},"heap_max_mb":${Runtime.getRuntime.maxMemory() / 1024 / 1024},"cpus":$cpus}""")
+      spark.stop()
+      sys.exit(0)
     }
 
     val (unhappyRows, unhappySec) = measure(
