@@ -508,9 +508,10 @@ object SparkEntry {
     }),
 
     // --- training-data pipeline: multimodal binary columns -------------- //
-    // (decode/feature/frame content is a deterministic STUB — no codecs in
-    // this container; the binary-column schema, typed metadata, and
-    // mapPartitions batch shape are the real plumbing. See Multimodal.)
+    // (image/audio decode is REAL — in-JDK javax.imageio/javax.sound — for
+    // decodable payloads; the text-derived fixture bytes take Multimodal's
+    // deterministic stub branch, which is what these oracles pin. Video
+    // remains an honest stub: no in-JDK codec.)
     "q_media_decode" -> ((s, d) =>
       Multimodal.decode(Multimodal.asMediaRows(
         Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
@@ -529,6 +530,13 @@ object SparkEntry {
     "q_media_resize" -> ((s, d) =>
       Multimodal.resize(Multimodal.asMediaRows(
         Multimodal.mediaTable(Tables.documents(s, d))), 128, 128).toDF()),
+    // Real WAV/AIFF decode path (javax.sound.sampled) with the
+    // deterministic stub for the text-derived fixture payloads — stub
+    // loudness stats are min/max of two md5 bytes so rms <= peak holds
+    // like real audio, and DuckDB reproduces them exactly.
+    "q_media_audio" -> ((s, d) =>
+      Multimodal.decodeAudio(Multimodal.asMediaRows(
+        Multimodal.mediaTable(Tables.documents(s, d)))).toDF()),
 
     // Sketch-based variants — the single-pass approximate paths for 100 TB
     // (no DuckDB oracle: sketch results are engine-specific; the driver
@@ -2572,6 +2580,19 @@ object SparkEntry {
                md5(md5(text) || ':128x128') AS content_hash,
                128 AS width, 128 AS height
         FROM documents WHERE doc_id % 3 = 0
+      """,
+
+      "q_media_audio" -> """
+        SELECT doc_id AS media_id,
+               CAST(16000 AS INTEGER) AS sample_rate,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(length(text) AS BIGINT) AS frames,
+               CAST(length(text) * 40 AS BIGINT) AS duration_ms,
+               least(a, b) AS rms, greatest(a, b) AS peak
+        FROM (SELECT doc_id, text,
+                CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) / 255.0 AS a,
+                CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) / 255.0 AS b
+              FROM documents WHERE doc_id % 3 = 1)
       """,
 
       "q_clean_corpus" -> s"""

@@ -244,7 +244,12 @@ class Engine(val spark: SparkSession,
     * a Debezium topic). The declared SMT chain is honored: `ExtractField$Key`
     * is the envelope's scalar `key` (T2), and `ExtractNewRecordState`
     * unwraps to after-image rows, dropping tombstones (T1,
-    * `Cdc.unwrap` semantics). */
+    * `Cdc.unwrap` semantics). Set the SMT's
+    * `transforms.<name>.drop.tombstones = 'false'` to pass delete
+    * envelopes through instead (null `after`, op `d`) — the chain a
+    * CDC-table-to-ES pipeline needs so a downstream sink connector with
+    * `behavior.on.null.values=delete` can remove the doc (Debezium's
+    * documented pairing for index-synchronized deletes). */
   def createSourceConnector(name: String, props: Map[String, String]): Seq[String] = {
     require(connectors.putIfAbsent(name, ("SOURCE", Nil)).isEmpty,
       s"connector '$name' already exists")
@@ -255,20 +260,34 @@ class Engine(val spark: SparkSession,
     try {
       require(tables.nonEmpty,
         s"connector '$name': table.whitelist/table.include.list is required")
-      val unwrap = props.get("transforms").toSeq
+      val smtNames = props.get("transforms").toSeq
         .flatMap(_.split(",").map(_.trim))
-        .exists(t => props.get(s"transforms.$t.type")
-          .exists(_.contains("ExtractNewRecordState")))
+      val unwrapSmt = smtNames.find(t => props.get(s"transforms.$t.type")
+        .exists(_.contains("ExtractNewRecordState")))
+      // Debezium ExtractNewRecordState default: drop.tombstones=true.
+      // 'false' keeps delete envelopes flowing (null after-image) so a
+      // delete-aware sink can act on them.
+      val dropTombstones = unwrapSmt.forall(t =>
+        !props.get(s"transforms.$t.drop.tombstones")
+          .exists(_.equalsIgnoreCase("false")))
       val made = tables.map { table =>
         val topic = s"$server.$table"
         val dir = java.nio.file.Paths.get(connectorDataDir, topic)
         java.nio.file.Files.createDirectories(dir)
         val envelope = spark.readStream.schema(Engine.cdcEnvelopeSchema(spark))
           .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-        val df =
-          if (unwrap) envelope.filter(col("op") =!= "d")
-            .select(col("key"), col("after.*"), col("op"), col("ts_ms"))
-          else envelope
+        val df = unwrapSmt match {
+          case Some(_) if dropTombstones =>
+            envelope.filter(col("op") =!= "d")
+              .select(col("key"), col("after.*"), col("op"), col("ts_ms"))
+          case Some(_) =>
+            // tombstones pass through: delete rows keep a null `after`
+            // (flattened value columns all null), op = 'd'
+            envelope
+              .select(col("key"), col("after.*"), col("op"), col("ts_ms"),
+                col("after"))
+          case None => envelope
+        }
         topics.put(topic.toLowerCase, df)
         topic
       }

@@ -8,18 +8,19 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample as per-partition
   * operators.
   *
-  * IMAGE decode is REAL as of round 8: `javax.imageio` ships in the JDK
-  * (zero added dependencies), so JPEG/PNG/GIF/BMP payloads are actually
-  * decoded — true dimensions, raster-pixel hashes, `Graphics2D` bilinear
-  * resize, per-channel mean/std features. Payloads no registered reader
-  * accepts (including the text-derived fixture bytes) fall back to the
-  * DETERMINISTIC STUB (md5-derived pseudo-features, clearly marked
-  * below), so fixture oracles are content-independent while the spec
-  * exercises the real codec on an embedded PNG. Audio/video codecs still
-  * don't exist in-JDK; those kinds remain stubbed, with the binary
-  * column schema, typed-metadata struct, `mapPartitions` batch shape and
-  * partition sizing as the real Spark plumbing a codec-backed
-  * implementation drops into.
+  * IMAGE and AUDIO decode are REAL as of round 8, zero added
+  * dependencies: `javax.imageio` (JPEG/PNG/GIF/BMP — true dimensions,
+  * raster-pixel hashes, `Graphics2D` bilinear resize, per-channel
+  * mean/std features) and `javax.sound.sampled` (WAV/AIFF 16-bit PCM —
+  * true sample rate/channels/frames, RMS + peak loudness). Payloads no
+  * registered codec accepts (including the text-derived fixture bytes)
+  * fall back to the DETERMINISTIC STUB (md5-derived pseudo-values,
+  * clearly marked below), so fixture oracles are content-independent
+  * while the specs exercise the real codecs on an embedded PNG and a
+  * generated sine WAV. VIDEO has no in-JDK codec and remains stubbed,
+  * with the binary column schema, typed-metadata struct, `mapPartitions`
+  * batch shape and partition sizing as the real Spark plumbing a
+  * codec-backed implementation drops into.
   *
   * Scale notes:
   *  - Payloads stay opaque `BinaryType`: parquet stores them as byte arrays
@@ -45,6 +46,13 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, features: Array[Double])
 
   case class Frame(media_id: Long, frame_no: Int, frame_hash: String)
+
+  /** Decoded audio facts: stream geometry + the two loudness statistics
+    * (RMS and peak of the normalized signal) a corpus-quality gate needs
+    * to drop silent/clipped clips before feature extraction. */
+  case class AudioInfo(media_id: Long, sample_rate: Int, channels: Int,
+                       frames: Long, duration_ms: Long, rms: Double,
+                       peak: Double)
 
   /** Synthesize a deterministic media table from the `documents` fixture:
     * payload = UTF-8 bytes of the text, kind cycles image/audio/video,
@@ -168,6 +176,68 @@ object Multimodal {
               Integer.parseInt(hex.substring(j * 2, j * 2 + 2), 16) / 255.0)
         }
         MediaFeatures(m.media_id, fs)
+      }
+    }
+  }
+
+  /** REAL audio decode via the in-JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * parsers ship with every JDK). `None` when the bytes aren't a
+    * parseable audio container or the encoding isn't 16-bit signed PCM —
+    * callers route those to the deterministic stub, the same
+    * skip-don't-crash contract as [[tryDecodeImage]]. */
+  private[operators] def tryDecodeAudio(payload: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = in.getFormat
+      if (f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && in.getFrameLength > 0) Some(in)
+      else None
+    } catch { case _: Exception => None }
+
+  /** Audio decode: WAV/AIFF payloads of kind `audio` go through the REAL
+    * `javax.sound.sampled` path — true sample rate / channel count /
+    * frame length, and RMS + peak computed over the normalized 16-bit PCM
+    * signal (the loudness stats silence/clipping gates cut on).
+    * Undecodable payloads (the text-derived fixtures) take the STUB
+    * branch: 16 kHz mono, frames = byte length, and rms/peak as the
+    * min/max of two md5-derived bytes scaled to [0,1] (min/max so the
+    * rms ≤ peak invariant real audio guarantees also holds for stubs) —
+    * deterministic and oracle-expressible in DuckDB. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioInfo] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { rows =>
+      rows.map { m =>
+        tryDecodeAudio(m.payload) match {
+          case Some(in) =>
+            val f = in.getFormat
+            val frames = in.getFrameLength
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2
+            var sumSq = 0.0; var peak = 0.0; var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i); val hi = bytes(2 * i + 1)
+              val raw =
+                if (f.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort
+                else ((hi << 8) | (lo & 0xff)).toShort
+              val s = raw / 32768.0
+              sumSq += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            val rate = f.getSampleRate.toInt
+            AudioInfo(m.media_id, rate, f.getChannels, frames,
+              frames * 1000L / rate,
+              math.sqrt(if (n > 0) sumSq / n else 0.0), peak)
+          case None => // >>> STUB fallback: undecodable bytes <<<
+            val hex = md5Hex(m.payload)
+            val a = Integer.parseInt(hex.substring(0, 2), 16) / 255.0
+            val b = Integer.parseInt(hex.substring(2, 4), 16) / 255.0
+            AudioInfo(m.media_id, 16000, 1, m.payload.length.toLong,
+              m.meta.duration_ms, math.min(a, b), math.max(a, b))
+        }
       }
     }
   }

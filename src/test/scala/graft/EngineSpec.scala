@@ -169,6 +169,67 @@ class EngineSpec extends GraftSuite {
     engine.terminateAll()
   }
 
+  test("CDC delete flows source connector -> ES sink end-to-end: " +
+    "drop.tombstones=false pairs with behavior.on.null.values=delete") {
+    // The reference's SMT chain (ksqldb-statements.sql:19-38) with the
+    // two knobs Debezium documents for index-synchronized deletes: the
+    // unwrap SMT passes tombstones through, the ES sink turns them into
+    // bulk delete actions — a customer deleted in MySQL leaves the index.
+    val dataDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-del-src").toString
+    val esDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-del-es").toString
+    val engine = new Engine(spark, connectorDataDir = dataDir,
+      esTransport = _ => new graft.sinks.FileBulkTransport(esDir))
+    engine.createSourceConnector("SOURCE_MYSQL_DEL", Map(
+      "connector.class" -> "io.debezium.connector.mysql.MySqlConnector",
+      "database.server.name" -> "asgard",
+      "table.whitelist" -> "demo.customers",
+      "transforms" -> "unwrap,extractkey",
+      "transforms.unwrap.type" -> "io.debezium.transforms.ExtractNewRecordState",
+      "transforms.unwrap.drop.tombstones" -> "false",
+      "transforms.extractkey.type" ->
+        "org.apache.kafka.connect.transforms.ExtractField$Key",
+      "transforms.extractkey.field" -> "id"))
+    engine.createSinkConnector("SINK_ES_DEL", Map(
+      "connector.class" ->
+        "io.confluent.connect.elasticsearch.ElasticsearchSinkConnector",
+      "topics" -> "asgard.demo.customers",
+      "connection.url" -> "http://elasticsearch:9200",
+      "key.ignore" -> "false",
+      "behavior.on.null.values" -> "delete"))
+    try {
+      // the "binlog": a create for user 5, then its delete, one file (=
+      // one microbatch) each — Cdc.envelope derives op from event_id
+      // (every 10th is a DELETE)
+      val events = Seq(
+        Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+          5L, "click", 4.0, "{}"),
+        Event(10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"),
+          5L, "click", 4.0, "{}")).toDF()
+      val envelope = graft.operators.Cdc.envelope(events)
+      val topicDir = s"$dataDir/asgard.demo.customers"
+      envelope.filter(col("op") === "c")
+        .write.mode("append").parquet(topicDir)
+      engine.processAllAvailable()
+      envelope.filter(col("op") === "d")
+        .write.mode("append").parquet(topicDir)
+      engine.processAllAvailable()
+      val lines = java.nio.file.Files.list(java.nio.file.Paths.get(esDir))
+        .iterator()
+      val spooled = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(lines).asScala
+        .flatMap(p => scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(p)).asScala)
+        .toSeq
+      assert(spooled.exists(l => l.startsWith("""{"index"""") &&
+        l.contains(""""_id":"5"""")), s"create must index doc 5: $spooled")
+      assert(spooled.contains(
+        """{"delete":{"_index":"asgard.demo.customers","_id":"5"}}"""),
+        s"delete envelope must become a bulk delete: $spooled")
+    } finally engine.terminateAll()
+  }
+
   test("engine rejects duplicate query names") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -105,6 +105,54 @@ class MultimodalSpec extends GraftSuite {
     assert(out(1).width === 999 && out(1).height === 999)
   }
 
+  /** A mono 16-bit PCM WAV: 0.5-amplitude sine at `hz`, one second at
+    * `rate` — known geometry (rate, 1 channel, `rate` frames, 1000 ms)
+    * and known loudness (RMS = 0.5/√2 ≈ 0.3536, peak ≈ 0.5). */
+  private def testWav(rate: Int = 8000, hz: Double = 440.0): Array[Byte] = {
+    val samples = Array.tabulate(rate) { i =>
+      (0.5 * math.sin(2 * math.Pi * hz * i / rate) * 32767).toShort
+    }
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio decode reads a real WAV: true geometry and loudness; " +
+    "undecodable bytes fall back to the stub with rms <= peak") {
+    import spark.implicits._
+    val wav = testWav()
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav,
+        Multimodal.MediaMeta(wav.length, 0, 0, 777L, "wav")),
+      Multimodal.MediaRow(2L, "audio", "not audio".getBytes("UTF-8"),
+        Multimodal.MediaMeta(9, 0, 0, 360L, "wav")),
+      Multimodal.MediaRow(3L, "image", wav,
+        Multimodal.MediaMeta(wav.length, 0, 0, 0L, "png"))).toDS()
+    val out = Multimodal.decodeAudio(rows).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq === Seq(1L, 2L), "audio kind only")
+    val real = out(0)
+    assert(real.sample_rate === 8000 && real.channels === 1)
+    assert(real.frames === 8000L && real.duration_ms === 1000L)
+    assert(math.abs(real.rms - 0.5 / math.sqrt(2)) < 1e-3,
+      s"sine RMS must be a/sqrt(2), got ${real.rms}")
+    assert(math.abs(real.peak - 0.5) < 2e-3, s"peak ${real.peak}")
+    val stub = out(1)
+    assert(stub.sample_rate === 16000 && stub.channels === 1)
+    assert(stub.frames === 9L && stub.duration_ms === 360L)
+    assert(stub.rms <= stub.peak,
+      "the stub must preserve real audio's rms <= peak invariant")
+  }
+
   test("resize really scales a decodable image and features are real " +
     "channel statistics") {
     import spark.implicits._

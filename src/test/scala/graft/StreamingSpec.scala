@@ -535,6 +535,41 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("dedup_stream_test").count() === 2)
   }
 
+  test("watermark-bounded streaming dedup: duplicates inside the horizon " +
+    "drop, state evicts past it (the 100 TB configuration)") {
+    // dedupEvents' unbounded form holds one state entry per key FOREVER —
+    // fine for a compacted-topic analog, fatal at 100 TB ingest. The
+    // dropDuplicatesWithinWatermark form bounds state to the replay
+    // horizon; the trade is that a key may re-admit once the watermark
+    // passes its expiry. Pin BOTH sides of that contract.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.toMemoryTable(
+      Streams.dedupEvents(in.toDF(), Seq("event_id"),
+        watermarkCol = Some("ts"), delay = "10 minutes"),
+      "dedup_ttl_test")
+    val e1 = ev(1, "2024-01-01 00:00:00", 1, "click", 4)
+    in.addData(e1, e1)                              // in-batch duplicate
+    q.processAllAvailable()
+    in.addData(ev(1, "2024-01-01 00:05:00", 1, "click", 4)) // replay inside horizon
+    q.processAllAvailable()
+    assert(spark.table("dedup_ttl_test").count() === 1,
+      "duplicates within the watermark horizon must drop")
+    // advance event time far past the horizon: watermark moves to
+    // ~00:50, evicting event_id=1's state (expires 00:10) ...
+    in.addData(ev(2, "2024-01-01 01:00:00", 2, "view", 2))
+    q.processAllAvailable()
+    // ... so a late replay of key 1 is NEW state, not a duplicate
+    in.addData(ev(1, "2024-01-01 01:00:30", 1, "click", 4))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_ttl_test").groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids(2L) === 1L)
+    assert(ids(1L) === 2L,
+      "state must evict at the horizon — key 1 re-admits after expiry " +
+        s"(bounded state is the point); got $ids")
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
