@@ -557,6 +557,20 @@ object Engine {
     Cdc.envelope(spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       Streams.eventSchema)).schema
+
+  /** Transport factory for production embeddings — pass as
+    * `new Engine(spark, esTransport = Engine.transportFor)`: an http(s)
+    * `connection.url` gets the real [[graft.sinks.HttpBulkTransport]]
+    * `_bulk` wire, anything else a local file spool. Not the default —
+    * no ES exists in this container, so the default engine stays
+    * spool-backed and the HTTP path is spec'd against a stub server
+    * (EsSinkSpec). Embedders needing prop-driven tolerance
+    * (`errors.tolerance=all`) close over their connector config instead. */
+  def transportFor(url: String): BulkTransport =
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      new graft.sinks.HttpBulkTransport(url)
+    else new FileBulkTransport(java.nio.file.Files
+      .createTempDirectory("graft-es").toString)
 }
 
 /** The reference's full EP2/EP3 topology (SURVEY §3) wired as one call:

@@ -179,3 +179,83 @@ class FileBulkTransport(dir: String) extends BulkTransport {
     }
   }
 }
+
+/** Production transport: POST each partition's entries to
+  * `<connectionUrl>/_bulk` — the wire the reference's connectors actually
+  * use (`connection.url = http://elasticsearch:9200`,
+  * `commands.sql:1-11`). Runs on executors (Serializable; the HttpClient
+  * is `@transient lazy`, one per executor JVM).
+  *
+  *  - **Bounded requests**: entries accumulate up to `maxBytes` per POST
+  *    (ES's `http.max_content_length` defaults to 100 MB; Connect's
+  *    default batch is far smaller) — a skewed partition can't build a
+  *    gigabyte body.
+  *  - **Backpressure retry**: 429 (`es_rejected_execution`) and 5xx get
+  *    exponential backoff up to `maxRetries`, then fail the task — Spark
+  *    retries the partition from the checkpoint, preserving
+  *    at-least-once; `_id`-keyed docs make the replay idempotent.
+  *  - **Item errors** (`"errors":true` in the `_bulk` response):
+  *    `tolerant = true` counts and skips them —
+  *    `behavior.on.malformed.documents = warn` + `errors.tolerance=all`,
+  *    the reference's multi-topic sink config
+  *    (`ksqldb-statements.sql:80-84`); `false` throws with the response
+  *    head, failing the batch (Connect's FAIL default).
+  *
+  * NOT exercised against a real Elasticsearch in this container (none
+  * exists — documented gap, README); the spec drives it against a local
+  * stub `/_bulk` server asserting the request shape (NDJSON + trailing
+  * newline, content-type), chunking, retry, and both error modes. */
+class HttpBulkTransport(connectionUrl: String, tolerant: Boolean = false,
+                        maxBytes: Int = 4 * 1024 * 1024, maxRetries: Int = 3)
+    extends BulkTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  override def send(lines: Iterator[String]): Unit = {
+    val buf = new StringBuilder
+    lines.foreach { entry =>
+      if (buf.nonEmpty && buf.length + entry.length + 1 > maxBytes) flush(buf)
+      buf.append(entry).append('\n')
+    }
+    flush(buf)
+  }
+
+  private def flush(buf: StringBuilder): Unit = {
+    if (buf.isEmpty) return
+    val body = buf.toString; buf.clear()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"$connectionUrl/_bulk"))
+      .header("Content-Type", "application/x-ndjson")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val code = resp.statusCode()
+      if (code == 429 || code >= 500) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new java.io.IOException(
+            s"_bulk failed after $maxRetries retries: HTTP $code")
+        Thread.sleep(100L << (attempt - 1)) // 100/200/400ms backoff
+      } else if (code >= 400) {
+        throw new java.io.IOException(
+          s"_bulk rejected: HTTP $code ${resp.body().take(500)}")
+      } else {
+        // per-item errors: the response envelope flags "errors":true and
+        // carries an "error" object inside each failed item
+        if (resp.body().contains(""""errors":true""")) {
+          if (!tolerant)
+            throw new java.io.IOException(
+              s"_bulk item errors: ${resp.body().take(500)}")
+          // warn-and-skip (errors.tolerance=all): the failed docs are
+          // dropped; successful items in the same request stand
+          System.err.println(
+            s"[EsSink] tolerated _bulk item errors: ${resp.body().take(200)}")
+        }
+        done = true
+      }
+    }
+  }
+}

@@ -163,6 +163,116 @@ class EsSinkSpec extends GraftSuite {
     assert(spooled.contains("""{"delete":{"_index":"customers","_id":"7"}}"""))
   }
 
+  // ------------------------------------------------------------------ //
+  // HTTP transport — the production `_bulk` wire, against a stub ES
+  // (in-JDK com.sun.net.httpserver; no real ES exists in this container).
+  // ------------------------------------------------------------------ //
+
+  /** Stub `/_bulk` endpoint: records request bodies/headers, replies from
+    * a scripted queue of (status, body) — exhausted queue replies 200 OK. */
+  private class StubEs(replies: (Int, String)*) {
+    val bodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val contentTypes = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    private val queue =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    replies.foreach(queue.add)
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    server.createContext("/_bulk",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        bodies.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        contentTypes.add(ex.getRequestHeaders.getFirst("Content-Type"))
+        val (code, body) =
+          Option(queue.poll()).getOrElse((200, """{"errors":false}"""))
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.start()
+    def url: String = s"http://localhost:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("HTTP transport POSTs NDJSON with a trailing newline and chunks at " +
+    "maxBytes") {
+    val es = new StubEs()
+    try {
+      val t = new graft.sinks.HttpBulkTransport(es.url, maxBytes = 40)
+      val e1 = "{\"index\":{}}\n{\"a\":1}"   // 20 chars
+      val e2 = "{\"index\":{}}\n{\"a\":2}"
+      val e3 = "{\"index\":{}}\n{\"a\":3}"
+      t.send(Iterator(e1, e2, e3))
+      val bodies = scala.jdk.CollectionConverters
+        .ListHasAsScala(es.bodies).asScala.toSeq
+      // 3 × 21 bytes at a 40-byte bound → requests of 1 entry... except
+      // the FIRST append always fits: [e1], [e2], [e3] won't merge since
+      // 21+21 > 40 → three requests, each newline-terminated (ES requires
+      // the trailing newline)
+      assert(bodies.size === 3, s"expected 3 chunks, got ${bodies.size}")
+      assert(bodies.forall(_.endsWith("\n")))
+      assert(bodies.head === e1 + "\n")
+      assert(scala.jdk.CollectionConverters.ListHasAsScala(es.contentTypes)
+        .asScala.forall(_ == "application/x-ndjson"))
+    } finally es.stop()
+  }
+
+  test("HTTP transport retries 429/5xx with backoff, then succeeds; " +
+    "gives up after maxRetries") {
+    val es = new StubEs((429, "busy"), (503, "down"), (200, """{"errors":false}"""))
+    try {
+      new graft.sinks.HttpBulkTransport(es.url, maxRetries = 3)
+        .send(Iterator("""{"index":{}}""" + "\n" + """{"a":1}"""))
+      assert(es.bodies.size === 3, "two rejected attempts + one success")
+    } finally es.stop()
+    val es2 = new StubEs((429, "x"), (429, "x"), (429, "x"))
+    try {
+      val ex = intercept[java.io.IOException] {
+        new graft.sinks.HttpBulkTransport(es2.url, maxRetries = 2)
+          .send(Iterator("""{"index":{}}""" + "\n" + """{"a":1}"""))
+      }
+      assert(ex.getMessage.contains("429"))
+    } finally es2.stop()
+  }
+
+  test("HTTP transport: item errors fail the batch unless tolerant " +
+    "(errors.tolerance=all); a 4xx always fails") {
+    val itemErrors =
+      """{"errors":true,"items":[{"index":{"_id":"1","status":400,""" +
+        """"error":{"type":"mapper_parsing_exception"}}}]}"""
+    val es = new StubEs((200, itemErrors))
+    try {
+      val ex = intercept[java.io.IOException] {
+        new graft.sinks.HttpBulkTransport(es.url, tolerant = false)
+          .send(Iterator("""{"index":{}}""" + "\n" + """{"bad":1}"""))
+      }
+      assert(ex.getMessage.contains("item errors"))
+    } finally es.stop()
+    val es2 = new StubEs((200, itemErrors))
+    try { // warn-and-skip: no throw, request delivered once
+      new graft.sinks.HttpBulkTransport(es2.url, tolerant = true)
+        .send(Iterator("""{"index":{}}""" + "\n" + """{"bad":1}"""))
+      assert(es2.bodies.size === 1)
+    } finally es2.stop()
+    val es3 = new StubEs((400, "bad request"))
+    try {
+      intercept[java.io.IOException] {
+        new graft.sinks.HttpBulkTransport(es3.url, tolerant = true)
+          .send(Iterator("""{"index":{}}""" + "\n" + """{"a":1}"""))
+      }
+    } finally es3.stop()
+  }
+
+  test("Engine.transportFor routes http(s) URLs to the HTTP transport and " +
+    "everything else to a file spool") {
+    import graft.api.Engine
+    assert(Engine.transportFor("http://elasticsearch:9200")
+      .isInstanceOf[graft.sinks.HttpBulkTransport])
+    assert(Engine.transportFor("https://es.example.com")
+      .isInstanceOf[graft.sinks.HttpBulkTransport])
+    assert(Engine.transportFor("")
+      .isInstanceOf[FileBulkTransport])
+  }
+
   test("streaming foreachBatch sink spools bulk files per microbatch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("es-spool")
