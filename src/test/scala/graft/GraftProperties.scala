@@ -85,6 +85,58 @@ object GraftProperties extends Properties("graft") {
     dups <- Gen.someOf(base)
   } yield base ++ dups // guaranteed duplicate groups
 
+  property("ES bulk with delete behavior: applying microbatches in order " +
+    "== last-write-wins minus deleted keys, idempotent under replay") =
+    forAll(genCdc) { rows =>
+      val s = spark; import s.implicits._
+      // one row per envelope: tombstone (null value) iff op == 'd'; apply
+      // each microbatch's bulk entries in arrival order to an _id-keyed
+      // map (the ES model): index upserts, delete removes
+      val batches = rows.grouped(5).toSeq
+      val index = scala.collection.mutable.Map[String, String]()
+      batches.foreach { b =>
+        val df = b.toDF("key", "op", "ts_ms", "offset")
+          .withColumn("after",
+            when(col("op") =!= "d", concat(lit("v"), col("offset"))))
+        // within a microbatch ES applies the request body in order; the
+        // engine's bulkLines preserves row order per partition — order
+        // the collected entries by the offset embedded in the doc/action
+        val entries = graft.sinks.EsSink.bulkLines(df, "t", Some("key"),
+          Some("after"), "delete").collect().toSeq
+        val ordered = b.map { case (k, op, _, off) =>
+          if (op == "d") {
+            val del = s"""{"delete":{"_index":"t","_id":"$k"}}"""
+            assert(entries.contains(del),
+              s"bulkLines must emit the delete action for key $k")
+            del
+          } else entries.find(e => e.contains(s""""offset":$off""") &&
+            !e.startsWith("""{"delete"""")).get
+        }
+        ordered.foreach { e =>
+          val id = e.split(""""_id":"""")(1).takeWhile(_ != '"')
+          if (e.startsWith("""{"delete"""")) index.remove(id)
+          else index(id) = e.split("\n", 2)(1)
+        }
+        // at-least-once replay of the same microbatch converges
+        val snapshot = index.toMap
+        ordered.foreach { e =>
+          val id = e.split(""""_id":"""")(1).takeWhile(_ != '"')
+          if (e.startsWith("""{"delete"""")) index.remove(id)
+          else index(id) = e.split("\n", 2)(1)
+        }
+        assert(index.toMap == snapshot, "replay must be a no-op")
+      }
+      // reference fold: last op per key in arrival order; 'd' removes
+      val expected = rows.foldLeft(Map.empty[String, Long]) {
+        case (m, (k, "d", _, _)) => m - k
+        case (m, (k, _, _, off)) => m + (k -> off)
+      }
+      val got = index.map { case (k, doc) =>
+        k -> doc.split(""""offset":""")(1).takeWhile(_.isDigit).toLong
+      }.toMap
+      got == expected
+    }
+
   property("exactDedup: n_dups sums to corpus size, canonical is min doc_id") =
     forAll(genDocs) { texts =>
       val s = spark; import s.implicits._
