@@ -165,12 +165,21 @@ object Bench {
     // BENCH_r07.json would otherwise never compare across rounds), and
     // never by SPARK_GRAFT_ONLY — but per-SF, so a dev sweep at sf0.01
     // doesn't make every sf0.1 query look like a 10× regression. Stored
-    // under ./bench (repo-tracked, survives reboots; /tmp silently
-    // disarmed the guard on restart — round-7 advice).
-    val mediansPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIANS",
-        "bench/graft_bench_" +
-          sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".medians"))
+    // under <repo>/bench (repo-tracked, survives reboots; /tmp silently
+    // disarmed the guard on restart — round-7 advice). Anchored to the
+    // repo root found by walking up from the cwd to the nearest
+    // build.sbt — a bench launched from a subdirectory or elsewhere must
+    // not quietly start a fresh empty baseline (that re-creates the
+    // round-7 disarmed-guard incident).
+    val repoRoot = Iterator.iterate(
+      java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(8)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    val mediansPath = sys.env.get("SPARK_GRAFT_BENCH_MEDIANS")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(repoRoot.resolve("bench/graft_bench_" +
+        sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".medians"))
     Option(mediansPath.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
     val prevMedians: Map[String, Double] = readMedians(mediansPath)

@@ -172,6 +172,8 @@ class Engine(val spark: SparkSession,
   def createSinkConnector(name: String, props: Map[String, String]): Seq[String] = {
     require(connectors.putIfAbsent(name, ("SINK", Nil)).isEmpty,
       s"connector '$name' already exists")
+    val topicList = props.getOrElse("topics", "").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
     // every validation below the name reservation must release it on
     // failure (a rejected CREATE used to leave the name claimed, so a
     // corrected retry got a spurious "already exists")
@@ -179,8 +181,6 @@ class Engine(val spark: SparkSession,
     val clazz = props.getOrElse("connector.class", "")
     require(clazz.contains("ElasticsearchSink"),
       s"unsupported sink connector.class '$clazz' (Elasticsearch only)")
-    val topicList = props.getOrElse("topics", "").split(",").map(_.trim)
-      .filter(_.nonEmpty).toSeq
     require(topicList.nonEmpty, s"connector '$name': 'topics' is required")
     val keyed = props.get("key.ignore").exists(_.equalsIgnoreCase("false"))
     val tsField = insertFieldTs(props)
@@ -223,16 +223,34 @@ class Engine(val spark: SparkSession,
         }
         val withTs = tsField.fold(df)(f => EsSink.withExtractTs(df, f,
           eventTime = Some("kafka_ts").filter(df.columns.contains)))
+        // delete mode needs per-key action ordering; the topic's event
+        // order is the Kafka record timestamp or the CDC envelope's
+        // ts_ms (EsSink.writeBatch reduces to latest-per-key with it)
+        val orderCol = if (onNull.contains("delete"))
+          Seq("kafka_ts", "ts_ms").find(df.columns.contains) else None
         val qName = sanitize(s"${name}_$topic")
         register(qName)(EsSink.writeStream(withTs, topic.toLowerCase, idCol,
           java.nio.file.Files.createTempDirectory(s"graft-ckpt-$qName").toString,
-          transport, tombstoneCol, onNull.getOrElse("ignore")))
+          transport, tombstoneCol, onNull.getOrElse("ignore"), orderCol))
         qName
       }
       connectors.put(name, ("SINK", qNames))
       connectorConfigs.put(name, props)
       qNames
-    } catch { case e: Throwable => connectors.remove(name); throw e }
+    } catch {
+      case e: Throwable =>
+        // release EVERYTHING this create claimed: a multi-topic sink that
+        // fails on topic N has already started queries for topics 1..N−1 —
+        // leaving them registered blocks the corrected retry with
+        // "query already exists" and leaks running queries no connector
+        // owns (round-8 review finding)
+        topicList.foreach { topic =>
+          try terminate(sanitize(s"${name}_$topic"))
+          catch { case _: Exception => () }
+        }
+        connectors.remove(name)
+        throw e
+    }
   } // createSinkConnector
 
   /** `CREATE SOURCE CONNECTOR <name> WITH (...)` — the reference's Debezium

@@ -86,20 +86,14 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  /** REAL image decode via the in-JDK `javax.imageio` registry (JPEG,
-    * PNG, GIF, BMP, WBMP readers ship with every JDK 17). `None` when no
-    * registered reader accepts the bytes — corrupt payloads and the
-    * text-derived fixtures — which callers route to the deterministic
-    * stub, mirroring `errors.tolerance`-style skip-don't-crash handling
-    * a 100 TB media sweep needs (one bad blob must not fail a 512 MB
-    * task). */
   /** Container magic-byte pre-checks — the 100× scaling run measured the
     * FAILED codec probe as the hot path (every undecodable payload paid a
     * full `AudioSystem` provider scan + exception, ~320 µs/row; ImageIO's
     * reader iteration is cheaper but same shape). At 100 TB almost every
     * byte a media sweep touches is the common case, so rejection must be
-    * O(4 bytes). Covers every container the base JDK can actually decode:
-    * PNG/JPEG/GIF/BMP readers, WAV(RIFF)/AIFF(FORM)/AU(.snd) parsers. */
+    * O(4 bytes). Covers the magic-bearing containers the base JDK
+    * decodes — PNG/JPEG/GIF/BMP, WAV(RIFF)/AIFF(FORM)/AU(.snd); WBMP is
+    * deliberately outside the gate (see [[tryDecodeImage]]). */
   private def looksLikeImage(p: Array[Byte]): Boolean =
     p.length > 8 && (
       (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
@@ -113,6 +107,14 @@ object Multimodal {
       (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
       (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
 
+  /** REAL image decode via the in-JDK `javax.imageio` registry, gated by
+    * [[looksLikeImage]]: PNG/JPEG/GIF/BMP payloads decode; `None` for
+    * everything else — corrupt payloads, the text-derived fixtures, and
+    * (deliberately) WBMP, whose headerless format has no magic to gate on
+    * and whose reader would otherwise "accept" arbitrary bytes. Callers
+    * route `None` to the deterministic stub — `errors.tolerance`-style
+    * skip-don't-crash handling a 100 TB media sweep needs (one bad blob
+    * must not fail a 512 MB task). */
   private[operators] def tryDecodeImage(
       payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(payload)) None

@@ -85,7 +85,13 @@ object EsSink {
     *  - `onNull = "fail"`: a tombstone fails the batch (Connect's FAIL).
     * With `tombstoneCol = None` (default) no tombstone concept applies and
     * every row renders as a doc — the pre-round-8 behavior, used by all
-    * non-CDC sinks. */
+    * non-CDC sinks. When a tombstone marker IS configured it is control
+    * metadata, not payload: the marker column is excluded from the
+    * rendered doc (Connect's unwrap output doesn't re-nest the value
+    * either). A tombstone whose KEY is also null is malformed — there is
+    * no `_id` to delete by — and is dropped like other malformed rows
+    * (emitting an id-less delete action would 400 the whole `_bulk`
+    * request and wedge the sink on checkpoint replay). */
   def bulkLines(df: DataFrame, index: String,
                 idCol: Option[String] = None,
                 tombstoneCol: Option[String] = None,
@@ -104,8 +110,10 @@ object EsSink {
           col(k).cast("string").as("_id")).as("index")))
       case None => lit(s"""{"index":{"_index":"$index"}}""")
     }
+    val docCols = rendered.columns.toIndexedSeq
+      .filterNot(tombstoneCol.contains)
     val docEntry = concat(action, lit("\n"),
-      to_json(struct(rendered.columns.toIndexedSeq.map(col): _*)))
+      to_json(struct(docCols.map(col): _*)))
     val entry = tombstoneCol match {
       case None => docEntry
       case Some(tc) => onNull match {
@@ -114,7 +122,9 @@ object EsSink {
           val del = to_json(struct(
             struct(lit(index).as("_index"),
               col(idCol.get).cast("string").as("_id")).as("delete")))
-          when(col(tc).isNull, del).otherwise(docEntry)
+          when(col(tc).isNull && col(idCol.get).isNotNull, del)
+            .when(col(tc).isNull, lit(null)) // null-key tombstone: drop
+            .otherwise(docEntry)
         case "fail" =>
           // raise_error inside the codegen'd projection: the first
           // tombstone in any partition fails the (micro)batch, which the
@@ -141,22 +151,46 @@ object EsSink {
   def writeStream(df: DataFrame, index: String, idCol: Option[String],
                   checkpoint: String, transport: BulkTransport,
                   tombstoneCol: Option[String] = None,
-                  onNull: String = "ignore"): StreamingQuery =
+                  onNull: String = "ignore",
+                  orderCol: Option[String] = None): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, index, idCol, transport, tombstoneCol, onNull); ()
+        writeBatch(batch, index, idCol, transport, tombstoneCol, onNull,
+          orderCol); ()
       }
       .start()
 
-  /** Batch form of the sink (also the `foreachBatch` body). */
+  /** Batch form of the sink (also the `foreachBatch` body).
+    *
+    * PER-KEY ORDERING under delete mode: Kafka-Connect gets it from topic
+    * partitioning by key — every action for a key flows through one task
+    * in offset order. A Spark microbatch has no such guarantee: a create
+    * and a delete of the same key can land in DIFFERENT partitions, whose
+    * `_bulk` POSTs race, and the wrong winner resurrects (or falsely
+    * removes) the doc forever. With `orderCol` set (the topic's event
+    * order — CDC `ts_ms`, Kafka record timestamp), delete-mode batches
+    * first reduce to latest-action-per-key ([[graft.operators.Relational
+    * .latestByKey]] — one shuffle on the key), after which at most ONE
+    * action per key exists per microbatch and cross-partition order is
+    * moot; microbatches themselves are sequential. Without an order
+    * column the reduction is impossible (Spark rows carry no implicit
+    * order) — callers must guarantee per-key-single-partition batches. */
   def writeBatch(batch: DataFrame, index: String, idCol: Option[String],
                  transport: BulkTransport,
                  tombstoneCol: Option[String] = None,
-                 onNull: String = "ignore"): Unit =
-    bulkLines(batch, index, idCol, tombstoneCol, onNull).foreachPartition {
+                 onNull: String = "ignore",
+                 orderCol: Option[String] = None): Unit = {
+    val effective = (idCol, orderCol) match {
+      case (Some(id), Some(ord))
+          if onNull == "delete" && tombstoneCol.nonEmpty =>
+        graft.operators.Relational.latestByKey(batch, id, col(ord))
+      case _ => batch
+    }
+    bulkLines(effective, index, idCol, tombstoneCol, onNull).foreachPartition {
       (lines: Iterator[String]) => transport.send(lines)
     }
+  }
 }
 
 /** Transport for `_bulk` payload chunks. Production: HTTP POST to
@@ -184,7 +218,10 @@ class FileBulkTransport(dir: String) extends BulkTransport {
   * `<connectionUrl>/_bulk` — the wire the reference's connectors actually
   * use (`connection.url = http://elasticsearch:9200`,
   * `commands.sql:1-11`). Runs on executors (Serializable; the HttpClient
-  * is `@transient lazy`, one per executor JVM).
+  * is a JVM-wide singleton in the companion — each deserialized task
+  * copy shares the executor's one client, keeping connection reuse and
+  * avoiding per-task selector threads; JDK 17's HttpClient has no
+  * `close()`, so per-instance clients would accumulate until GC).
   *
   *  - **Bounded requests**: entries accumulate up to `maxBytes` per POST
   *    (ES's `http.max_content_length` defaults to 100 MB; Connect's
@@ -208,7 +245,7 @@ class FileBulkTransport(dir: String) extends BulkTransport {
 class HttpBulkTransport(connectionUrl: String, tolerant: Boolean = false,
                         maxBytes: Int = 4 * 1024 * 1024, maxRetries: Int = 3)
     extends BulkTransport {
-  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  private def client = HttpBulkTransport.client
 
   override def send(lines: Iterator[String]): Unit = {
     val buf = new StringBuilder
@@ -258,4 +295,12 @@ class HttpBulkTransport(connectionUrl: String, tolerant: Boolean = false,
       }
     }
   }
+}
+
+object HttpBulkTransport {
+  /** One HttpClient per JVM, shared by every transport instance and task
+    * deserialization — connection keep-alive works across microbatches
+    * and no selector threads leak (see class scaladoc). */
+  private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
 }

@@ -108,8 +108,10 @@ object MediaBench {
       (rows, (System.nanoTime() - t0) / 1e9)
     }
     def bench(label: String, rows: Long, opSec: Double): (String, Long) = {
-      val rate = (rows / math.max(opSec, 1e-9)).round
-      label -> rate
+      // a non-positive op time means the synthesis baseline measured
+      // SLOWER than the synth+op stage (JIT/page-cache variance): the
+      // subtraction is invalid — report -1 rather than an absurd rate
+      label -> (if (opSec <= 0) -1L else (rows / opSec).round)
     }
 
     val images = synthesize(spark, nImages, "image", imageSize)

@@ -92,54 +92,52 @@ object StreamBench {
             .as("value"),
           concat(lit("""{"k": """), col("value"), lit("}")).as("props"))
 
-    // Run one deployed query for `batches` microbatches against the noop
-    // streaming sink (executes the full pipeline, materializes nothing);
-    // events/s over the post-warmup batches, from the engine's own
-    // progress ledger.
-    def measure(build: DataFrame => DataFrame,
-                mode: OutputMode): (Long, Double) = {
-      val q: StreamingQuery = build(events()).writeStream
-        .format("noop").outputMode(mode).start()
+    // Run one deployed query until `batches` microbatches complete, stop
+    // it, and return its non-empty progress entries. Shared by the EP2
+    // pipelines and the state-stress mode — the liveness guard (stop
+    // waiting if the query dies: progress would never accrue and the
+    // loop would spin forever) lives in exactly one place.
+    def drain(q: StreamingQuery)
+        : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
       try {
-        // stop waiting if the query dies (bad checkpoint dir, source
-        // error): progress would never accrue and the loop would spin
-        // forever; surface the failure instead
         while (q.isActive &&
             q.recentProgress.count(_.numInputRows > 0) < batches)
           Thread.sleep(200)
         q.exception.foreach(throw _)
       } finally q.stop()
-      val measured = q.recentProgress.filter(_.numInputRows > 0)
-        .drop(warmup).take(batches - warmup)
+      q.recentProgress.filter(_.numInputRows > 0)
+    }
+
+    // (rows, seconds) over the post-warmup batches, from the engine's own
+    // progress ledger.
+    def ledger(progress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress])
+        : (Long, Double) = {
+      val measured = progress.drop(warmup).take(batches - warmup)
       val rows = measured.map(_.numInputRows).sum
       val secs = measured.map(_.durationMs.get("triggerExecution").toLong)
         .sum / 1000.0
       (rows, secs)
     }
 
+    // One deployed query against the noop streaming sink (executes the
+    // full pipeline, materializes nothing).
+    def measure(build: DataFrame => DataFrame,
+                mode: OutputMode): (Long, Double) =
+      ledger(drain(build(events()).writeStream
+        .format("noop").outputMode(mode).start()))
+
     // ---- state-stress mode: one over-heap stateful query, then exit ----
     sys.env.get("SPARK_GRAFT_STRESS_KEYS").map(_.toLong).foreach { nKeys =>
-      val q = events()
+      val progress = drain(events()
         // re-key into an nKeys-wide space (the EP2 shape keys by customer,
         // bounded at 15k — far too small to outgrow any heap)
         .withColumn("user_id", pmod(xxhash64(col("event_id"), lit(7)), lit(nKeys)))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
           max(col("ts")).as("last_ts"))
-        .writeStream.format("noop").outputMode(OutputMode.Update()).start()
-      try {
-        while (q.isActive &&
-            q.recentProgress.count(_.numInputRows > 0) < batches)
-          Thread.sleep(200)
-        q.exception.foreach(throw _)
-      } finally q.stop()
-      val measured = q.recentProgress.filter(_.numInputRows > 0)
-        .drop(warmup).take(batches - warmup)
-      val rows = measured.map(_.numInputRows).sum
-      val secs = measured.map(_.durationMs.get("triggerExecution").toLong)
-        .sum / 1000.0
-      val st = q.recentProgress.filter(_.numInputRows > 0).lastOption
-        .flatMap(_.stateOperators.headOption)
+        .writeStream.format("noop").outputMode(OutputMode.Update()).start())
+      val (rows, secs) = ledger(progress)
+      val st = progress.lastOption.flatMap(_.stateOperators.headOption)
       println(s"""STREAMBENCH {"pipeline":"state_stress","state_store":"${stateStore.toLowerCase}","stress_keys":$nKeys,"rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"events_per_sec":${(rows / secs).round},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_bytes":${st.map(_.memoryUsedBytes).getOrElse(-1L)},"heap_max_mb":${Runtime.getRuntime.maxMemory() / 1024 / 1024},"cpus":$cpus}""")
       spark.stop()
       sys.exit(0)

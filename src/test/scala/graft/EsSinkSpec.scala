@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.sinks.{EsSink, FileBulkTransport}
 
@@ -91,8 +92,12 @@ class EsSinkSpec extends GraftSuite {
       else index(id) = parts(1)
     }
 
+  /** Connect's unwrap output shape: the flattened value column (`name`)
+    * plus the null-when-deleted marker (`after`) — which the sink treats
+    * as control metadata and excludes from the rendered doc. */
   private def cdcBatch(rows: (String, Option[String], String)*) =
     rows.toSeq.toDF("key", "after", "op")
+      .withColumn("name", col("after"))
 
   test("behavior.on.null.values: ignore skips tombstones, delete emits a " +
     "bulk delete action, fail raises") {
@@ -121,6 +126,14 @@ class EsSinkSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       EsSink.bulkLines(df, "customers", None, Some("after"), "delete")
     }
+
+    // a tombstone whose KEY is also null is malformed: dropped entirely —
+    // an id-less delete action would 400 the whole _bulk request and
+    // wedge the sink on checkpoint replay
+    val nullKey = Seq((Option.empty[String], Option.empty[String], "d"))
+      .toDF("key", "after", "op")
+    assert(EsSink.bulkLines(nullKey, "customers", Some("key"),
+      Some("after"), "delete").collect().isEmpty)
   }
 
   test("a key deleted upstream disappears from the index and replaying the " +
@@ -135,12 +148,43 @@ class EsSinkSpec extends GraftSuite {
     assert(index.keySet === Set("1", "2"))
     applyBulk(index, lines(b2))
     assert(index.keySet === Set("1"), "deleted key must leave the index")
-    assert(index("1").contains("alicia"))
+    assert(index("1").contains(""""name":"alicia""""))
+    assert(!index("1").contains(""""after""""),
+      "the tombstone marker is control metadata, not doc payload")
     // checkpoint replay (at-least-once): re-applying the same microbatch
     // must converge to the same index — upserts overwrite, deletes 404
     val before = index.toMap
     applyBulk(index, lines(b2))
     assert(index.toMap === before, "replay must be a no-op")
+  }
+
+  test("delete-mode batches reduce to latest-action-per-key when an order " +
+    "column exists (cross-partition create/delete cannot race)") {
+    // Kafka-Connect gets per-key ordering from topic partitioning; a
+    // Spark microbatch doesn't — a create and delete of one key can land
+    // in different partitions whose _bulk POSTs race. With orderCol the
+    // sink first reduces to the latest action per key, so at most ONE
+    // action per key leaves the batch.
+    val b = Seq(
+      ("1", Some("alice"), 1L), // create @1 ...
+      ("1", Option.empty[String], 2L), // ... then deleted @2 → net delete
+      ("2", Option.empty[String], 1L), // deleted @1 ...
+      ("2", Some("bob"), 2L)) // ... then re-created @2 → net doc
+      .toDF("key", "after", "ts_ms")
+      .withColumn("name", col("after"))
+      .repartition(4) // scatter the actions across partitions on purpose
+    val dir = tmpDir("es-order-spool")
+    EsSink.writeBatch(b, "t", Some("key"), new FileBulkTransport(dir),
+      Some("after"), "delete", Some("ts_ms"))
+    val entries = Files.list(Paths.get(dir)).iterator().asScala
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    val actions = entries.filter(l =>
+      l.startsWith("""{"index""") || l.startsWith("""{"delete"""))
+    assert(actions.length === 2, s"one action per key, got: $entries")
+    assert(actions.contains("""{"delete":{"_index":"t","_id":"1"}}"""))
+    assert(actions.exists(l => l.startsWith("""{"index""") &&
+      l.contains(""""_id":"2"""")))
+    assert(entries.exists(_.contains(""""name":"bob"""")))
   }
 
   test("streaming CDC sink with delete behavior spools delete actions for " +

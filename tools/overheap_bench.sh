@@ -37,8 +37,10 @@ for STORE in default rocksdb; do
     -Djdk.reflect.useDirectMethodHandle=false \
     -cp "$CP" graft.tools.StreamBench "$ROWS" "$BATCHES" 2>"/tmp/overheap_$STORE.err" \
     | grep STREAMBENCH
-  rc=$?
-  if [ $rc -ne 0 ]; then
+  # the JVM/timeout status, not grep's — a missing STREAMBENCH line with a
+  # clean JVM exit and a crashed JVM must be distinguishable
+  rc=${PIPESTATUS[0]}
+  if [ "$rc" -ne 0 ]; then
     echo "provider=$STORE FAILED rc=$rc (124=timeout). Last stderr lines:"
     grep -E "OutOfMemoryError|GC overhead|Killed|ERROR" "/tmp/overheap_$STORE.err" | tail -5
   fi
