@@ -175,7 +175,15 @@ object Bench {
       java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
       .takeWhile(_ != null).take(8)
       .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+      .getOrElse {
+        // outside any repo the guard starts from an empty baseline —
+        // loudly, so a disarmed guard is visible in the run log instead
+        // of silently recreating the round-7 incident
+        System.err.println(
+          "[bench] WARN no build.sbt found above cwd; medians baseline " +
+            "anchored to cwd — cross-sweep guard may start empty")
+        java.nio.file.Paths.get("").toAbsolutePath
+      }
     val mediansPath = sys.env.get("SPARK_GRAFT_BENCH_MEDIANS")
       .map(java.nio.file.Paths.get(_))
       .getOrElse(repoRoot.resolve("bench/graft_bench_" +

@@ -174,6 +174,10 @@ class Engine(val spark: SparkSession,
       s"connector '$name' already exists")
     val topicList = props.getOrElse("topics", "").split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq
+    // only the queries THIS create successfully registers — the failure
+    // cleanup must never touch a same-named query owned by a CSAS or
+    // another connector (register() rejects the clash BEFORE starting)
+    val started = scala.collection.mutable.ListBuffer.empty[String]
     // every validation below the name reservation must release it on
     // failure (a rejected CREATE used to leave the name claimed, so a
     // corrected retry got a spurious "already exists")
@@ -232,6 +236,7 @@ class Engine(val spark: SparkSession,
         register(qName)(EsSink.writeStream(withTs, topic.toLowerCase, idCol,
           java.nio.file.Files.createTempDirectory(s"graft-ckpt-$qName").toString,
           transport, tombstoneCol, onNull.getOrElse("ignore"), orderCol))
+        started += qName
         qName
       }
       connectors.put(name, ("SINK", qNames))
@@ -239,14 +244,13 @@ class Engine(val spark: SparkSession,
       qNames
     } catch {
       case e: Throwable =>
-        // release EVERYTHING this create claimed: a multi-topic sink that
+        // release everything this create claimed: a multi-topic sink that
         // fails on topic N has already started queries for topics 1..N−1 —
         // leaving them registered blocks the corrected retry with
         // "query already exists" and leaks running queries no connector
-        // owns (round-8 review finding)
-        topicList.foreach { topic =>
-          try terminate(sanitize(s"${name}_$topic"))
-          catch { case _: Exception => () }
+        // owns (round-8 review finding). Only the queries started HERE.
+        started.foreach { q =>
+          try terminate(q) catch { case _: Exception => () }
         }
         connectors.remove(name)
         throw e
@@ -294,16 +298,20 @@ class Engine(val spark: SparkSession,
         java.nio.file.Files.createDirectories(dir)
         val envelope = spark.readStream.schema(Engine.cdcEnvelopeSchema(spark))
           .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        // `offset` (Debezium source.pos — the binlog TOTAL order) rides
+        // along: a delete-mode ES sink needs it to tie-break same-ts_ms
+        // actions per key, and Connect consumers see partition offsets too
         val df = unwrapSmt match {
           case Some(_) if dropTombstones =>
             envelope.filter(col("op") =!= "d")
-              .select(col("key"), col("after.*"), col("op"), col("ts_ms"))
+              .select(col("key"), col("after.*"), col("op"), col("ts_ms"),
+                col("offset"))
           case Some(_) =>
             // tombstones pass through: delete rows keep a null `after`
             // (flattened value columns all null), op = 'd'
             envelope
               .select(col("key"), col("after.*"), col("op"), col("ts_ms"),
-                col("after"))
+                col("offset"), col("after"))
           case None => envelope
         }
         topics.put(topic.toLowerCase, df)

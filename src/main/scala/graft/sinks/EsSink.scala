@@ -184,7 +184,19 @@ object EsSink {
     val effective = (idCol, orderCol) match {
       case (Some(id), Some(ord))
           if onNull == "delete" && tombstoneCol.nonEmpty =>
-        graft.operators.Relational.latestByKey(batch, id, col(ord))
+        // tie-break equal order values with the topic's total order when
+        // it exists (CDC envelopes carry the binlog `offset`) — Connect
+        // never ties because partition offsets are total; we shouldn't
+        // pick arbitrarily either
+        val ordering = Seq(col(ord)) ++
+          (if (batch.columns.contains("offset")) Seq(col("offset")) else Nil)
+        // null-key rows are outside the reduction: Window.partitionBy
+        // groups all nulls together and latest-per-key would silently
+        // collapse N malformed auto-id docs into one — they keep their
+        // pre-reduction behavior (each renders/drops per the action rules)
+        graft.operators.Relational
+          .latestByKey(batch.filter(col(id).isNotNull), id, ordering: _*)
+          .unionByName(batch.filter(col(id).isNull))
       case _ => batch
     }
     bulkLines(effective, index, idCol, tombstoneCol, onNull).foreachPartition {
