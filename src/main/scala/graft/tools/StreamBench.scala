@@ -161,8 +161,29 @@ object StreamBench {
         watermarkDelay = "30 minutes"),
       OutputMode.Append())
 
+    // The delete-mode ES sink end-to-end (round 8): CDC-shaped rows with
+    // ~10% tombstones through bulkLines rendering, the latest-per-key
+    // ordering reduction, and a draining transport — the full sink path
+    // minus only the network socket. Throughput = input events/s.
+    val (esRows, esSec) = {
+      val df = events().select(
+        col("user_id").cast("string").as("key"),
+        when(pmod(xxhash64(col("event_id"), lit(9)), lit(10)) =!= 0,
+          col("props")).as("after"),
+        col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("event_id").as("offset"))
+      ledger(drain(graft.sinks.EsSink.writeStream(df, "bench", Some("key"),
+        java.nio.file.Files.createTempDirectory("graft-sb-es").toString,
+        new graft.sinks.BulkTransport {
+          def send(lines: Iterator[String]): Unit =
+            while (lines.hasNext) lines.next() // drain: render cost paid
+        },
+        Some("after"), "delete", Some("ts_ms"))))
+    }
+
     def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"cpus":$cpus}""")
+    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"cpus":$cpus}""")
     spark.stop()
   }
 }
