@@ -3,7 +3,7 @@ package graft.api
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
 import graft.operators.{Cdc, Relational}
@@ -142,11 +142,31 @@ class Engine(val spark: SparkSession,
   /** Resolve a topic: the registry first, then any streaming catalog view
     * of that name (a MemoryStream view registered directly with Spark). */
   def topicStream(name: String): Option[DataFrame] =
-    topics.get(name.toLowerCase).orElse(
-      try {
-        val t = spark.table(name)
-        if (t.isStreaming) Some(t) else None
-      } catch { case _: org.apache.spark.sql.AnalysisException => None })
+    topics.get(name.toLowerCase)
+      .orElse(tableChangelogTopic(name))
+      .orElse(
+        try {
+          val t = spark.table(name)
+          if (t.isStreaming) Some(t) else None
+        } catch { case _: org.apache.spark.sql.AnalysisException => None })
+
+  /** An upsert TABLE resolved as a connector topic: its CHANGELOG stream
+    * (ksqlDB's table→ES pattern — the sink connector attaches to the
+    * table's changelog topic, and `key.ignore=false` + `_id`-keyed
+    * upserts make the INDEX the materialized view: each refinement
+    * overwrites its doc, so ES always serves latest-per-key). The record
+    * key analog is the ksqlDB composite key string — the table's key
+    * columns joined with `|+|`, matching ksqlDB's multi-column key
+    * rendering — added as the `key` column the sink's keyed mode needs.
+    * None for tables that have not received their first batch (no store
+    * schema to infer yet — create the connector after data flows, as
+    * with a Kafka topic that doesn't exist yet). */
+  private def tableChangelogTopic(name: String): Option[DataFrame] =
+    upserts.find(_._1.equalsIgnoreCase(name)).flatMap { case (_, (_, keys)) =>
+      try changelogStream(name).map(_.withColumn("key",
+        concat_ws("|+|", keys.map(k => col(k).cast("string")): _*)))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
 
   /** Kafka-Connect SMT config → the first `InsertField$Value` timestamp
     * field, e.g. `transforms='ExtractTimestamp'` +
@@ -569,7 +589,20 @@ class Engine(val spark: SparkSession,
   /** Block until every registered query has processed all available input
     * (test/demo determinism helper). */
   def processAllAvailable(): Unit = {
-    queries.values.filter(_.isActive).foreach(_.processAllAvailable())
+    // Store-mediated chains (upsert table → changelog push / table-topic
+    // sink connectors) mean a single pass can drain a DOWNSTREAM query
+    // before its upstream appends to the store it reads (TrieMap order is
+    // arbitrary). Iterate until every query's batch position is stable —
+    // a chain of depth d settles in d+1 passes; the bound is a safety
+    // net, and drained queries make re-passes nearly free.
+    var prev: Map[String, Long] = null
+    var rounds = 0
+    while (rounds < 8) {
+      queries.values.filter(_.isActive).foreach(_.processAllAvailable())
+      val sig = queries.toMap.view.mapValues(q =>
+        Option(q.lastProgress).map(_.batchId).getOrElse(-1L)).toMap
+      if (sig == prev) rounds = 8 else { prev = sig; rounds += 1 }
+    }
     refreshUpsertViews()
   }
 }

@@ -240,4 +240,60 @@ class EngineSpec extends GraftSuite {
     }
     engine.terminateAll()
   }
+
+  test("sink connector over an upsert TABLE streams its changelog to ES: " +
+    "the index mirrors latest-per-key") {
+    // ksqlDB's table->ES pattern: the connector attaches to the TABLE's
+    // changelog topic; key.ignore=false + _id-keyed upserts make the
+    // INDEX the materialized view (each refinement overwrites its doc).
+    implicit val sqlCtx = spark.sqlContext
+    OrderedBulkTransport.clear()
+    val in = MemoryStream[(Long, Long)]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tab-sink").toString
+    val engine = new Engine(spark,
+      esTransport = _ => new OrderedBulkTransport)
+    val q = engine.createUpsertTableAs("mirror_tab",
+      in.toDF().toDF("k", "v").groupBy("k").agg(count(lit(1)).as("n")),
+      Seq("k"), dir)
+    in.addData((1L, 0L), (2L, 0L))
+    engine.processAllAvailable()
+    // the table must have data before it resolves as a topic (same as a
+    // not-yet-created Kafka topic)
+    engine.createSinkConnector("SINK_ES_TABLE", Map(
+      "connector.class" ->
+        "io.confluent.connect.elasticsearch.ElasticsearchSinkConnector",
+      "topics" -> "mirror_tab",
+      "connection.url" -> "http://elasticsearch:9200",
+      "key.ignore" -> "false"))
+    engine.processAllAvailable()
+    in.addData((1L, 0L)) // k=1 refines to n=2 -> changelog append -> re-sink
+    engine.processAllAvailable()
+    q.stop()
+    // apply entries in arrival order (per-key order holds: one action per
+    // key per microbatch, microbatches sequential)
+    val index = scala.collection.mutable.Map[String, String]()
+    OrderedBulkTransport.entries.forEach { e =>
+      val id = e.split(""""_id":"""")(1).takeWhile(_ != '"')
+      index(id) = e.split("\n", 2)(1)
+    }
+    engine.terminateAll()
+    assert(index.keySet === Set("1", "2"),
+      s"index must hold one doc per table key: $index")
+    assert(index("1").contains(""""n":2"""),
+      s"refinement must overwrite the doc: ${index("1")}")
+    assert(index("2").contains(""""n":1"""))
+  }
+}
+
+/** Test transport recording bulk entries in arrival order in a JVM-shared
+  * buffer (local mode: executors share the JVM) — lets specs assert
+  * per-key overwrite order, which a spool of randomly-named files can't. */
+class OrderedBulkTransport extends graft.sinks.BulkTransport {
+  def send(lines: Iterator[String]): Unit =
+    lines.foreach(OrderedBulkTransport.entries.add)
+}
+object OrderedBulkTransport {
+  val entries = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  def clear(): Unit = entries.clear()
 }
