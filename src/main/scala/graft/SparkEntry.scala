@@ -451,6 +451,11 @@ object SparkEntry {
     // the random-collision knee 256× past the 32-bit form above
     "q_simhash_neardup_wide" -> ((s, d) => Dedup.simhashWideNearDups(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // exact substring dedup (sliding-window ExactSubstr): maximal
+    // cross-corpus duplicated 8-token spans, globally-first occurrence kept
+    "q_substr_spans" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
+    // and the removal half: span-trimmed corpus + per-doc removal ledger
+    "q_substr_trim" -> ((s, d) => Dedup.trimDuplicateSpans(Tables.documents(s, d))),
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
@@ -1513,6 +1518,31 @@ object SparkEntry {
           FROM (${toksFrom(src)}) WHERE len(toks) >= 3"""
     val toks = toksFrom("documents")
     val shingles = shinglesFrom("documents")
+    // Shared CTE chain for the exact-substring dedup oracles (k = 8):
+    // positional 8-token grams → duplicated positions (first corpus
+    // occurrence by (doc_id, i) exempt) → gaps-and-islands interval merge.
+    val substrIslands =
+      s"""tk AS (SELECT doc_id, toks AS t FROM ($toks)),
+        pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       array_to_string(t[i + 1 : i + 8], ' ') AS g
+                FROM tk, unnest(range(0, len(t) - 7)) AS u(i)
+                WHERE len(t) >= 8),
+        dg AS (SELECT doc_id, i,
+                      count(*) OVER (PARTITION BY g) AS occ,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY doc_id, i) AS rn
+               FROM pos),
+        dup AS (SELECT doc_id, i FROM dg WHERE occ >= 2 AND rn >= 2),
+        mrg AS (SELECT doc_id, i,
+                       max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_end
+                FROM dup),
+        isl AS (SELECT doc_id, i,
+                       sum(CASE WHEN prev_end IS NULL OR i > prev_end
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS island
+                FROM mrg)"""
     def h64(e: String) = s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
     val markers = TextAnalysis.langMarkers
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -2546,6 +2576,41 @@ object SparkEntry {
                      round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
               FROM p)
         WHERE jaccard > 0.2
+      """,
+
+      // sliding-window exact-substring dedup: duplicated 8-token gram
+      // positions (first corpus occurrence by (doc_id, i) exempt) merged
+      // into maximal spans via gaps-and-islands on the running max end.
+      // DuckDB groups grams by TEXT where the engine groups by the 120-bit
+      // md5 pair — identical short of an md5 collision.
+      "q_substr_spans" -> s"""
+        WITH $substrIslands
+        SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+               CAST(max(i) + 8 - min(i) AS INTEGER) AS span_tokens,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island
+      """,
+
+      "q_substr_trim" -> s"""
+        WITH $substrIslands,
+        spans AS (
+          SELECT doc_id, min(i) AS s, max(i) + 8 AS e
+          FROM isl GROUP BY doc_id, island),
+        tokpos AS (
+          SELECT doc_id, CAST(j AS BIGINT) AS j, t[j + 1] AS tok
+          FROM tk, unnest(range(0, len(t))) AS u(j)),
+        kept AS (
+          SELECT p.doc_id, p.j, p.tok FROM tokpos p
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+                            WHERE s.doc_id = p.doc_id
+                              AND p.j >= s.s AND p.j < s.e))
+        SELECT tk.doc_id,
+               CAST(len(tk.t) AS INTEGER) AS n_tokens,
+               COALESCE((SELECT CAST(sum(e - s) AS BIGINT) FROM spans s
+                         WHERE s.doc_id = tk.doc_id), 0) AS n_removed,
+               COALESCE((SELECT string_agg(tok, ' ' ORDER BY j) FROM kept
+                         WHERE kept.doc_id = tk.doc_id), '') AS text_clean
+        FROM tk
       """,
 
       "q_media_decode" -> """

@@ -768,4 +768,111 @@ object Dedup {
       .filter(col("jaccard") > threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** One row per (document, k-gram position): `(doc_id, i, h1, h2)` with
+    * both 60-bit md5 halves of the k-token gram starting at token `i`
+    * (0-based). Same explode-first shape as [[shingleRows]] — tokenization
+    * materialized once per document below the `Generate`, every downstream
+    * expression codegen'd — but the position survives, because substring
+    * dedup needs to know WHERE the duplicate sits, not just that it
+    * exists. */
+  private[graft] def positionalGramRows(docs: DataFrame, k: Int): DataFrame = {
+    val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    spreadByKey(docs
+      .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= k), "doc_id")
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $k)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(Hashing.hash64(s"($cat)")).as("h1"),
+        expr(Hashing.hash64Hi(s"($cat)")).as("h2"))
+  }
+
+  /** Exact substring-level dedup, detection half: the maximal cross-corpus
+    * duplicated token spans of each document — the sliding-window form of
+    * Lee et al. 2021 (arXiv:2107.06499)'s suffix-array ExactSubstr pass,
+    * of which [[TextAnalysis.dedupPassages]] is the coarser fixed-grid
+    * approximation. A position `i` is duplicated when its k-token gram
+    * occurs at least twice in the corpus; with `keepFirst` (the paper's
+    * "keep one occurrence"), the globally-first occurrence — min
+    * `(doc_id, i)` — is exempt. Runs of duplicated positions whose token
+    * intervals `[i, i+k)` overlap or touch merge into one maximal span.
+    *
+    * Scale shape:
+    *  - Grams (tokenize + md5 — the dominant CPU) are computed ONCE and
+    *    shuffled ONCE: occurrence count and the first-occurrence witness
+    *    are two full-frame window aggregates over the same
+    *    `(h1, h2) ORDER BY (doc_id, i)` spec, so Catalyst plans a single
+    *    sort + Window pass. The alternative — `groupBy(h1, h2)` + join the
+    *    dup-gram table back to positions — re-executes the gram subtree on
+    *    both sides (ReuseExchange never fires across an aggregate; same
+    *    finding as [[bandRows]]) and shuffles the positions twice; measured
+    *    2.4× slower at sf0.1.
+    *  - WindowExec buffers each gram group in a spillable
+    *    ExternalAppendOnlyUnsafeRowArray, so a boilerplate heavy-hitter
+    *    gram with 10⁸ occurrences spills to local disk instead of OOMing —
+    *    the skew tail degrades to sequential I/O, never to failure, and
+    *    rows are 24 bytes (two longs + int), never text.
+    *  - Interval merge is a per-document window (gaps-and-islands over a
+    *    running `max(i + k)`), bounded by document length — the only
+    *    per-doc state, exactly parallel across documents.
+    *
+    * Output: `(doc_id, span_start, span_tokens, n_grams)` — token offsets
+    * of each maximal duplicated span plus the duplicated-gram count merged
+    * into it. */
+  def duplicateSpans(docs: DataFrame, k: Int = 8,
+                     keepFirst: Boolean = true): DataFrame = {
+    val grams = positionalGramRows(docs, k)
+    val byGram = Window.partitionBy("h1", "h2").orderBy("doc_id", "i")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flagged = grams
+      .withColumn("occ", count(lit(1)).over(byGram))
+      .withColumn("first_occ",
+        min(struct(col("doc_id"), col("i"))).over(byGram))
+    val dupPos = flagged
+      .filter(col("occ") >= 2 &&
+        (if (keepFirst)
+          !(col("doc_id") === col("first_occ.doc_id") &&
+            col("i") === col("first_occ.i"))
+        else lit(true)))
+      .select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val preceding = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    dupPos
+      .withColumn("prev_end", max(col("i") + lit(k)).over(preceding))
+      .withColumn("is_start",
+        when(col("prev_end").isNull || col("i") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("is_start")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).cast("int").as("span_start"),
+        (max(col("i")) + lit(k) - min(col("i"))).cast("int").as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_tokens", "n_grams")
+  }
+
+  /** Exact substring-level dedup, removal half: drop every token covered by
+    * a [[duplicateSpans]] span (first occurrence kept) and re-assemble the
+    * survivors in order. The span list joins back to the corpus as
+    * per-document `(start, end)` structs — a handful of ints per doc — and
+    * the token filter is a single per-row lambda; document text crosses no
+    * exchange (the join key is `doc_id` and the spans side is the small
+    * one). Output: `(doc_id, n_tokens, n_removed, text_clean)`. */
+  def trimDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spans = duplicateSpans(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+          (col("span_start") + col("span_tokens")).as("e"))).as("spans"),
+        sum(col("span_tokens").cast("long")).as("n_removed"))
+    docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        expr("""array_join(
+          filter(toks, (t, idx) ->
+            spans IS NULL OR
+            NOT exists(spans, sp -> idx >= sp.s AND idx < sp.e)), ' ')""")
+          .as("text_clean"))
+  }
 }

@@ -287,4 +287,58 @@ class DedupSpec extends GraftSuite {
     val tiny = Seq((2L, "solo")).toDF("doc_id", "text")
     assert(graft.operators.TextAnalysis.repetitionSignals(tiny).count() === 0)
   }
+
+  test("exact substring spans: first occurrence exempt, islands merge") {
+    import spark.implicits._
+    // docs 1 and 2 share a 10-token run; with k=8 that run yields 3
+    // duplicated grams per copy, merging into one maximal span.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1 holds the corpus-first occurrences (min (doc_id, i)) → exempt;
+    // only doc 2's copy is flagged: grams at 1,2,3 merge to span [1, 11)
+    assert(spans.toSeq === Seq((2L, 1, 10, 3L)))
+    // keepFirst = false marks EVERY occurrence of a duplicated gram
+    val all = Dedup.duplicateSpans(corpus, k = 8, keepFirst = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(all === Set((1L, 2, 10), (2L, 1, 10)))
+  }
+
+  test("exact substring trim removes flagged spans, keeps everything else") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3")).toDF("doc_id", "text")
+    val got = Dedup.trimDuplicateSpans(corpus, k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // first occurrence kept verbatim
+    assert(got(1L) === ((14, 0L, s"a1 a2 $shared a3 a4")))
+    // second copy trimmed: the 10 shared tokens vanish, order preserved
+    assert(got(2L) === ((14, 10L, "b1 b2 b3 b4")))
+    // sub-k docs pass through untouched
+    assert(got(3L) === ((3, 0L, "c1 c2 c3")))
+  }
+
+  test("substring spans merge overlapping-but-nonconsecutive gram runs") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's prefix AND suffix with a 3-token novel gap —
+    // two islands; each island's grams overlap within themselves
+    val a = (0 until 9).map(i => s"a$i").mkString(" ")
+    val b = (0 until 9).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$a x1 x2 x3 $b"),
+      (2L, s"$a y1 y2 y3 $b")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // doc 2: prefix grams at 0,1 → span [0, 9); suffix at 12,13 → [12, 21)
+    assert(spans === Set((2L, 0, 9), (2L, 12, 9)))
+  }
 }

@@ -312,6 +312,49 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("duplicateSpans/trim == naive sliding-window reference (k=3)") =
+    forAll(genIdDocs) { docs =>
+      val s = spark; import s.implicits._
+      val k = 3
+      // naive reference: positional k-grams, occurrence >= 2 (globally
+      // first occurrence by (doc_id, i) exempt), interval merge
+      val grams = for {
+        (id, text) <- docs
+        toks = text.toLowerCase.split("\\s+").toSeq
+        if toks.size >= k
+        i <- 0 to (toks.size - k)
+      } yield (id, i, toks.slice(i, i + k).mkString(" "))
+      val byGram = grams.groupBy(_._3)
+      val dupPos = grams.filter { case (id, i, g) =>
+        val occ = byGram(g)
+        occ.size >= 2 && (id, i) != occ.map(o => (o._1, o._2)).min
+      }.map(g => (g._1, g._2))
+      val wantSpans = dupPos.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        var spans = List.empty[(Int, Int)]
+        for (i <- ps.map(_._2).sorted) spans = spans match {
+          case (st, e) :: rest if i <= e => (st, math.max(e, i + k)) :: rest
+          case _ => (i, i + k) :: spans
+        }
+        spans.map { case (st, e) => (id, st, e - st) }
+      }.toSet
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = Dedup.duplicateSpans(df, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      // trim: kept text == tokens not covered by any reference span
+      val covered = wantSpans.groupBy(_._1).map { case (id, ss) =>
+        id -> ss.flatMap { case (_, st, n) => st until (st + n) }
+      }
+      val gotTrim = Dedup.trimDuplicateSpans(df, k)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      gotSpans == wantSpans && docs.forall { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").toSeq
+        val want = toks.zipWithIndex.collect {
+          case (t, i) if !covered.getOrElse(id, Set.empty).contains(i) => t
+        }.mkString(" ")
+        gotTrim(id) == want
+      }
+    }
+
   property("funnel counts are monotone non-increasing for any event history") =
     forAll(genHistory) { rows =>
       val s = spark; import s.implicits._
