@@ -456,6 +456,15 @@ object SparkEntry {
     "q_substr_spans" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
     // and the removal half: span-trimmed corpus + per-doc removal ledger
     "q_substr_trim" -> ((s, d) => Dedup.trimDuplicateSpans(Tables.documents(s, d))),
+    // incremental form: spans of the "new" quarter duplicating the frozen
+    // reference corpus (or earlier new docs) — same split as
+    // q_dedup_incremental
+    "q_substr_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.duplicateSpansAgainst(
+        docs.filter(col("doc_id") % 4 === 1),
+        docs.filter(col("doc_id") % 4 =!= 1))
+    }),
     "q_dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.canonicalFromPairs(docs, Dedup.minhashCandidatePairs(docs))
@@ -2585,6 +2594,40 @@ object SparkEntry {
       // md5 pair — identical short of an md5 collision.
       "q_substr_spans" -> s"""
         WITH $substrIslands
+        SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+               CAST(max(i) + 8 - min(i) AS INTEGER) AS span_tokens,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island
+      """,
+
+      // incremental twin: reference occurrences (doc_id % 4 <> 1) rank
+      // before every new one via the tier column; only new-tier positions
+      // are ever flagged
+      "q_substr_incremental" -> s"""
+        WITH tk AS (SELECT doc_id, toks AS t,
+                           CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS tier
+                    FROM ($toks)),
+        pos AS (SELECT doc_id, tier, CAST(i AS BIGINT) AS i,
+                       array_to_string(t[i + 1 : i + 8], ' ') AS g
+                FROM tk, unnest(range(0, len(t) - 7)) AS u(i)
+                WHERE len(t) >= 8),
+        dg AS (SELECT doc_id, tier, i,
+                      count(*) OVER (PARTITION BY g) AS occ,
+                      row_number() OVER (PARTITION BY g
+                        ORDER BY tier, doc_id, i) AS rn
+               FROM pos),
+        dup AS (SELECT doc_id, i FROM dg
+                WHERE tier = 1 AND occ >= 2 AND rn >= 2),
+        mrg AS (SELECT doc_id, i,
+                       max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_end
+                FROM dup),
+        isl AS (SELECT doc_id, i,
+                       sum(CASE WHEN prev_end IS NULL OR i > prev_end
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY i) AS island
+                FROM mrg)
         SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
                CAST(max(i) + 8 - min(i) AS INTEGER) AS span_tokens,
                count(*) AS n_grams

@@ -836,6 +836,44 @@ object Dedup {
             col("i") === col("first_occ.i"))
         else lit(true)))
       .select(col("doc_id"), col("i"))
+    mergeSpans(dupPos, k)
+  }
+
+  /** Incremental exact substring dedup: maximal spans of NEW documents
+    * duplicating the REFERENCE corpus — or earlier new documents — at the
+    * k-gram level. The batch/incremental split mirrors
+    * [[incrementalDedup]]: the reference's grams are the already-ingested
+    * canon, so every reference occurrence ranks before any new one and is
+    * never flagged; within the new batch, the first occurrence is exempt
+    * exactly as in [[duplicateSpans]]. Implemented as the same one-sort
+    * window pass with a tier column (reference = 0, new = 1) prepended to
+    * the `(doc_id, i)` order — no second shuffle, no join against the
+    * reference. Output: [[duplicateSpans]]-shaped rows for new docs only. */
+  def duplicateSpansAgainst(newDocs: DataFrame, refDocs: DataFrame,
+                            k: Int = 8): DataFrame = {
+    val grams = positionalGramRows(newDocs, k).withColumn("tier", lit(1))
+      .unionByName(
+        positionalGramRows(refDocs, k).withColumn("tier", lit(0)))
+    val byGram = Window.partitionBy("h1", "h2")
+      .orderBy("tier", "doc_id", "i")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val dupPos = grams
+      .withColumn("occ", count(lit(1)).over(byGram))
+      .withColumn("first_occ",
+        min(struct(col("tier"), col("doc_id"), col("i"))).over(byGram))
+      .filter(col("tier") === 1 && col("occ") >= 2 &&
+        !(col("first_occ.tier") === 1 &&
+          col("doc_id") === col("first_occ.doc_id") &&
+          col("i") === col("first_occ.i")))
+      .select(col("doc_id"), col("i"))
+    mergeSpans(dupPos, k)
+  }
+
+  /** Gaps-and-islands interval merge shared by the substring-dedup family:
+    * duplicated gram positions `(doc_id, i)` → maximal merged spans
+    * `[i, i+k)` per document. Per-document window, bounded by document
+    * length. */
+  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     val preceding = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     dupPos

@@ -327,6 +327,25 @@ class DedupSpec extends GraftSuite {
     assert(got(3L) === ((3, 0L, "c1 c2 c3")))
   }
 
+  test("incremental substring spans: reference always wins, new-vs-new keeps first") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val novel = (0 until 10).map(i => s"n$i").mkString(" ")
+    val ref = Seq((100L, s"r1 $shared r2")).toDF("doc_id", "text")
+    val fresh = Seq(
+      // duplicates the reference → flagged even though it's the lowest new id
+      (1L, s"a1 $shared a2"),
+      // novel 10-token run, first new occurrence → exempt
+      (2L, s"b1 $novel b2"),
+      // second new occurrence of the novel run → flagged
+      (3L, s"c1 $novel c2")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansAgainst(fresh, ref)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 1, 10), (3L, 1, 10)))
+    // reference docs never appear in the output
+    assert(!got.exists(_._1 == 100L))
+  }
+
   test("substring spans merge overlapping-but-nonconsecutive gram runs") {
     import spark.implicits._
     // doc 2 repeats doc 1's prefix AND suffix with a 3-token novel gap —

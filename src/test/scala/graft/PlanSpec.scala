@@ -129,6 +129,28 @@ class PlanSpec extends GraftSuite {
       "the boilerplate set must broadcast back as the anti-join build side")
   }
 
+  test("substring dedup shuffles 24-byte gram rows once; text stays in-scan") {
+    for (q <- Seq("q_substr_spans", "q_substr_incremental")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val exchanges = org.apache.spark.sql.GraftColumnBridge
+        .collectShuffles(qe.executedPlan)
+      assert(exchanges.nonEmpty, s"$q: expected the gram-window exchange")
+      // raw text never shuffles (the tokenized spreadByKey floor may fire
+      // at fixture scale — it is a no-op on any real multi-split scan)
+      assert(exchanges.forall(!_.contains("text")),
+        s"$q: document text crossed a shuffle: $exchanges")
+      // one gram pass: the occurrence count and first-occurrence witness
+      // share a window spec, so the positional-gram subtree (tokenize+md5,
+      // the dominant CPU) must appear exactly once in the executed plan
+      val gramScans = "\\bGenerate explode".r
+        .findAllIn(qe.executedPlan.toString).length
+      val expected = if (q == "q_substr_incremental") 2 else 1
+      assert(gramScans == expected,
+        s"$q: gram subtree executed $gramScans times, expected $expected " +
+          "(groupBy+join-back regression would double the md5 work)")
+    }
+  }
+
   test("tf-idf and unigram LM broadcast their model tables onto the scan") {
     assert(plan("q_tfidf").contains("BroadcastHashJoin"),
       "the DF/N model table must broadcast, not shuffle the token stream")
