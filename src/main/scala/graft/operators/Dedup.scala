@@ -821,22 +821,27 @@ object Dedup {
     * of each maximal duplicated span plus the duplicated-gram count merged
     * into it. */
   def duplicateSpans(docs: DataFrame, k: Int = 8,
-                     keepFirst: Boolean = true): DataFrame = {
-    val grams = positionalGramRows(docs, k)
+                     keepFirst: Boolean = true): DataFrame =
+    mergeSpans(flaggedPositions(positionalGramRows(docs, k), keepFirst), k)
+
+  /** Detection stage of [[duplicateSpans]], exposed for the streaming twin
+    * ([[graft.streaming.SubstrDedupStream]]): duplicated `(doc_id, i)`
+    * positions of a positional-gram table, globally-first occurrence
+    * exempt when `keepFirst`. */
+  private[graft] def flaggedPositions(grams: DataFrame,
+                                      keepFirst: Boolean): DataFrame = {
     val byGram = Window.partitionBy("h1", "h2").orderBy("doc_id", "i")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val flagged = grams
+    grams
       .withColumn("occ", count(lit(1)).over(byGram))
       .withColumn("first_occ",
         min(struct(col("doc_id"), col("i"))).over(byGram))
-    val dupPos = flagged
       .filter(col("occ") >= 2 &&
         (if (keepFirst)
           !(col("doc_id") === col("first_occ.doc_id") &&
             col("i") === col("first_occ.i"))
         else lit(true)))
       .select(col("doc_id"), col("i"))
-    mergeSpans(dupPos, k)
   }
 
   /** Incremental exact substring dedup: maximal spans of NEW documents
@@ -873,7 +878,7 @@ object Dedup {
     * duplicated gram positions `(doc_id, i)` → maximal merged spans
     * `[i, i+k)` per document. Per-document window, bounded by document
     * length. */
-  private def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
+  private[graft] def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("i")
     val preceding = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     dupPos

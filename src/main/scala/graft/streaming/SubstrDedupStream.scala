@@ -1,0 +1,214 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.operators.Dedup
+import graft.functions.SketchExpressions
+
+/** STREAMING exact substring dedup: as documents arrive, each batch's
+  * duplicated k-token spans — against everything ingested so far AND within
+  * the batch — are emitted continuously, the ingest-time form of
+  * [[Dedup.duplicateSpans]]/[[Dedup.duplicateSpansAgainst]] (Lee et al.
+  * 2021's ExactSubstr). The crawl-landing guard: flag the boilerplate the
+  * moment a page arrives instead of re-scanning the whole corpus nightly.
+  *
+  * Shape per microbatch (foreachBatch, serialized by the engine):
+  *  1. positional grams via the SAME operator as the batch twin
+  *     ([[Dedup.positionalGramRows]] — tokenize + md5 once, checkpointed
+  *     because three consumers follow);
+  *  2. within-batch duplicated positions from the batch twin's window pass
+  *     ([[Dedup.flaggedPositions]], first occurrence exempt);
+  *  3. cross-batch positions: arriving grams are probed IN-SCAN against a
+  *     persistent Bloom sidecar of every gram seen so far (~1.2 MB per
+  *     million distinct grams at 1% fpp), and only Bloom-positive grams
+  *     join the store — a LEFT SEMI on two longs. The store read is pruned
+  *     to the `gram_part` partitions of the surviving candidates, so when
+  *     the batch's duplicate rate is low the confirm join reads a sliver
+  *     of the store, not the history (the Bloom bounds wasted join work;
+  *     its false positives only cost confirm reads, never correctness);
+  *  4. positions union → [[Dedup.mergeSpans]] → spans appended to
+  *     `spansDir` with `__batch_id` (idempotent-append contract: a batch
+  *     retry re-emits the same rows; [[spans]] dedupes);
+  *  5. the batch's DISTINCT gram hashes append to the store (16 bytes per
+  *     new gram — positions never persist) AFTER the lookup, so a gram
+  *     never matches itself; the append is clustered on `gram_part`
+  *     (≤256 dirs, ≤1 file per touched dir per batch — the small-files
+  *     fix NearDupStream's 500k-doc run measured);
+  *  6. the Bloom sidecar merges the batch's grams (bitwise OR — every
+  *     batch builds with the same (expectedGrams, fpp) so the bit arrays
+  *     are compatible) and swaps crash-safely; a missing sidecar
+  *     self-heals by rebuilding from the store.
+  *
+  * Retention: `retainBatches > 0` periodically rewrites the store keeping
+  * the last `retainBatches` batches of gram rows (crash-safe
+  * [[Streams.rewriteStore]] swap) — spans are then detected within that
+  * horizon and the store stays O(grams-per-horizon). A Bloom cannot
+  * forget, so each pruning rewrite REBUILDS the sidecar from the surviving
+  * store (one scan, amortized over the horizon); between rewrites the
+  * sidecar only over-approximates, which costs confirm reads, not
+  * correctness. */
+object SubstrDedupStream {
+
+  private def formatTag(k: Int): String = s"substr-grams/k=$k"
+
+  /** Fail fast when the store at `stateDir` was written with a different
+    * gram width: k=8 and k=12 hashes share a keyspace but mean different
+    * things, and a silent join would emit garbage spans. The marker lives
+    * BESIDE the store — [[Streams.rewriteStore]] swaps the live directory
+    * wholesale. A store without a marker was not written by this class →
+    * refuse to touch it. */
+  private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
+                               stateDir: String, k: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val expected = formatTag(k)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val actual =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (actual != expected) throw new IllegalStateException(
+        s"SubstrDedupStream store at $stateDir was written as '$actual' " +
+          s"but this query is configured for '$expected'. Gram hashes of " +
+          "different widths are incompatible; point the query at a fresh " +
+          "stateDir or restart with the store's k.")
+    } else if (fs.exists(live)) throw new IllegalStateException(
+      s"Directory $stateDir exists but carries no SubstrDedupStream " +
+        "format marker — refusing to treat it as a gram store.")
+    else {
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def bloomPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(stateDir + ".__bloom")
+
+  /** Crash-safe sidecar swap: write tmp, drop target, rename. A crash
+    * between drop and rename leaves no sidecar — [[readOrRebuildBloom]]
+    * then rebuilds from the store, so the window costs one scan, never
+    * missed duplicates. */
+  private def writeBloom(fs: org.apache.hadoop.fs.FileSystem,
+                         stateDir: String, bloom: BloomFilter): Unit = {
+    val target = bloomPath(stateDir)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__bloom.tmp")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(
+      s"could not swap bloom sidecar at $target")
+  }
+
+  private def readOrRebuildBloom(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 stateDir: String, expectedGrams: Long,
+                                 fpp: Double): Option[BloomFilter] = {
+    val p = bloomPath(stateDir)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+      Some(spark.read.parquet(stateDir)
+        .stat.bloomFilter("h1", expectedGrams, fpp))
+    else None
+  }
+
+  /** Start the detector: emits `(doc_id, span_start, span_tokens, n_grams,
+    * __batch_id)` rows to `spansDir` (parquet, append) and maintains the
+    * distinct-gram store at `stateDir` plus its Bloom sidecar. `docs` must
+    * be a streaming DataFrame with (doc_id: long, text: string).
+    * `expectedGrams` sizes every Bloom build — batches merge bit arrays,
+    * so it must estimate the STORE's final distinct-gram count, not a
+    * batch's. `retainBatches`/`pruneEvery` bound the dedup horizon exactly
+    * as in [[NearDupStream.start]] (0 = keep all history). */
+  def start(docs: DataFrame, stateDir: String, spansDir: String,
+            checkpoint: String, k: Int = 8,
+            expectedGrams: Long = 1L << 22, fpp: Double = 0.01,
+            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+    require(retainBatches >= 0 && pruneEvery >= 0,
+      "retainBatches/pruneEvery must be >= 0")
+    val pruneInterval =
+      if (retainBatches == 0) 0
+      else if (pruneEvery > 0) pruneEvery else retainBatches
+    var formatChecked = false
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val grams = Dedup.positionalGramRows(batch, k).localCheckpoint(false)
+        val intra = Dedup.flaggedPositions(grams, keepFirst = true)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Streams.recoverCompaction(fs, stateDir)
+        if (!formatChecked) {
+          checkStoreFormat(fs, stateDir, k)
+          formatChecked = true
+        }
+        val bloom =
+          readOrRebuildBloom(spark, fs, stateDir, expectedGrams, fpp)
+        val cross = (if (fs.exists(statePath))
+          Some(spark.read.parquet(stateDir)) else None)
+          .flatMap { prior =>
+            val candidates = bloom match {
+              case Some(b) =>
+                grams.filter(
+                  SketchExpressions.bloomMightContain(col("h1"), b))
+              case None => grams
+            }
+            // bounded collect: ≤256 distinct partition values — every
+            // store partition outside the candidates' own parts cannot
+            // confirm, so the read touches only those slices
+            val parts = candidates
+              .select(pmod(col("h1"), lit(256)).cast("int").as("p"))
+              .distinct().collect().map(_.getInt(0))
+            if (parts.isEmpty) None
+            else Some(candidates.join(
+              prior.filter(col("gram_part").isin(parts.toIndexedSeq: _*))
+                .select("h1", "h2"),
+              Seq("h1", "h2"), "left_semi")
+              .select(col("doc_id"), col("i")))
+          }
+        val dupPos = cross.fold(intra)(intra.unionByName(_)).distinct()
+        Dedup.mergeSpans(dupPos, k)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(spansDir)
+        // grow the store AFTER the lookup so a gram never matches itself;
+        // distinct hashes only — positions never persist
+        grams.select(col("h1"), col("h2")).distinct()
+          .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
+          .withColumn("__batch_id", lit(batchId))
+          .repartition(col("gram_part"))
+          .write.mode(SaveMode.Append).partitionBy("gram_part")
+          .parquet(stateDir)
+        val batchBloom = grams.stat.bloomFilter("h1", expectedGrams, fpp)
+        writeBloom(fs, stateDir, bloom match {
+          case Some(prev) => prev.mergeInPlace(batchBloom)
+          case None => batchBloom
+        })
+        if (pruneInterval > 0 &&
+            batchId % pruneInterval == (pruneInterval - 1)) {
+          Streams.rewriteStore(spark, stateDir, Seq("gram_part"))(
+            _.filter(col("__batch_id") > batchId - retainBatches))
+          // a Bloom cannot forget: rebuild from the pruned store
+          writeBloom(fs, stateDir, spark.read.parquet(stateDir)
+            .stat.bloomFilter("h1", expectedGrams, fpp))
+        }
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(grams)
+          .foreach(_.unpersist(false))
+        ()
+      }
+      .start()
+  }
+
+  /** All spans emitted so far, deduplicated (idempotent-append contract:
+    * batch retries re-emit their rows). */
+  def spans(spark: SparkSession, spansDir: String): DataFrame =
+    spark.read.parquet(spansDir)
+      .select("doc_id", "span_start", "span_tokens", "n_grams").distinct()
+}

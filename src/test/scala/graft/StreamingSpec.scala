@@ -666,6 +666,58 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming substring dedup: spans within and across batches, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-substr-stream").toString
+    val q = graft.streaming.SubstrDedupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/checkpoint")
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val fresh = (0 until 10).map(i => s"f$i").mkString(" ")
+    val b1 = Seq(1L -> s"a1 $shared a2",
+      2L -> "metric spaces and measure theory lecture notes volume two")
+    val b2 = Seq(3L -> s"c1 $shared c2",   // cross-batch duplicate
+      4L -> s"e1 $fresh e2",               // first occurrence of a new run
+      5L -> s"g1 $fresh g2")               // intra-batch duplicate of 4
+    try {
+      in.addData(b1); q.processAllAvailable()
+      assert(graft.streaming.SubstrDedupStream
+        .spans(spark, s"$base/spans").count() === 0,
+        "first batch contains no duplicates")
+      in.addData(b2); q.processAllAvailable()
+      val got = graft.streaming.SubstrDedupStream
+        .spans(spark, s"$base/spans").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === Set((3L, 1, 10), (5L, 1, 10)),
+        s"cross-batch + intra-batch spans expected, got $got")
+      // parity: the stream's second batch must equal the batch twin run
+      // with batch 1 as the frozen reference
+      val twin = graft.operators.Dedup
+        .duplicateSpansAgainst(b2.toDF("doc_id", "text"),
+          b1.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === twin, s"stream $got != batch twin $twin")
+    } finally q.stop()
+    // restarting the same store with a different gram width must fail fast
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.SubstrDedupStream.start(
+      in2.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/checkpoint2", k = 12)
+    try {
+      in2.addData(6L -> "one two three")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("substr-grams") ||
+        Option(e.getCause).exists(_.getMessage.contains("substr-grams")),
+        s"expected the format-marker failure, got: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
   test("near-dup state retention bounds the store; matches survive within horizon") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
