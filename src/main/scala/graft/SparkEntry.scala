@@ -456,6 +456,8 @@ object SparkEntry {
     "q_substr_spans" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
     // and the removal half: span-trimmed corpus + per-doc removal ledger
     "q_substr_trim" -> ((s, d) => Dedup.trimDuplicateSpans(Tables.documents(s, d))),
+    // corpus health report: how much of the corpus is duplicated text
+    "q_substr_stats" -> ((s, d) => Dedup.substrDedupStats(Tables.documents(s, d))),
     // incremental form: spans of the "new" quarter duplicating the frozen
     // reference corpus (or earlier new docs) — same split as
     // q_dedup_incremental
@@ -2598,6 +2600,21 @@ object SparkEntry {
                CAST(max(i) + 8 - min(i) AS INTEGER) AS span_tokens,
                count(*) AS n_grams
         FROM isl GROUP BY doc_id, island
+      """,
+
+      "q_substr_stats" -> s"""
+        WITH $substrIslands,
+        sp AS (SELECT doc_id, min(i) AS s, max(i) + 8 AS e
+               FROM isl GROUP BY doc_id, island),
+        sa AS (SELECT count(DISTINCT doc_id) AS docs_with_spans,
+                      count(*) AS n_spans,
+                      COALESCE(CAST(sum(e - s) AS BIGINT), 0) AS dup_tokens
+               FROM sp),
+        da AS (SELECT count(*) AS n_docs,
+                      CAST(sum(len(t)) AS BIGINT) AS total_tokens FROM tk)
+        SELECT n_docs, docs_with_spans, n_spans, dup_tokens, total_tokens,
+               round(dup_tokens * 1.0 / total_tokens, 6) AS dup_token_frac
+        FROM da, sa
       """,
 
       // incremental twin: reference occurrences (doc_id % 4 <> 1) rank

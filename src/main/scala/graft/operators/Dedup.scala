@@ -894,6 +894,29 @@ object Dedup {
       .select("doc_id", "span_start", "span_tokens", "n_grams")
   }
 
+  /** Corpus health report for substring-level duplication — the
+    * [[clusterSizeDistribution]] analog for the ExactSubstr family: how
+    * much of the corpus is duplicated text, before committing to a trim.
+    * One row: `(n_docs, docs_with_spans, n_spans, dup_tokens,
+    * total_tokens, dup_token_frac)`. Both inputs reduce to 1-row
+    * aggregates before the crossJoin — a broadcast of singletons, the same
+    * share-of-total shape as the TPC-H Q11 HAVING total. */
+  def substrDedupStats(docs: DataFrame, k: Int = 8): DataFrame = {
+    val spanAgg = duplicateSpans(docs, k).agg(
+      countDistinct(col("doc_id")).as("docs_with_spans"),
+      count(lit(1)).as("n_spans"),
+      coalesce(sum(col("span_tokens").cast("long")), lit(0L))
+        .as("dup_tokens"))
+    val docAgg = docs
+      .select(size(expr(TextAnalysis.tokensExpr)).cast("long").as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+    docAgg.crossJoin(spanAgg)
+      .select(col("n_docs"), col("docs_with_spans"), col("n_spans"),
+        col("dup_tokens"), col("total_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("dup_token_frac"))
+  }
+
   /** Exact substring-level dedup, removal half: drop every token covered by
     * a [[duplicateSpans]] span (first occurrence kept) and re-assemble the
     * survivors in order. The span list joins back to the corpus as
@@ -901,8 +924,15 @@ object Dedup {
     * the token filter is a single per-row lambda; document text crosses no
     * exchange (the join key is `doc_id` and the spans side is the small
     * one). Output: `(doc_id, n_tokens, n_removed, text_clean)`. */
-  def trimDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val spans = duplicateSpans(docs, k)
+  def trimDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame =
+    applySpans(docs, duplicateSpans(docs, k))
+
+  /** Apply a span ledger (any [[duplicateSpans]]-shaped frame — the batch
+    * operator's output or a streaming ledger from
+    * [[graft.streaming.SubstrDedupStream.spans]]) to its corpus: remove
+    * covered tokens, re-assemble survivors in order. */
+  def applySpans(docs: DataFrame, spanLedger: DataFrame): DataFrame = {
+    val spans = spanLedger
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
           (col("span_start") + col("span_tokens")).as("e"))).as("spans"),

@@ -211,4 +211,12 @@ object SubstrDedupStream {
   def spans(spark: SparkSession, spansDir: String): DataFrame =
     spark.read.parquet(spansDir)
       .select("doc_id", "span_start", "span_tokens", "n_grams").distinct()
+
+  /** Span-trimmed view of a document corpus against the accumulated
+    * ledger — the streaming consumer's [[Dedup.trimDuplicateSpans]]:
+    * every token the stream has flagged is removed, first occurrences
+    * (never flagged) survive verbatim. */
+  def trimmedDocs(spark: SparkSession, docs: DataFrame,
+                  spansDir: String): DataFrame =
+    Dedup.applySpans(docs, spans(spark, spansDir))
 }

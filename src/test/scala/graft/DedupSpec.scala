@@ -346,6 +346,23 @@ class DedupSpec extends GraftSuite {
     assert(!got.exists(_._1 == 100L))
   }
 
+  test("substring dedup stats account for the corpus exactly") {
+    import spark.implicits._
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 $shared a3 a4"),   // 14 tokens, first occurrence
+      (2L, s"b1 $shared b2 b3 b4"),   // 14 tokens, 10 flagged
+      (3L, "c1 c2 c3")).toDF("doc_id", "text")
+    val r = Dedup.substrDedupStats(corpus).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 1L, 1L, 10L, 31L)))
+    assert(math.abs(r.getDouble(5) - math.rint(10.0 / 31 * 1e6) / 1e6) < 1e-9)
+    // span-free corpus: zeros, not nulls
+    val clean = Seq((1L, "x1 x2 x3")).toDF("doc_id", "text")
+    val z = Dedup.substrDedupStats(clean).collect()(0)
+    assert((z.getLong(1), z.getLong(2), z.getLong(3)) === ((0L, 0L, 0L)))
+  }
+
   test("substring spans merge overlapping-but-nonconsecutive gram runs") {
     import spark.implicits._
     // doc 2 repeats doc 1's prefix AND suffix with a 3-token novel gap —

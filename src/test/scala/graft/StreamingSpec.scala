@@ -701,6 +701,15 @@ class StreamingSpec extends GraftSuite {
           b1.toDF("doc_id", "text"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
       assert(got === twin, s"stream $got != batch twin $twin")
+      // the trimmed view applies the accumulated ledger: flagged copies
+      // lose the run, first occurrences survive verbatim
+      val trimmed = graft.streaming.SubstrDedupStream
+        .trimmedDocs(spark, (b1 ++ b2).toDF("doc_id", "text"),
+          s"$base/spans")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(trimmed(3L) === "c1 c2" && trimmed(5L) === "g1 g2")
+      assert(trimmed(1L) === s"a1 $shared a2" &&
+        trimmed(4L) === s"e1 $fresh e2")
     } finally q.stop()
     // restarting the same store with a different gram width must fail fast
     val in2 = MemoryStream[(Long, String)]
