@@ -170,6 +170,15 @@ object SubstrDedupStream {
             if (parts.isEmpty) None
             else Some(candidates.join(
               prior.filter(col("gram_part").isin(parts.toIndexedSeq: _*))
+                // replay guard: a batch that crashed AFTER its store
+                // append replays with its own grams already persisted
+                // under THIS batch id — without the exclusion every
+                // position would match itself and the replay would emit
+                // whole-document spans (NearDupStream's doc_id =!= guard,
+                // re-expressed for a store with no doc identity). In a
+                // clean run the store never holds the current id at
+                // lookup time, so this is a no-op.
+                .filter(col("__batch_id") =!= batchId)
                 .select("h1", "h2"),
               Seq("h1", "h2"), "left_semi")
               .select(col("doc_id"), col("i")))

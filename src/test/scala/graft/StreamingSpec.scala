@@ -727,6 +727,39 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("substring stream replay: a crashed batch's own store rows never self-match") {
+    // a batch that dies AFTER its store append replays with its own grams
+    // already persisted under ITS batch id — forge that state and assert
+    // the lookup's __batch_id exclusion keeps novel content span-free
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-substr-replay").toString
+    val q = graft.streaming.SubstrDedupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/checkpoint")
+    val novel = (0 until 10).map(i => s"z$i").mkString(" ")
+    val b1doc = 7L -> s"h1 $novel h2"
+    try {
+      in.addData(1L -> "alpha beta gamma delta epsilon zeta eta theta iota")
+      q.processAllAvailable() // batch 0
+      // forge the failed attempt of batch 1
+      graft.operators.Dedup
+        .positionalGramRows(Seq(b1doc).toDF("doc_id", "text"), 8)
+        .select(col("h1"), col("h2")).distinct()
+        .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
+        .withColumn("__batch_id", lit(1L))
+        .write.mode("append").partitionBy("gram_part")
+        .parquet(s"$base/state")
+      in.addData(b1doc); q.processAllAvailable() // the "replayed" batch 1
+      assert(graft.streaming.SubstrDedupStream
+        .spans(spark, s"$base/spans").count() === 0,
+        "replayed batch matched its own failed-attempt store rows")
+    } finally q.stop()
+  }
+
   test("near-dup state retention bounds the store; matches survive within horizon") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
