@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.operators.{Analytics, Cdc, Dedup, Multimodal, Relational, Retrieval, Similarity, Skew, Temporal, TextAnalysis, Versioning}
+import graft.operators.{Analytics, Bpe, Cdc, Dedup, Multimodal, Relational, Retrieval, Similarity, Skew, Temporal, TextAnalysis, Versioning}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -304,6 +304,20 @@ object SparkEntry {
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
     "q_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    // learned-BPE tokenizer: vocab trained on the corpus word histogram
+    // (driver loop over the capped histogram — k-means-style reduced
+    // state), then codegen'd per-doc encode. Both rows-only by design: no
+    // SQL oracle can train a tokenizer; BpeSpec + GraftProperties pin the
+    // algorithm against a naive reference instead.
+    "q_bpe_vocab" -> ((s, d) =>
+      Bpe.vocabTable(s, Bpe.train(Tables.documents(s, d), 50))),
+    "q_bpe_token_counts" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.train(docs, 50)
+      docs.select(col("doc_id"),
+        size(graft.functions.BpeExpressions.bpeTokens(col("text"), merges))
+          .as("n_bpe_tokens"))
+    }),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_dist" -> ((s, d) => TextAnalysis.langDistribution(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),

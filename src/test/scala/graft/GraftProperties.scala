@@ -355,6 +355,31 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  private val genBpeWords: Gen[List[String]] = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, for {
+      l <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+  } yield ws
+
+  property("BPE greedy encode == replaying merges in rank order; round-trips") =
+    forAll(genBpeWords) { words =>
+      import graft.operators.Bpe
+      import graft.functions.{BpeCodec, BpeRanks}
+      val hist = words.groupBy(identity)
+        .map { case (w, ws) => (w, ws.size.toLong) }.toSeq.sortBy(_._1)
+      val merges = Bpe.trainOnHistogram(hist, 8)
+      val ranks = BpeRanks(merges)
+      words.forall { w =>
+        val greedy = BpeCodec.encodeWord(w, ranks).toSeq
+        // naive reference: apply the merge list in rank order
+        var naive = w.toCharArray.map(_.toString)
+        merges.foreach(m => naive = Bpe.mergePair(naive, m.left, m.right))
+        greedy == naive.toSeq && greedy.mkString == w
+      }
+    }
+
   property("funnel counts are monotone non-increasing for any event history") =
     forAll(genHistory) { rows =>
       val s = spark; import s.implicits._
