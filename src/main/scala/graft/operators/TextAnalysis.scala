@@ -842,4 +842,23 @@ object TextAnalysis {
         max(when(col("rk") === 1, col("source"))).as("top_source"))
       .orderBy(col("shard"))
   }
+
+  /** Materialize the training export: one JSONL directory per shard
+    * (`outDir/shard=N/`), membership by [[shardAssign]]'s seeded pure
+    * projection. The rows are clustered on the shard key before the write,
+    * so each shard directory receives exactly ONE file per export (the
+    * small-files discipline the streaming stores use) and a trainer's
+    * reader streams one sequential file per shard. `to_json(struct(*))`
+    * keeps the full row — schema evolution is the trainer's parse, not a
+    * parquet contract — and the write is embarrassingly parallel: no
+    * planning beyond the one clustering exchange. */
+  def exportShards(docs: DataFrame, outDir: String, nShards: Int = 16,
+                   seed: String = "v1"): Unit = {
+    val cols = docs.columns.map(col)
+    shardAssign(docs, nShards, seed)
+      .select(col("shard"), to_json(struct(cols: _*)).as("value"))
+      .repartition(col("shard"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").text(outDir)
+  }
 }

@@ -346,6 +346,33 @@ class DedupSpec extends GraftSuite {
     assert(!got.exists(_._1 == 100L))
   }
 
+  test("shard export writes one JSONL file per shard, membership == shardAssign") {
+    import graft.operators.TextAnalysis
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-export").toString + "/shards"
+    TextAnalysis.exportShards(docs, out, nShards = 8)
+    val schema = docs.schema
+    val back = spark.read.text(out)
+      .select(col("shard").cast("int").as("shard"),
+        from_json(col("value"), schema).as("row"))
+      .select(col("shard"), col("row.doc_id").as("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getInt(0)))
+    val want = TextAnalysis.shardAssign(docs, nShards = 8)
+      .select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(back.toSet === want.toSet, "export membership drifted from plan")
+    assert(back.length === want.length, "export duplicated or dropped rows")
+    // one sequential file per shard directory — the trainer-reader contract
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".txt"))
+      assert(files.length === 1,
+        s"${d.getName}: ${files.length} files, expected exactly 1")
+    }
+  }
+
   test("substring dedup stats account for the corpus exactly") {
     import spark.implicits._
     val shared = (0 until 10).map(i => s"s$i").mkString(" ")
