@@ -124,7 +124,13 @@ object SubstrDedupStream {
     * `expectedGrams` sizes every Bloom build — batches merge bit arrays,
     * so it must estimate the STORE's final distinct-gram count, not a
     * batch's. `retainBatches`/`pruneEvery` bound the dedup horizon exactly
-    * as in [[NearDupStream.start]] (0 = keep all history). */
+    * as in [[NearDupStream.start]] (0 = keep all history). Batch ids are
+    * checkpoint-scoped, so the horizon counts batches of the CURRENT
+    * checkpoint lineage; adopting an existing store under a fresh
+    * checkpoint keeps its history for lookups (the replay guard is
+    * lineage-scoped), but a retention rewrite compares adopted rows' old
+    * ids against the new lineage's — run adoption without retention, or
+    * accept that the first prune ages adopted rows by id. */
   def start(docs: DataFrame, stateDir: String, spansDir: String,
             checkpoint: String, k: Int = 8,
             expectedGrams: Long = 1L << 22, fpp: Double = 0.01,
@@ -135,6 +141,28 @@ object SubstrDedupStream {
       if (retainBatches == 0) 0
       else if (pruneEvery > 0) pruneEvery else retainBatches
     var formatChecked = false
+    // Checkpoint-lineage id: batch ids are CHECKPOINT-scoped, so the
+    // replay guard below must only exclude rows written by this
+    // checkpoint's own lineage — a store adopted under a fresh checkpoint
+    // restarts at batch 0 and would otherwise mask genuine batch-0
+    // history. The id lives inside the checkpoint dir (stable across
+    // restarts, new for fresh checkpoints).
+    val lineage = {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "__graft_lineage")
+      val fs = p.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } else {
+        val id = java.util.UUID.randomUUID().toString
+        val out = fs.create(p, false)
+        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        id
+      }
+    }
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -172,13 +200,18 @@ object SubstrDedupStream {
               prior.filter(col("gram_part").isin(parts.toIndexedSeq: _*))
                 // replay guard: a batch that crashed AFTER its store
                 // append replays with its own grams already persisted
-                // under THIS batch id — without the exclusion every
-                // position would match itself and the replay would emit
-                // whole-document spans (NearDupStream's doc_id =!= guard,
-                // re-expressed for a store with no doc identity). In a
-                // clean run the store never holds the current id at
-                // lookup time, so this is a no-op.
-                .filter(col("__batch_id") =!= batchId)
+                // under THIS (lineage, batch id) — without the exclusion
+                // every position would match itself and the replay would
+                // emit whole-document spans (NearDupStream's doc_id =!=
+                // guard, re-expressed for a store with no doc identity).
+                // Scoped to the checkpoint lineage: a store adopted under
+                // a fresh checkpoint restarts at batch 0, and its OLD
+                // batch-0 rows are genuine history, not a failed attempt.
+                // Null-safe compare so pre-lineage rows are never masked.
+                // In a clean run the store never holds the current
+                // (lineage, id) at lookup time, so this is a no-op.
+                .filter(!(col("__lineage") <=> lit(lineage) &&
+                  col("__batch_id") === lit(batchId)))
                 .select("h1", "h2"),
               Seq("h1", "h2"), "left_semi")
               .select(col("doc_id"), col("i")))
@@ -192,12 +225,23 @@ object SubstrDedupStream {
         grams.select(col("h1"), col("h2")).distinct()
           .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
           .withColumn("__batch_id", lit(batchId))
+          .withColumn("__lineage", lit(lineage))
           .repartition(col("gram_part"))
           .write.mode(SaveMode.Append).partitionBy("gram_part")
           .parquet(stateDir)
         val batchBloom = grams.stat.bloomFilter("h1", expectedGrams, fpp)
         writeBloom(fs, stateDir, bloom match {
-          case Some(prev) => prev.mergeInPlace(batchBloom)
+          case Some(prev) =>
+            // a restart with a different expectedGrams/fpp leaves a
+            // sidecar whose bit array no longer matches the batch builds;
+            // rebuild from the store (append already ran, so the rebuild
+            // covers this batch) instead of failing the stream
+            try prev.mergeInPlace(batchBloom)
+            catch {
+              case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+                spark.read.parquet(stateDir)
+                  .stat.bloomFilter("h1", expectedGrams, fpp)
+            }
           case None => batchBloom
         })
         if (pruneInterval > 0 &&

@@ -745,12 +745,17 @@ class StreamingSpec extends GraftSuite {
     try {
       in.addData(1L -> "alpha beta gamma delta epsilon zeta eta theta iota")
       q.processAllAvailable() // batch 0
-      // forge the failed attempt of batch 1
+      // forge the failed attempt of batch 1 — same (lineage, batch id)
+      // the replayed batch will run under
+      val lineage = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/checkpoint/__graft_lineage")),
+        "UTF-8").trim
       graft.operators.Dedup
         .positionalGramRows(Seq(b1doc).toDF("doc_id", "text"), 8)
         .select(col("h1"), col("h2")).distinct()
         .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
         .withColumn("__batch_id", lit(1L))
+        .withColumn("__lineage", lit(lineage))
         .write.mode("append").partitionBy("gram_part")
         .parquet(s"$base/state")
       in.addData(b1doc); q.processAllAvailable() // the "replayed" batch 1
@@ -758,6 +763,35 @@ class StreamingSpec extends GraftSuite {
         .spans(spark, s"$base/spans").count() === 0,
         "replayed batch matched its own failed-attempt store rows")
     } finally q.stop()
+  }
+
+  test("substring stream survives a Bloom-sizing change across restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-substr-resize").toString
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.SubstrDedupStream.start(
+      in1.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/cp1", expectedGrams = 1L << 12)
+    try { in1.addData(1L -> s"a1 $shared a2"); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart with an incompatible sidecar sizing: the merge falls back to
+    // a store rebuild instead of killing the stream, and cross-batch
+    // detection still fires
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.SubstrDedupStream.start(
+      in2.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/cp2", expectedGrams = 1L << 16)
+    try {
+      in2.addData(2L -> s"b1 $shared b2"); q2.processAllAvailable()
+      val got = graft.streaming.SubstrDedupStream
+        .spans(spark, s"$base/spans").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === Set((2L, 1, 10)),
+        s"cross-batch span must survive the sizing change, got $got")
+    } finally q2.stop()
   }
 
   test("near-dup state retention bounds the store; matches survive within horizon") {
