@@ -347,6 +347,31 @@ object Streams {
     * ([[NearDupStream]]). `partitionCols` lays the replacement out as a
     * partitioned table (readers prune on those columns). Single-writer
     * (call from inside `foreachBatch` or equivalent). */
+  /** Checkpoint-lineage id for foreachBatch side stores: batch ids are
+    * CHECKPOINT-scoped, so any store metadata keyed by batch id (replay
+    * guards, applied-batch stamps) must also carry which checkpoint
+    * lineage wrote it — a store adopted under a fresh checkpoint restarts
+    * at batch 0 and would otherwise collide with genuine history. The id
+    * lives inside the checkpoint directory (stable across restarts, new
+    * for fresh checkpoints); created on first use. Used by
+    * [[SubstrDedupStream]] and [[HeavyHittersStream]]. */
+  def lineageId(conf: org.apache.hadoop.conf.Configuration,
+                checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "__graft_lineage")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(p, false)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
+  }
+
   def rewriteStore(spark: SparkSession, path: String,
                    partitionCols: Seq[String] = Nil)
                   (rewrite: DataFrame => DataFrame): Unit = {

@@ -141,28 +141,12 @@ object SubstrDedupStream {
       if (retainBatches == 0) 0
       else if (pruneEvery > 0) pruneEvery else retainBatches
     var formatChecked = false
-    // Checkpoint-lineage id: batch ids are CHECKPOINT-scoped, so the
-    // replay guard below must only exclude rows written by this
-    // checkpoint's own lineage — a store adopted under a fresh checkpoint
-    // restarts at batch 0 and would otherwise mask genuine batch-0
-    // history. The id lives inside the checkpoint dir (stable across
-    // restarts, new for fresh checkpoints).
-    val lineage = {
-      val p = new org.apache.hadoop.fs.Path(checkpoint, "__graft_lineage")
-      val fs = p.getFileSystem(
-        docs.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      } else {
-        val id = java.util.UUID.randomUUID().toString
-        val out = fs.create(p, false)
-        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        id
-      }
-    }
+    // Checkpoint-lineage id ([[Streams.lineageId]]): the replay guard
+    // below must only exclude rows written by this checkpoint's own
+    // lineage — a store adopted under a fresh checkpoint restarts at
+    // batch 0 and would otherwise mask genuine batch-0 history.
+    val lineage = Streams.lineageId(
+      docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)

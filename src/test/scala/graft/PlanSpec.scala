@@ -151,6 +151,25 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("BPE encode is a shuffle-free projection; training caps via top-k heaps") {
+    // applying the learned vocab must stay a scan-side projection — the
+    // rank table is a plan constant, so no join, no exchange, no UDF
+    val qe = SparkEntry.queries("q_bpe_token_counts")(spark, sf).queryExecution
+    val shuffles = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(shuffles.isEmpty,
+      s"BPE token counting must not shuffle, found exchanges over $shuffles")
+    assert(qe.executedPlan.toString.contains("bpe_tokens"),
+      "the native bpe_tokens expression must appear in the plan")
+    // the histogram cap is per-partition heaps + driver merge, not a
+    // global sort
+    val hist = graft.operators.Bpe
+      .wordHistogram(graft.sources.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(hist.contains("TakeOrderedAndProject"),
+      "topWords cap must compile to TakeOrderedAndProject")
+  }
+
   test("tf-idf and unigram LM broadcast their model tables onto the scan") {
     assert(plan("q_tfidf").contains("BroadcastHashJoin"),
       "the DF/N model table must broadcast, not shuffle the token stream")

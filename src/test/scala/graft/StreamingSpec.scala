@@ -794,6 +794,67 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("streaming heavy hitters: exact parity at low cardinality, slow burners rise") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[String]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hh").toString
+    val q = graft.streaming.HeavyHittersStream.start(
+      in.toDF().toDF("key"), "key",
+      s"$base/state", s"$base/topk", s"$base/checkpoint", k = 3)
+    try {
+      // batch 0: x dominates; batch 1: y floods, x trickles — the running
+      // view must rank by the WHOLE prefix, not the latest batch
+      in.addData("x", "x", "x", "z"); q.processAllAvailable()
+      val t0 = graft.streaming.HeavyHittersStream.topK(spark, s"$base/topk")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(t0.toSeq.sortBy(_._1).take(1) === Seq((1, "x", 3L)))
+      in.addData("y", "y", "y", "y", "x"); q.processAllAvailable()
+      val t1 = graft.streaming.HeavyHittersStream.topK(spark, s"$base/topk")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1)
+      // exact at this cardinality: x=4, y=4 (ties → key asc), z=1
+      assert(t1 === Seq((1, "x", 4L), (2, "y", 4L), (3, "z", 1L)),
+        s"running top-3 must cover the whole prefix, got ${t1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("heavy-hitter replay: a stamped batch is never merged twice") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hh-replay").toString
+    // pre-create the checkpoint lineage so the forged stamp matches what
+    // the query will compute for its batch 0
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lineage = graft.streaming.Streams.lineageId(conf, s"$base/checkpoint")
+    val fs = graft.streaming.HeavyHittersStream.statePath(s"$base/state")
+      .getFileSystem(conf)
+    // forged state: batch 0 already applied, containing x×3
+    val d = 4; val w = 1024
+    val sketch = new Array[Long](d * w)
+    val (h1, h2) = graft.functions.CmsSketch.fingerprints("x")
+    (0 until d).foreach { i =>
+      sketch(i * w + graft.functions.CmsSketch.bucket(h1, h2, i, w)) += 3L
+    }
+    graft.streaming.HeavyHittersStream.writeState(fs, s"$base/state",
+      graft.streaming.HeavyHittersStream.State(
+        lineage, 0L, d, w, sketch, Array("x")))
+    val in = MemoryStream[String]
+    val q = graft.streaming.HeavyHittersStream.start(
+      in.toDF().toDF("key"), "key",
+      s"$base/state", s"$base/topk", s"$base/checkpoint", k = 3)
+    try {
+      // the "replayed" batch 0 carries y — must be SKIPPED, not merged
+      in.addData("y", "y", "y", "y", "y"); q.processAllAvailable()
+      val top = graft.streaming.HeavyHittersStream.topK(spark, s"$base/topk")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(top === Set(("x", 3L)),
+        s"stamped batch must not merge again, got $top")
+    } finally q.stop()
+  }
+
   test("near-dup state retention bounds the store; matches survive within horizon") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
