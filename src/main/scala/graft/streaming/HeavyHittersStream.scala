@@ -95,11 +95,17 @@ object HeavyHittersStream {
 
   /** Start the view over `events`; `keyCol` is the counted key (cast to
     * string). Appends `(rank, key, est_count, __batch_id)` to `topKDir`
-    * after every batch. */
+    * after every batch — the stamped history IS the trend ledger, but on
+    * a forever-running stream it is also one small file per batch, so
+    * `retainEmits > 0` periodically rewrites the ledger keeping the last
+    * `retainEmits` stamps (crash-safe [[Streams.rewriteStore]] swap;
+    * 0 = keep the full history). */
   def start(events: DataFrame, keyCol: String, stateDir: String,
             topKDir: String, checkpoint: String, k: Int = 10,
-            slack: Int = 4, d: Int = 4, w: Int = 1024): StreamingQuery = {
+            slack: Int = 4, d: Int = 4, w: Int = 1024,
+            retainEmits: Int = 0): StreamingQuery = {
     require(k > 0 && slack > 0, "k and slack must be positive")
+    require(retainEmits >= 0, "retainEmits must be >= 0")
     val lineage = Streams.lineageId(
       events.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     events.writeStream
@@ -110,6 +116,13 @@ object HeavyHittersStream {
         import spark.implicits._
         val fs = statePath(stateDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a crash mid-ledger-compaction leaves the swap half-done;
+        // restore before anything reads or appends
+        if (retainEmits > 0) {
+          val tfs = new org.apache.hadoop.fs.Path(topKDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Streams.recoverCompaction(tfs, topKDir)
+        }
         val prior = readState(fs, stateDir)
         prior.foreach { s =>
           require(s.d == d && s.w == w, s"heavy-hitter state at $stateDir " +
@@ -152,6 +165,9 @@ object HeavyHittersStream {
           .toDF("rank", "key", "est_count", "__batch_id")
           .coalesce(1)
           .write.mode(SaveMode.Append).parquet(topKDir)
+        if (retainEmits > 0 && batchId % retainEmits == (retainEmits - 1))
+          Streams.rewriteStore(spark, topKDir)(
+            _.filter(col("__batch_id") > batchId - retainEmits))
         ()
       }
       .start()

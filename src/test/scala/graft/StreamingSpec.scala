@@ -855,6 +855,30 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("heavy-hitter emit retention bounds the ledger to the last stamps") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[String]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hh-retain").toString
+    val q = graft.streaming.HeavyHittersStream.start(
+      in.toDF().toDF("key"), "key",
+      s"$base/state", s"$base/topk", s"$base/checkpoint", k = 2,
+      retainEmits = 1)
+    try {
+      in.addData("a", "a"); q.processAllAvailable()
+      in.addData("b"); q.processAllAvailable()
+      val stamps = spark.read.parquet(s"$base/topk")
+        .select("__batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(stamps === Set(1L), s"only the latest stamp survives, got $stamps")
+      // the view still reflects the whole prefix
+      val top = graft.streaming.HeavyHittersStream.topK(spark, s"$base/topk")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(top === Set(("a", 2L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   test("near-dup state retention bounds the store; matches survive within horizon") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
