@@ -182,8 +182,21 @@ object StreamBench {
         Some("after"), "delete", Some("ts_ms"))))
     }
 
+    // The sketch path (round 8): CMS-backed continuous top-k over the
+    // user key space — per batch, one 32 KB sketch aggregate + a bounded
+    // exact-top collect; throughput = input events/s through the full
+    // foreachBatch (sketch, merge, candidate re-estimate, ledger append
+    // with emit retention).
+    val (hhRows, hhSec) = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sb-hh").toString
+      ledger(drain(graft.streaming.HeavyHittersStream.start(
+        events(), "user_id", s"$base/state", s"$base/topk",
+        s"$base/checkpoint", k = 10, slack = 4, retainEmits = 4)))
+    }
+
     def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"cpus":$cpus}""")
+    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"heavy_hitters_events_per_sec":${rate(hhRows, hhSec)},"cpus":$cpus}""")
     spark.stop()
   }
 }
