@@ -587,6 +587,10 @@ object SparkEntry {
     "q_cms_counts" -> ((s, d) =>
       graft.functions.CmsSketch.tokenCounts(Tables.documents(s, d),
         Seq("join", "hash", "filter", "window", "zzzz_absent"))),
+    // batch heavy hitters: exact top-10 users with their CMS estimates —
+    // the oracle-checked bridge to the streaming HeavyHittersStream view
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.functions.CmsSketch.heavyHitters(Tables.events(s, d), "user_id")),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -2561,6 +2565,33 @@ object SparkEntry {
                  AS est_count
         FROM qb LEFT JOIN c ON c.i = qb.i AND c.bucket = qb.bucket
         GROUP BY 1
+      """,
+
+      // batch heavy hitters: exact top-k (ties → key asc) + CMS estimates
+      // over the same counter layout as q_cms_counts
+      "q_heavy_hitters" -> s"""
+        WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+                      WHERE user_id IS NOT NULL),
+        h AS (SELECT ${h64("key")} AS h1,
+                     ${graft.functions.Hashing.hash64HiDuckDb("key")} AS h2
+              FROM keys),
+        b AS (SELECT r.i,
+                     (h1 + r.i * (h2 & ${graft.functions.Hashing.maskKM}))
+                       % 1024 AS bucket
+              FROM h CROSS JOIN range(0, 4) r(i)),
+        c AS (SELECT i, bucket, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        topk AS (SELECT key, COUNT(*) AS n_exact FROM keys GROUP BY 1
+                 ORDER BY n_exact DESC, key ASC LIMIT 10),
+        qb AS (SELECT key, n_exact, r.i,
+                      (${h64("key")}
+                       + r.i * (${graft.functions.Hashing.hash64HiDuckDb("key")}
+                                & ${graft.functions.Hashing.maskKM}))
+                        % 1024 AS bucket
+               FROM topk CROSS JOIN range(0, 4) r(i))
+        SELECT qb.key, qb.n_exact,
+               CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+        FROM qb LEFT JOIN c ON c.i = qb.i AND c.bucket = qb.bucket
+        GROUP BY 1, 2
       """,
 
       // graded decontamination: one LEFT join keeps every corpus shingle,

@@ -62,6 +62,37 @@ object CmsSketch {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Batch heavy hitters with sketch attribution: the exact top-k keys
+    * (per-partition heaps via `TakeOrderedAndProject`, ties → key asc)
+    * annotated with their count-min estimates from one corpus sketch —
+    * the batch twin of [[graft.streaming.HeavyHittersStream]] and the
+    * oracle-checkable bridge to it (CMS counters are pure sums, so the
+    * DuckDB mirror reproduces the estimates bit-for-bit; the estimate is
+    * the number the STREAMING view would serve for the same key, so
+    * `est_count - n_exact` is the measured sketch error at this
+    * geometry). */
+  def heavyHitters(events: DataFrame, keyCol: String, k: Int = 10,
+                   d: Int = 4, w: Int = 1024): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keys = events.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val sketch = keys
+      .select(expr(Hashing.hash64("key")).as("h1"),
+        expr(Hashing.hash64Hi("key")).as("h2"))
+      .as[(Long, Long)]
+      .select(new CmsAggregator(d, w).toColumn).head()
+    keys.groupBy(col("key")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key").asc).limit(k)
+      .collect()
+      .map { r =>
+        val (h1, h2) = fingerprints(r.getString(0))
+        val est = (0 until d)
+          .map(i => sketch(i * w + bucket(h1, h2, i, w))).min
+        (r.getString(0), r.getLong(1), est)
+      }.toSeq.toDF("key", "n_exact", "est_count")
+  }
+
   /** Sketch the corpus token stream once, then answer point queries for
     * `targets` from the 32 KB summary. Estimates are EXACT for any token
     * whose d counters suffer no collision, and never undercount. */

@@ -98,4 +98,24 @@ class SketchSpec extends GraftSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tinyEst === Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
   }
+
+  test("batch heavy hitters: exact top-k ranks, estimates never undercount") {
+    import graft.functions.CmsSketch
+    val events = graft.sources.Tables.events(spark, sf)
+    val got = CmsSketch.heavyHitters(events, "user_id", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 10)
+    // membership and counts equal the exact top-10 (ties → key asc)
+    val want = events.selectExpr("CAST(user_id AS STRING) AS key")
+      .where("key IS NOT NULL")
+      .groupBy("key").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("key").asc)
+      .limit(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(t => (t._1, t._2)).toSeq === want.toSeq)
+    // one-sided sketch guarantee
+    got.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"$k: est $est < exact $exact")
+    }
+  }
 }

@@ -817,6 +817,15 @@ class StreamingSpec extends GraftSuite {
       // exact at this cardinality: x=4, y=4 (ties → key asc), z=1
       assert(t1 === Seq((1, "x", 4L), (2, "y", 4L), (3, "z", 1L)),
         s"running top-3 must cover the whole prefix, got ${t1.toSeq}")
+      // batch twin parity: the same prefix through CmsSketch.heavyHitters
+      // serves the same keys and estimates
+      import spark.implicits._
+      val batchTwin = graft.functions.CmsSketch.heavyHitters(
+          Seq("x", "x", "x", "z", "y", "y", "y", "y", "x").toDF("key"),
+          "key", k = 3)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+      assert(batchTwin === t1.map(t => (t._2, t._3)).toSet,
+        s"stream view $t1 != batch twin $batchTwin")
     } finally q.stop()
   }
 
