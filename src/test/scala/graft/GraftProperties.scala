@@ -363,6 +363,20 @@ object GraftProperties extends Properties("graft") {
     } yield cs.mkString)
   } yield ws
 
+  property("heavy hitters: membership == naive top-k, estimates one-sided") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee", "f"))) {
+      keys =>
+        val s = spark; import s.implicits._
+        val k = 3
+        val got = graft.functions.CmsSketch
+          .heavyHitters(keys.toDF("key"), "key", k)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val naive = keys.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy { case (key, n) => (-n, key) }.take(k)
+        got.map(t => (t._1, t._2)).toSeq == naive &&
+          got.forall { case (_, exact, est) => est >= exact }
+    }
+
   property("BPE greedy encode == replaying merges in rank order; round-trips") =
     forAll(genBpeWords) { words =>
       import graft.operators.Bpe

@@ -151,6 +151,17 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("heavy-hitter top-k compiles to per-partition heaps, not a global sort") {
+    val plan = graft.sources.Tables.events(spark, sf)
+      .selectExpr("CAST(user_id AS STRING) AS key")
+      .groupBy("key").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc,
+        org.apache.spark.sql.functions.col("key").asc)
+      .limit(10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "exact top-k must be per-partition heaps + driver merge")
+  }
+
   test("BPE encode is a shuffle-free projection; training caps via top-k heaps") {
     // applying the learned vocab must stay a scan-side projection — the
     // rank table is a plan constant, so no join, no exchange, no UDF
