@@ -37,7 +37,16 @@ import graft.operators.Dedup
   * `retainBatches = 0` keeps ALL history. A batch retry after a sink
   * failure re-appends the same `__batch_id` rows; readers of `matchesDir`
   * dedupe on (doc_a, doc_b) — both halves of the standard
-  * idempotent-append contract. */
+  * idempotent-append contract (replay CORRECTNESS needs no batch-id guard
+  * here: the cross-batch join's `doc_id =!=` bound means a replayed
+  * batch's own store rows only produce duplicate PAIRS, which the
+  * reader's distinct absorbs — unlike the gram store, where
+  * [[SubstrDedupStream]] needs its lineage-scoped exclusion). Batch ids
+  * are checkpoint-scoped: adopting an existing store under a FRESH
+  * checkpoint keeps its matches and signatures, but a retention rewrite
+  * then compares adopted rows' old ids against the new lineage's — run
+  * adoption without retention, or accept that the first prune ages
+  * adopted rows by id. */
 object NearDupStream {
 
   /** Store-format tag: names the signature/band layout so a restart with a
