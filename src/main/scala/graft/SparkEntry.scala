@@ -536,6 +536,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 29 === 0))
     }),
+    // in-scan twin: same output, zero-shuffle codegen'd probe against the
+    // broadcast eval-hash array (the streaming-capable form)
+    "q_decontam_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateScan(docs, docs.filter(col("doc_id") % 29 === 0))
+    }),
 
     // --- training-data pipeline: multimodal binary columns -------------- //
     // (image/audio decode is REAL — in-JDK javax.imageio/javax.sound — for
@@ -2527,6 +2533,20 @@ object SparkEntry {
       """,
 
       "q_decontaminate" -> s"""
+        WITH t AS ($shingles),
+        e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
+              FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),
+        ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 29 = 0),
+        ov AS (SELECT e.doc_id, count(*) AS n_overlap
+               FROM e JOIN ev ON e.s = ev.s GROUP BY e.doc_id)
+        SELECT d.doc_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(ov.n_overlap, 0) > 0 AS INTEGER) AS contaminated
+        FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+      """,
+
+      // in-scan twin: same semantics, same oracle — the engine-side
+      // strategy differs (codegen'd probe vs semi-join), the answer must not
+      "q_decontam_scan" -> s"""
         WITH t AS ($shingles),
         e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
               FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),

@@ -27,6 +27,95 @@ object SketchExpressions {
   def bloomMightContain(h: Column, bloom: BloomFilter): Column =
     GraftColumnBridge.column(
       BloomMightContain(GraftColumnBridge.expression(h), bloom))
+
+  /** `shingle_overlap(text)` — the number of DISTINCT n-gram shingles of
+    * `text` whose 60-bit hash appears in `sortedHashes` (a sorted,
+    * deduplicated eval-set array shipped once per task as a plan
+    * constant). Exact membership — not a Bloom — because a false positive
+    * here would DROP a clean training document; binary search costs
+    * log₂|eval| per gram. Tokenization and hashing are bit-parity twins
+    * of [[graft.operators.Dedup.shingleRows]] (lowercase `\\s+` split,
+    * space-joined grams, md5 h1), so the result equals the batch
+    * semi-join's `n_overlap` exactly. */
+  def shingleOverlap(text: Column, sortedHashes: Array[Long],
+                     n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleOverlap(GraftColumnBridge.expression(text), sortedHashes, n))
+}
+
+/** The probe kernel, static so generated code calls it directly. */
+object ShingleProbe {
+
+  // MessageDigest.getInstance per call is a provider lookup — the original
+  // kernel spent more time there than hashing (measured 3× slower than the
+  // semi-join form); one digest per task thread, reset per gram.
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** 60-bit md5 h1 of the UTF-8 bytes — bit-parity with
+    * [[Hashing.hash64]]'s `substring(md5, 1, 15)`: the first 15 hex chars
+    * are the first 60 bits, i.e. the big-endian first 8 bytes shifted
+    * right 4 (unsigned). [[CmsSketch.fingerprints]] pins the equivalence
+    * in SketchSpec via the string route; this is the allocation-free one. */
+  private def h1(bytes: Array[Byte]): Long = {
+    val m = md.get(); m.reset()
+    val dg = m.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dg(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def overlap(text: org.apache.spark.unsafe.types.UTF8String,
+              sorted: Array[Long], n: Int): Long = {
+    val toks = text.toString.toLowerCase.split("\\s+")
+    if (toks.length < n) return 0L
+    var matched: java.util.HashSet[java.lang.Long] = null
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val h = h1(sb.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (java.util.Arrays.binarySearch(sorted, h) >= 0) {
+        if (matched == null) matched = new java.util.HashSet[java.lang.Long]()
+        matched.add(h)
+      }
+      i += 1
+    }
+    if (matched == null) 0L else matched.size.toLong
+  }
+}
+
+/** Distinct-shingle overlap of a text column against a sorted eval-hash
+  * array; the array is a plan constant probed in-loop inside whole-stage
+  * codegen — no join, no shuffle, no state, so the expression runs
+  * unchanged on a STREAMING DataFrame in append mode. */
+case class ShingleOverlap(child: Expression, sortedHashes: Array[Long],
+                          n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "shingle_overlap"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleProbe.overlap(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      sortedHashes, n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val arr = ctx.addReferenceObj("evalHashes", sortedHashes, "long[]")
+      s"${ev.value} = graft.functions.ShingleProbe.overlap($v, $arr, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** Membership probe of a LONG column against a driver-built Bloom filter.

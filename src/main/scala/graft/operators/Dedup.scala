@@ -687,6 +687,28 @@ object Dedup {
         (col("n_overlap") > maxOverlap).cast("int"))
   }
 
+  /** In-scan twin of [[decontaminate]]: identical output, different
+    * physical strategy — the eval set's distinct shingle hashes collect
+    * into ONE sorted array (bounded: eval benchmarks are small by
+    * construction; 1M shingles = 8 MB, well under broadcast scale) and
+    * every document is scored by the codegen'd
+    * [[graft.functions.SketchExpressions.shingleOverlap]] probe in the
+    * scan projection. No shuffle, no join, no per-doc distinct — and
+    * because the expression is STATELESS it runs unchanged on a streaming
+    * DataFrame in append mode: the ingest-time decontamination guard,
+    * with the batch semi-join form kept for eval sets too big to ship as
+    * a plan constant. */
+  def decontaminateScan(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                        maxOverlap: Long = 0L): DataFrame = {
+    val hashes = shingleRows(evalDocs, n).select(col("h1"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    docs.select(col("doc_id"),
+        SketchExpressions.shingleOverlap(col("text"), hashes, n)
+          .as("n_overlap"))
+      .withColumn("contaminated",
+        (col("n_overlap") > maxOverlap).cast("int"))
+  }
+
   /** Graded twin of [[decontaminate]]: instead of a boolean flag, the
     * FRACTION of each document's distinct n-gram shingles that appear in
     * the eval set — the number a decontamination policy actually

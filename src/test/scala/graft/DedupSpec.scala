@@ -346,6 +346,16 @@ class DedupSpec extends GraftSuite {
     assert(!got.exists(_._1 == 100L))
   }
 
+  test("in-scan decontamination equals the semi-join form row for row") {
+    val eval = docs.filter(col("doc_id") % 29 === 0)
+    val join = Dedup.decontaminate(docs, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val scan = Dedup.decontaminateScan(docs, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(scan === join, "physical strategy must not change the answer")
+    assert(scan.exists(_._3 == 1), "fixture eval split must contaminate")
+  }
+
   test("shard export writes one JSONL file per shard, membership == shardAssign") {
     import graft.operators.TextAnalysis
     val out = java.nio.file.Files

@@ -151,6 +151,16 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("in-scan decontamination is shuffle-free with the probe in the plan") {
+    val qe = SparkEntry.queries("q_decontam_scan")(spark, sf).queryExecution
+    val shuffles = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(shuffles.isEmpty,
+      s"the scan probe must not shuffle, found exchanges over $shuffles")
+    assert(qe.executedPlan.toString.contains("shingle_overlap"),
+      "the native shingle_overlap expression must appear in the plan")
+  }
+
   test("heavy-hitter top-k compiles to per-partition heaps, not a global sort") {
     val plan = graft.sources.Tables.events(spark, sf)
       .selectExpr("CAST(user_id AS STRING) AS key")

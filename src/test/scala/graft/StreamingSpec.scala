@@ -794,6 +794,34 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("in-scan decontamination runs STATELESS on a stream in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // eval set: one known 3-gram run
+    val eval = Seq((1000L, "alpha beta gamma")).toDF("doc_id", "text")
+    val hashes = graft.operators.Dedup.shingleRows(eval)
+      .select(col("h1")).distinct().collect().map(_.getLong(0)).sorted
+    val in = MemoryStream[(Long, String)]
+    val flagged = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions
+          .shingleOverlap(col("text"), hashes, 3).as("n_overlap"))
+    val q = flagged.writeStream.format("memory")
+      .queryName("decontam_stream_test")
+      .outputMode("append").start()
+    try {
+      in.addData(1L -> "alpha beta gamma delta", 2L -> "novel words only here")
+      q.processAllAvailable()
+      val got = spark.table("decontam_stream_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === Map(1L -> 1L, 2L -> 0L))
+      // the whole point: append mode, ZERO state operators
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the scan probe must not create streaming state")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact parity at low cardinality, slow burners rise") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
