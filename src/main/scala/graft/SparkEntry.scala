@@ -300,6 +300,13 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.contaminationFraction(docs, docs.filter(col("doc_id") % 29 === 0))
     }),
+    // graded in-scan twin: numerator + denominator from one codegen'd
+    // gram pass, zero shuffle
+    "q_contam_frac_scan" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFractionScan(docs,
+        docs.filter(col("doc_id") % 29 === 0))
+    }),
 
     // --- training-data pipeline: text analysis -------------------------- //
     "q_text_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
@@ -2617,6 +2624,25 @@ object SparkEntry {
       // graded decontamination: one LEFT join keeps every corpus shingle,
       // so the denominator and numerator come from the same rollup
       "q_contamination_frac" -> s"""
+        WITH t AS ($shingles),
+        e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
+              FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),
+        ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 29 = 0),
+        st AS (SELECT e.doc_id, count(*) AS n_shingles,
+                      count(ev.s) AS n_overlap
+               FROM e LEFT JOIN ev ON e.s = ev.s GROUP BY e.doc_id)
+        SELECT d.doc_id,
+               COALESCE(st.n_shingles, 0) AS n_shingles,
+               COALESCE(st.n_overlap, 0) AS n_overlap,
+               round(CAST(COALESCE(st.n_overlap, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(st.n_shingles, 0), 1), 6)
+                 AS overlap_frac
+        FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+      """,
+
+      // graded in-scan twin: same SQL — the strategy must not change the
+      // answer
+      "q_contam_frac_scan" -> s"""
         WITH t AS ($shingles),
         e AS (SELECT DISTINCT doc_id, ${h64("s_raw")} AS s
               FROM (SELECT doc_id, unnest(sh) AS s_raw FROM t)),

@@ -41,6 +41,14 @@ object SketchExpressions {
                      n: Int): Column =
     GraftColumnBridge.column(
       ShingleOverlap(GraftColumnBridge.expression(text), sortedHashes, n))
+
+  /** `shingle_stats(text)` — `[distinct shingles, distinct matched]` in
+    * one gram pass: numerator and denominator of the contamination
+    * fraction from the same probe loop as [[shingleOverlap]]. */
+  def shingleStats(text: Column, sortedHashes: Array[Long],
+                   n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleStats(GraftColumnBridge.expression(text), sortedHashes, n))
 }
 
 /** The probe kernel, static so generated code calls it directly. */
@@ -67,10 +75,17 @@ object ShingleProbe {
   }
 
   def overlap(text: org.apache.spark.unsafe.types.UTF8String,
-              sorted: Array[Long], n: Int): Long = {
+              sorted: Array[Long], n: Int): Long =
+    stats(text, sorted, n)(1)
+
+  /** One pass over the grams: `[distinct shingles, distinct matched]` —
+    * the numerator AND denominator of the contamination fraction. */
+  def stats(text: org.apache.spark.unsafe.types.UTF8String,
+            sorted: Array[Long], n: Int): Array[Long] = {
     val toks = text.toString.toLowerCase.split("\\s+")
-    if (toks.length < n) return 0L
-    var matched: java.util.HashSet[java.lang.Long] = null
+    if (toks.length < n) return Array(0L, 0L)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var matched = 0L
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
@@ -82,13 +97,11 @@ object ShingleProbe {
       }
       val h = h1(sb.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (java.util.Arrays.binarySearch(sorted, h) >= 0) {
-        if (matched == null) matched = new java.util.HashSet[java.lang.Long]()
-        matched.add(h)
-      }
+      if (seen.add(h) && java.util.Arrays.binarySearch(sorted, h) >= 0)
+        matched += 1L
       i += 1
     }
-    if (matched == null) 0L else matched.size.toLong
+    Array(seen.size.toLong, matched)
   }
 }
 
@@ -112,6 +125,33 @@ case class ShingleOverlap(child: Expression, sortedHashes: Array[Long],
     nullSafeCodeGen(ctx, ev, v => {
       val arr = ctx.addReferenceObj("evalHashes", sortedHashes, "long[]")
       s"${ev.value} = graft.functions.ShingleProbe.overlap($v, $arr, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `[n_shingles, n_overlap]` of a text column in one gram pass; same plan
+  * constant and codegen mechanics as [[ShingleOverlap]]. */
+case class ShingleStats(child: Expression, sortedHashes: Array[Long],
+                        n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "shingle_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleProbe.stats(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        sortedHashes, n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val arr = ctx.addReferenceObj("evalHashes", sortedHashes, "long[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleProbe.stats($v, $arr, $n));""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -709,6 +709,25 @@ object Dedup {
         (col("n_overlap") > maxOverlap).cast("int"))
   }
 
+  /** In-scan twin of [[contaminationFraction]]: numerator and denominator
+    * from ONE codegen'd gram pass
+    * ([[graft.functions.SketchExpressions.shingleStats]]) — no shuffle,
+    * no per-doc distinct exchange, streaming-capable like
+    * [[decontaminateScan]]. */
+  def contaminationFractionScan(docs: DataFrame, evalDocs: DataFrame,
+                                n: Int = 3): DataFrame = {
+    val hashes = shingleRows(evalDocs, n).select(col("h1"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    docs.select(col("doc_id"),
+        SketchExpressions.shingleStats(col("text"), hashes, n).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_shingles"),
+        col("st").getItem(1).as("n_overlap"),
+        round(col("st").getItem(1).cast("double") /
+          greatest(col("st").getItem(0), lit(1L)).cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
   /** Graded twin of [[decontaminate]]: instead of a boolean flag, the
     * FRACTION of each document's distinct n-gram shingles that appear in
     * the eval set — the number a decontamination policy actually

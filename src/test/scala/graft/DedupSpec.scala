@@ -354,6 +354,16 @@ class DedupSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(scan === join, "physical strategy must not change the answer")
     assert(scan.exists(_._3 == 1), "fixture eval split must contaminate")
+    // graded twin: one-pass numerator+denominator equals the join form
+    val gJoin = Dedup.contaminationFraction(docs, eval)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val gScan = Dedup.contaminationFractionScan(docs, eval)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(gScan === gJoin, "graded scan twin drifted from the join form")
   }
 
   test("shard export writes one JSONL file per shard, membership == shardAssign") {
