@@ -119,7 +119,7 @@ object TextAnalysis {
   /** All input columns + the quality signals — shared by [[qualityScore]]
     * and [[datasetCard]] so the rollup does not re-derive them through a
     * second scan and a join. */
-  private def withQualityCols(docs: DataFrame): DataFrame =
+  private[graft] def withQualityCols(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr(tokensExpr))
       .withColumn("n_tokens", size(col("toks")))

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.functions.{Hashing, SketchExpressions}
+import graft.operators.TextAnalysis
+
+/** The composed crawl-ingest guard: every arriving document passes, in
+  * order, (1) the quality gate, (2) eval-set decontamination, (3) exact
+  * dedup against everything ever ACCEPTED — and lands in exactly one of
+  * two ledgers: `acceptedDir` (original columns) or `rejectsDir`
+  * (`doc_id`, `reason`). The end-to-end "should this crawl page enter the
+  * training corpus?" decision, assembled from the engine's own parts:
+  *
+  *  - quality + decontamination are PROJECTIONS
+  *    ([[TextAnalysis.withQualityCols]]'s codegen'd signals; the
+  *    [[SketchExpressions.shingleOverlap]] probe against the eval-hash
+  *    plan constant) — no state, no shuffle, evaluated in the scan;
+  *  - exact dedup follows [[graft.operators.Dedup.exactDedup]]'s
+  *    normalized-text fingerprint: within a batch the lowest doc_id per
+  *    fingerprint wins (one window over the batch's fingerprints);
+  *    across batches the fingerprint store — distinct 60-bit hashes of
+  *    ACCEPTED docs only, `fp_part`-partitioned parquet — is probed with
+  *    a LEFT SEMI on one long. Rejected docs never enter the store: a
+  *    later duplicate of a rejected page is judged on its own merits,
+  *    because dedup is against the CORPUS, not the reject pile.
+  *
+  * Reject precedence is quality > contaminated > exact_dup — the cheapest
+  * test that condemns a doc names it, and downstream reject analytics see
+  * one reason per doc. Store discipline is the proven
+  * [[SubstrDedupStream]] contract: clustered after-lookup appends,
+  * (lineage, batch-id)-scoped replay guard via [[Streams.lineageId]]
+  * (null-safe — adopted stores keep their history), idempotent-append
+  * ledgers ([[accepted]]/[[rejects]] dedupe on replay re-emission). */
+object IngestGuard {
+
+  /** Start the guard. `evalHashes` is the eval set's sorted distinct
+    * shingle-hash array (build with
+    * `Dedup.shingleRows(evalDocs).select("h1").distinct()` — see
+    * [[graft.operators.Dedup.decontaminateScan]]); `docs` must be a
+    * streaming DataFrame with at least (doc_id: long, text: string). */
+  def start(docs: DataFrame, evalHashes: Array[Long], stateDir: String,
+            acceptedDir: String, rejectsDir: String, checkpoint: String,
+            minTokens: Int = 5, maxPunctRatio: Double = 0.2,
+            n: Int = 3): StreamingQuery = {
+    val lineage = Streams.lineageId(
+      docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
+    val inputCols = docs.columns.toIndexedSeq
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Streams.recoverCompaction(fs, stateDir)
+        // one scan projection computes every per-doc signal
+        val scored = TextAnalysis.withQualityCols(batch)
+          .withColumn("__overlap",
+            SketchExpressions.shingleOverlap(col("text"), evalHashes, n))
+          .withColumn("__fp", expr(Hashing.hash64(
+            "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")))
+          .localCheckpoint(false)
+        val quality = col("n_tokens") >= minTokens &&
+          col("punct_ratio") <= maxPunctRatio
+        // within-batch: lowest doc_id per fingerprint wins
+        val rn = row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id")))
+        // cross-batch: fingerprint already accepted in an earlier batch
+        // (replay guard: rows this (lineage, batch) wrote before a crash
+        // are not history)
+        val priorFps =
+          if (fs.exists(statePath))
+            spark.read.parquet(stateDir)
+              .filter(!(col("__lineage") <=> lit(lineage) &&
+                col("__batch_id") === lit(batchId)))
+              .select(col("__fp")).withColumn("__seen", lit(true))
+              .distinct()
+          else spark.emptyDataFrame
+            .withColumn("__fp", lit(0L)).withColumn("__seen", lit(true))
+            .limit(0)
+        val judged = scored
+          .withColumn("__rn", rn)
+          .join(priorFps, Seq("__fp"), "left")
+          .withColumn("reason",
+            when(!quality, "quality")
+              .when(col("__overlap") > 0, "contaminated")
+              .when(coalesce(col("__seen"), lit(false)) || col("__rn") > 1,
+                "exact_dup"))
+          .localCheckpoint(false)
+        judged.filter(col("reason").isNotNull)
+          .select(col("doc_id"), col("reason"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(rejectsDir)
+        val accepted = judged.filter(col("reason").isNull)
+        accepted
+          .select(inputCols.map(col): _*)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(acceptedDir)
+        // grow the store AFTER the lookup, accepted fingerprints only
+        accepted.select(col("__fp")).distinct()
+          .withColumn("fp_part", pmod(col("__fp"), lit(256)).cast("int"))
+          .withColumn("__batch_id", lit(batchId))
+          .withColumn("__lineage", lit(lineage))
+          .repartition(col("fp_part"))
+          .write.mode(SaveMode.Append).partitionBy("fp_part")
+          .parquet(stateDir)
+        Seq(scored, judged).foreach(df =>
+          org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+            .foreach(_.unpersist(false)))
+        ()
+      }
+      .start()
+  }
+
+  /** Accepted corpus so far (idempotent-append: replays re-emit rows). */
+  def accepted(spark: org.apache.spark.sql.SparkSession,
+               acceptedDir: String): DataFrame =
+    spark.read.parquet(acceptedDir).drop("__batch_id").distinct()
+
+  /** Reject ledger with one reason per doc. */
+  def rejects(spark: org.apache.spark.sql.SparkSession,
+              rejectsDir: String): DataFrame =
+    spark.read.parquet(rejectsDir).select("doc_id", "reason").distinct()
+}

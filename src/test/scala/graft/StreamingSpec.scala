@@ -822,6 +822,79 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ingest guard: one reason per doc, dedup is against the corpus only") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val eval = Seq((1000L, "alpha beta gamma")).toDF("doc_id", "text")
+    val evalHashes = graft.operators.Dedup.shingleRows(eval)
+      .select(col("h1")).distinct().collect().map(_.getLong(0)).sorted
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), evalHashes,
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3)
+    val good = "clean words about metric spaces and measure theory"
+    try {
+      in.addData(
+        1L -> good,                                     // accepted
+        2L -> "too short",                              // quality (2 tokens)
+        3L -> s"intro alpha beta gamma outro and more", // contaminated
+        4L -> good)                                     // within-batch dup of 1
+      q.processAllAvailable()
+      in.addData(
+        5L -> good,                                     // cross-batch dup of 1
+        6L -> "too short",  // dup of REJECTED 2 → judged on its own: quality
+        7L -> "a brand new clean document arrives here")// accepted
+      q.processAllAvailable()
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(acc === Set(1L, 7L), s"accepted: $acc")
+      assert(rej === Map(2L -> "quality", 3L -> "contaminated",
+        4L -> "exact_dup", 5L -> "exact_dup", 6L -> "quality"),
+        s"rejects: $rej")
+    } finally q.stop()
+  }
+
+  test("ingest guard replay: a crashed batch's own fingerprints are not dups") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest-replay").toString
+    val good = "clean words about metric spaces and measure theory"
+    // forge the failed attempt: the doc's own fingerprint already in the
+    // store under (this lineage, batch 0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lineage = graft.streaming.Streams.lineageId(conf, s"$base/checkpoint")
+    val fp = Seq(good).toDF("text")
+      .select(expr(graft.functions.Hashing.hash64(
+        "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")).as("fp"))
+      .head().getLong(0)
+    Seq((fp, (fp % 256).toInt, 0L, lineage))
+      .toDF("__fp", "fp_part", "__batch_id", "__lineage")
+      .write.partitionBy("fp_part").parquet(s"$base/state")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3)
+    try {
+      in.addData(1L -> good); q.processAllAvailable()
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(acc === Set(1L),
+        "replayed batch rejected its own half-persisted fingerprint")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: exact parity at low cardinality, slow burners rise") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
