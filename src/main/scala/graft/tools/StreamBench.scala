@@ -195,8 +195,46 @@ object StreamBench {
         s"$base/checkpoint", k = 10, slack = 4, retainEmits = 4)))
     }
 
+    // The composed ingest guard (round 8): a synthesized document stream
+    // with planted pathologies — ~6% quality failures (3-token docs),
+    // ~8% eval-contaminated, ~5% exact duplicates of a neighbor — through
+    // the FULL accept/reject decision including both ledger writes and
+    // the fingerprint-store append. Throughput = docs/s through the
+    // complete decision, not a noop sink.
+    val (igRows, igSec) = {
+      val words = Seq("metric", "space", "measure", "theory", "lecture",
+        "notes", "volume", "series", "chapter", "section")
+        .map(w => s"'$w'").mkString(", ")
+      val docs = events().select(
+        col("event_id").as("doc_id"),
+        expr(s"""concat(
+          array_join(transform(sequence(0, 39), i ->
+            elt(1 + pmod(hash((CASE WHEN event_id % 20 = 19
+                               THEN event_id - 1 ELSE event_id END) * 40 + i),
+                         10), $words)), ' '),
+          CASE WHEN event_id % 13 = 0 THEN ' alpha beta gamma' ELSE '' END)
+          """).as("text"))
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, lit("too short doc"))
+            .otherwise(col("text")))
+      val eval = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(1000L, "alpha beta gamma")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val evalHashes = graft.operators.Dedup.shingleRows(eval)
+        .select("h1").distinct().collect().map(_.getLong(0)).sorted
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sb-ingest").toString
+      ledger(drain(graft.streaming.IngestGuard.start(
+        docs, evalHashes, s"$base/state", s"$base/accepted",
+        s"$base/rejects", s"$base/checkpoint")))
+    }
+
     def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"heavy_hitters_events_per_sec":${rate(hhRows, hhSec)},"cpus":$cpus}""")
+    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"heavy_hitters_events_per_sec":${rate(hhRows, hhSec)},"ingest_guard_docs_per_sec":${rate(igRows, igSec)},"cpus":$cpus}""")
     spark.stop()
   }
 }
