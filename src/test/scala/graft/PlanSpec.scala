@@ -152,13 +152,16 @@ class PlanSpec extends GraftSuite {
   }
 
   test("in-scan decontamination is shuffle-free with the probe in the plan") {
-    val qe = SparkEntry.queries("q_decontam_scan")(spark, sf).queryExecution
-    val shuffles = org.apache.spark.sql.GraftColumnBridge
-      .collectShuffles(qe.executedPlan)
-    assert(shuffles.isEmpty,
-      s"the scan probe must not shuffle, found exchanges over $shuffles")
-    assert(qe.executedPlan.toString.contains("shingle_overlap"),
-      "the native shingle_overlap expression must appear in the plan")
+    for ((q, probe) <- Seq("q_decontam_scan" -> "shingle_overlap",
+        "q_contam_frac_scan" -> "shingle_stats")) {
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      val shuffles = org.apache.spark.sql.GraftColumnBridge
+        .collectShuffles(qe.executedPlan)
+      assert(shuffles.isEmpty,
+        s"$q: the scan probe must not shuffle, found exchanges over $shuffles")
+      assert(qe.executedPlan.toString.contains(probe),
+        s"$q: the native $probe expression must appear in the plan")
+    }
   }
 
   test("heavy-hitter top-k compiles to per-partition heaps, not a global sort") {

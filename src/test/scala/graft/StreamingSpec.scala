@@ -859,6 +859,9 @@ class StreamingSpec extends GraftSuite {
       assert(rej === Map(2L -> "quality", 3L -> "contaminated",
         4L -> "exact_dup", 5L -> "exact_dup", 6L -> "quality"),
         s"rejects: $rej")
+      // the two ledgers PARTITION the input: every doc in exactly one
+      assert(acc.intersect(rej.keySet).isEmpty, "doc in both ledgers")
+      assert(acc ++ rej.keySet === (1L to 7L).toSet, "doc lost by the guard")
     } finally q.stop()
   }
 
