@@ -765,6 +765,54 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("substring stream == chained batch twin over random multi-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // small vocab + fixed seed → organic duplicated runs across batches
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val pool = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    def doc(id: Long): (Long, String) = {
+      val fresh = Vector.fill(12)(s"u${id}_" + vocab(rnd.nextInt(vocab.size)))
+      // ~40% of docs splice a 9-token window copied from an earlier doc —
+      // the planted cross-doc duplication (9 tokens ⊃ two 8-grams)
+      val toks =
+        if (pool.nonEmpty && rnd.nextDouble() < 0.4) {
+          val src = pool(rnd.nextInt(pool.size))
+          val at = rnd.nextInt(src.size - 9 + 1)
+          fresh.take(2) ++ src.slice(at, at + 9) ++ fresh.drop(11)
+        } else fresh
+      pool += toks
+      (id, toks.mkString(" "))
+    }
+    val batches = Seq(
+      (0L until 6L).map(doc), (6L until 12L).map(doc), (12L until 18L).map(doc))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-substr-multi").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.SubstrDedupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/checkpoint")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = graft.streaming.SubstrDedupStream
+        .spans(spark, s"$base/spans").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      // batch twin, chained: batch k against the union of batches 0..k-1
+      val want = batches.indices.flatMap { k =>
+        val cur = batches(k).toDF("doc_id", "text")
+        val spans =
+          if (k == 0) graft.operators.Dedup.duplicateSpans(cur)
+          else graft.operators.Dedup.duplicateSpansAgainst(cur,
+            batches.take(k).flatten.toDF("doc_id", "text"))
+        spans.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      }.toSet
+      assert(got === want, s"stream $got != chained batch twin $want")
+      assert(want.nonEmpty, "fixture produced no duplicated spans — weak test")
+    } finally q.stop()
+  }
+
   test("substring stream survives a Bloom-sizing change across restarts") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
