@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.functions.{Hashing, VectorExpressions}
+
+/** STREAMING embedding near-duplicate detection — the third at-ingest
+  * dedup modality beside [[NearDupStream]] (SimHash text) and
+  * [[SubstrDedupStream]] (exact substrings): arriving vectors are
+  * LSH-bucketed with the SAME codegen'd sign-plane expression as the
+  * batch operator ([[graft.operators.Similarity.nearDupPairsLsh]]) and
+  * cosine-matched within the batch and against everything ingested so
+  * far — the SemDeDup-style semantic-duplicate guard run when an
+  * embedding lands, not in a nightly all-pairs batch.
+  *
+  * Shape per microbatch (foreachBatch, serialized):
+  *  1. one codegen'd bucket projection over the batch (checkpointed —
+  *     three consumers);
+  *  2. within-batch pairs from the bucket self-join (`vec_a < vec_b`),
+  *     exact cosine on candidates only;
+  *  3. cross-batch pairs against the accumulated store — `(vec_id,
+  *     embedding, bucket)` parquet, PARTITIONED by bucket (≤ 2^numPlanes
+  *     directories) and pruned to the batch's own distinct buckets (a
+  *     bounded ≤ 2^numPlanes collect) before the equi-join, so a batch
+  *     reads only the store slices its vectors can possibly match;
+  *  4. matches append with `__batch_id`; the batch's vectors append to
+  *     the store AFTER the lookup, clustered on the partition key.
+  *
+  * Replay safety needs NO lineage guard here — same argument as
+  * [[NearDupStream]], opposite of [[SubstrDedupStream]]: a batch that
+  * crashed after its store append replays against its own vectors, but
+  * the `vec_id` inequality bounds mean those can only re-produce pairs
+  * the intra-batch join already emits — duplicate ROWS, never wrong
+  * ones — and [[matches]]' distinct absorbs them.
+  *
+  * Retention (`retainBatches`) bounds the store to a sliding horizon via
+  * the crash-safe [[Streams.rewriteStore]] swap, with the same
+  * checkpoint-scoped batch-id caveat as the other stores. A format
+  * marker stamps the LSH geometry: buckets from different plane counts
+  * (or a different `dim`) share an integer keyspace but mean different
+  * things, so a mismatched restart fails fast. */
+object EmbedDupStream {
+
+  private def formatTag(numPlanes: Int, dim: Int): String =
+    s"lsh-signbucket/planes=$numPlanes/dim=$dim"
+
+  private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
+                               stateDir: String, numPlanes: Int,
+                               dim: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val expected = formatTag(numPlanes, dim)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val actual =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (actual != expected) throw new IllegalStateException(
+        s"EmbedDupStream store at $stateDir was written as '$actual' but " +
+          s"this query is configured for '$expected'. Bucket ids from " +
+          "different LSH geometries are incompatible; point the query at " +
+          "a fresh stateDir or restart with the store's geometry.")
+    } else if (fs.exists(live)) throw new IllegalStateException(
+      s"Directory $stateDir exists but carries no EmbedDupStream format " +
+        "marker — refusing to treat it as a vector store.")
+    else {
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Start the detector: emits `(vec_a, vec_b, score, __batch_id)` rows
+    * to `matchesDir` and maintains the bucketed vector store at
+    * `stateDir`. `vecs` must be a streaming DataFrame with
+    * (vec_id: long, embedding: array<float>). */
+  def start(vecs: DataFrame, stateDir: String, matchesDir: String,
+            checkpoint: String, threshold: Double = 0.4,
+            numPlanes: Int = 8, dim: Int = 64,
+            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+    require(retainBatches >= 0 && pruneEvery >= 0,
+      "retainBatches/pruneEvery must be >= 0")
+    val pruneInterval =
+      if (retainBatches == 0) 0
+      else if (pruneEvery > 0) pruneEvery else retainBatches
+    val planes = Hashing.hyperplanes(numPlanes, dim)
+    var formatChecked = false
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bucketed = batch
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("bucket",
+            VectorExpressions.lshBucket(col("embedding"), planes))
+          .localCheckpoint(false)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Streams.recoverCompaction(fs, stateDir)
+        if (!formatChecked) {
+          checkStoreFormat(fs, stateDir, numPlanes, dim)
+          formatChecked = true
+        }
+        val a = bucketed.alias("a")
+        val b = bucketed.hint("shuffle_hash").alias("b")
+        val intra = a.join(b,
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            VectorExpressions.cosineSim(col("a.embedding"),
+              col("b.embedding")).as("score"))
+        val cross = (if (fs.exists(statePath))
+          Some(spark.read.parquet(stateDir)) else None)
+          .map { prior =>
+            val buckets = bucketed.select("bucket").distinct()
+              .collect().map(_.getInt(0))
+            bucketed.alias("n").join(
+                prior.filter(col("bucket").isin(buckets.toIndexedSeq: _*))
+                  .alias("p"),
+                col("n.bucket") === col("p.bucket") &&
+                  col("n.vec_id") =!= col("p.vec_id"))
+              .select(
+                least(col("n.vec_id"), col("p.vec_id")).as("vec_a"),
+                greatest(col("n.vec_id"), col("p.vec_id")).as("vec_b"),
+                VectorExpressions.cosineSim(col("n.embedding"),
+                  col("p.embedding")).as("score"))
+          }
+        cross.fold(intra)(intra.unionByName(_))
+          .filter(col("score") > threshold)
+          .select(col("vec_a"), col("vec_b"),
+            round(col("score"), 6).as("score"))
+          .distinct()
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(matchesDir)
+        bucketed.withColumn("__batch_id", lit(batchId))
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket")
+          .parquet(stateDir)
+        if (pruneInterval > 0 &&
+            batchId % pruneInterval == (pruneInterval - 1))
+          Streams.rewriteStore(spark, stateDir, Seq("bucket"))(
+            _.filter(col("__batch_id") > batchId - retainBatches))
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(bucketed)
+          .foreach(_.unpersist(false))
+        ()
+      }
+      .start()
+  }
+
+  /** All matches emitted so far, deduplicated (idempotent-append
+    * contract). */
+  def matches(spark: org.apache.spark.sql.SparkSession,
+              matchesDir: String): DataFrame =
+    spark.read.parquet(matchesDir)
+      .select("vec_a", "vec_b", "score").distinct()
+}

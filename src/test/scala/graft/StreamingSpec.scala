@@ -666,6 +666,53 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup == batch LSH operator over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // real fixture vectors split across two microbatches: any same-bucket
+    // pair is either within one batch (intra join) or across (store join),
+    // so the stream's accumulated matches must equal the batch operator
+    // on the union — exactly
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b1, b2) = emb.partition(_._1 % 2 == 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-embdup").toString
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EmbedDupStream.start(
+      in.toDF().toDF("vec_id", "embedding"),
+      s"$base/state", s"$base/matches", s"$base/checkpoint")
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = graft.streaming.EmbedDupStream
+        .matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val want = graft.operators.Similarity
+        .nearDupPairsLsh(graft.sources.Tables.embeddings(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === want, s"stream matches != batch operator: " +
+        s"missing ${want -- got}, extra ${got -- want}")
+      assert(want.nonEmpty, "fixture produced no near-dups — weak test")
+    } finally q.stop()
+    // geometry marker: restarting the store with different planes fails fast
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.EmbedDupStream.start(
+      in2.toDF().toDF("vec_id", "embedding"),
+      s"$base/state", s"$base/matches", s"$base/cp2", numPlanes = 6)
+    try {
+      in2.addData(b1.head)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("lsh-signbucket") ||
+        Option(e.getCause).exists(_.getMessage.contains("lsh-signbucket")))
+    } finally q2.stop()
+  }
+
   test("streaming substring dedup: spans within and across batches, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
