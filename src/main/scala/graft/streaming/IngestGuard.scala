@@ -45,7 +45,8 @@ object IngestGuard {
   def start(docs: DataFrame, evalHashes: Array[Long], stateDir: String,
             acceptedDir: String, rejectsDir: String, checkpoint: String,
             minTokens: Int = 5, maxPunctRatio: Double = 0.2,
-            n: Int = 3): StreamingQuery = {
+            n: Int = 3, expectedDocs: Long = 1L << 22,
+            fpp: Double = 0.01): StreamingQuery = {
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     val inputCols = docs.columns.toIndexedSeq
@@ -70,9 +71,16 @@ object IngestGuard {
         // within-batch: lowest doc_id per fingerprint wins
         val rn = row_number().over(
           Window.partitionBy(col("__fp")).orderBy(col("doc_id")))
-        // cross-batch: fingerprint already accepted in an earlier batch
-        // (replay guard: rows this (lineage, batch) wrote before a crash
-        // are not history)
+        // cross-batch: fingerprint already accepted in an earlier batch.
+        // Bloom sidecar prefilter (shared [[Streams]] sidecar, like the
+        // gram store): bloom-NEGATIVE fingerprints are definitively new —
+        // no false negatives — so for mostly-unique content the store
+        // join's probe side shrinks to the few bloom-positive docs, and
+        // the exact join only CONFIRMS (a Bloom false positive costs a
+        // confirm read, never a wrongly-rejected doc). Replay guard: rows
+        // this (lineage, batch) wrote before a crash are not history.
+        val bloom = Streams.readOrRebuildBloomSidecar(
+          spark, fs, stateDir, "__fp", expectedDocs, fpp)
         val priorFps =
           if (fs.exists(statePath))
             spark.read.parquet(stateDir)
@@ -83,9 +91,17 @@ object IngestGuard {
           else spark.emptyDataFrame
             .withColumn("__fp", lit(0L)).withColumn("__seen", lit(true))
             .limit(0)
+        val probeGate = bloom match {
+          case Some(b) =>
+            SketchExpressions.bloomMightContain(col("__fp"), b)
+          case None => lit(true)
+        }
         val judged = scored
           .withColumn("__rn", rn)
-          .join(priorFps, Seq("__fp"), "left")
+          .withColumn("__probe", probeGate)
+          .join(priorFps.withColumnRenamed("__fp", "__pfp"),
+            col("__probe") && col("__fp") === col("__pfp"), "left")
+          .drop("__pfp")
           .withColumn("reason",
             when(!quality, "quality")
               .when(col("__overlap") > 0, "contaminated")
@@ -109,6 +125,18 @@ object IngestGuard {
           .repartition(col("fp_part"))
           .write.mode(SaveMode.Append).partitionBy("fp_part")
           .parquet(stateDir)
+        val batchBloom = accepted.select(col("__fp"))
+          .stat.bloomFilter("__fp", expectedDocs, fpp)
+        Streams.writeBloomSidecar(fs, stateDir, bloom match {
+          case Some(prev) =>
+            try prev.mergeInPlace(batchBloom)
+            catch {
+              case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+                spark.read.parquet(stateDir)
+                  .stat.bloomFilter("__fp", expectedDocs, fpp)
+            }
+          case None => batchBloom
+        })
         Seq(scored, judged).foreach(df =>
           org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
             .foreach(_.unpersist(false)))

@@ -372,6 +372,44 @@ object Streams {
     }
   }
 
+  /** Crash-safe Bloom sidecar swap for foreachBatch side stores
+    * ([[SubstrDedupStream]], [[IngestGuard]]): write tmp, drop target,
+    * rename. A crash between drop and rename leaves no sidecar —
+    * [[readOrRebuildBloomSidecar]] then rebuilds from the store, so the
+    * window costs one scan, never missed members. */
+  def writeBloomSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                        stateDir: String,
+                        bloom: org.apache.spark.util.sketch.BloomFilter)
+      : Unit = {
+    val target = new org.apache.hadoop.fs.Path(stateDir + ".__bloom")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__bloom.tmp")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(
+      s"could not swap bloom sidecar at $target")
+  }
+
+  /** Read the sidecar, or rebuild it from the store's `hashCol` when the
+    * sidecar is missing but the store exists (self-heal), or None on a
+    * fresh store. Bloom false positives only cost confirm reads — never
+    * correctness — and there are no false negatives. */
+  def readOrRebuildBloomSidecar(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                stateDir: String, hashCol: String,
+                                expectedItems: Long, fpp: Double)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir + ".__bloom")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+      Some(spark.read.parquet(stateDir)
+        .stat.bloomFilter(hashCol, expectedItems, fpp))
+    else None
+  }
+
   def rewriteStore(spark: SparkSession, path: String,
                    partitionCols: Seq[String] = Nil)
                   (rewrite: DataFrame => DataFrame): Unit = {

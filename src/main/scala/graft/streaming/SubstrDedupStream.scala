@@ -85,37 +85,18 @@ object SubstrDedupStream {
     }
   }
 
-  private def bloomPath(stateDir: String) =
-    new org.apache.hadoop.fs.Path(stateDir + ".__bloom")
-
-  /** Crash-safe sidecar swap: write tmp, drop target, rename. A crash
-    * between drop and rename leaves no sidecar — [[readOrRebuildBloom]]
-    * then rebuilds from the store, so the window costs one scan, never
-    * missed duplicates. */
+  // sidecar IO shared with IngestGuard: [[Streams.writeBloomSidecar]] /
+  // [[Streams.readOrRebuildBloomSidecar]]
   private def writeBloom(fs: org.apache.hadoop.fs.FileSystem,
-                         stateDir: String, bloom: BloomFilter): Unit = {
-    val target = bloomPath(stateDir)
-    val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__bloom.tmp")
-    val out = fs.create(tmp, true)
-    try bloom.writeTo(out) finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) throw new java.io.IOException(
-      s"could not swap bloom sidecar at $target")
-  }
+                         stateDir: String, bloom: BloomFilter): Unit =
+    Streams.writeBloomSidecar(fs, stateDir, bloom)
 
   private def readOrRebuildBloom(spark: SparkSession,
                                  fs: org.apache.hadoop.fs.FileSystem,
                                  stateDir: String, expectedGrams: Long,
-                                 fpp: Double): Option[BloomFilter] = {
-    val p = bloomPath(stateDir)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try Some(BloomFilter.readFrom(in)) finally in.close()
-    } else if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
-      Some(spark.read.parquet(stateDir)
-        .stat.bloomFilter("h1", expectedGrams, fpp))
-    else None
-  }
+                                 fpp: Double): Option[BloomFilter] =
+    Streams.readOrRebuildBloomSidecar(spark, fs, stateDir, "h1",
+      expectedGrams, fpp)
 
   /** Start the detector: emits `(doc_id, span_start, span_tokens, n_grams,
     * __batch_id)` rows to `spansDir` (parquet, append) and maintains the
