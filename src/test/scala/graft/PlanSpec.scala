@@ -164,6 +164,23 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("ingest guard's bloom-gated confirm join stays hash-based, never a loop") {
+    // mirror of IngestGuard's judged-join shape: a left-side probe gate
+    // AND an equi key. Catalyst must extract the equi key (hash join) —
+    // a nested-loop fallback would scan the whole fingerprint store per
+    // batch row at scale.
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, i % 3 == 0)).toDF("__fp", "__probe")
+    val right = (1L to 50L).map(i => (i, true)).toDF("__pfp", "__seen")
+    import org.apache.spark.sql.functions.col
+    val plan = left.join(right,
+        col("__probe") && col("__fp") === col("__pfp"), "left")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash-based join, got:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested loop join planned:\n$plan")
+  }
+
   test("heavy-hitter top-k compiles to per-partition heaps, not a global sort") {
     val plan = graft.sources.Tables.events(spark, sf)
       .selectExpr("CAST(user_id AS STRING) AS key")
