@@ -60,6 +60,14 @@ object ShingleProbe {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  // Tokenizer bit-parity with the batch twin `split(lower(text), '\s+')`:
+  // lowercase via UTF8String.toLowerCase (Spark's own locale-independent
+  // lower(); default-locale String.toLowerCase diverges on tr/az JVMs),
+  // and split with limit -1 (Spark keeps trailing empty tokens; Java's
+  // one-arg String.split drops them, so trailing whitespace would shift
+  // the final gram's text and hash).
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
   /** 60-bit md5 h1 of the UTF-8 bytes — bit-parity with
     * [[Hashing.hash64]]'s `substring(md5, 1, 15)`: the first 15 hex chars
     * are the first 60 bits, i.e. the big-endian first 8 bytes shifted
@@ -82,7 +90,7 @@ object ShingleProbe {
     * the numerator AND denominator of the contamination fraction. */
   def stats(text: org.apache.spark.unsafe.types.UTF8String,
             sorted: Array[Long], n: Int): Array[Long] = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = ws.split(text.toLowerCase.toString, -1)
     if (toks.length < n) return Array(0L, 0L)
     val seen = new java.util.HashSet[java.lang.Long]()
     var matched = 0L

@@ -136,10 +136,9 @@ object EmbedDupStream {
           .distinct()
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(matchesDir)
-        bucketed.withColumn("__batch_id", lit(batchId))
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Append).partitionBy("bucket")
-          .parquet(stateDir)
+        Streams.appendPartitioned(
+          bucketed.withColumn("__batch_id", lit(batchId)),
+          stateDir, "bucket")
         if (pruneInterval > 0 &&
             batchId % pruneInterval == (pruneInterval - 1))
           Streams.rewriteStore(spark, stateDir, Seq("bucket"))(

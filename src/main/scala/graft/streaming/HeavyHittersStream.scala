@@ -83,9 +83,15 @@ object HeavyHittersStream {
       out.writeInt(s.candidates.length)
       s.candidates.foreach(out.writeUTF)
     } finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) throw new java.io.IOException(
-      s"could not swap heavy-hitter state at $target")
+    // Overwriting rename, NOT delete-then-rename: a crash between those
+    // two steps would leave no state file at all and the next batch would
+    // silently reset the sketch and candidate set. FileContext.rename with
+    // Options.Rename.OVERWRITE swaps in one metadata operation, so the
+    // target always holds either the old state or the new one.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def estimate(sk: Array[Long], d: Int, w: Int, key: String): Long = {

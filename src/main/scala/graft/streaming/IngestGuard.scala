@@ -68,9 +68,18 @@ object IngestGuard {
           .localCheckpoint(false)
         val quality = col("n_tokens") >= minTokens &&
           col("punct_ratio") <= maxPunctRatio
-        // within-batch: lowest doc_id per fingerprint wins
+        // within-batch: lowest doc_id per fingerprint wins — ranked only
+        // over rows that pass the quality and contamination gates, because
+        // dedup is against the CORPUS, not the reject pile: if a doc's
+        // lower-doc_id same-fingerprint twin was itself rejected, no doc
+        // with that fingerprint entered the corpus and this one must not
+        // be charged as exact_dup. Adding the gate to the partition key
+        // keeps the exchange on __fp unchanged; gate-failing rows rank
+        // within their own partition but never reach the exact_dup branch
+        // (their reason is already quality/contaminated).
+        val gate = quality && col("__overlap") === 0
         val rn = row_number().over(
-          Window.partitionBy(col("__fp")).orderBy(col("doc_id")))
+          Window.partitionBy(col("__fp"), gate).orderBy(col("doc_id")))
         // cross-batch: fingerprint already accepted in an earlier batch.
         // Bloom sidecar prefilter (shared [[Streams]] sidecar, like the
         // gram store): bloom-NEGATIVE fingerprints are definitively new —
@@ -118,25 +127,27 @@ object IngestGuard {
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(acceptedDir)
         // grow the store AFTER the lookup, accepted fingerprints only
-        accepted.select(col("__fp")).distinct()
-          .withColumn("fp_part", pmod(col("__fp"), lit(256)).cast("int"))
-          .withColumn("__batch_id", lit(batchId))
-          .withColumn("__lineage", lit(lineage))
-          .repartition(col("fp_part"))
-          .write.mode(SaveMode.Append).partitionBy("fp_part")
-          .parquet(stateDir)
-        val batchBloom = accepted.select(col("__fp"))
-          .stat.bloomFilter("__fp", expectedDocs, fpp)
-        Streams.writeBloomSidecar(fs, stateDir, bloom match {
-          case Some(prev) =>
-            try prev.mergeInPlace(batchBloom)
-            catch {
-              case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-                spark.read.parquet(stateDir)
-                  .stat.bloomFilter("__fp", expectedDocs, fpp)
-            }
-          case None => batchBloom
-        })
+        Streams.appendPartitioned(
+          accepted.select(col("__fp")).distinct()
+            .withColumn("fp_part", pmod(col("__fp"), lit(256)).cast("int"))
+            .withColumn("__batch_id", lit(batchId))
+            .withColumn("__lineage", lit(lineage)),
+          stateDir, "fp_part")
+        // a batch can accept NOTHING (every doc rejected) — then there is
+        // nothing to add and the existing sidecar stays as-is
+        Streams.bloomOfNonEmpty(accepted.select(col("__fp")), "__fp",
+          expectedDocs, fpp).foreach { batchBloom =>
+          Streams.writeBloomSidecar(fs, stateDir, bloom match {
+            case Some(prev) =>
+              try prev.mergeInPlace(batchBloom)
+              catch {
+                case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+                  spark.read.parquet(stateDir)
+                    .stat.bloomFilter("__fp", expectedDocs, fpp)
+              }
+            case None => batchBloom
+          })
+        }
         Seq(scored, judged).foreach(df =>
           org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
             .foreach(_.unpersist(false)))

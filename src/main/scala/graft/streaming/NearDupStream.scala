@@ -215,10 +215,9 @@ object NearDupStream {
         // at 500k docs, with per-batch latency growing 2× over 20
         // batches mostly on listing/footer costs). One extra shuffle of
         // 8-byte hash rows buys ≤1 file per touched dir per batch.
-        bands.withColumn("__batch_id", lit(batchId))
-          .repartition(col("band_part"))
-          .write.mode(SaveMode.Append).partitionBy("band_part")
-          .parquet(stateDir)
+        Streams.appendPartitioned(
+          bands.withColumn("__batch_id", lit(batchId)),
+          stateDir, "band_part")
         // retention: periodically drop band rows older than the horizon.
         // Runs AFTER this batch's append, inside the same foreachBatch —
         // single-writer, and the swap is crash-safe (rewriteStore).

@@ -373,10 +373,11 @@ object Streams {
   }
 
   /** Crash-safe Bloom sidecar swap for foreachBatch side stores
-    * ([[SubstrDedupStream]], [[IngestGuard]]): write tmp, drop target,
-    * rename. A crash between drop and rename leaves no sidecar —
-    * [[readOrRebuildBloomSidecar]] then rebuilds from the store, so the
-    * window costs one scan, never missed members. */
+    * ([[SubstrDedupStream]], [[IngestGuard]]): write tmp, then an
+    * OVERWRITING FileContext rename — one metadata operation, so the
+    * sidecar always holds either the old filter or the new one (and even
+    * if a crash lands before the rename, [[readOrRebuildBloomSidecar]]
+    * rebuilds from the store: one scan, never missed members). */
   def writeBloomSidecar(fs: org.apache.hadoop.fs.FileSystem,
                         stateDir: String,
                         bloom: org.apache.spark.util.sketch.BloomFilter)
@@ -385,10 +386,36 @@ object Streams {
     val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__bloom.tmp")
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) throw new java.io.IOException(
-      s"could not swap bloom sidecar at $target")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  /** `stat.bloomFilter` that tolerates an EMPTY input: Spark 4's builder
+    * aggregate only allocates its bit buffer on the first update row, so
+    * zero rows yield a null buffer and the deserializer NPEs. A microbatch
+    * can legitimately contribute nothing (every doc rejected, no doc long
+    * enough to gram) — that is None, "nothing to add", not a crash. */
+  def bloomOfNonEmpty(df: DataFrame, hashCol: String, expectedItems: Long,
+                      fpp: Double)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    if (df.isEmpty) None
+    else Some(df.stat.bloomFilter(hashCol, expectedItems, fpp))
+
+  /** Clustered append to a partitioned side store that SKIPS empty
+    * frames: a partitioned append of zero rows writes a directory with no
+    * data files at all (no schema footer anywhere), and every later read
+    * of the store dies with UNABLE_TO_INFER_SCHEMA. An all-rejected or
+    * all-too-short microbatch is a legitimate no-op, not a poisoned
+    * store. The repartition on the partition column keeps the append at
+    * ≤1 file per touched partition dir per batch (the small-files
+    * discipline every store here follows). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Unit =
+    if (!df.isEmpty)
+      df.repartition(col(partCol))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy(partCol).parquet(dir)
 
   /** Read the sidecar, or rebuild it from the store's `hashCol` when the
     * sidecar is missing but the store exists (self-heal), or None on a
@@ -405,8 +432,10 @@ object Streams {
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
     } else if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
-      Some(spark.read.parquet(stateDir)
-        .stat.bloomFilter(hashCol, expectedItems, fpp))
+      // the store may exist but hold zero rows (e.g. a retention rewrite
+      // that pruned everything) — no sidecar then, probes stay open
+      bloomOfNonEmpty(spark.read.parquet(stateDir), hashCol,
+        expectedItems, fpp)
     else None
   }
 
@@ -420,6 +449,11 @@ object Streams {
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     val rewritten = rewrite(spark.read.parquet(path))
+    // a rewrite that keeps NOTHING (e.g. a retention horizon past the
+    // whole store) must not write a zero-row partitioned dir — that dir
+    // has no schema footer and poisons every later read. Absent store =
+    // fresh store to every consumer here, so just drop it.
+    if (rewritten.isEmpty) { fs.delete(live, true); return }
     // cluster on the partition key so each partition dir gets ONE file
     // from one task, not one from every task — a partitioned rewrite
     // without it multiplies file count by the task count, and readers of

@@ -187,35 +187,42 @@ object SubstrDedupStream {
           .write.mode(SaveMode.Append).parquet(spansDir)
         // grow the store AFTER the lookup so a gram never matches itself;
         // distinct hashes only — positions never persist
-        grams.select(col("h1"), col("h2")).distinct()
-          .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
-          .withColumn("__batch_id", lit(batchId))
-          .withColumn("__lineage", lit(lineage))
-          .repartition(col("gram_part"))
-          .write.mode(SaveMode.Append).partitionBy("gram_part")
-          .parquet(stateDir)
-        val batchBloom = grams.stat.bloomFilter("h1", expectedGrams, fpp)
-        writeBloom(fs, stateDir, bloom match {
-          case Some(prev) =>
-            // a restart with a different expectedGrams/fpp leaves a
-            // sidecar whose bit array no longer matches the batch builds;
-            // rebuild from the store (append already ran, so the rebuild
-            // covers this batch) instead of failing the stream
-            try prev.mergeInPlace(batchBloom)
-            catch {
-              case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-                spark.read.parquet(stateDir)
-                  .stat.bloomFilter("h1", expectedGrams, fpp)
-            }
-          case None => batchBloom
-        })
+        Streams.appendPartitioned(
+          grams.select(col("h1"), col("h2")).distinct()
+            .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
+            .withColumn("__batch_id", lit(batchId))
+            .withColumn("__lineage", lit(lineage)),
+          stateDir, "gram_part")
+        // a batch can gram NOTHING (no doc reaches k tokens) — nothing to
+        // add, the existing sidecar stays as-is
+        Streams.bloomOfNonEmpty(grams, "h1", expectedGrams, fpp)
+          .foreach { batchBloom =>
+            writeBloom(fs, stateDir, bloom match {
+              case Some(prev) =>
+                // a restart with a different expectedGrams/fpp leaves a
+                // sidecar whose bit array no longer matches the batch
+                // builds; rebuild from the store (append already ran, so
+                // the rebuild covers this batch) instead of failing the
+                // stream
+                try prev.mergeInPlace(batchBloom)
+                catch {
+                  case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
+                    spark.read.parquet(stateDir)
+                      .stat.bloomFilter("h1", expectedGrams, fpp)
+                }
+              case None => batchBloom
+            })
+          }
         if (pruneInterval > 0 &&
             batchId % pruneInterval == (pruneInterval - 1)) {
           Streams.rewriteStore(spark, stateDir, Seq("gram_part"))(
             _.filter(col("__batch_id") > batchId - retainBatches))
-          // a Bloom cannot forget: rebuild from the pruned store
-          writeBloom(fs, stateDir, spark.read.parquet(stateDir)
-            .stat.bloomFilter("h1", expectedGrams, fpp))
+          // a Bloom cannot forget: rebuild from the pruned store (which
+          // may now be EMPTY — then the stale sidecar only costs confirm
+          // reads against an empty store, never correctness)
+          Streams.bloomOfNonEmpty(spark.read.parquet(stateDir), "h1",
+              expectedGrams, fpp)
+            .foreach(writeBloom(fs, stateDir, _))
         }
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(grams)
           .foreach(_.unpersist(false))

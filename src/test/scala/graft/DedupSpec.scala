@@ -366,6 +366,38 @@ class DedupSpec extends GraftSuite {
     assert(gScan === gJoin, "graded scan twin drifted from the join form")
   }
 
+  test("scan probe tokenize parity: leading/trailing whitespace") {
+    import spark.implicits._
+    // Spark's split(lower(text), '\s+') keeps trailing empty tokens
+    // (limit -1) and a leading empty token before leading whitespace; the
+    // JVM probe kernel must shingle the exact same token sequence or the
+    // in-scan result drifts from the semi-join form on ragged text. The
+    // trailing-space doc gains the extra gram "beta gamma <empty>", the
+    // leading-space doc the gram "<empty> alpha beta".
+    val ragged = Seq(
+      (1L, "alpha beta gamma "),   // trailing whitespace
+      (2L, " alpha beta gamma"),   // leading whitespace
+      (3L, "alpha beta gamma"),    // clean twin
+      (4L, "  padded   interior  words  here  ")).toDF("doc_id", "text")
+    val eval = Seq((100L, "x alpha beta gamma y")).toDF("doc_id", "text")
+    val join = Dedup.contaminationFraction(ragged, eval)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val scan = Dedup.contaminationFractionScan(ragged, eval)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(scan === join,
+      "probe kernel tokenizes differently from split(lower(text)) on " +
+        s"leading/trailing whitespace: $scan vs $join")
+    // the ragged docs really do carry MORE shingles than the clean twin,
+    // so this fixture exercises the empty-token grams, not a vacuous match
+    val byDoc = join.map(t => t._1 -> t._2).toMap
+    assert(byDoc(1L) === byDoc(3L) + 1 && byDoc(2L) === byDoc(3L) + 1,
+      s"fixture lost its empty-token grams: $byDoc")
+  }
+
   test("shard export writes one JSONL file per shard, membership == shardAssign") {
     import graft.operators.TextAnalysis
     val out = java.nio.file.Files

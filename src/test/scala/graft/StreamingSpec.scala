@@ -713,6 +713,33 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("streaming substring dedup survives a batch that contributes no grams") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-substr-empty").toString
+    val q = graft.streaming.SubstrDedupStream.start(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/state", s"$base/spans", s"$base/checkpoint")
+    val run = (0 until 10).map(i => s"s$i").mkString(" ")
+    try {
+      // every doc below the k=8 gram width: the batch yields ZERO grams —
+      // Spark 4's bloom builder returns a null buffer for zero rows, so an
+      // unguarded sidecar merge kills the stream right here
+      in.addData(1L -> "too short", 2L -> "also short")
+      q.processAllAvailable()
+      // the stream is still alive and later batches still dedup
+      in.addData(3L -> s"a1 $run a2"); q.processAllAvailable()
+      in.addData(4L -> s"b1 $run b2"); q.processAllAvailable()
+      val got = graft.streaming.SubstrDedupStream
+        .spans(spark, s"$base/spans").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === Set((4L, 1, 10)), s"spans after empty batch: $got")
+    } finally q.stop()
+  }
+
   test("streaming substring dedup: spans within and across batches, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -991,6 +1018,71 @@ class StreamingSpec extends GraftSuite {
       assert(acc === Set(1L),
         "replayed batch rejected its own half-persisted fingerprint")
     } finally q.stop()
+  }
+
+  test("ingest guard: a REJECTED lower-id twin does not make its double an exact_dup") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest-gate").toString
+    // Same normalized fingerprint (whitespace-only difference), different
+    // quality verdicts: the compact form's punct_ratio 3/20 = 0.15 fails
+    // the 0.10 gate, the padded form's 3/32 ≈ 0.094 passes. Dedup is
+    // against the CORPUS: since the rejected doc never entered it, the
+    // padded doc must be accepted — not charged exact_dup for ranking
+    // second behind a reject-pile twin.
+    val compact = "!!! alpha beta gamma"
+    val padded = "!!!     alpha     beta     gamma"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3, maxPunctRatio = 0.10)
+    try {
+      in.addData(1L -> compact, 2L -> padded)
+      q.processAllAvailable()
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(1L -> "quality"), s"rejects: $rej")
+      assert(acc === Set(2L),
+        s"padded twin of a quality-reject must enter the corpus: $acc")
+      // and the fingerprint DID enter the corpus store, so a later true
+      // duplicate is still caught cross-batch
+      in.addData(3L -> padded)
+      q.processAllAvailable()
+      val rej2 = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej2(3L) === "exact_dup", s"rejects after batch 2: $rej2")
+    } finally q.stop()
+  }
+
+  test("heavy-hitter state swap is an overwriting rename, never delete-then-rename") {
+    import graft.streaming.HeavyHittersStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hh-swap").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val s1 = HeavyHittersStream.State("lin", 0L, 2, 8,
+      Array.fill(16)(1L), Array("a", "b"))
+    val s2 = HeavyHittersStream.State("lin", 1L, 2, 8,
+      Array.fill(16)(2L), Array("c"))
+    HeavyHittersStream.writeState(fs, dir, s1)
+    // second write swaps OVER the live file — the regression this guards:
+    // a delete-then-rename pair crashed between the two steps leaves no
+    // state file and the next batch silently resets the whole sketch
+    HeavyHittersStream.writeState(fs, dir, s2)
+    val back = HeavyHittersStream.readState(fs, dir).get
+    assert(back.appliedBatch === 1L && back.candidates.toSeq === Seq("c"))
+    assert(back.sketch.forall(_ === 2L), "stale state survived the swap")
+    // and the tmp staging file never lingers
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__hh.tmp")),
+      "staging tmp left behind after swap")
   }
 
   test("streaming heavy hitters: exact parity at low cardinality, slow burners rise") {
