@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import graft.operators.{Analytics, Bpe, Cdc, Dedup, Multimodal, Relational, Retrieval, Similarity, Skew, Temporal, TextAnalysis, Versioning}
+import graft.operators.{Analytics, Bpe, Cdc, Dedup, Layout, Multimodal, Relational, Retrieval, Similarity, Skew, Temporal, TextAnalysis, Versioning}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -202,6 +202,22 @@ object SparkEntry {
       Skew.saltedCount(Tables.events(s, d), "user_id", col("event_id"))),
     "q_salted_distinct" -> ((s, d) =>
       Skew.saltedCountDistinct(Tables.events(s, d), "user_id", "event_type")),
+    // salted fact⋈dim join (dim replicated per salt) — must equal the
+    // plain join exactly; aggregated to brand revenue for a stable oracle
+    "q_salted_join" -> ((s, d) =>
+      Skew.saltedJoin(Tables.lineitem(s, d), Tables.part(s, d),
+          "l_partkey", "p_partkey", col("l_orderkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1) - col("l_discount").cast("decimal(18,4)"))))
+          .cast("double").as("revenue"))),
+
+    // Z-order (Morton) key for multi-column file pruning: 16-bit grid
+    // normalization + bit interleave, pure long arithmetic (Layout)
+    "q_zorder" -> ((s, d) =>
+      Layout.withZValue(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        "user_id", "event_id")),
 
     // Gap-based sessionization over the event stream (30-min inactivity)
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
@@ -1011,6 +1027,43 @@ object SparkEntry {
     "q_salted_distinct" -> """
       SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
       FROM events GROUP BY 1
+    """,
+
+    // Morton interleave mirrored step for step: 16-bit grid by integer
+    // division, then the four mask doublings, then even/odd bit merge
+    "q_zorder" -> """
+      WITH b AS (SELECT min(user_id) AS ua, max(user_id) AS ub,
+                        min(event_id) AS ea, max(event_id) AS eb
+                 FROM events),
+      n AS (SELECT event_id, user_id,
+              CASE WHEN ub <= ua THEN 0
+                   ELSE ((user_id - ua) * 65535) // (ub - ua) END AS gx,
+              CASE WHEN eb <= ea THEN 0
+                   ELSE ((event_id - ea) * 65535) // (eb - ea) END AS gy
+            FROM events, b),
+      s1 AS (SELECT event_id, user_id,
+               (gx | (gx << 8)) & 16711935 AS x, (gy | (gy << 8)) & 16711935 AS y
+             FROM n),
+      s2 AS (SELECT event_id, user_id,
+               (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y
+             FROM s1),
+      s3 AS (SELECT event_id, user_id,
+               (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y
+             FROM s2),
+      s4 AS (SELECT event_id, user_id,
+               (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y
+             FROM s3)
+      SELECT event_id, user_id, x | (y << 1) AS zval FROM s4
+    """,
+
+    // the salt is an execution detail: the oracle is the PLAIN join
+    "q_salted_join" -> """
+      SELECT p_brand,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
     """,
 
     "q_token_counts" -> """

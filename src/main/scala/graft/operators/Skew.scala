@@ -54,4 +54,43 @@ object Skew {
       .agg(size(collect_set(col(valueCol))).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n_distinct"))
+
+  /** Exact inner equi-join with a salted shuffle — the skew escape for a
+    * fact⋈dim join where the dim is TOO BIG to broadcast and a hot fact
+    * key would pin one reducer of a plain shuffled join.
+    *
+    * The fact side gets one deterministic salt per row; the dim side is
+    * replicated `salts` ways (an `explode` over the salt range — a
+    * projection, no shuffle of its own), and the join key becomes
+    * (key, salt), so the hot key's probe rows spread across `salts`
+    * reducers. Exactness is unconditional: each fact row carries exactly
+    * one salt and the dim holds every (row, salt) replica, so the match
+    * set per fact row is identical to the unsalted join — the salt only
+    * re-deals rows to reducers. The price is dim shuffle volume × salts;
+    * worth paying when fact-side skew dominates, which is why this stays
+    * an explicit operator rather than a default.
+    *
+    * Prefer AQE's skew-join split (`spark.sql.adaptive.skewJoin`) when it
+    * applies — it pays no replication until a partition actually skews.
+    * Explicit salting remains for the cases AQE cannot rewrite: streaming
+    * joins inside `foreachBatch` pipelines where stats lag, broadcast-hash
+    * plans AQE will not split, and joins feeding a same-key aggregation
+    * where the salt must survive into the grouping key (compose with
+    * [[saltedCount]]'s two-phase rollup).
+    *
+    * The salt derives from `saltSource` (any roughly-uniform column on the
+    * fact side, e.g. its primary key), never `rand()` — retries and
+    * streaming replays must salt identically. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String,
+                 saltSource: Column, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val probe = fact.withColumn("__salt", salt(saltSource, salts))
+    val build = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    probe.join(build,
+        probe("__salt") === build("__salt") &&
+          col(factKey) === col(dimKey))
+      .drop("__salt")
+  }
 }
