@@ -639,6 +639,9 @@ object SparkEntry {
     // score candidates through codes only (ADC) — the memory-compression
     // scale path next to IVF/LSH candidate pruning
     "q_ann_pq" -> ((s, d) => Similarity.annPq(Tables.embeddings(s, d))),
+    // SQ8 scalar-quantized ANN: symmetric integer-dot scoring over int8
+    // codes — exact long scores, fully oracle-mirrorable
+    "q_ann_sq8" -> ((s, d) => Similarity.annSq8(Tables.embeddings(s, d))),
     // per-subspace k-means-trained PQ — rows-only driver check (Lloyd's
     // not SQL-mirrorable); SimilaritySpec bounds distortion vs the seed
     "q_ann_pq_trained" -> ((s, d) =>
@@ -3014,6 +3017,30 @@ object SparkEntry {
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY adist ASC, neighbor_id ASC) AS rk FROM tot)
         WHERE rk <= 3
+      """,
+
+      // SQ8: floor(v·127/scale) per dimension (IEEE double product, then
+      // floor — engine-exact), symmetric integer dot (every term ≤ 127²,
+      // so the double list_dot stays integer-exact and casts back to the
+      // expression's long bit for bit)
+      "q_ann_sq8" -> s"""
+        WITH s AS (SELECT max(abs(CAST(x AS DOUBLE))) AS scale
+                   FROM embeddings, unnest(embedding) AS t(x)),
+        enc AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    v -> CAST(floor(v * 127.0 / scale) AS BIGINT)) AS codes
+                FROM embeddings, s),
+        q AS (SELECT vec_id AS query_id, codes AS qcodes
+              FROM enc WHERE vec_id < 10),
+        sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      CAST(list_reduce(list_transform(range(1, 65),
+                        i -> q.qcodes[i] * e.codes[i]), (x, y) -> x + y)
+                        AS BIGINT) AS score
+               FROM q JOIN enc e ON e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id ASC) AS rk FROM sc)
+        WHERE rk <= 5
       """,
 
       // IVF-PQ: q_ann_ivf's cell assignment prunes candidates to the

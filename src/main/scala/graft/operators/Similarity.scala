@@ -405,6 +405,44 @@ object Similarity {
         round(col("adist"), 6).as("adist"), col("rank"))
   }
 
+  /** ANN by 8-bit scalar quantization (SQ8) — the third compression point
+    * on the memory/fidelity curve next to PQ ([[annPq]], 16× smaller,
+    * lossier) and raw floats ([[knnBruteForce]], exact): one int8 code per
+    * dimension under a single symmetric corpus scale, the format FAISS
+    * calls `SQ8` and Lucene uses for quantized HNSW. Scoring is the
+    * SYMMETRIC quantized dot — both sides encoded, all-integer arithmetic
+    * ([[graft.functions.Sq8Dot]]) — so scores are exact longs with no
+    * float-association caveats, and the DuckDB oracle mirrors the whole
+    * pipeline bit for bit (`q_ann_sq8`, hash-green, unlike the
+    * rows-only trained indexes).
+    *
+    * Scale shape: the corpus is encoded ONCE by a codegen'd projection
+    * (the 100 TB artifact to persist: 4×-compressed codes); queries
+    * broadcast; per-candidate work is one integer loop. The scale factor
+    * is a 1-row max-|v| aggregate — at a lakehouse, table stats. Compose
+    * with [[ivfCells]] for sublinear candidate generation exactly as
+    * [[annIvfPq]] does for PQ. */
+  def annSq8(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // corpus |v| bound in double (float widens exactly; engine-neutral)
+    val scale = emb
+      .select(explode(col("embedding")).as("x"))
+      .agg(max(abs(col("x").cast("double"))))
+      .head().getDouble(0)
+    val encoded = emb.select(col("vec_id").as("neighbor_id"),
+      VectorExpressions.sq8Encode(col("embedding"), scale).as("codes"))
+    val queries = broadcast(encoded.filter(col("neighbor_id") < nQueries)
+      .select(col("neighbor_id").as("query_id"), col("codes").as("qcodes")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    encoded.join(queries, col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        VectorExpressions.sq8Dot(col("qcodes"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"),
+        col("rank"))
+  }
+
   private def seedCodebooks(emb: DataFrame, nCodes: Int): Array[Array[Double]] =
     emb.filter(col("vec_id") < nCodes).orderBy(col("vec_id"))
       .select(col("embedding")).collect()

@@ -33,6 +33,29 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("SQ8: codes bounded, integer scores, high recall against exact kNN") {
+    // codes live in [-127, 127] and match the JVM floor reference
+    val scale = emb.select(explode(col("embedding")).as("x"))
+      .agg(max(abs(col("x").cast("double")))).head().getDouble(0)
+    val one = emb.orderBy(col("vec_id")).limit(1)
+    val raw = one.head().getSeq[Float](1)
+    val codes = one.select(graft.functions.VectorExpressions
+        .sq8Encode(col("embedding"), scale))
+      .head().getSeq[Int](0)
+    assert(codes === raw.map(v => math.floor(v * 127.0 / scale).toInt))
+    assert(codes.forall(c => c >= -127 && c <= 127))
+    val out = Similarity.annSq8(emb, k = 5, nQueries = 10).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size === 10 && byQuery.values.forall(_.length == 5))
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // quantized ranking tracks the exact one: recall@5 well above chance
+    // (SQ8 keeps ~7 bits/dim — far higher fidelity than 4-subspace PQ)
+    val exact = Similarity.knnBruteForce(emb, k = 5, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.count(r => exact((r.getLong(0), r.getLong(1))))
+    assert(hits >= 40, s"SQ8 recall@5 too low: $hits/50")
+  }
+
   test("top-k aggregate kNN equals the window-sort kNN exactly") {
     val window = Similarity.knnBruteForce(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
