@@ -620,6 +620,14 @@ object SparkEntry {
     // the oracle-checked bridge to the streaming HeavyHittersStream view
     "q_heavy_hitters" -> ((s, d) =>
       graft.functions.CmsSketch.heavyHitters(Tables.events(s, d), "user_id")),
+    // mergeable sketch view: per-source sketches rolled up WITHOUT a
+    // corpus rescan; counter sums commute, so the merged estimates are
+    // bit-identical to the single-pass sketch (same oracle as
+    // q_cms_counts proves exactly that)
+    "q_cms_rollup" -> ((s, d) =>
+      graft.functions.CmsSketch.rollupCounts(
+        graft.functions.CmsSketch.sketchBySource(Tables.documents(s, d)),
+        Seq("join", "hash", "filter", "window", "zzzz_absent"))),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -1597,7 +1605,11 @@ object SparkEntry {
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
-  ) ++ trainingOracles
+  ) ++ trainingOracles ++ Map(
+    // merged per-source sketches ≡ the single-pass corpus sketch (counter
+    // sums commute), so the rollup path answers to the SAME oracle —
+    // sharing the SQL is the point, not a shortcut
+    "q_cms_rollup" -> trainingOracles("q_cms_counts"))
 
   /** Oracle SQL for the training-data-pipeline queries. These mirror the
     * Spark logic exactly: identical md5-derived hashes, identical sequential

@@ -93,6 +93,52 @@ object CmsSketch {
       }.toSeq.toDF("key", "n_exact", "est_count")
   }
 
+  /** Materialized MERGEABLE sketch view: one CMS per `source` — the
+    * pre-aggregated-cube pattern for 100 TB streams. Persist this tiny
+    * table (n_sources × d·w longs) and every later rollup — any subset of
+    * sources, or the whole corpus — is an element-wise counter sum over
+    * the VIEW ([[rollupCounts]]), never a rescan of the corpus. Sums
+    * commute and associate, so a merged sketch is bit-identical to the
+    * sketch a single pass over the union would build — which is what
+    * makes `q_cms_rollup` answerable by the same DuckDB oracle as the
+    * single-pass `q_cms_counts`. */
+  def sketchBySource(docs: DataFrame, d: Int = 4,
+                     w: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("source"),
+        explode(expr(graft.operators.TextAnalysis.tokensExpr)).as("tok"))
+      .select(col("source"), expr(Hashing.hash64("tok")).as("h1"),
+        expr(Hashing.hash64Hi("tok")).as("h2"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new CmsAggregator(d, w).toColumn)
+      .toDF("source", "sketch")
+  }
+
+  /** Point-query `targets` against the union of every sketch row in
+    * `view` ([[sketchBySource]] output, or any subset of it): merge =
+    * element-wise sum across the view's arrays (a `posexplode` +
+    * position rollup over n_sources × d·w rows — view-sized work, the
+    * corpus is never touched), then the usual min-over-depth estimate. */
+  def rollupCounts(view: DataFrame, targets: Seq[String],
+                   d: Int = 4, w: Int = 1024): DataFrame = {
+    val spark = view.sparkSession
+    import spark.implicits._
+    val merged = new Array[Long](d * w)
+    view.select(posexplode(col("sketch")).as(Seq("pos", "c")))
+      .groupBy(col("pos")).agg(sum(col("c")).as("c"))
+      .collect() // bounded: d·w rows (32 KB at the default geometry)
+      .foreach(r => merged(r.getInt(0)) = r.getLong(1))
+    targets.distinct.sorted.map { t =>
+      val (h1, h2) = fingerprints(t)
+      val est = (0 until d).map(i => merged(i * w + bucket(h1, h2, i, w))).min
+      (t, est)
+    }.toDF("token", "est_count")
+  }
+
   /** Sketch the corpus token stream once, then answer point queries for
     * `targets` from the 32 KB summary. Estimates are EXACT for any token
     * whose d counters suffer no collision, and never undercount. */

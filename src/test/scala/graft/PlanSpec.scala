@@ -489,4 +489,36 @@ class PlanSpec extends GraftSuite {
     assert(exchanges.forall(_.forall(_ != "text")),
       s"document text crossed a shuffle: $exchanges")
   }
+
+  test("round-9 additions keep their scale shapes") {
+    // z-value: a pure codegen'd projection over the scan — no exchange,
+    // no sort, no join; the 1-row stats aggregate runs before planning
+    val zq = SparkEntry.queries("q_zorder")(spark, sf).queryExecution
+    val zp = zq.executedPlan.toString
+    assert(zp.contains("*(1) Project"),
+      "zval projection must sit inside whole-stage codegen")
+    assert(org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(zq.executedPlan).isEmpty,
+      "z-value projection must not shuffle")
+    assert(!zp.contains("SortExec") && !zp.contains("Join"),
+      "z-value is a projection, not a sort or join")
+    // salted join: the salt must be IN the shuffle key when the join
+    // shuffles — force the shuffled regime (tiny fixture would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sp = SparkEntry.queries("q_salted_join")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!sp.contains("BroadcastHashJoin"))
+      assert(sp.contains("__salt"),
+        "salt column missing from the shuffled join key")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // SQ8: queries broadcast; scoring join stays a BHJ over the encoded
+    // scan — the corpus is never shuffled to score candidates
+    val qp = SparkEntry.queries("q_ann_sq8")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(qp.contains("BroadcastHashJoin") ||
+      qp.contains("BroadcastNestedLoopJoin"),
+      "SQ8 queries must broadcast")
+  }
 }

@@ -118,4 +118,40 @@ class SketchSpec extends GraftSuite {
       assert(est >= exact, s"$k: est $est < exact $exact")
     }
   }
+
+  test("per-source sketch view rolls up bit-identically to the one-pass sketch") {
+    import graft.functions.CmsSketch
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val targets = Seq("join", "hash", "filter", "window", "zzzz_absent")
+    val view = CmsSketch.sketchBySource(docs)
+    // one sketch row per source, each at the full d*w geometry
+    val nSources = docs.select("source").distinct().count()
+    assert(view.count() === nSources)
+    assert(view.selectExpr("size(sketch)").collect()
+      .forall(_.getInt(0) === 4 * 1024))
+    // the mergeability claim, verified end to end: estimates through the
+    // per-source view ≡ estimates from one pass over the whole corpus
+    val merged = CmsSketch.rollupCounts(view, targets)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val onePass = CmsSketch.tokenCounts(docs, targets)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(merged === onePass, "merged view drifted from the one-pass sketch")
+    // a PARTIAL rollup stays a valid sketch of its slice: never
+    // undercounts that slice's exact totals
+    val one = docs.select("source").distinct()
+      .orderBy("source").limit(1).head().getString(0)
+    val slice = CmsSketch.rollupCounts(view.filter(col("source") === one),
+        targets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.filter(col("source") === one)
+      .select(explode(expr(graft.operators.TextAnalysis.tokensExpr))
+        .as("tok"))
+      .filter(col("tok").isin(targets: _*))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { t =>
+      assert(slice.getOrElse(t, 0L) >= exact.getOrElse(t, 0L),
+        s"slice sketch undercounts $t")
+    }
+  }
 }
