@@ -650,6 +650,10 @@ object SparkEntry {
     // SQ8 scalar-quantized ANN: symmetric integer-dot scoring over int8
     // codes — exact long scores, fully oracle-mirrorable
     "q_ann_sq8" -> ((s, d) => Similarity.annSq8(Tables.embeddings(s, d))),
+    // SemDeDup end to end: IVF near-dup pairs closed into canonical
+    // labels — the keep-list a semantic dedup pass actually ships
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedupCanonical(Tables.embeddings(s, d))),
     // per-subspace k-means-trained PQ — rows-only driver check (Lloyd's
     // not SQL-mirrorable); SimilaritySpec bounds distortion vs the seed
     "q_ann_pq_trained" -> ((s, d) =>
@@ -2993,6 +2997,34 @@ object SparkEntry {
               FROM celled a JOIN celled b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(score, 6) AS score FROM p WHERE score > 0.4
+      """,
+
+      // SemDeDup end to end: q_neardup_ivf's pair CTE closed under the
+      // same recursive reachability as q_dedup_canonical — one min-id
+      // label per vector
+      "q_semdedup" -> s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cents AS (SELECT list(v ORDER BY vec_id) AS cs FROM e WHERE vec_id < 16),
+        celled AS (SELECT vec_id, v,
+                     list_indexof(scores, list_max(scores)) - 1 AS cell
+                   FROM (SELECT vec_id, v,
+                           list_transform((SELECT cs FROM cents),
+                             c -> list_reduce(list_transform(range(1, 65),
+                                    i -> c[i] * v[i]), (x, y) -> x + y)) AS scores
+                         FROM e)),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM celled a JOIN celled b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ${cosSql("a.v", "b.v")} > 0.4),
+        edges AS (SELECT vec_a AS vec_id, vec_b AS nbr FROM p
+                  UNION ALL
+                  SELECT vec_b AS vec_id, vec_a AS nbr FROM p),
+        reach(vec_id, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT g.vec_id, reach.r FROM edges g JOIN reach ON g.nbr = reach.vec_id)
+        SELECT vec_id, min(r) AS canonical_id FROM reach GROUP BY vec_id
       """,
 
       // PQ-ADC: per-(vector, subspace) L2 code assignment mirrors

@@ -405,6 +405,24 @@ object Similarity {
         round(col("adist"), 6).as("adist"), col("rank"))
   }
 
+  /** SemDeDup END TO END (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-dup PAIRS from the cell-partitioned IVF self-join
+    * ([[nearDupPairsIvf]]) fed through the shared connected-components
+    * canonicalizer ([[Dedup.canonicalFromPairs]]) — one label per vector,
+    * `canonical_id = vec_id` marking the kept member (min-id rule). The
+    * composition is the deliverable a training pipeline actually runs:
+    * "which embeddings survive semantic dedup", not just the pair list.
+    * Scale shape inherits from both halves: pair generation never leaves
+    * the cell equi-join, and the CC fixpoint runs only over the
+    * pair-induced subgraph (untouched vectors join by one anti-join). */
+  def semDedupCanonical(emb: DataFrame, threshold: Double = 0.4,
+                        nlist: Int = 16): DataFrame =
+    Dedup.canonicalFromPairs(
+        emb.select(col("vec_id").as("doc_id")),
+        nearDupPairsIvf(emb, threshold, nlist)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+
   /** ANN by 8-bit scalar quantization (SQ8) — the third compression point
     * on the memory/fidelity curve next to PQ ([[annPq]], 16× smaller,
     * lossier) and raw floats ([[knnBruteForce]], exact): one int8 code per

@@ -33,6 +33,26 @@ class SimilaritySpec extends GraftSuite {
     }
   }
 
+  test("SemDeDup canonical labels close the IVF pair graph exactly") {
+    val labels = Similarity.semDedupCanonical(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // total: one label per vector, label is a member id ≤ the member
+    assert(labels.size === emb.count())
+    labels.foreach { case (v, c) => assert(c <= v, s"label above id: $v→$c") }
+    // every near-dup pair lands in one cluster
+    val pairs = Similarity.nearDupPairsIvf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce semantic pairs")
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // vectors in no pair keep themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filterNot(kv => paired(kv._1)).foreach { case (v, c) =>
+      assert(c === v, s"untouched vector re-labeled: $v→$c")
+    }
+  }
+
   test("SQ8: codes bounded, integer scores, high recall against exact kNN") {
     // codes live in [-127, 127] and match the JVM floor reference
     val scale = emb.select(explode(col("embedding")).as("x"))
