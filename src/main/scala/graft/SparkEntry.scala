@@ -218,6 +218,13 @@ object SparkEntry {
       Layout.withZValue(
         Tables.events(s, d).select(col("event_id"), col("user_id")),
         "user_id", "event_id")),
+    // 3-column Z-order via the native ZOrderN expression (16 bits/dim,
+    // grid bit i of dim d at z-bit i*3+d)
+    "q_zorder3" -> ((s, d) =>
+      Layout.withZValueN(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("epoch")),
+        Seq("user_id", "event_id", "epoch"))),
 
     // Gap-based sessionization over the event stream (30-min inactivity)
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),

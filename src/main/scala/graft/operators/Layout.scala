@@ -73,6 +73,21 @@ object Layout {
         r.getLong(2), r.getLong(3)))
   }
 
+  /** N-column generalization of [[withZValue]] via the native
+    * [[graft.functions.ZOrderN]] expression (`bits = min(16, 63/n)` per
+    * dimension): the column list a real `OPTIMIZE ZORDER BY` takes. Same
+    * one-row stats aggregate, same single-projection shape. */
+  def withZValueN(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = df.agg(
+      min(col(cols.head).cast("long")), max(col(cols.head).cast("long")),
+      cols.tail.flatMap(c => Seq(min(col(c).cast("long")),
+        max(col(c).cast("long")))): _*).head()
+    val mins = cols.indices.map(i => stats.getLong(2 * i)).toArray
+    val maxs = cols.indices.map(i => stats.getLong(2 * i + 1)).toArray
+    df.withColumn("zval", graft.functions.LayoutExpressions.zValueN(
+      cols.map(c => col(c).cast("long")), mins, maxs))
+  }
+
   /** Write `df` into `files` parquet files clustered by the Z-value of
     * `(colA, colB)`: one range exchange on `zval` (sampled split points,
     * so files get even row counts), a within-partition sort to tighten
