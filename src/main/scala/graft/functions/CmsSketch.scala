@@ -128,6 +128,13 @@ object CmsSketch {
     val spark = view.sparkSession
     import spark.implicits._
     val merged = new Array[Long](d * w)
+    // A view built with a different (d, w) would index out of bounds or
+    // silently mis-estimate — reject geometry mismatches up front.
+    val badGeom = view
+      .filter(size(col("sketch")) =!= d * w)
+      .limit(1).count()
+    require(badGeom == 0L,
+      s"rollupCounts: a sketch row's length != d*w = ${d * w} — view was built with a different geometry")
     view.select(posexplode(col("sketch")).as(Seq("pos", "c")))
       .groupBy(col("pos")).agg(sum(col("c")).as("c"))
       .collect() // bounded: d·w rows (32 KB at the default geometry)

@@ -68,6 +68,8 @@ object Layout {
     val r = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"withZValue: empty input or all-null '$colA'/'$colB' — no stats to grid on")
     df.withColumn("zval",
       zValue2(col(colA), col(colB), r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3)))
@@ -78,10 +80,12 @@ object Layout {
     * dimension): the column list a real `OPTIMIZE ZORDER BY` takes. Same
     * one-row stats aggregate, same single-projection shape. */
   def withZValueN(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val stats = df.agg(
-      min(col(cols.head).cast("long")), max(col(cols.head).cast("long")),
-      cols.tail.flatMap(c => Seq(min(col(c).cast("long")),
-        max(col(c).cast("long")))): _*).head()
+    require(cols.nonEmpty, "withZValueN needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    require(!stats.isNullAt(0),
+      s"withZValueN: empty input or all-null column '${cols.head}' — no stats to grid on")
     val mins = cols.indices.map(i => stats.getLong(2 * i)).toArray
     val maxs = cols.indices.map(i => stats.getLong(2 * i + 1)).toArray
     df.withColumn("zval", graft.functions.LayoutExpressions.zValueN(

@@ -441,11 +441,16 @@ object Similarity {
     * with [[ivfCells]] for sublinear candidate generation exactly as
     * [[annIvfPq]] does for PQ. */
   def annSq8(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
-    // corpus |v| bound in double (float widens exactly; engine-neutral)
-    val scale = emb
+    // corpus |v| bound in double (float widens exactly; engine-neutral).
+    // Empty corpus → null max; all-zero corpus → scale 0, which would
+    // divide-by-zero inside Sq8Encode — clamp to 1.0 (codes are all zero
+    // either way, but scores stay finite).
+    val maxRow = emb
       .select(explode(col("embedding")).as("x"))
       .agg(max(abs(col("x").cast("double"))))
-      .head().getDouble(0)
+      .head()
+    require(!maxRow.isNullAt(0), "annSq8: empty embeddings input")
+    val scale = { val s = maxRow.getDouble(0); if (s == 0.0) 1.0 else s }
     val encoded = emb.select(col("vec_id").as("neighbor_id"),
       VectorExpressions.sq8Encode(col("embedding"), scale).as("codes"))
     val queries = broadcast(encoded.filter(col("neighbor_id") < nQueries)

@@ -90,7 +90,7 @@ object Skew {
       explode(array((0 until salts).map(lit(_)): _*)))
     probe.join(build,
         probe("__salt") === build("__salt") &&
-          col(factKey) === col(dimKey))
+          probe(factKey) === build(dimKey))
       .drop("__salt")
   }
 }

@@ -446,6 +446,11 @@ object Streams {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(conf)
     recoverCompaction(fs, path)
+    // absent store = fresh store (a prior rewrite may have pruned
+    // everything and deleted the dir, or appendPartitioned may never have
+    // created it) — nothing to rewrite, and spark.read.parquet on the
+    // missing path would throw PATH_NOT_FOUND
+    if (!fs.exists(live)) return
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     val rewritten = rewrite(spark.read.parquet(path))

@@ -217,12 +217,19 @@ object SubstrDedupStream {
             batchId % pruneInterval == (pruneInterval - 1)) {
           Streams.rewriteStore(spark, stateDir, Seq("gram_part"))(
             _.filter(col("__batch_id") > batchId - retainBatches))
-          // a Bloom cannot forget: rebuild from the pruned store (which
-          // may now be EMPTY — then the stale sidecar only costs confirm
-          // reads against an empty store, never correctness)
-          Streams.bloomOfNonEmpty(spark.read.parquet(stateDir), "h1",
-              expectedGrams, fpp)
-            .foreach(writeBloom(fs, stateDir, _))
+          // a Bloom cannot forget: rebuild from the pruned store. A
+          // rewrite that keeps NOTHING deletes the dir outright — then
+          // drop the stale sidecar too (absent store = fresh store; a
+          // leftover sidecar would cost confirm reads forever)
+          if (fs.exists(statePath))
+            Streams.bloomOfNonEmpty(spark.read.parquet(stateDir), "h1",
+                expectedGrams, fpp)
+              .foreach(writeBloom(fs, stateDir, _))
+          else {
+            fs.delete(new org.apache.hadoop.fs.Path(stateDir + ".__bloom"),
+              false)
+            ()
+          }
         }
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(grams)
           .foreach(_.unpersist(false))

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Layout, Similarity, Skew}
+import graft.streaming.Streams
+
+/** Regression locks for the round-9 review findings: every test here
+  * drives the exact failure scenario the advice described and pins the
+  * hardened behavior. */
+class HardeningSpec extends GraftSuite {
+
+  test("withZValueN(2 cols) agrees with the 2-D mask form row for row") {
+    import spark.implicits._
+    val df = (for { a <- 0L to 40L; b <- 0L to 25L } yield (a * 7, b * 13))
+      .toDF("a", "b")
+    val mask = Layout.withZValue(df, "a", "b")
+      .select("a", "b", "zval").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val n = Layout.withZValueN(df, Seq("a", "b"))
+      .select("a", "b", "zval").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(n === mask, "ZOrderN(n=2) must equal the mask-doubling form")
+  }
+
+  test("withZValue/withZValueN fail fast on empty input (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.withZValue(empty, "a", "b")
+    }
+    assert(e1.getMessage.contains("empty input"))
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.withZValueN(empty, Seq("a", "b"))
+    }
+    assert(e2.getMessage.contains("empty input"))
+    intercept[IllegalArgumentException] {
+      Layout.withZValueN(empty, Nil)
+    }
+    ()
+  }
+
+  test("salted join resolves when fact and dim share the key column name") {
+    import spark.implicits._
+    // the common equi-join shape: user_id on BOTH sides — an unqualified
+    // col("user_id") === col("user_id") condition is AMBIGUOUS_REFERENCE
+    val fact = ((1 to 200).map(i => (i.toLong, 7L)) ++ Seq((201L, 2L)))
+      .toDF("row_id", "user_id")
+    val dim = Seq((7L, "hot"), (2L, "two"), (3L, "cold"))
+      .toDF("user_id", "name")
+    val salted = Skew.saltedJoin(fact, dim, "user_id", "user_id",
+        col("row_id"), salts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    val plain = fact.join(dim, Seq("user_id"))
+      .select(fact("row_id"), dim("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted === plain)
+  }
+
+  test("annSq8: empty corpus fails fast; all-zero corpus stays finite") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annSq8(
+        Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+        .collect()
+    }
+    assert(e.getMessage.contains("empty"))
+    // all-zero vectors → corpus max |v| = 0; the clamped scale must keep
+    // Sq8Encode finite (codes all zero, integer dots exactly 0)
+    val zeros = (0L until 6L).map(i => (i, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annSq8(zeros, k = 2, nQueries = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) == 0L), "zero corpus must score 0")
+  }
+
+  test("rollupCounts rejects a view built with a different geometry") {
+    import graft.functions.CmsSketch
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val view = CmsSketch.sketchBySource(docs, d = 2, w = 64)
+    val e = intercept[IllegalArgumentException] {
+      CmsSketch.rollupCounts(view, Seq("join"), d = 4, w = 1024)
+    }
+    assert(e.getMessage.contains("geometry"))
+    // matching geometry still works
+    assert(CmsSketch.rollupCounts(view, Seq("join"), d = 2, w = 64)
+      .collect().nonEmpty)
+  }
+
+  test("rewriteStore: absent store is a no-op; prune-to-empty then append recovers") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-store-hardening").toString
+    val dir = s"$base/store"
+    // (1) no store was ever created (every microbatch empty) — the prune
+    // branch calls rewriteStore unconditionally; must not throw
+    Streams.rewriteStore(spark, dir, Seq("p"))(identity)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    // (2) build a store, prune EVERYTHING: the dir is dropped whole
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (i.toLong, i % 4))
+    Streams.appendPartitioned(rows.toDF("h", "p"), dir, "p")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    Streams.rewriteStore(spark, dir, Seq("p"))(_.filter(lit(false)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      "a rewrite keeping zero rows must drop the dir, not poison it")
+    // (3) a later rewrite on the now-absent dir is again a no-op…
+    Streams.rewriteStore(spark, dir, Seq("p"))(identity)
+    // …and a later append recreates the store from scratch
+    Streams.appendPartitioned(rows.toDF("h", "p"), dir, "p")
+    assert(spark.read.parquet(dir).count() === 50L)
+  }
+}
