@@ -98,6 +98,22 @@ object SparkEntry {
     "q_cdc_snapshot" -> ((s, d) =>
       Cdc.snapshotAt(Cdc.envelope(Tables.events(s, d)), 1705500000000L)),
 
+    // incremental materialized-view maintenance: a count/sum aggregate
+    // over the CDC table state, maintained from a changelog DELTA
+    // (+after −before per envelope) instead of recomputed — delta-sized
+    // work, the fact never rescanned. The oracle recomputes the final
+    // state from scratch; equality across the 60 % binlog split IS the
+    // maintenance proof (split-invariance is pinned in CdcSpec)
+    "q_agg_maintain" -> ((s, d) => {
+      val env = Cdc.envelopeWithBefore(Tables.events(s, d))
+      val split = env.agg(max(col("offset"))).head().getLong(0) * 3 / 5
+      Cdc.maintainAggView(
+          Cdc.aggView(env.filter(col("offset") <= split)),
+          env.filter(col("offset") > split))
+        .select(col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
+    }),
+
     // AS-OF temporal join: each event enriched with the CDC dimension
     // state in effect AT THE EVENT'S TIMESTAMP (leakage-safe point-in-time
     // enrichment, vs the stream-table join's current-state). Versions are
@@ -495,6 +511,10 @@ object SparkEntry {
     // the random-collision knee 256× past the 32-bit form above
     "q_simhash_neardup_wide" -> ((s, d) => Dedup.simhashWideNearDups(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // edit-distance near-dup on 40-char prefixes: positional q-gram count
+    // filter (Gravano 2001) prunes candidates, exact levenshtein verifies
+    // — the character-noise modality the token-set methods can't bound
+    "q_editdist_pairs" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d))),
     // exact substring dedup (sliding-window ExactSubstr): maximal
     // cross-corpus duplicated 8-token spans, globally-first occurrence kept
     "q_substr_spans" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
@@ -635,6 +655,14 @@ object SparkEntry {
       graft.functions.CmsSketch.rollupCounts(
         graft.functions.CmsSketch.sketchBySource(Tables.documents(s, d)),
         Seq("join", "hash", "filter", "window", "zzzz_absent"))),
+    // mergeable HLL distinct cube: per-source distinct-token sketches —
+    // COUNT DISTINCT is the one aggregate that cannot roll up exactly, so
+    // the sketch view is the only no-rescan answer; rows-only driver
+    // check (DataSketches binaries are engine-specific), accuracy and
+    // union-equals-one-pass pinned in HllViewSpec
+    "q_hll_by_source" -> ((s, d) =>
+      graft.functions.HllView.distinctBySource(
+        graft.functions.HllView.sketchBySource(Tables.documents(s, d)))),
 
     // --- training-data pipeline: similarity search ---------------------- //
     "q_knn" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
@@ -835,6 +863,29 @@ object SparkEntry {
       FROM h
       WHERE op <> 'd' AND valid_from <= 1705500000000
         AND (valid_to IS NULL OR valid_to > 1705500000000)
+    """,
+
+    // the oracle RECOMPUTES the maintained view from the final table
+    // state — the engine's base+delta maintenance must land on exactly
+    // this (decimal sums make association order immaterial)
+    "q_agg_maintain" -> """
+      WITH env AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN event_id % 10 = 0 THEN 'd'
+                    WHEN event_id % 3 = 0 THEN 'u' ELSE 'c' END AS op,
+               event_id, event_type, value
+        FROM events
+      ),
+      final AS (
+        SELECT event_type, value
+        FROM env
+        QUALIFY row_number() OVER (
+            PARTITION BY key ORDER BY event_id DESC) = 1
+          AND op <> 'd'
+      )
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM final GROUP BY event_type
     """,
 
     // oracle uses DuckDB's native ASOF LEFT JOIN — an independent
@@ -2757,6 +2808,21 @@ object SparkEntry {
                      round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
               FROM p)
         WHERE jaccard > 0.2
+      """,
+
+      // edit-distance near-dup: the oracle is the NAIVE form — every
+      // prefix pair through DuckDB's levenshtein — so equality proves the
+      // engine's q-gram count filter dropped no true pair (the lemma's
+      // no-false-negative guarantee, checked exhaustively at sf0.01)
+      "q_editdist_pairs" -> """
+        WITH s AS (
+          SELECT doc_id, substring(text, 1, 40) AS s
+          FROM documents WHERE length(text) >= 40
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.s, b.s) <= 2
       """,
 
       // sliding-window exact-substring dedup: duplicated 8-token gram

@@ -989,4 +989,72 @@ object Dedup {
             NOT exists(spans, sp -> idx >= sp.s AND idx < sp.e)), ' ')""")
           .as("text_clean"))
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs over a fixed-length
+    * document prefix — the fuzzy-title/boilerplate dedup modality the
+    * token-set methods (MinHash Jaccard, SimHash) cannot express: those
+    * see "the cat sat" / "the cat sats" as near-identical SETS, but only
+    * edit distance bounds character-level noise (OCR errors, mojibake,
+    * version strings) with a hard guarantee.
+    *
+    * The naive form is an O(n²) cross join with a DP per pair — dead at
+    * any scale. This is the positional q-gram count filter of Gravano et
+    * al., "Approximate String Joins in a Database (Almost) for Free"
+    * (VLDB 2001): two strings of length `P` within edit distance `k` must
+    * share at least `L = (P − q + 1) − k·q` positional q-grams whose
+    * positions differ by ≤ k (each edit destroys ≤ q grams and shifts
+    * the rest by ≤ 1). So: explode each prefix into its positional
+    * q-grams ONCE (an inverted index, the same shape as
+    * [[minhashCandidatePairs]]' band table), equi-join on
+    * `(gram, ⌊pos/(k+1)⌋)` — the bucket width makes the ±k position
+    * tolerance a 3-replica equi key instead of a skew-prone
+    * gram-only join with a range filter — count distinct matched
+    * positions per pair, keep pairs reaching `L`, and only THOSE run the
+    * exact `levenshtein` verify. No false negatives (the lemma is a hard
+    * bound); false candidates cost one DP each.
+    *
+    * Scale shape: gram table is `P−q+1` rows/doc (one projection), the
+    * join is equi on (gram, bucket) so it hash-partitions cleanly, and
+    * the quadratic blowup is confined to per-(gram, bucket) groups —
+    * raise `q` to thin high-frequency grams on bigger corpora. Output:
+    * `(doc_a, doc_b, dist)`, `doc_a < doc_b`, `dist ≤ k`. */
+  def editDistancePairs(docs: DataFrame, k: Int = 2, prefixLen: Int = 40,
+                        q: Int = 2): DataFrame = {
+    require(k >= 0 && q >= 1 && prefixLen > q,
+      "need k >= 0, q >= 1, prefixLen > q")
+    val nGrams = prefixLen - q + 1
+    val minShared = nGrams - k * q
+    require(minShared > 0,
+      s"count filter is vacuous: (prefixLen - q + 1) - k*q = $minShared <= 0")
+    val keys = docs
+      .filter(length(col("text")) >= prefixLen)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+    val grams = keys
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), lit(nGrams))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(s, pos, $q)").as("gram"),
+        (floor(col("pos") / (k + 1))).as("bucket"))
+    // probe side keeps its native bucket; build side replicates into the
+    // three buckets any |Δpos| ≤ k partner can live in
+    val build = grams.select(col("doc_id").as("doc_b"),
+        col("pos").as("pos_b"), col("gram"),
+        explode(array(col("bucket") - 1, col("bucket"),
+          col("bucket") + 1)).as("bucket"))
+    val candidates = grams
+      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("gram"), col("bucket"))
+      .join(build, Seq("gram", "bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("pos_a") - col("pos_b")) <= k)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("pos_a")).as("shared"))
+      .filter(col("shared") >= minShared)
+    val a = keys.select(col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = keys.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+    candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= k)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -60,4 +60,68 @@ class CdcSpec extends GraftSuite {
       "current SCD2 rows must equal the latest-by-key table")
     hist.unpersist()
   }
+
+  test("envelopeWithBefore: before is the key's previous after-image in binlog order") {
+    val envB = Cdc.envelopeWithBefore(Tables.events(spark, sf))
+    val rows = envB
+      .select(col("key"), col("offset"), col("after.id").as("after_id"),
+        col("before.id").as("before_id"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.values.foreach { keyRows =>
+      val ordered = keyRows.sortBy(_.getLong(1))
+      // first envelope per key has no before
+      assert(ordered.head.isNullAt(3))
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val prevAfter = if (prev.isNullAt(2)) null else prev.get(2)
+          val curBefore = if (cur.isNullAt(3)) null else cur.get(3)
+          assert(curBefore === prevAfter,
+            s"before must be the previous envelope's after (key ${cur.getString(0)})")
+        case _ => ()
+      }
+    }
+  }
+
+  test("maintainAggView equals a full recompute for ANY changelog split") {
+    val envB = Cdc.envelopeWithBefore(Tables.events(spark, sf)).cache()
+    try {
+      val want = Cdc.aggView(envB)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      val maxOff = envB.agg(max(col("offset"))).head().getLong(0)
+      // split points: everything-in-base, everything-in-delta, and two
+      // interior cuts — the maintained view must be split-invariant
+      Seq(-1L, maxOff / 3, maxOff * 3 / 5, maxOff).foreach { s =>
+        val got = Cdc.maintainAggView(
+            Cdc.aggView(envB.filter(col("offset") <= s)),
+            envB.filter(col("offset") > s))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+        assert(got === want, s"split at offset $s diverged from recompute")
+      }
+    } finally { envB.unpersist(); () }
+  }
+
+  test("maintainAggView: group moves, deletes, and emptied groups") {
+    import spark.implicits._
+    def img(t: String, v: Double) =
+      struct(lit(0L).as("id"), lit(0L).as("user_id"), lit(t).as("event_type"),
+        lit(v).as("value"), lit("").as("props"))
+    // base view: A has one row (1.5), B has one row (2.0)
+    val base = Seq(("A", 1L, BigDecimal("1.500000")), ("B", 1L, BigDecimal("2.000000")))
+      .toDF("event_type", "cnt", "sum_value")
+      .select(col("event_type"), col("cnt"),
+        col("sum_value").cast("decimal(18,6)").as("sum_value"))
+    // delta: the A row MOVES to group C (update changes the group key);
+    // the B row is deleted → group B must leave the view
+    val delta = Seq(1, 2).toDF("i").select(
+      when(col("i") === 1, img("C", 7.25)).as("after"),
+      when(col("i") === 1, img("A", 1.5)).otherwise(img("B", 2.0)).as("before"))
+    val got = Cdc.maintainAggView(base, delta)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).sortBy(_._1).toSeq
+    assert(got === Seq(("C", 1L, 7.25)),
+      "A must empty out, B must be deleted, C must appear with the moved row")
+  }
 }

@@ -456,4 +456,61 @@ class DedupSpec extends GraftSuite {
     // doc 2: prefix grams at 0,1 → span [0, 9); suffix at 12,13 → [12, 21)
     assert(spans === Set((2L, 0, 9), (2L, 12, 9)))
   }
+
+  test("editDistancePairs equals the naive all-pairs levenshtein (no false negatives)") {
+    val prefixes = docs.filter(length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ida, sa) <- prefixes; (idb, sb) <- prefixes if ida < idb
+      dist = lev(sa, sb) if dist <= 2
+    } yield (ida, idb, dist)).toSet
+    val got = Dedup.editDistancePairs(docs, k = 2, prefixLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want,
+      s"gram-filtered join diverged: missing ${want -- got}, extra ${got -- want}")
+    assert(want.nonEmpty, "fixture must contain at least one near-dup prefix pair")
+  }
+
+  test("editDistancePairs: adversarial edits right at the k boundary") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog once mor"
+    val corpus = Seq(
+      1L -> base,                                  // identical → dist 0
+      2L -> base,
+      3L -> base.patch(4, "X", 1),                 // 1 substitution
+      4L -> base.patch(10, "", 1).patch(30, "Zq", 0), // del + ins = 2
+      5L -> base.patch(2, "ABC", 3).patch(20, "DEF", 3), // 6 subs: out
+      6L -> ("Z" + base)                           // shift-by-one: 1 ins…
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(corpus, k = 2, prefixLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive reference over the same prefixes decides membership
+    val prefixes = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1).substring(0, 40)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ida, sa) <- prefixes; (idb, sb) <- prefixes if ida < idb
+      dist = lev(sa, sb) if dist <= 2
+    } yield (ida, idb, dist)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 0)) && got.contains((1L, 3L, 1)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "six substitutions must stay out at k=2")
+  }
 }

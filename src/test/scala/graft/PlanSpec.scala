@@ -521,4 +521,27 @@ class PlanSpec extends GraftSuite {
       qp.contains("BroadcastNestedLoopJoin"),
       "SQ8 queries must broadcast")
   }
+
+  test("round-10 additions keep their scale shapes") {
+    // edit-distance candidates: the gram self-join must be an EQUI join
+    // on (gram, bucket) — never a cartesian/nested-loop over documents,
+    // and document text must not ride through the gram exchange
+    val ep = SparkEntry.queries("q_editdist_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct"),
+      "edit-distance join must never be a cartesian product")
+    assert(ep.contains("gram"),
+      "candidate join must key on the gram column")
+    // incremental view maintenance: the merge is aggregate-sized — the
+    // plan may scan events for base/delta (fixture synthesis) but the
+    // final merge must be a join of two AGGREGATES, not a re-aggregation
+    // of a joined fact
+    val mq = SparkEntry.queries("q_agg_maintain")(spark, sf).queryExecution
+    val mp = mq.executedPlan.toString
+    assert(mp.contains("FullOuter") || mp.contains("full_outer") ||
+      mp.toLowerCase.contains("fullouter"),
+      "view merge must be the full-outer delta rule")
+    assert(mp.contains("HashAggregate") || mp.contains("SortAggregate"),
+      "delta must pre-aggregate before the merge")
+  }
 }
