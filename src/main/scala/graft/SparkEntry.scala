@@ -515,6 +515,15 @@ object SparkEntry {
     // filter (Gravano 2001) prunes candidates, exact levenshtein verifies
     // — the character-noise modality the token-set methods can't bound
     "q_editdist_pairs" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d))),
+    // and the pairs closed into one min-id label per document (docs with
+    // no 40-char prefix, or no near pair, keep themselves) — the keep
+    // list a fuzzy dedup pass ships, same CC closure as q_semdedup
+    "q_editdist_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalFromPairs(docs.select(col("doc_id")),
+        Dedup.editDistancePairs(docs)
+          .select(col("doc_a"), col("doc_b")))
+    }),
     // exact substring dedup (sliding-window ExactSubstr): maximal
     // cross-corpus duplicated 8-token spans, globally-first occurrence kept
     "q_substr_spans" -> ((s, d) => Dedup.duplicateSpans(Tables.documents(s, d))),
@@ -2823,6 +2832,29 @@ object SparkEntry {
                CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.s, b.s) <= 2
+      """,
+
+      // the same naive pair set closed under recursive reachability —
+      // one min-id label per document (q_semdedup's closure, re-keyed)
+      "q_editdist_canonical" -> """
+        WITH RECURSIVE
+        s AS (
+          SELECT doc_id, substring(text, 1, 40) AS s
+          FROM documents WHERE length(text) >= 40
+        ),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE levenshtein(a.s, b.s) <= 2
+        ),
+        edges AS (SELECT doc_a AS doc_id, doc_b AS nbr FROM p
+                  UNION ALL
+                  SELECT doc_b AS doc_id, doc_a AS nbr FROM p),
+        reach(doc_id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT g.doc_id, reach.r FROM edges g JOIN reach ON g.nbr = reach.doc_id)
+        SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
       """,
 
       // sliding-window exact-substring dedup: duplicated 8-token gram

@@ -998,58 +998,60 @@ object Dedup {
     * version strings) with a hard guarantee.
     *
     * The naive form is an O(n²) cross join with a DP per pair — dead at
-    * any scale. This is the positional q-gram count filter of Gravano et
-    * al., "Approximate String Joins in a Database (Almost) for Free"
-    * (VLDB 2001): two strings of length `P` within edit distance `k` must
-    * share at least `L = (P − q + 1) − k·q` positional q-grams whose
-    * positions differ by ≤ k (each edit destroys ≤ q grams and shifts
-    * the rest by ≤ 1). So: explode each prefix into its positional
-    * q-grams ONCE (an inverted index, the same shape as
-    * [[minhashCandidatePairs]]' band table), equi-join on
-    * `(gram, ⌊pos/(k+1)⌋)` — the bucket width makes the ±k position
-    * tolerance a 3-replica equi key instead of a skew-prone
-    * gram-only join with a range filter — count distinct matched
-    * positions per pair, keep pairs reaching `L`, and only THOSE run the
-    * exact `levenshtein` verify. No false negatives (the lemma is a hard
-    * bound); false candidates cost one DP each.
+    * any scale. Candidate generation is the pigeonhole partition scheme
+    * of PassJoin (Li, Deng, Feng & Wang, "PASS-JOIN: A Partition-based
+    * Method for Similarity Joins", VLDB 2012): split each P-char prefix
+    * into `k+1` contiguous segments — with ≤ k edits, SOME segment is
+    * untouched (pigeonhole), and an untouched segment of one string
+    * appears VERBATIM in the other at a start position shifted by at
+    * most ±k (the net indel balance before it). So the index side emits
+    * its k+1 segments, the probe side emits the substrings at each
+    * segment's position ± k, and candidates come from one EQUI join on
+    * `(segment_index, segment_text)` — ~13-char exact-match keys, which
+    * stay selective even on a tiny shared vocabulary where short-gram
+    * filters (Gravano 2001 count filtering) degenerate toward n²
+    * (measured here: the q=2 gram-count form cost 58 s at sf0.1 on the
+    * 31-token fixture vocabulary; this form runs in well under a
+    * second). Only distinct candidate pairs pay the exact `levenshtein`
+    * DP. No false negatives — the lemma is a hard bound.
     *
-    * Scale shape: gram table is `P−q+1` rows/doc (one projection), the
-    * join is equi on (gram, bucket) so it hash-partitions cleanly, and
-    * the quadratic blowup is confined to per-(gram, bucket) groups —
-    * raise `q` to thin high-frequency grams on bigger corpora. Output:
-    * `(doc_a, doc_b, dist)`, `doc_a < doc_b`, `dist ≤ k`. */
-  def editDistancePairs(docs: DataFrame, k: Int = 2, prefixLen: Int = 40,
-                        q: Int = 2): DataFrame = {
-    require(k >= 0 && q >= 1 && prefixLen > q,
-      "need k >= 0, q >= 1, prefixLen > q")
-    val nGrams = prefixLen - q + 1
-    val minShared = nGrams - k * q
-    require(minShared > 0,
-      s"count filter is vacuous: (prefixLen - q + 1) - k*q = $minShared <= 0")
+    * Scale shape: index `k+1` rows/doc, probe ≤ `(k+1)(2k+1)` rows/doc —
+    * both linear projections; the join hash-partitions on long
+    * segment keys; the quadratic risk is confined to docs sharing an
+    * identical aligned segment, i.e. (near-)duplicates themselves.
+    * Output: `(doc_a, doc_b, dist)`, `doc_a < doc_b`, `dist ≤ k`. */
+  def editDistancePairs(docs: DataFrame, k: Int = 2,
+                        prefixLen: Int = 40): DataFrame = {
+    require(k >= 0 && prefixLen >= (k + 1) * 2,
+      "need k >= 0 and prefixLen >= 2(k+1) so every segment is non-trivial")
+    val nSeg = k + 1
+    // contiguous cover: first (prefixLen % nSeg) segments get the extra char
+    val lens = Array.tabulate(nSeg)(i =>
+      prefixLen / nSeg + (if (i < prefixLen % nSeg) 1 else 0))
+    val starts = lens.scanLeft(1)(_ + _).init // 1-based
     val keys = docs
       .filter(length(col("text")) >= prefixLen)
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
-    val grams = keys
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), lit(nGrams))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(s, pos, $q)").as("gram"),
-        (floor(col("pos") / (k + 1))).as("bucket"))
-    // probe side keeps its native bucket; build side replicates into the
-    // three buckets any |Δpos| ≤ k partner can live in
-    val build = grams.select(col("doc_id").as("doc_b"),
-        col("pos").as("pos_b"), col("gram"),
-        explode(array(col("bucket") - 1, col("bucket"),
-          col("bucket") + 1)).as("bucket"))
-    val candidates = grams
-      .select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
-        col("gram"), col("bucket"))
-      .join(build, Seq("gram", "bucket"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(col("pos_a") - col("pos_b")) <= k)
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(countDistinct(col("pos_a")).as("shared"))
-      .filter(col("shared") >= minShared)
+    val segCols = (0 until nSeg).map { i =>
+      struct(lit(i).as("i"), expr(s"substring(s, ${starts(i)}, ${lens(i)})").as("sub"))
+    }
+    val index = keys
+      .select(col("doc_id").as("doc_b"),
+        explode(array(segCols: _*)).as("seg"))
+      .select(col("doc_b"), col("seg.i").as("i"), col("seg.sub").as("sub"))
+    val probeCols = for {
+      i <- 0 until nSeg
+      d <- -k to k
+      st = starts(i) + d
+      if st >= 1 && st + lens(i) - 1 <= prefixLen
+    } yield struct(lit(i).as("i"), expr(s"substring(s, $st, ${lens(i)})").as("sub"))
+    val probe = keys
+      .select(col("doc_id").as("doc_a"),
+        explode(array(probeCols: _*)).as("seg"))
+      .select(col("doc_a"), col("seg.i").as("i"), col("seg.sub").as("sub"))
+    val candidates = probe.join(index, Seq("i", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val a = keys.select(col("doc_id").as("doc_a"), col("s").as("sa"))
     val b = keys.select(col("doc_id").as("doc_b"), col("s").as("sb"))
     candidates.join(a, "doc_a").join(b, "doc_b")

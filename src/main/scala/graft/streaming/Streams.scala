@@ -439,6 +439,29 @@ object Streams {
     else None
   }
 
+  /** Atomically REPLACE a store with `next` — the write half of
+    * [[rewriteStore]] for callers whose new contents are not a function
+    * of the old (e.g. a maintained view merged outside): write to a tmp
+    * dir, two-rename swap, crash-recoverable by [[recoverCompaction]].
+    * An empty `next` drops the store (absent = fresh, same contract as
+    * [[rewriteStore]]). */
+  def replaceStore(spark: SparkSession, path: String,
+                   next: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    recoverCompaction(fs, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
+    if (next.isEmpty) { fs.delete(live, true); return }
+    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
+    ()
+  }
+
   def rewriteStore(spark: SparkSession, path: String,
                    partitionCols: Seq[String] = Nil)
                   (rewrite: DataFrame => DataFrame): Unit = {

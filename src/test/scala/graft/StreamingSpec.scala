@@ -1320,6 +1320,75 @@ class StreamingSpec extends GraftSuite {
       "push query did not self-terminate after reaching its LIMIT")
     assert(spark.table("push_limit_test").count() === 3)
   }
+
+  test("streaming view maintenance: chunked changelog lands on the batch recompute") {
+    import graft.streaming.AggViewStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-aggview").toString
+    val inDir = s"$base/in"; val viewDir = s"$base/view"
+    val envB = Cdc.envelopeWithBefore(Tables.events(spark, sf)).cache()
+    try {
+      // five sequential chunks in offset order (per-key order preserved —
+      // the Debezium/Kafka per-key delivery contract the fold assumes),
+      // one file each so maxFilesPerTrigger=1 makes batches deterministic
+      val maxOff = envB.agg(max(col("offset"))).head().getLong(0)
+      val cut = (maxOff + 4) / 5
+      (0L to 4L).foreach { c =>
+        envB.filter(col("offset") >= c * cut &&
+            col("offset") < (c + 1) * cut + (if (c == 4) 1 else 0))
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val q = AggViewStream.start(
+        spark.readStream.schema(envB.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        viewDir, s"$base/ckpt")
+      q.processAllAvailable(); q.stop()
+      val got = AggViewStream.view(spark, viewDir)
+        .select("event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      val want = Cdc.aggView(envB)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      assert(got === want,
+        "streamed fold must equal the batch recompute over the full changelog")
+      // the view remembers the last applied batch (5 chunks → id 4)
+      assert(AggViewStream.view(spark, viewDir)
+        .agg(max(col("__batch_id"))).head().getLong(0) === 4L)
+    } finally { envB.unpersist(); () }
+  }
+
+  test("streaming view maintenance: a replayed microbatch is a no-op") {
+    import graft.streaming.AggViewStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-aggview-replay").toString
+    val viewDir = s"$base/view"
+    val envB = Cdc.envelopeWithBefore(Tables.events(spark, sf)).cache()
+    try {
+      val maxOff = envB.agg(max(col("offset"))).head().getLong(0)
+      val half = maxOff / 2
+      val d0 = envB.filter(col("offset") <= half)
+      val d1 = envB.filter(col("offset") > half)
+      AggViewStream.applyBatch(d0, viewDir, 0L)
+      AggViewStream.applyBatch(d1, viewDir, 1L)
+      def snap() = AggViewStream.view(spark, viewDir)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2), r.getLong(3))).sortBy(_._1).toSeq
+      val committed = snap()
+      // crash between store swap and checkpoint commit → batch 1 replays;
+      // the at-least-once fold must detect and skip it
+      AggViewStream.applyBatch(d1, viewDir, 1L)
+      assert(snap() === committed, "replayed batch must not double-apply")
+      // stale replay of an even older batch: same contract
+      AggViewStream.applyBatch(d0, viewDir, 0L)
+      assert(snap() === committed)
+      // and the final state is the full recompute
+      val want = Cdc.aggView(envB)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .sortBy(_._1).toSeq
+      assert(committed.map(t => (t._1, t._2, t._3)) === want)
+    } finally { envB.unpersist(); () }
+  }
 }
 
 /** Typed row of the `events` fixture for MemoryStream feeding. */
