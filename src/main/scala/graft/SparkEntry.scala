@@ -366,6 +366,9 @@ object SparkEntry {
     }),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_lang_dist" -> ((s, d) => TextAnalysis.langDistribution(Tables.documents(s, d))),
+    // every (lang × source) rollup slice in ONE corpus pass — the
+    // grouping-sets surface (CUBE), gid disambiguating rollup rows
+    "q_corpus_cube" -> ((s, d) => TextAnalysis.corpusCube(Tables.documents(s, d))),
     "q_quality" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
@@ -1138,6 +1141,33 @@ object SparkEntry {
       SELECT event_id, user_id, x | (y << 1) AS zval FROM s4
     """,
 
+    // 3-D ZOrderN mirrored by the textbook definition — grid bit i of
+    // dim d at z-bit i*3+d, variable shifts summed per dim (was left
+    // rows-only by the round-9 cutoff; bit-exact on all 10k fixture rows)
+    "q_zorder3" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_ms(ts) // 1000 AS epoch
+                 FROM events),
+      b AS (SELECT min(user_id) ua, max(user_id) ub,
+                   min(event_id) ea, max(event_id) eb,
+                   min(epoch) ta, max(epoch) tb FROM e),
+      g AS (SELECT event_id, user_id, epoch,
+              CASE WHEN ub <= ua THEN 0
+                   ELSE ((user_id - ua) * 65535) // (ub - ua) END AS g0,
+              CASE WHEN eb <= ea THEN 0
+                   ELSE ((event_id - ea) * 65535) // (eb - ea) END AS g1,
+              CASE WHEN tb <= ta THEN 0
+                   ELSE ((epoch - ta) * 65535) // (tb - ta) END AS g2
+            FROM e, b)
+      SELECT event_id, user_id, epoch,
+             CAST(list_sum(list_transform(range(0,16),
+                    i -> ((g0 >> i) & 1) << (i*3)))
+                + list_sum(list_transform(range(0,16),
+                    i -> ((g1 >> i) & 1) << (i*3+1)))
+                + list_sum(list_transform(range(0,16),
+                    i -> ((g2 >> i) & 1) << (i*3+2))) AS BIGINT) AS zval
+      FROM g
+    """,
+
     // the salt is an execution detail: the oracle is the PLAIN join
     "q_salted_join" -> """
       SELECT p_brand,
@@ -1810,6 +1840,14 @@ object SparkEntry {
         SELECT lang_guess, COUNT(*) AS n_docs,
                round(avg(CAST(marker_hits AS DOUBLE)), 6) AS avg_marker_hits
         FROM ($langIdSql) GROUP BY 1
+      """,
+
+      // CUBE: both engines encode GROUPING with the first column most
+      // significant, so gid disambiguates rollup rows identically
+      "q_corpus_cube" -> """
+        SELECT lang, source, GROUPING(lang, source) AS gid,
+               count(*) AS cnt, sum(n_chars) AS sum_chars
+        FROM documents GROUP BY CUBE(lang, source)
       """,
 
       "q_quality" -> s"""

@@ -1022,33 +1022,11 @@ object Dedup {
     * Output: `(doc_a, doc_b, dist)`, `doc_a < doc_b`, `dist ≤ k`. */
   def editDistancePairs(docs: DataFrame, k: Int = 2,
                         prefixLen: Int = 40): DataFrame = {
-    require(k >= 0 && prefixLen >= (k + 1) * 2,
-      "need k >= 0 and prefixLen >= 2(k+1) so every segment is non-trivial")
-    val nSeg = k + 1
-    // contiguous cover: first (prefixLen % nSeg) segments get the extra char
-    val lens = Array.tabulate(nSeg)(i =>
-      prefixLen / nSeg + (if (i < prefixLen % nSeg) 1 else 0))
-    val starts = lens.scanLeft(1)(_ + _).init // 1-based
-    val keys = docs
-      .filter(length(col("text")) >= prefixLen)
-      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
-    val segCols = (0 until nSeg).map { i =>
-      struct(lit(i).as("i"), expr(s"substring(s, ${starts(i)}, ${lens(i)})").as("sub"))
-    }
-    val index = keys
-      .select(col("doc_id").as("doc_b"),
-        explode(array(segCols: _*)).as("seg"))
-      .select(col("doc_b"), col("seg.i").as("i"), col("seg.sub").as("sub"))
-    val probeCols = for {
-      i <- 0 until nSeg
-      d <- -k to k
-      st = starts(i) + d
-      if st >= 1 && st + lens(i) - 1 <= prefixLen
-    } yield struct(lit(i).as("i"), expr(s"substring(s, $st, ${lens(i)})").as("sub"))
-    val probe = keys
-      .select(col("doc_id").as("doc_a"),
-        explode(array(probeCols: _*)).as("seg"))
-      .select(col("doc_a"), col("seg.i").as("i"), col("seg.sub").as("sub"))
+    val keys = prefixKeys(docs, prefixLen)
+    val index = passjoinIndex(keys, k, prefixLen)
+      .withColumnRenamed("doc_id", "doc_b")
+    val probe = passjoinProbe(keys, k, prefixLen)
+      .withColumnRenamed("doc_id", "doc_a")
     val candidates = probe.join(index, Seq("i", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -1058,5 +1036,50 @@ object Dedup {
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .filter(col("dist") <= k)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** The PassJoin comparison key: `(doc_id, s)` with `s` the fixed-length
+    * prefix; docs shorter than `prefixLen` do not participate. */
+  def prefixKeys(docs: DataFrame, prefixLen: Int): DataFrame =
+    docs.filter(length(col("text")) >= prefixLen)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+
+  private def segmentation(k: Int, prefixLen: Int): (Array[Int], Array[Int]) = {
+    require(k >= 0 && prefixLen >= (k + 1) * 2,
+      "need k >= 0 and prefixLen >= 2(k+1) so every segment is non-trivial")
+    val nSeg = k + 1
+    // contiguous cover: first (prefixLen % nSeg) segments get the extra char
+    val lens = Array.tabulate(nSeg)(i =>
+      prefixLen / nSeg + (if (i < prefixLen % nSeg) 1 else 0))
+    (lens, lens.scanLeft(1)(_ + _).init) // 1-based starts
+  }
+
+  /** PassJoin index side: each key's `k+1` segments as `(doc_id, i, sub)`
+    * — the rows an inverted index (or a streaming store) holds. */
+  def passjoinIndex(keys: DataFrame, k: Int, prefixLen: Int): DataFrame = {
+    val (lens, starts) = segmentation(k, prefixLen)
+    val segCols = lens.indices.map { i =>
+      struct(lit(i).as("i"),
+        expr(s"substring(s, ${starts(i)}, ${lens(i)})").as("sub"))
+    }
+    keys.select(col("doc_id"), explode(array(segCols: _*)).as("seg"))
+      .select(col("doc_id"), col("seg.i").as("i"), col("seg.sub").as("sub"))
+  }
+
+  /** PassJoin probe side: for each segment position, the key's substrings
+    * at that position shifted by up to ±k (in-bounds only) — any string
+    * within edit distance k of the key has SOME index segment among
+    * these. */
+  def passjoinProbe(keys: DataFrame, k: Int, prefixLen: Int): DataFrame = {
+    val (lens, starts) = segmentation(k, prefixLen)
+    val probeCols = for {
+      i <- lens.indices
+      d <- -k to k
+      st = starts(i) + d
+      if st >= 1 && st + lens(i) - 1 <= prefixLen
+    } yield struct(lit(i).as("i"),
+      expr(s"substring(s, $st, ${lens(i)})").as("sub"))
+    keys.select(col("doc_id"), explode(array(probeCols: _*)).as("seg"))
+      .select(col("doc_id"), col("seg.i").as("i"), col("seg.sub").as("sub"))
   }
 }

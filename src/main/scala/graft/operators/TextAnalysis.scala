@@ -268,6 +268,20 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         expr("round(avg(CAST(marker_hits AS DOUBLE)), 6)").as("avg_marker_hits"))
 
+  /** Full `(lang × source)` CUBE of corpus volume — every rollup slice a
+    * curation dashboard asks for (per language, per source, per cell, and
+    * the grand total) in ONE pass: Spark expands the grouping sets from a
+    * single shuffle of the 2-column projection, so the corpus is scanned
+    * once, not once per slice. `gid` is the standard grouping bit vector
+    * (first cube column = most significant), distinguishing a NULL group
+    * value from a rollup row — both engines encode it identically, which
+    * is what makes the cube oracle-checkable. */
+  def corpusCube(docs: DataFrame): DataFrame =
+    docs.cube(col("lang"), col("source"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("n_chars")).as("sum_chars"))
+
   /** PII redaction — the scrub pass every training corpus needs before the
     * model sees it: emails and long digit runs (phone/card/SSN shapes)
     * replaced with typed placeholder tokens. Pure codegen'd

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.Dedup
+
+/** STREAMING edit-distance near-duplicate detection — the fourth
+  * at-ingest dedup modality beside [[NearDupStream]] (SimHash token
+  * sets), [[SubstrDedupStream]] (exact substrings) and [[EmbedDupStream]]
+  * (embedding cosine): arriving documents are matched by bounded
+  * Levenshtein distance on their fixed-length prefix, within the batch
+  * and against everything ingested so far, using the SAME PassJoin
+  * pigeonhole partitioning as the batch operator
+  * ([[Dedup.editDistancePairs]]) — character-level noise (OCR scans of
+  * one source, version-stamped boilerplate) caught when the doc lands.
+  *
+  * Shape per microbatch (foreachBatch, serialized):
+  *  1. prefix keys once ([[Dedup.prefixKeys]], checkpointed — both joins
+  *     and the store append consume them);
+  *  2. within-batch pairs from the batch operator itself (bit-identical
+  *     semantics by construction);
+  *  3. cross-batch pairs: the batch's probe substrings
+  *     ([[Dedup.passjoinProbe]]) equi-join the accumulated segment store
+  *     `(seg_part, i, sub, doc_id, s)` — PARTITIONED by a 64-way hash of
+  *     the segment text and pruned to the batch's own distinct parts (a
+  *     bounded ≤ 64-value collect) — then exact `levenshtein` on the
+  *     distinct candidates only, prefixes read from the store rows, the
+  *     corpus never re-read;
+  *  4. matches append with `__batch_id`; the batch's index segments
+  *     append to the store AFTER the lookup, clustered on the partition
+  *     key ([[Streams.appendPartitioned]]).
+  *
+  * Replay safety needs NO lineage guard — the [[EmbedDupStream]]
+  * argument: a batch that crashed after its store append replays against
+  * its own segments, but the `least/greatest` pair normalization plus
+  * the `doc_id` inequality mean those can only re-produce pairs the
+  * intra-batch join already emits — duplicate ROWS, never wrong ones —
+  * and [[matches]]' distinct absorbs them.
+  *
+  * Retention (`retainBatches`) bounds the store to a sliding horizon via
+  * the crash-safe [[Streams.rewriteStore]] swap. A format marker stamps
+  * `(k, prefixLen)`: segment boundaries depend on both, so probing a
+  * store built with a different geometry would silently miss true pairs
+  * — a mismatched restart fails fast instead. */
+object EditDistStream {
+
+  private val SegParts = 64
+
+  private def formatTag(k: Int, prefixLen: Int): String =
+    s"editdist-passjoin/k=$k/prefix=$prefixLen"
+
+  private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
+                               stateDir: String, k: Int,
+                               prefixLen: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val expected = formatTag(k, prefixLen)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val actual =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (actual != expected) throw new IllegalStateException(
+        s"EditDistStream store at $stateDir was written as '$actual' but " +
+          s"this query is configured for '$expected'. Segment boundaries " +
+          "depend on (k, prefixLen); point the query at a fresh stateDir " +
+          "or restart with the store's geometry.")
+    } else if (fs.exists(live)) throw new IllegalStateException(
+      s"Directory $stateDir exists but carries no EditDistStream format " +
+        "marker — refusing to treat it as a segment store.")
+    else {
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Start the detector: emits `(doc_a, doc_b, dist, __batch_id)` rows to
+    * `matchesDir` and maintains the segment store at `stateDir`. `docs`
+    * must be a streaming DataFrame with (doc_id: long, text: string). */
+  def start(docs: DataFrame, stateDir: String, matchesDir: String,
+            checkpoint: String, k: Int = 2, prefixLen: Int = 40,
+            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+    require(retainBatches >= 0 && pruneEvery >= 0,
+      "retainBatches/pruneEvery must be >= 0")
+    val pruneInterval =
+      if (retainBatches == 0) 0
+      else if (pruneEvery > 0) pruneEvery else retainBatches
+    var formatChecked = false
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keys = Dedup.prefixKeys(batch, prefixLen).localCheckpoint(false)
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Streams.recoverCompaction(fs, stateDir)
+        if (!formatChecked) {
+          checkStoreFormat(fs, stateDir, k, prefixLen)
+          formatChecked = true
+        }
+        val intra = Dedup.editDistancePairs(
+          keys.select(col("doc_id"), col("s").as("text")), k, prefixLen)
+        val cross = (if (fs.exists(statePath))
+          Some(spark.read.parquet(stateDir)) else None)
+          .map { prior =>
+            val probe = Dedup.passjoinProbe(keys, k, prefixLen)
+              .withColumn("seg_part",
+                pmod(xxhash64(col("sub")), lit(SegParts)).cast("int"))
+            // bounded collect: ≤ 64 distinct partition values — store
+            // slices outside the probes' own parts cannot match
+            val parts = probe.select("seg_part").distinct()
+              .collect().map(_.getInt(0))
+            val candidates = probe.alias("n").join(
+                prior.filter(col("seg_part").isin(parts.toIndexedSeq: _*))
+                  .alias("p"),
+                col("n.i") === col("p.i") && col("n.sub") === col("p.sub") &&
+                  col("n.doc_id") =!= col("p.doc_id"))
+              .select(col("n.doc_id").as("new_id"),
+                col("p.doc_id").as("old_id"), col("p.s").as("s_old"))
+              .distinct()
+            candidates.join(keys.select(col("doc_id").as("new_id"),
+                col("s").as("s_new")), "new_id")
+              .withColumn("dist", levenshtein(col("s_new"), col("s_old")))
+              .filter(col("dist") <= k)
+              .select(least(col("new_id"), col("old_id")).as("doc_a"),
+                greatest(col("new_id"), col("old_id")).as("doc_b"),
+                col("dist"))
+          }
+        cross.fold(intra)(intra.unionByName(_))
+          .distinct()
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(matchesDir)
+        // grow the store AFTER the lookup; carry the prefix so verify
+        // never re-reads the corpus
+        Streams.appendPartitioned(
+          Dedup.passjoinIndex(keys, k, prefixLen)
+            .join(keys.select(col("doc_id"), col("s")), "doc_id")
+            .withColumn("seg_part",
+              pmod(xxhash64(col("sub")), lit(SegParts)).cast("int"))
+            .withColumn("__batch_id", lit(batchId)),
+          stateDir, "seg_part")
+        if (pruneInterval > 0 &&
+            batchId % pruneInterval == (pruneInterval - 1))
+          Streams.rewriteStore(spark, stateDir, Seq("seg_part"))(
+            _.filter(col("__batch_id") > batchId - retainBatches))
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(keys)
+          .foreach(_.unpersist(false))
+        ()
+      }
+      .start()
+  }
+
+  /** All matches emitted so far, deduplicated (idempotent-append
+    * contract: batch retries re-emit their rows). */
+  def matches(spark: org.apache.spark.sql.SparkSession,
+              matchesDir: String): DataFrame =
+    spark.read.parquet(matchesDir)
+      .select("doc_a", "doc_b", "dist").distinct()
+}

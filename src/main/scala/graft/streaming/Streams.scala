@@ -453,8 +453,13 @@ object Streams {
     recoverCompaction(fs, path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
-    if (next.isEmpty) { fs.delete(live, true); return }
-    next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // cache: the emptiness probe and the write would otherwise evaluate
+    // the merge plan twice
+    val cached = next.cache()
+    try {
+      if (cached.isEmpty) { fs.delete(live, true); return }
+      cached.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    } finally { cached.unpersist(); () }
     fs.delete(old, true)
     if (fs.exists(live)) fs.rename(live, old)
     fs.rename(tmp, live)

@@ -523,15 +523,19 @@ class PlanSpec extends GraftSuite {
   }
 
   test("round-10 additions keep their scale shapes") {
-    // edit-distance candidates: the gram self-join must be an EQUI join
-    // on (gram, bucket) — never a cartesian/nested-loop over documents,
-    // and document text must not ride through the gram exchange
+    // edit-distance candidates: the PassJoin probe-index join must be an
+    // EQUI join on (segment index, segment text) — never a
+    // cartesian/nested-loop over documents — and the exact DP must run
+    // only after candidate generation
     val ep = SparkEntry.queries("q_editdist_pairs")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!ep.contains("CartesianProduct"),
-      "edit-distance join must never be a cartesian product")
-    assert(ep.contains("gram"),
-      "candidate join must key on the gram column")
+    assert(!ep.contains("CartesianProduct") &&
+      !ep.contains("BroadcastNestedLoopJoin"),
+      "edit-distance join must never be a cartesian/nested-loop product")
+    assert(ep.contains("sub"),
+      "candidate join must key on the segment text column")
+    assert(ep.contains("levenshtein"),
+      "exact verify must be present after candidate generation")
     // incremental view maintenance: the merge is aggregate-sized — the
     // plan may scan events for base/delta (fixture synthesis) but the
     // final merge must be a join of two AGGREGATES, not a re-aggregation

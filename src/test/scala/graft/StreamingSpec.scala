@@ -1321,6 +1321,49 @@ class StreamingSpec extends GraftSuite {
     assert(spark.table("push_limit_test").count() === 3)
   }
 
+  test("streaming edit-distance dedup equals the batch operator over the full corpus") {
+    import graft.streaming.EditDistStream
+    import graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-editdist-stream").toString
+    val inDir = s"$base/in"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").cache()
+    try {
+      // three chunks, one file each → three deterministic microbatches;
+      // a pair lands intra-batch or cross-batch depending on the split,
+      // and the union must equal the batch operator either way
+      (0 until 3).foreach { c =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val q = EditDistStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state", s"$base/matches", s"$base/ckpt")
+      q.processAllAvailable(); q.stop()
+      val got = EditDistStream.matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = Dedup.editDistancePairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(want.nonEmpty, "fixture must contain near-dup prefixes")
+      assert(got === want,
+        s"streamed matches diverged: missing ${want -- got}, extra ${got -- want}")
+      // geometry marker: restarting against the store with a different
+      // (k, prefixLen) must fail fast, not silently miss pairs
+      val bad = EditDistStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state", s"$base/matches2", s"$base/ckpt2", k = 1)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.processAllAvailable()
+      }
+      bad.stop()
+      assert(e.getMessage.contains("editdist-passjoin") ||
+        e.getCause.getMessage.contains("editdist-passjoin"))
+    } finally { docs.unpersist(); () }
+  }
+
   test("streaming view maintenance: chunked changelog lands on the batch recompute") {
     import graft.streaming.AggViewStream
     val base = java.nio.file.Files
