@@ -116,6 +116,11 @@ object CmsSketch {
       .mapValues(t => (t._2, t._3))
       .agg(new CmsAggregator(d, w).toColumn)
       .toDF("source", "sketch")
+      // geometry travels WITH the view: (d, w) pairs with the same
+      // product lay counters out differently, so the product alone
+      // cannot authenticate a sketch row
+      .withColumn("sketch_d", lit(d))
+      .withColumn("sketch_w", lit(w))
   }
 
   /** Point-query `targets` against the union of every sketch row in
@@ -129,12 +134,15 @@ object CmsSketch {
     import spark.implicits._
     val merged = new Array[Long](d * w)
     // A view built with a different (d, w) would index out of bounds or
-    // silently mis-estimate — reject geometry mismatches up front.
+    // silently mis-estimate — even at the SAME d·w product the counter
+    // layout differs, so validate the pair the view carries, not just
+    // the array length.
     val badGeom = view
-      .filter(size(col("sketch")) =!= d * w)
+      .filter(col("sketch_d") =!= d || col("sketch_w") =!= w ||
+        size(col("sketch")) =!= d * w)
       .limit(1).count()
     require(badGeom == 0L,
-      s"rollupCounts: a sketch row's length != d*w = ${d * w} — view was built with a different geometry")
+      s"rollupCounts: view carries a different sketch geometry than (d=$d, w=$w)")
     view.select(posexplode(col("sketch")).as(Seq("pos", "c")))
       .groupBy(col("pos")).agg(sum(col("c")).as("c"))
       .collect() // bounded: d·w rows (32 KB at the default geometry)

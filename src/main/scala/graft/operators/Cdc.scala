@@ -115,16 +115,21 @@ object Cdc {
     envelope(events).withColumn("before", lag(col("after"), 1).over(w))
   }
 
-  /** The maintained aggregate view: `(event_type, cnt, sum_value)` over
-    * the CURRENT table state (latest envelope per key in binlog order;
-    * deleted keys absent). Decimal-exact sum so the incremental and
-    * recomputed forms agree bit for bit under any association order. */
+  /** The maintained aggregate view: `(event_type, cnt, sum_value, nnz)`
+    * over the CURRENT table state (latest envelope per key in binlog
+    * order; deleted keys absent). Decimal-exact sum so the incremental
+    * and recomputed forms agree bit for bit under any association order.
+    * `nnz` counts the group's non-null values — the extra counter that
+    * makes SQL's sum-over-nulls semantics maintainable: `sum` is NULL
+    * exactly when a group holds no non-null value, which a plain running
+    * sum cannot know once deltas start cancelling. */
   def aggView(envelope: DataFrame): DataFrame =
     Relational.latestByKey(envelope, "key", col("offset"), col("offset"))
       .filter(col("op") =!= "d")
       .groupBy(col("after.event_type").as("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("after.value").cast("decimal(18,6)")).as("sum_value"))
+        sum(col("after.value").cast("decimal(18,6)")).as("sum_value"),
+        count(col("after.value")).as("nnz"))
 
   /** Incremental maintenance of [[aggView]] from a CDC delta — the
     * classic materialized-view delta rule (Gupta & Mumick, "Maintenance
@@ -150,20 +155,40 @@ object Cdc {
     val plus = delta.filter(col("after").isNotNull)
       .select(col("after.event_type").as("event_type"),
         lit(1L).as("dc"),
-        col("after.value").cast("decimal(18,6)").as("dv"))
+        coalesce(col("after.value").cast("decimal(18,6)"),
+          lit(0).cast("decimal(18,6)")).as("dv"),
+        col("after.value").isNotNull.cast("long").as("dn"))
     val minus = delta.filter(col("before").isNotNull)
       .select(col("before.event_type").as("event_type"),
         lit(-1L).as("dc"),
-        (-col("before.value").cast("decimal(18,6)")).as("dv"))
+        (-coalesce(col("before.value").cast("decimal(18,6)"),
+          lit(0).cast("decimal(18,6)"))).as("dv"),
+        (-col("before.value").isNotNull.cast("long")).as("dn"))
     val deltaAgg = plus.unionByName(minus)
       .groupBy("event_type")
-      .agg(sum(col("dc")).as("dc"), sum(col("dv")).as("dv"))
-    base.join(deltaAgg, Seq("event_type"), "full_outer")
-      .select(col("event_type"),
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+      .agg(sum(col("dc")).as("dc"), sum(col("dv")).as("dv"),
+        sum(col("dn")).as("dn"))
+    // null-SAFE merge key: a NULL group key is one group to groupBy (and
+    // to the recompute/oracle), so it must be one group here too — a
+    // null-unsafe join would leave base's and delta's null rows unmerged
+    val b = base.alias("b")
+    val d = deltaAgg.alias("d")
+    val merged = b.join(d, col("b.event_type") <=> col("d.event_type"),
+        "full_outer")
+      .select(
+        coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
+        (coalesce(col("b.cnt"), lit(0L)) + coalesce(col("d.dc"), lit(0L)))
           .as("cnt"),
-        (coalesce(col("sum_value"), lit(0).cast("decimal(18,6)")) +
-          coalesce(col("dv"), lit(0).cast("decimal(18,6)"))).as("sum_value"))
+        (coalesce(col("b.sum_value"), lit(0).cast("decimal(18,6)")) +
+          coalesce(col("d.dv"), lit(0).cast("decimal(18,6)"))).as("raw_sum"),
+        (coalesce(col("b.nnz"), lit(0L)) + coalesce(col("d.dn"), lit(0L)))
+          .as("nnz"))
+    // SQL sum semantics: NULL (not 0) when the group holds no non-null
+    // value — nnz is what makes that decidable incrementally
+    merged
+      .select(col("event_type"), col("cnt"),
+        when(col("nnz") > 0, col("raw_sum")).as("sum_value"),
+        col("nnz"))
       .filter(col("cnt") > 0)
   }
 }

@@ -84,8 +84,8 @@ object Layout {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    require(!stats.isNullAt(0),
-      s"withZValueN: empty input or all-null column '${cols.head}' — no stats to grid on")
+    cols.indices.foreach(i => require(!stats.isNullAt(2 * i),
+      s"withZValueN: empty input or all-null column '${cols(i)}' — no stats to grid on"))
     val mins = cols.indices.map(i => stats.getLong(2 * i)).toArray
     val maxs = cols.indices.map(i => stats.getLong(2 * i + 1)).toArray
     df.withColumn("zval", graft.functions.LayoutExpressions.zValueN(

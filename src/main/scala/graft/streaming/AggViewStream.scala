@@ -46,6 +46,7 @@ object AggViewStream {
     StructField("event_type", StringType),
     StructField("cnt", LongType),
     StructField("sum_value", DecimalType(28, 6)),
+    StructField("nnz", LongType),
     StructField("__batch_id", LongType)))
 
   /** The maintained view as of the last completed batch (empty frame on
@@ -76,12 +77,13 @@ object AggViewStream {
       // after a crash between store swap and checkpoint commit — skip
       if (batchId <= lastApplied) return
       val base = current.select(col("event_type"), col("cnt"),
-        col("sum_value"))
+        col("sum_value"), col("nnz"))
       // pin the decimal width: repeated merges would otherwise creep the
       // precision up one digit per batch (28,6 holds ±10^22 — plenty)
       val next = Cdc.maintainAggView(base, delta)
         .select(col("event_type"), col("cnt"),
-          col("sum_value").cast("decimal(28,6)").as("sum_value"))
+          col("sum_value").cast("decimal(28,6)").as("sum_value"),
+          col("nnz"))
         .withColumn("__batch_id", lit(batchId))
       Streams.replaceStore(spark, viewDir, next)
     } finally { current.unpersist(); () }

@@ -51,31 +51,14 @@ object EditDistStream {
   private def formatTag(k: Int, prefixLen: Int): String =
     s"editdist-passjoin/k=$k/prefix=$prefixLen"
 
+  /** Segment boundaries depend on (k, prefixLen) — probing a store built
+    * with a different geometry would silently miss true pairs. Shared
+    * marker protocol: [[Streams.checkStoreFormat]]. */
   private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
                                stateDir: String, k: Int,
-                               prefixLen: Int): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
-    val live = new org.apache.hadoop.fs.Path(stateDir)
-    val expected = formatTag(k, prefixLen)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val actual =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (actual != expected) throw new IllegalStateException(
-        s"EditDistStream store at $stateDir was written as '$actual' but " +
-          s"this query is configured for '$expected'. Segment boundaries " +
-          "depend on (k, prefixLen); point the query at a fresh stateDir " +
-          "or restart with the store's geometry.")
-    } else if (fs.exists(live)) throw new IllegalStateException(
-      s"Directory $stateDir exists but carries no EditDistStream format " +
-        "marker — refusing to treat it as a segment store.")
-    else {
-      val out = fs.create(marker, true)
-      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
+                               prefixLen: Int): Unit =
+    Streams.checkStoreFormat(fs, stateDir, formatTag(k, prefixLen),
+      "EditDistStream")
 
   /** Start the detector: emits `(doc_a, doc_b, dist, __batch_id)` rows to
     * `matchesDir` and maintains the segment store at `stateDir`. `docs`

@@ -46,31 +46,14 @@ object EmbedDupStream {
   private def formatTag(numPlanes: Int, dim: Int): String =
     s"lsh-signbucket/planes=$numPlanes/dim=$dim"
 
+  /** Bucket ids from different LSH geometries share an integer keyspace
+    * but mean different things — shared marker protocol:
+    * [[Streams.checkStoreFormat]]. */
   private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
                                stateDir: String, numPlanes: Int,
-                               dim: Int): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
-    val live = new org.apache.hadoop.fs.Path(stateDir)
-    val expected = formatTag(numPlanes, dim)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val actual =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (actual != expected) throw new IllegalStateException(
-        s"EmbedDupStream store at $stateDir was written as '$actual' but " +
-          s"this query is configured for '$expected'. Bucket ids from " +
-          "different LSH geometries are incompatible; point the query at " +
-          "a fresh stateDir or restart with the store's geometry.")
-    } else if (fs.exists(live)) throw new IllegalStateException(
-      s"Directory $stateDir exists but carries no EmbedDupStream format " +
-        "marker — refusing to treat it as a vector store.")
-    else {
-      val out = fs.create(marker, true)
-      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
+                               dim: Int): Unit =
+    Streams.checkStoreFormat(fs, stateDir, formatTag(numPlanes, dim),
+      "EmbedDupStream")
 
   /** Start the detector: emits `(vec_a, vec_b, score, __batch_id)` rows
     * to `matchesDir` and maintains the bucketed vector store at

@@ -439,6 +439,37 @@ object Streams {
     else None
   }
 
+  /** Shared store format-marker protocol (one implementation for every
+    * keyed side store): a `<stateDir>.__format` sidecar records the
+    * store's geometry tag; a restart whose configuration produces a
+    * different tag fails fast instead of silently probing an
+    * incompatible store, and a directory with contents but NO marker is
+    * refused rather than adopted. First writer creates the marker. */
+  def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
+                       stateDir: String, expected: String,
+                       storeKind: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val actual =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (actual != expected) throw new IllegalStateException(
+        s"$storeKind store at $stateDir was written as '$actual' but this " +
+          s"query is configured for '$expected'. The formats are " +
+          "incompatible; point the query at a fresh stateDir or restart " +
+          "with the store's geometry.")
+    } else if (fs.exists(live)) throw new IllegalStateException(
+      s"Directory $stateDir exists but carries no $storeKind format " +
+        "marker — refusing to treat it as a store.")
+    else {
+      val out = fs.create(marker, true)
+      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Atomically REPLACE a store with `next` — the write half of
     * [[rewriteStore]] for callers whose new contents are not a function
     * of the old (e.g. a maintained view merged outside): write to a tmp
@@ -451,16 +482,34 @@ object Streams {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(conf)
     recoverCompaction(fs, path)
+    atomicSwap(fs, path) { tmpPath =>
+      // cache: the emptiness probe and the write would otherwise
+      // evaluate the merge plan twice
+      val cached = next.cache()
+      try {
+        if (cached.isEmpty) false
+        else {
+          cached.coalesce(1).write.mode("overwrite").parquet(tmpPath)
+          true
+        }
+      } finally { cached.unpersist(); () }
+    }
+  }
+
+  /** The crash-recoverable two-rename swap every store writer shares —
+    * ONE copy of the rename ordering [[recoverCompaction]]'s crash
+    * contract depends on. `writeTmp` materializes the new contents at
+    * the tmp path and returns true, or returns false to signal "keep
+    * nothing" — then the live store is dropped whole (absent = fresh; a
+    * zero-row partitioned dir would have no schema footer and poison
+    * every later read). */
+  private def atomicSwap(fs: org.apache.hadoop.fs.FileSystem, path: String)
+                        (writeTmp: String => Boolean): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
     val old = new org.apache.hadoop.fs.Path(s"$path.__old")
-    // cache: the emptiness probe and the write would otherwise evaluate
-    // the merge plan twice
-    val cached = next.cache()
-    try {
-      if (cached.isEmpty) { fs.delete(live, true); return }
-      cached.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    } finally { cached.unpersist(); () }
-    fs.delete(old, true)
+    if (!writeTmp(tmp.toString)) { fs.delete(live, true); return }
+    fs.delete(old, true) // leftover from an interrupted PREVIOUS swap
     if (fs.exists(live)) fs.rename(live, old)
     fs.rename(tmp, live)
     fs.delete(old, true)
@@ -479,28 +528,25 @@ object Streams {
     // created it) — nothing to rewrite, and spark.read.parquet on the
     // missing path would throw PATH_NOT_FOUND
     if (!fs.exists(live)) return
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.__compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path.__old")
     val rewritten = rewrite(spark.read.parquet(path))
-    // a rewrite that keeps NOTHING (e.g. a retention horizon past the
-    // whole store) must not write a zero-row partitioned dir — that dir
-    // has no schema footer and poisons every later read. Absent store =
-    // fresh store to every consumer here, so just drop it.
-    if (rewritten.isEmpty) { fs.delete(live, true); return }
-    // cluster on the partition key so each partition dir gets ONE file
-    // from one task, not one from every task — a partitioned rewrite
-    // without it multiplies file count by the task count, and readers of
-    // the compacted store pay per-file open cost forever after
-    val writer = (if (partitionCols.nonEmpty)
-        rewritten.repartition(partitionCols.map(col): _*)
-      else rewritten).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-     else writer).parquet(tmp.toString)
-    fs.delete(old, true) // leftover from an interrupted PREVIOUS swap
-    fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, true)
-    ()
+    atomicSwap(fs, path) { tmpPath =>
+      // a rewrite that keeps NOTHING (e.g. a retention horizon past the
+      // whole store) → drop the store (atomicSwap's false branch)
+      if (rewritten.isEmpty) false
+      else {
+        // cluster on the partition key so each partition dir gets ONE
+        // file from one task, not one from every task — a partitioned
+        // rewrite without it multiplies file count by the task count,
+        // and readers of the compacted store pay per-file open cost
+        // forever after
+        val writer = (if (partitionCols.nonEmpty)
+            rewritten.repartition(partitionCols.map(col): _*)
+          else rewritten).write.mode("overwrite")
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(tmpPath)
+        true
+      }
+    }
   }
 
   /** Crash recovery for an interrupted [[compactUpsertLog]] swap: if the

@@ -56,34 +56,11 @@ object SubstrDedupStream {
 
   /** Fail fast when the store at `stateDir` was written with a different
     * gram width: k=8 and k=12 hashes share a keyspace but mean different
-    * things, and a silent join would emit garbage spans. The marker lives
-    * BESIDE the store — [[Streams.rewriteStore]] swaps the live directory
-    * wholesale. A store without a marker was not written by this class →
-    * refuse to touch it. */
+    * things, and a silent join would emit garbage spans. Shared marker
+    * protocol: [[Streams.checkStoreFormat]]. */
   private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
-                               stateDir: String, k: Int): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
-    val live = new org.apache.hadoop.fs.Path(stateDir)
-    val expected = formatTag(k)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val actual =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (actual != expected) throw new IllegalStateException(
-        s"SubstrDedupStream store at $stateDir was written as '$actual' " +
-          s"but this query is configured for '$expected'. Gram hashes of " +
-          "different widths are incompatible; point the query at a fresh " +
-          "stateDir or restart with the store's k.")
-    } else if (fs.exists(live)) throw new IllegalStateException(
-      s"Directory $stateDir exists but carries no SubstrDedupStream " +
-        "format marker — refusing to treat it as a gram store.")
-    else {
-      val out = fs.create(marker, true)
-      try out.write(expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
+                               stateDir: String, k: Int): Unit =
+    Streams.checkStoreFormat(fs, stateDir, formatTag(k), "SubstrDedupStream")
 
   // sidecar IO shared with IngestGuard: [[Streams.writeBloomSidecar]] /
   // [[Streams.readOrRebuildBloomSidecar]]

@@ -86,18 +86,18 @@ class CdcSpec extends GraftSuite {
   test("maintainAggView equals a full recompute for ANY changelog split") {
     val envB = Cdc.envelopeWithBefore(Tables.events(spark, sf)).cache()
     try {
-      val want = Cdc.aggView(envB)
-        .collect().map(r => (r.getString(0), r.getLong(1),
-          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getDecimal(2).stripTrailingZeros,
+          r.getLong(3))).sortBy(_._1).toSeq
+      val want = snap(Cdc.aggView(envB))
       val maxOff = envB.agg(max(col("offset"))).head().getLong(0)
       // split points: everything-in-base, everything-in-delta, and two
       // interior cuts — the maintained view must be split-invariant
       Seq(-1L, maxOff / 3, maxOff * 3 / 5, maxOff).foreach { s =>
-        val got = Cdc.maintainAggView(
+        val got = snap(Cdc.maintainAggView(
             Cdc.aggView(envB.filter(col("offset") <= s)),
-            envB.filter(col("offset") > s))
-          .collect().map(r => (r.getString(0), r.getLong(1),
-            r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+            envB.filter(col("offset") > s)))
         assert(got === want, s"split at offset $s diverged from recompute")
       }
     } finally { envB.unpersist(); () }
@@ -109,10 +109,11 @@ class CdcSpec extends GraftSuite {
       struct(lit(0L).as("id"), lit(0L).as("user_id"), lit(t).as("event_type"),
         lit(v).as("value"), lit("").as("props"))
     // base view: A has one row (1.5), B has one row (2.0)
-    val base = Seq(("A", 1L, BigDecimal("1.500000")), ("B", 1L, BigDecimal("2.000000")))
-      .toDF("event_type", "cnt", "sum_value")
+    val base = Seq(("A", 1L, BigDecimal("1.500000"), 1L),
+        ("B", 1L, BigDecimal("2.000000"), 1L))
+      .toDF("event_type", "cnt", "sum_value", "nnz")
       .select(col("event_type"), col("cnt"),
-        col("sum_value").cast("decimal(18,6)").as("sum_value"))
+        col("sum_value").cast("decimal(18,6)").as("sum_value"), col("nnz"))
     // delta: the A row MOVES to group C (update changes the group key);
     // the B row is deleted → group B must leave the view
     val delta = Seq(1, 2).toDF("i").select(
@@ -123,5 +124,55 @@ class CdcSpec extends GraftSuite {
         r.getDecimal(2).doubleValue)).sortBy(_._1).toSeq
     assert(got === Seq(("C", 1L, 7.25)),
       "A must empty out, B must be deleted, C must appear with the moved row")
+  }
+
+  test("maintainAggView: NULL group keys merge; all-null groups sum to NULL") {
+    // Round-10 review findings: (1) a null-unsafe merge key left base's
+    // and delta's NULL-group rows unmerged; (2) coalescing a NULL sum to
+    // 0 diverged from SQL's sum-over-nulls. Build a changelog where both
+    // cases are live (the events fixture has no NULLs) and assert the
+    // maintained view equals the recompute at every split.
+    import spark.implicits._
+    def env(offset: Long, key: String, op: String,
+            typ: Option[String], v: Option[Double]) =
+      (key, op, offset, typ, v)
+    val rows = Seq(
+      env(1, "k1", "c", None, Some(1.0)),       // NULL group key, value 1
+      env(2, "k2", "c", None, Some(2.0)),       // NULL group key, value 2
+      env(3, "k3", "c", Some("A"), None),       // group A, NULL value
+      env(4, "k4", "c", Some("A"), None),       // group A, NULL value
+      env(5, "k5", "c", Some("B"), Some(5.0)),
+      env(6, "k2", "u", None, Some(2.5)),       // update inside NULL group
+      env(7, "k5", "u", Some("B"), None),       // B's only value goes NULL
+      env(8, "k1", "d", None, None))            // delete from NULL group
+    val envDf = rows.toDF("key", "op", "offset", "typ", "v")
+      .select(col("key"),
+        when(col("op") =!= "d",
+          struct(col("offset").as("id"), lit(0L).as("user_id"),
+            col("typ").as("event_type"), col("v").as("value"),
+            lit("").as("props"))).as("after"),
+        col("op"), col("offset").as("ts_ms"), col("offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("offset"))
+    val envB = envDf.withColumn("before", lag(col("after"), 1).over(w))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (
+        if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDecimal(2).stripTrailingZeros,
+        r.getLong(3)))
+        .sortBy(t => Option(t._1).getOrElse("")).toSeq
+    val want = snap(Cdc.aggView(envB))
+    // the recompute itself must show the two hazards are live in the
+    // fixture: a NULL-key group, and groups with cnt > 0 but NULL sum
+    assert(want.exists(_._1 == null), "fixture must have a NULL group key")
+    assert(want.exists(t => t._3 == null && t._2 > 0),
+      "fixture must have an all-null-valued group (sum NULL, cnt > 0)")
+    (0L to 8L).foreach { s =>
+      val got = snap(Cdc.maintainAggView(
+          Cdc.aggView(envB.filter(col("offset") <= s)),
+          envB.filter(col("offset") > s)))
+      assert(got === want, s"split at offset $s diverged from recompute")
+    }
   }
 }

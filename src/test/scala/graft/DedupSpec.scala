@@ -9,6 +9,16 @@ class DedupSpec extends GraftSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  /** Naive reference Levenshtein — the spec's independent oracle. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("minhash banding recalls high-jaccard pairs (16 hashes, 4 bands)") {
     // expected recall for jaccard s: 1-(1-s^4)^4 — ~0.88 at s=0.8
     val exactHigh = Dedup.ngramJaccardPairs(docs, threshold = 0.8)
@@ -461,14 +471,6 @@ class DedupSpec extends GraftSuite {
     val prefixes = docs.filter(length(col("text")) >= 40)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("s"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-        if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
     val want = (for {
       (ida, sa) <- prefixes; (idb, sb) <- prefixes if ida < idb
       dist = lev(sa, sb) if dist <= 2
@@ -496,14 +498,6 @@ class DedupSpec extends GraftSuite {
     // naive reference over the same prefixes decides membership
     val prefixes = corpus.collect()
       .map(r => (r.getLong(0), r.getString(1).substring(0, 40)))
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-        if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
     val want = (for {
       (ida, sa) <- prefixes; (idb, sb) <- prefixes if ida < idb
       dist = lev(sa, sb) if dist <= 2

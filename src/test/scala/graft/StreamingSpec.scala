@@ -1415,8 +1415,9 @@ class StreamingSpec extends GraftSuite {
       AggViewStream.applyBatch(d0, viewDir, 0L)
       AggViewStream.applyBatch(d1, viewDir, 1L)
       def snap() = AggViewStream.view(spark, viewDir)
+        .select("event_type", "cnt", "sum_value", "nnz", "__batch_id")
         .collect().map(r => (r.getString(0), r.getLong(1),
-          r.getDecimal(2), r.getLong(3))).sortBy(_._1).toSeq
+          r.getDecimal(2), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
       val committed = snap()
       // crash between store swap and checkpoint commit → batch 1 replays;
       // the at-least-once fold must detect and skip it
