@@ -667,6 +667,22 @@ object SparkEntry {
       graft.functions.CmsSketch.rollupCounts(
         graft.functions.CmsSketch.sketchBySource(Tables.documents(s, d)),
         Seq("join", "hash", "filter", "window", "zzzz_absent"))),
+    // mergeable QUANTILE sketch view (grid histogram): per-type
+    // percentiles from a persisted sum-mergeable view — deterministic
+    // (partition-order-exact counter sums), so unlike approx_percentile
+    // the whole sketch is hash-checkable against the DuckDB mirror
+    "q_quantile_view" -> ((s, d) =>
+      graft.functions.QuantileView.quantilesByGroup(
+        graft.functions.QuantileView.sketchBy(
+          Tables.events(s, d), "event_type", "value"))
+        .withColumnRenamed("grp", "event_type")),
+    // and the rollup: whole-corpus percentiles by bin-wise counter sums
+    // over the SAME view — the oracle recomputes directly from events,
+    // so equality is the mergeability proof (the q_cms_rollup pattern)
+    "q_quantile_rollup" -> ((s, d) =>
+      graft.functions.QuantileView.rollupQuantiles(
+        graft.functions.QuantileView.sketchBy(
+          Tables.events(s, d), "event_type", "value"))),
     // mergeable HLL distinct cube: per-source distinct-token sketches —
     // COUNT DISTINCT is the one aggregate that cannot roll up exactly, so
     // the sketch view is the only no-rescan answer; rows-only driver
@@ -1710,7 +1726,57 @@ object SparkEntry {
     // merged per-source sketches ≡ the single-pass corpus sketch (counter
     // sums commute), so the rollup path answers to the SAME oracle —
     // sharing the SQL is the point, not a shortcut
-    "q_cms_rollup" -> trainingOracles("q_cms_counts"))
+    "q_cms_rollup" -> trainingOracles("q_cms_counts"),
+
+    // grid-histogram quantile sketch: DuckDB mirrors the ENTIRE pipeline
+    // (shared [min,max] grid, left-associative bin arithmetic, cumulative
+    // walk, midpoint readout) — the determinism that makes this sketch
+    // hash-checkable where approx_percentile is rows-only
+    "q_quantile_view" -> """
+      WITH b AS (SELECT min(value) mn, max(value) mx FROM events),
+      h AS (SELECT event_type,
+              CASE WHEN mx <= mn THEN 0
+                   ELSE CAST(least(floor((value - mn) * 4096 / (mx - mn)),
+                                   4095) AS INT) END AS bin,
+              count(*) AS cnt
+            FROM events, b WHERE value IS NOT NULL GROUP BY 1, 2),
+      c AS (SELECT event_type, bin, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+      p AS (SELECT event_type,
+              min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+              min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS b95,
+              min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b99
+            FROM c GROUP BY 1)
+      SELECT event_type,
+             round(mn + (b50 + 0.5) * (mx - mn) / 4096, 6) AS p50,
+             round(mn + (b95 + 0.5) * (mx - mn) / 4096, 6) AS p95,
+             round(mn + (b99 + 0.5) * (mx - mn) / 4096, 6) AS p99
+      FROM p, b
+    """,
+
+    // the rollup recomputed DIRECTLY from events — engine answers from
+    // bin-wise sums over the per-type view; equality is the
+    // mergeability proof (the q_cms_rollup pattern, for quantiles)
+    "q_quantile_rollup" -> """
+      WITH b AS (SELECT min(value) mn, max(value) mx FROM events),
+      h AS (SELECT CASE WHEN mx <= mn THEN 0
+                   ELSE CAST(least(floor((value - mn) * 4096 / (mx - mn)),
+                                   4095) AS INT) END AS bin,
+              count(*) AS cnt
+            FROM events, b WHERE value IS NOT NULL GROUP BY 1),
+      c AS (SELECT bin, cnt,
+              sum(cnt) OVER (ORDER BY bin) AS cum,
+              sum(cnt) OVER () AS n FROM h),
+      p AS (SELECT min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+              min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS b95,
+              min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b99
+            FROM c)
+      SELECT round(mn + (b50 + 0.5) * (mx - mn) / 4096, 6) AS p50,
+             round(mn + (b95 + 0.5) * (mx - mn) / 4096, 6) AS p95,
+             round(mn + (b99 + 0.5) * (mx - mn) / 4096, 6) AS p99
+      FROM p, b
+    """)
 
   /** Oracle SQL for the training-data-pipeline queries. These mirror the
     * Spark logic exactly: identical md5-derived hashes, identical sequential
