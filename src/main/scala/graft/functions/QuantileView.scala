@@ -42,11 +42,22 @@ object QuantileView {
     * mismatched grid must fail fast, not mis-estimate. */
   def sketchBy(df: DataFrame, groupCol: String, valueCol: String,
                bins: Int = 4096): DataFrame = {
-    require(bins > 0, "bins must be positive")
     val r = df.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head()
     require(!r.isNullAt(0), s"sketchBy: empty input or all-null '$valueCol'")
-    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    sketchByFixed(df, groupCol, valueCol, r.getDouble(0), r.getDouble(1),
+      bins)
+  }
+
+  /** [[sketchBy]] with a CALLER-FIXED domain — the form a stream (or any
+    * incremental builder) needs, where the grid must be pinned before
+    * the data is seen. Values outside `[mn, mx]` clamp into the edge
+    * cells (their rank contribution is preserved; only their position
+    * within the edge cell is lost). */
+  def sketchByFixed(df: DataFrame, groupCol: String, valueCol: String,
+                    mn: Double, mx: Double, bins: Int = 4096): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(mx >= mn, s"domain [$mn, $mx] is empty")
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"),
         binOf(col(valueCol).cast("double"), mn, mx, bins).as("bin"))
@@ -61,7 +72,9 @@ object QuantileView {
     * deterministic across engines when the expression shape matches). */
   private def binOf(v: Column, mn: Double, mx: Double, bins: Int): Column =
     if (mx <= mn) lit(0)
-    else least(floor((v - lit(mn)) * lit(bins) / lit(mx - mn)), lit(bins - 1))
+    else greatest(
+      least(floor((v - lit(mn)) * lit(bins) / lit(mx - mn)), lit(bins - 1)),
+      lit(0L)) // below-domain values (fixed grids only) clamp to cell 0
       .cast("int")
 
   /** Quantile estimates per group from the view: for each q, the

@@ -1364,6 +1364,114 @@ class StreamingSpec extends GraftSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("streaming HLL view: fold estimates are BIT-identical to the batch sketch") {
+    import graft.streaming.HllViewStream
+    import graft.functions.HllView
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hll-stream").toString
+    val inDir = s"$base/in"; val stateDir = s"$base/state"
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(expr(graft.operators.TextAnalysis.tokensExpr)).as("tok"))
+      .cache()
+    try {
+      (0 until 3).foreach { c =>
+        docs.filter(pmod(crc32(col("tok")), lit(3)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val q = HllViewStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        stateDir, s"$base/ckpt", "source", "tok", compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      def ests(view: org.apache.spark.sql.DataFrame) =
+        HllView.distinctBySource(view)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = ests(HllViewStream.view(spark, stateDir))
+      val want = ests(
+        docs.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("tok"), lit(12)).as("sketch")))
+      // register-wise max is associative: not within-epsilon — EQUAL
+      assert(got === want,
+        "fold estimates must be bit-identical to the one-pass sketch")
+      // compaction bounded the store
+      val perGrp = spark.read.parquet(stateDir)
+        .groupBy("grp").count().agg(max("count")).head().getLong(0)
+      assert(perGrp <= 2, s"store not compacted: $perGrp rows per group")
+      // replay guard: re-applying the last batch changes nothing
+      val lastId = spark.read.parquet(stateDir)
+        .agg(max(col("__batch_id"))).head().getLong(0)
+      val rowsBefore = spark.read.parquet(stateDir).count()
+      HllViewStream.applyBatch(docs.limit(100), stateDir, lastId,
+        "source", "tok", lgK = 12, compactEvery = 0)
+      assert(spark.read.parquet(stateDir).count() === rowsBefore)
+      assert(ests(HllViewStream.view(spark, stateDir)) === want)
+      // lgK marker: different register count must not union
+      val e = intercept[IllegalStateException] {
+        HllViewStream.applyBatch(docs.limit(1), stateDir, 99L,
+          "source", "tok", lgK = 10, compactEvery = 0)
+      }
+      assert(e.getMessage.contains("hll-datasketches"))
+    } finally { docs.unpersist(); () }
+  }
+
+  test("streaming histogram view: fold quantiles equal the batch walk; compaction and replay are invisible") {
+    import graft.streaming.HistogramStream
+    import graft.functions.QuantileView
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hist-stream").toString
+    val inDir = s"$base/in"; val stateDir = s"$base/state"
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).cache()
+    try {
+      // grid pinned up front (the streaming constraint) — use the true
+      // bounds so batch parity is exact
+      val r = events.agg(min(col("value")), max(col("value"))).head()
+      val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+      (0 until 4).foreach { c =>
+        events.filter(pmod(crc32(concat_ws("|", col("event_type"),
+            col("value"))), lit(4)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val q = HistogramStream.start(
+        spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        stateDir, s"$base/ckpt", "event_type", "value", mn, mx,
+        compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+      def walk(view: org.apache.spark.sql.DataFrame) =
+        QuantileView.quantilesByGroup(view)
+          .collect().map(x => x.getString(0) ->
+            (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+      val got = walk(HistogramStream.view(spark, stateDir, mn, mx))
+      val want = walk(QuantileView.sketchByFixed(
+        events, "event_type", "value", mn, mx))
+      assert(got === want,
+        "streamed histogram must serve the same quantiles as the batch sketch")
+      // compaction bounded the store: per (grp, bin) at most ONE row per
+      // un-compacted suffix batch beyond the compacted base
+      val perCell = spark.read.parquet(stateDir)
+        .groupBy("grp", "bin").count().agg(max("count")).head().getLong(0)
+      assert(perCell <= 3, s"store not compacted: $perCell rows per cell")
+      // replay guard: re-applying the last batch must change nothing
+      val before = spark.read.parquet(stateDir)
+        .agg(sum(col("cnt")), max(col("__batch_id"))).head()
+      HistogramStream.applyBatch(events.limit(50), stateDir,
+        before.getLong(1), "event_type", "value", mn, mx, 4096, 0)
+      val after = spark.read.parquet(stateDir)
+        .agg(sum(col("cnt")), max(col("__batch_id"))).head()
+      assert(after.getLong(0) === before.getLong(0) &&
+        after.getLong(1) === before.getLong(1),
+        "a replayed batch must not double-count")
+      // geometry marker: a different grid against the same store fails
+      val e = intercept[IllegalStateException] {
+        HistogramStream.applyBatch(events.limit(1), stateDir,
+          99L, "event_type", "value", mn, mx, bins = 1024, compactEvery = 0)
+      }
+      assert(e.getMessage.contains("grid-histogram"))
+    } finally { events.unpersist(); () }
+  }
+
   test("streaming view maintenance: chunked changelog lands on the batch recompute") {
     import graft.streaming.AggViewStream
     val base = java.nio.file.Files
