@@ -95,20 +95,38 @@ object QuantileView {
         .agg(sum(col("cnt")).as("cnt")),
       Nil, qs)
 
-  private def quantilesOf(binned: DataFrame, grpCols: Seq[Column],
+  private def quantilesOf(binnedRaw: DataFrame, grpCols: Seq[Column],
                           qs: Seq[Double]): DataFrame = {
-    val geoms = binned.select(col("v_min"), col("v_max"), col("bins"))
-      .distinct().collect()
-    require(geoms.length == 1,
-      "quantiles: view mixes grid geometries — rollups need one shared grid")
-    val (mn, mx, bins) =
-      (geoms(0).getDouble(0), geoms(0).getDouble(1), geoms(0).getInt(2))
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.map(pName).distinct.size == qs.size,
+      s"quantile labels collide after rounding to whole percents: " +
+        qs.map(pName).mkString(", "))
+    // cache around the two actions: the geometry probe and the quantile
+    // walk would otherwise each re-execute the full binning plan (3
+    // scans of the fact table for a fresh sketch instead of 1); the walk
+    // result is eagerly checkpointed (it is n_groups rows) so the cache
+    // can be dropped before returning
+    val binned = binnedRaw.cache()
+    try {
+      val geoms = binned.select(col("v_min"), col("v_max"), col("bins"))
+        .distinct().collect()
+      require(geoms.length == 1,
+        "quantiles: view mixes grid geometries — rollups need one shared grid")
+      val (mn, mx, bins) =
+        (geoms(0).getDouble(0), geoms(0).getDouble(1), geoms(0).getInt(2))
+      walk(binned, grpCols, qs, mn, mx, bins).localCheckpoint(true)
+    } finally { binned.unpersist(); () }
+  }
+
+  private def pName(q: Double) = "p" + (q * 100).round
+
+  private def walk(c0: DataFrame, grpCols: Seq[Column], qs: Seq[Double],
+                   mn: Double, mx: Double, bins: Int): DataFrame = {
     val w = Window.partitionBy(grpCols: _*).orderBy(col("bin"))
     val wAll = Window.partitionBy(grpCols: _*)
-    val c = binned
+    val c = c0
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("n", sum(col("cnt")).over(wAll))
-    def pName(q: Double) = "p" + (q * 100).round
     val picks = qs.map { q =>
       min(when(col("cum") >= ceil(lit(q) * col("n")), col("bin")))
         .as("b" + pName(q)) // dot-free: col("b_0.5") would parse as nested

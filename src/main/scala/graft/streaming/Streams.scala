@@ -470,6 +470,116 @@ object Streams {
     }
   }
 
+  /** Read a store's format marker, if present. */
+  def readStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
+                      stateDir: String): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Exactly-once fold for ADDITIVE view stores (histogram counts, HLL
+    * sketch rows — anything whose reader re-aggregates a log of
+    * per-batch partial aggregates).
+    *
+    * Additive semantics make replay the hard problem: a batch-id stamp
+    * riding the data rows arms the guard even when a crash persisted
+    * only PART of the batch (the rest is lost forever), and a stamp file
+    * written after the append re-admits the whole batch on replay —
+    * double-counting the partial rows. The commit must be batch-atomic,
+    * so here the batch IS the commit record: each batch's aggregate is
+    * written to a side path and RENAMED (atomic) into the store as a
+    * `batch=<lineage>-<id>` partition directory. Crash before the
+    * rename → nothing visible, replay rewrites; after → the directory's
+    * existence is the applied-marker, replay skips. Batch ids are
+    * checkpoint-scoped, so the partition value carries the
+    * [[lineageId]]: a store adopted under a fresh checkpoint (ids
+    * restart at 0) appends under the NEW lineage instead of colliding
+    * with old history.
+    *
+    * `compact` periodically re-aggregates the whole log into one
+    * `batch=c-<lineage>-<id>` partition (crash-safe [[rewriteStore]]
+    * swap; reader-invisible because the store's contents are
+    * associative by contract), which also keeps the applied-id record:
+    * any id ≤ the compacted max was covered. Single-writer, like every
+    * store here. */
+  def foldAppendOnce(spark: SparkSession, stateDir: String,
+                     lineage: String, batchId: Long,
+                     expectedFormat: String, storeKind: String,
+                     compactEvery: Int)
+                    (batchAgg: => DataFrame)
+                    (compact: DataFrame => DataFrame): Unit = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, stateDir)
+    checkStoreFormat(fs, stateDir, expectedFormat, storeKind)
+    if (appliedBatchMax(fs, stateDir, lineage).exists(_ >= batchId)) return
+    val agg = batchAgg
+    // an all-filtered microbatch contributes nothing; replaying it later
+    // re-contributes nothing — no commit record needed
+    if (!agg.isEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__pending")
+      fs.delete(tmp, true)
+      agg.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.exists(statePath)) fs.mkdirs(statePath)
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(statePath,
+        s"batch=$lineage-$batchId"))
+      if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+        rewriteStore(spark, stateDir, Seq("batch"))(df =>
+          compact(df.drop("batch"))
+            .withColumn("batch", lit(s"c-$lineage-$batchId")))
+    }
+    ()
+  }
+
+  /** Highest batch id this `lineage` has committed to the store (from
+    * the `batch=` partition names — a directory listing, no data read);
+    * None for a fresh store or an unseen lineage. */
+  def appliedBatchMax(fs: org.apache.hadoop.fs.FileSystem,
+                      stateDir: String, lineage: String): Option[Long] = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(statePath)) None
+    else {
+      val ids = fs.listStatus(statePath).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").stripPrefix("c-"))
+        .flatMap { v =>
+          // lineage ids may themselves contain '-': split on the LAST one
+          val cut = v.lastIndexOf('-')
+          if (cut <= 0) None
+          else {
+            val (l, id) = (v.substring(0, cut), v.substring(cut + 1))
+            if (l == lineage) id.toLongOption else None
+          }
+        }
+      ids.maxOption
+    }
+  }
+
+  /** Read an additive fold store ([[foldAppendOnce]] layout) tolerant of
+    * the absent / just-created-empty states and of a crash landed
+    * mid-compaction: empty frame with `schema` when nothing committed. */
+  def readFoldStore(spark: SparkSession, stateDir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, stateDir)
+    val hasData = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasData)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(stateDir).drop("batch")
+  }
+
   /** Atomically REPLACE a store with `next` — the write half of
     * [[rewriteStore]] for callers whose new contents are not a function
     * of the old (e.g. a maintained view merged outside): write to a tmp

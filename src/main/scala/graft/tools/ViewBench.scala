@@ -51,6 +51,7 @@ object ViewBench {
       val rows = spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", filesPerTrigger)
         .parquet(s"$base/in")
+      println(s"[viewbench] driving $label fold over $nRows rows")
       val t0 = System.nanoTime()
       val q = startQ(rows)
       try {

@@ -1398,17 +1398,27 @@ class StreamingSpec extends GraftSuite {
       val perGrp = spark.read.parquet(stateDir)
         .groupBy("grp").count().agg(max("count")).head().getLong(0)
       assert(perGrp <= 2, s"store not compacted: $perGrp rows per group")
-      // replay guard: re-applying the last batch changes nothing
-      val lastId = spark.read.parquet(stateDir)
-        .agg(max(col("__batch_id"))).head().getLong(0)
+      // replay guard: re-applying an already-committed batch changes
+      // nothing (lineage-scoped commit record)
+      val lineage = graft.streaming.Streams.lineageId(
+        spark.sparkContext.hadoopConfiguration, s"$base/ckpt")
+      val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val lastId = graft.streaming.Streams
+        .appliedBatchMax(fs, stateDir, lineage).get
       val rowsBefore = spark.read.parquet(stateDir).count()
-      HllViewStream.applyBatch(docs.limit(100), stateDir, lastId,
+      HllViewStream.applyBatch(docs.limit(100), stateDir, lineage, lastId,
         "source", "tok", lgK = 12, compactEvery = 0)
       assert(spark.read.parquet(stateDir).count() === rowsBefore)
       assert(ests(HllViewStream.view(spark, stateDir)) === want)
+      // a fresh lineage's batch 0 must apply (checkpoint-adoption hole)
+      HllViewStream.applyBatch(docs.limit(100), stateDir, "fresh", 0L,
+        "source", "tok", lgK = 12, compactEvery = 0)
+      assert(spark.read.parquet(stateDir).count() > rowsBefore,
+        "a fresh checkpoint's batch 0 must append, not be swallowed")
       // lgK marker: different register count must not union
       val e = intercept[IllegalStateException] {
-        HllViewStream.applyBatch(docs.limit(1), stateDir, 99L,
+        HllViewStream.applyBatch(docs.limit(1), stateDir, lineage, 99L,
           "source", "tok", lgK = 10, compactEvery = 0)
       }
       assert(e.getMessage.contains("hll-datasketches"))
@@ -1443,29 +1453,44 @@ class StreamingSpec extends GraftSuite {
         QuantileView.quantilesByGroup(view)
           .collect().map(x => x.getString(0) ->
             (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
-      val got = walk(HistogramStream.view(spark, stateDir, mn, mx))
+      // the read path takes NO geometry: it parses the store's marker
+      val got = walk(HistogramStream.view(spark, stateDir))
       val want = walk(QuantileView.sketchByFixed(
         events, "event_type", "value", mn, mx))
       assert(got === want,
         "streamed histogram must serve the same quantiles as the batch sketch")
+      assert(HistogramStream.geometry(spark, stateDir) === ((mn, mx, 4096)))
       // compaction bounded the store: per (grp, bin) at most ONE row per
       // un-compacted suffix batch beyond the compacted base
       val perCell = spark.read.parquet(stateDir)
         .groupBy("grp", "bin").count().agg(max("count")).head().getLong(0)
       assert(perCell <= 3, s"store not compacted: $perCell rows per cell")
-      // replay guard: re-applying the last batch must change nothing
-      val before = spark.read.parquet(stateDir)
-        .agg(sum(col("cnt")), max(col("__batch_id"))).head()
-      HistogramStream.applyBatch(events.limit(50), stateDir,
-        before.getLong(1), "event_type", "value", mn, mx, 4096, 0)
-      val after = spark.read.parquet(stateDir)
-        .agg(sum(col("cnt")), max(col("__batch_id"))).head()
-      assert(after.getLong(0) === before.getLong(0) &&
-        after.getLong(1) === before.getLong(1),
+      val lineage = graft.streaming.Streams.lineageId(
+        spark.sparkContext.hadoopConfiguration, s"$base/ckpt")
+      val lastId = graft.streaming.Streams.appliedBatchMax(
+        new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration), stateDir, lineage).get
+      // replay guard: re-applying an already-committed batch of THIS
+      // lineage must change nothing (its commit record exists)
+      val before = walk(HistogramStream.view(spark, stateDir))
+      HistogramStream.applyBatch(events.limit(50), stateDir, lineage,
+        lastId, "event_type", "value", mn, mx, 4096, 0)
+      assert(walk(HistogramStream.view(spark, stateDir)) === before,
         "a replayed batch must not double-count")
+      // a FRESH lineage restarting at batch 0 against the same store is
+      // genuinely new data and MUST apply (the round-10 review's
+      // checkpoint-adoption hole)
+      val freshTotal0 = spark.read.parquet(stateDir)
+        .agg(sum(col("cnt"))).head().getLong(0)
+      HistogramStream.applyBatch(events.limit(50), stateDir,
+        "fresh-lineage", 0L, "event_type", "value", mn, mx, 4096, 0)
+      val freshTotal1 = spark.read.parquet(stateDir)
+        .agg(sum(col("cnt"))).head().getLong(0)
+      assert(freshTotal1 === freshTotal0 + 50,
+        "a fresh checkpoint's batch 0 must append, not be swallowed")
       // geometry marker: a different grid against the same store fails
       val e = intercept[IllegalStateException] {
-        HistogramStream.applyBatch(events.limit(1), stateDir,
+        HistogramStream.applyBatch(events.limit(1), stateDir, lineage,
           99L, "event_type", "value", mn, mx, bins = 1024, compactEvery = 0)
       }
       assert(e.getMessage.contains("grid-histogram"))
