@@ -103,11 +103,23 @@ object Bench {
   /** Persist a sweep's medians MERGED over the previous map, so a
     * SPARK_GRAFT_ONLY subset sweep updates only the queries it ran
     * instead of clobbering every other query's baseline (which would
-    * silently disarm the guard for them until another full sweep). */
+    * silently disarm the guard for them until another full sweep).
+    *
+    * Per-query the merge keeps `min(prev, new)` — a pressured sweep must
+    * not ABSORB its phantoms into the baseline (last-write-wins let the
+    * driver's 82.5 s r10 sweep overwrite the clean 72.3 s medians, arming
+    * the next round's guard with inflated values for exactly the queries
+    * that need it — the second round this mechanism ate a clean
+    * baseline). The baseline is a best-known-clean floor, not a rolling
+    * last-observation: a genuine regression still reproduces on the
+    * guard's retry and is REPORTED in the sweep's own JSON — the floor
+    * only decides when the guard double-checks. */
   private[graft] def writeMedians(path: java.nio.file.Path,
                                   prev: Map[String, Double],
                                   sweep: Map[String, Double]): Unit = {
-    val merged = prev ++ sweep
+    val merged = prev ++ sweep.map { case (k, v) =>
+      k -> prev.get(k).fold(v)(math.min(v, _))
+    }
     java.nio.file.Files.writeString(path,
       merged.toSeq.sorted.map { case (k, v) => s"$k $v" }
         .mkString("", "\n", "\n"))

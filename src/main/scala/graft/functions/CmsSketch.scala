@@ -136,17 +136,23 @@ object CmsSketch {
     // A view built with a different (d, w) would index out of bounds or
     // silently mis-estimate — even at the SAME d·w product the counter
     // layout differs, so validate the pair the view carries, not just
-    // the array length.
-    val badGeom = view
-      .filter(col("sketch_d") =!= d || col("sketch_w") =!= w ||
-        size(col("sketch")) =!= d * w)
-      .limit(1).count()
-    require(badGeom == 0L,
-      s"rollupCounts: view carries a different sketch geometry than (d=$d, w=$w)")
-    view.select(posexplode(col("sketch")).as(Seq("pos", "c")))
-      .groupBy(col("pos")).agg(sum(col("c")).as("c"))
-      .collect() // bounded: d·w rows (32 KB at the default geometry)
-      .foreach(r => merged(r.getInt(0)) = r.getLong(1))
+    // the array length. Cache around the probe and the rollup: when the
+    // view is an unmaterialized sketchBySource pipeline (q_cms_rollup
+    // builds it inline), two separate actions would execute the full
+    // corpus-scanning sketch aggregation twice (r10 advice).
+    val cached = view.cache()
+    try {
+      val badGeom = cached
+        .filter(col("sketch_d") =!= d || col("sketch_w") =!= w ||
+          size(col("sketch")) =!= d * w)
+        .limit(1).count()
+      require(badGeom == 0L,
+        s"rollupCounts: view carries a different sketch geometry than (d=$d, w=$w)")
+      cached.select(posexplode(col("sketch")).as(Seq("pos", "c")))
+        .groupBy(col("pos")).agg(sum(col("c")).as("c"))
+        .collect() // bounded: d·w rows (32 KB at the default geometry)
+        .foreach(r => merged(r.getInt(0)) = r.getLong(1))
+    } finally { cached.unpersist(); () }
     targets.distinct.sorted.map { t =>
       val (h1, h2) = fingerprints(t)
       val est = (0 until d).map(i => merged(i * w + bucket(h1, h2, i, w))).min

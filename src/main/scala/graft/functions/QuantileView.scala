@@ -110,6 +110,14 @@ object QuantileView {
     try {
       val geoms = binned.select(col("v_min"), col("v_max"), col("bins"))
         .distinct().collect()
+      // zero-row view (e.g. a streaming histogram store whose marker
+      // exists but no batch has committed yet): empty result with the
+      // quantile schema, not a misleading "mixes grid geometries" error
+      // (r10 advice). walk-over-limit(0) keeps the schema construction
+      // in ONE place; the outer limit(0) drops the single null row a
+      // global (grpCols-empty) aggregate emits on empty input.
+      if (geoms.isEmpty)
+        return walk(binned.limit(0), grpCols, qs, 0.0, 1.0, 1).limit(0)
       require(geoms.length == 1,
         "quantiles: view mixes grid geometries — rollups need one shared grid")
       val (mn, mx, bins) =

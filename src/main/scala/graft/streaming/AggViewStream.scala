@@ -19,12 +19,22 @@ import graft.operators.Cdc
   * the retraction half), which is why it's a `foreachBatch` fold over a
   * crash-safe store rather than a `groupBy().agg()`.
   *
-  * Exactly-once contract: the view carries the last applied batch id;
-  * a replayed microbatch (crash between store swap and checkpoint
-  * commit) is detected and skipped, so the fold is idempotent under
-  * Structured Streaming's at-least-once `foreachBatch` delivery. The
-  * store swap itself is the two-rename crash-recoverable pattern every
-  * side store here uses ([[Streams.replaceStore]]).
+  * Exactly-once contract: the view carries the last applied batch id
+  * AND the checkpoint lineage that wrote it ([[Streams.lineageId]]); a
+  * replayed microbatch (crash between store swap and checkpoint commit)
+  * is detected and skipped, so the fold is idempotent under Structured
+  * Streaming's at-least-once `foreachBatch` delivery. The guard is
+  * LINEAGE-SCOPED, not a bare id comparison: batch ids are
+  * checkpoint-scoped, so a view store adopted under a fresh checkpoint
+  * (ids restart at 0) would otherwise silently DROP every batch until
+  * the new id exceeds the stored one — permanent data loss in the
+  * maintained aggregate (the r10 verdict's adoption hole, the same one
+  * [[Streams.foldAppendOnce]] closes for the additive stores). A
+  * lineage mismatch — including a pre-lineage store whose rows carry a
+  * null — means "nothing from THIS checkpoint applied yet": the store's
+  * contents are kept (adoption) and the batch applies. The store swap
+  * itself is the two-rename crash-recoverable pattern every side store
+  * here uses ([[Streams.replaceStore]]).
   *
   * Delivery contract: envelopes must arrive in per-key order (the
   * Debezium/Kafka per-key partition guarantee). Under it a group's
@@ -47,7 +57,11 @@ object AggViewStream {
     StructField("cnt", LongType),
     StructField("sum_value", DecimalType(28, 6)),
     StructField("nnz", LongType),
-    StructField("__batch_id", LongType)))
+    StructField("__batch_id", LongType),
+    // which checkpoint lineage stamped __batch_id — reads of a
+    // pre-lineage store surface null here (explicit-schema parquet
+    // read), which the guard treats as "unseen lineage" → adopt+apply
+    StructField("__lineage", StringType)))
 
   /** The maintained view as of the last completed batch (empty frame on
     * a fresh store). */
@@ -63,19 +77,28 @@ object AggViewStream {
   }
 
   /** Fold one microbatch of `{before, after}` envelopes into the view.
-    * Public so the replay-idempotency contract is testable without a
-    * running stream; [[start]] wires it into `foreachBatch`. */
-  def applyBatch(delta: DataFrame, viewDir: String, batchId: Long): Unit = {
+    * Public so the replay-idempotency AND adoption contracts are
+    * testable without a running stream; [[start]] wires it into
+    * `foreachBatch` with the checkpoint's [[Streams.lineageId]]. */
+  def applyBatch(delta: DataFrame, viewDir: String, lineage: String,
+                 batchId: Long): Unit = {
     val spark = delta.sparkSession
     val current = view(spark, viewDir).cache()
     try {
-      val lastApplied = current.agg(max(col("__batch_id"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }
+      // stored stamp: (last applied id, the lineage that wrote it) — both
+      // columns are row-constant by construction, max() just collapses
+      val stamp = current.agg(max(col("__batch_id")),
+        max(col("__lineage"))).head()
+      val lastApplied = if (stamp.isNullAt(0)) -1L else stamp.getLong(0)
+      val storedLineage = if (stamp.isNullAt(1)) None
+                          else Some(stamp.getString(1))
       // at-least-once delivery: a batch the view already holds replays
-      // after a crash between store swap and checkpoint commit — skip
-      if (batchId <= lastApplied) return
+      // after a crash between store swap and checkpoint commit — skip.
+      // ONLY when the stamp came from THIS checkpoint lineage: a store
+      // adopted under a fresh checkpoint restarts at id 0, and skipping
+      // on the old lineage's id would drop the first batches of genuine
+      // new data (r10 adoption hole). Unseen/absent lineage → apply.
+      if (storedLineage.contains(lineage) && batchId <= lastApplied) return
       val base = current.select(col("event_type"), col("cnt"),
         col("sum_value"), col("nnz"))
       // pin the decimal width: repeated merges would otherwise creep the
@@ -85,6 +108,7 @@ object AggViewStream {
           col("sum_value").cast("decimal(28,6)").as("sum_value"),
           col("nnz"))
         .withColumn("__batch_id", lit(batchId))
+        .withColumn("__lineage", lit(lineage))
       Streams.replaceStore(spark, viewDir, next)
     } finally { current.unpersist(); () }
   }
@@ -94,11 +118,22 @@ object AggViewStream {
     * Debezium topic, or [[graft.operators.Cdc.envelopeWithBefore]]
     * chunked through a file stream in tests/benches). */
   def start(envelopes: DataFrame, viewDir: String,
-            checkpointDir: String): StreamingQuery =
+            checkpointDir: String): StreamingQuery = {
+    // resolved once per run, inside the first batch (the checkpoint dir
+    // exists by then); stable across restarts of the same checkpoint,
+    // fresh for a new one — exactly the scope batch ids have
+    var lineage: Option[String] = None
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, viewDir, batchId)
+        val l = lineage.getOrElse {
+          val id = Streams.lineageId(
+            batch.sparkSession.sparkContext.hadoopConfiguration,
+            checkpointDir)
+          lineage = Some(id); id
+        }
+        applyBatch(batch, viewDir, l, batchId)
       }
       .start()
+  }
 }

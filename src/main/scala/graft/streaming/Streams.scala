@@ -527,8 +527,14 @@ object Streams {
       fs.delete(tmp, true)
       agg.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (!fs.exists(statePath)) fs.mkdirs(statePath)
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(statePath,
-        s"batch=$lineage-$batchId"))
+      // the rename IS the commit — some FileSystems report failure by
+      // returning false rather than throwing, and ignoring it would drop
+      // the batch's contribution silently (no commit record, no error)
+      val committed = fs.rename(tmp, new org.apache.hadoop.fs.Path(
+        statePath, s"batch=$lineage-$batchId"))
+      require(committed,
+        s"foldAppendOnce: commit rename failed for batch=$lineage-$batchId " +
+          s"under $stateDir — batch NOT applied")
       if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
         rewriteStore(spark, stateDir, Seq("batch"))(df =>
           compact(df.drop("batch"))

@@ -83,7 +83,7 @@ object AggViewBench {
     (0 until chunks).foreach { c =>
       foldTimes(c) = timed {
         AggViewStream.applyBatch(
-          spark.read.parquet(chunkDirs(c)), viewDir, c.toLong)
+          spark.read.parquet(chunkDirs(c)), viewDir, "bench", c.toLong)
       }
       foldBytes(c) = dirBytes(Seq(chunkDirs(c)))
       // the alternative refresh: re-aggregate the whole at-rest prefix

@@ -42,10 +42,28 @@ class BenchSpec extends GraftSuite {
     val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0)
     Bench.writeMedians(path, Map.empty, prior)
     // a SPARK_GRAFT_ONLY=q_b sweep runs one query; q_a/q_c baselines must
-    // survive for the next full sweep's guard
+    // survive for the next full sweep's guard. q_b's slower 2.5 does NOT
+    // replace the 2.0 floor (min-merge); a faster 1.5 does.
     Bench.writeMedians(path, Bench.readMedians(path), Map("q_b" -> 2.5))
     assert(Bench.readMedians(path) ===
-      Map("q_a" -> 1.0, "q_b" -> 2.5, "q_c" -> 3.0))
+      Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0))
+    Bench.writeMedians(path, Bench.readMedians(path), Map("q_b" -> 1.5))
+    assert(Bench.readMedians(path) ===
+      Map("q_a" -> 1.0, "q_b" -> 1.5, "q_c" -> 3.0))
+  }
+
+  test("a pressured sweep cannot absorb its phantoms into the baseline") {
+    // The r10 incident: the driver's machine-pressured sweep (3 retries,
+    // q_minhash_pairs 1.45s vs its clean 0.62s) overwrote the committed
+    // clean medians last-write-wins, arming the NEXT round's cross-sweep
+    // guard with inflated floors. min-merge must keep the clean baseline.
+    val path = java.nio.file.Files.createTempFile("graft-medians", ".txt")
+    val clean = Map("q_minhash_pairs" -> 0.62, "q_clean_corpus" -> 0.6)
+    Bench.writeMedians(path, Map.empty, clean)
+    val pressured = Map("q_minhash_pairs" -> 1.45, "q_clean_corpus" -> 5.1)
+    Bench.writeMedians(path, Bench.readMedians(path), pressured)
+    assert(Bench.readMedians(path) === clean,
+      "inflated sweep values must not replace the clean floor")
   }
 
   test("planted inflated prior median routes through the real retry path") {

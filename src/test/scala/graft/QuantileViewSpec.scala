@@ -66,4 +66,17 @@ class QuantileViewSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("grid"))
   }
+
+  test("a zero-row view yields an empty result, not a geometry error") {
+    // e.g. a streaming histogram store whose marker exists but no batch
+    // has committed yet (r10 advice): the empty view has no geometry row,
+    // which used to trip the "mixes grid geometries" require.
+    val empty = QuantileView.sketchBy(events, "event_type", "value").limit(0)
+    val byGroup = QuantileView.quantilesByGroup(empty)
+    assert(byGroup.count() === 0L)
+    assert(byGroup.columns.toSeq === Seq("grp", "p50", "p95", "p99"))
+    val rollup = QuantileView.rollupQuantiles(empty)
+    assert(rollup.count() === 0L)
+    assert(rollup.columns.toSeq === Seq("p50", "p95", "p99"))
+  }
 }

@@ -1545,8 +1545,8 @@ class StreamingSpec extends GraftSuite {
       val half = maxOff / 2
       val d0 = envB.filter(col("offset") <= half)
       val d1 = envB.filter(col("offset") > half)
-      AggViewStream.applyBatch(d0, viewDir, 0L)
-      AggViewStream.applyBatch(d1, viewDir, 1L)
+      AggViewStream.applyBatch(d0, viewDir, "lin-a", 0L)
+      AggViewStream.applyBatch(d1, viewDir, "lin-a", 1L)
       def snap() = AggViewStream.view(spark, viewDir)
         .select("event_type", "cnt", "sum_value", "nnz", "__batch_id")
         .collect().map(r => (r.getString(0), r.getLong(1),
@@ -1554,16 +1554,55 @@ class StreamingSpec extends GraftSuite {
       val committed = snap()
       // crash between store swap and checkpoint commit → batch 1 replays;
       // the at-least-once fold must detect and skip it
-      AggViewStream.applyBatch(d1, viewDir, 1L)
+      AggViewStream.applyBatch(d1, viewDir, "lin-a", 1L)
       assert(snap() === committed, "replayed batch must not double-apply")
       // stale replay of an even older batch: same contract
-      AggViewStream.applyBatch(d0, viewDir, 0L)
+      AggViewStream.applyBatch(d0, viewDir, "lin-a", 0L)
       assert(snap() === committed)
       // and the final state is the full recompute
       val want = Cdc.aggView(envB)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
         .sortBy(_._1).toSeq
       assert(committed.map(t => (t._1, t._2, t._3)) === want)
+    } finally { envB.unpersist(); () }
+  }
+
+  test("streaming view maintenance: a fresh lineage's batch 0 must APPLY " +
+      "against an adopted store (r10 adoption hole)") {
+    import graft.streaming.AggViewStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-aggview-adopt").toString
+    val viewDir = s"$base/view"
+    val envB = Cdc.envelopeWithBefore(Tables.events(spark, sf)).cache()
+    try {
+      val maxOff = envB.agg(max(col("offset"))).head().getLong(0)
+      val half = maxOff / 2
+      val d0 = envB.filter(col("offset") <= half)
+      val d1 = envB.filter(col("offset") > half)
+      // lineage A builds the view up to batch id 5 (ids need not be dense)
+      AggViewStream.applyBatch(d0, viewDir, "lin-a", 5L)
+      // checkpoint wiped / job redeployed: the NEW checkpoint restarts at
+      // batch 0 with genuinely new data. A bare `batchId <= lastApplied`
+      // guard (0 <= 5) would silently drop it — the r10 verdict's data
+      // loss. Lineage scoping must adopt the store and apply.
+      AggViewStream.applyBatch(d1, viewDir, "lin-b", 0L)
+      val got = AggViewStream.view(spark, viewDir)
+        .select("event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      val want = Cdc.aggView(envB)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      assert(got === want,
+        "fresh-lineage batch 0 against an adopted store must apply")
+      // the stamp now belongs to lineage B — its own replays still skip
+      val snap = got
+      AggViewStream.applyBatch(d1, viewDir, "lin-b", 0L)
+      val after = AggViewStream.view(spark, viewDir)
+        .select("event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).sortBy(_._1).toSeq
+      assert(after === snap, "the new lineage's own replay must still skip")
     } finally { envB.unpersist(); () }
   }
 }
