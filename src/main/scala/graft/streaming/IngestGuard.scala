@@ -34,8 +34,41 @@ import graft.operators.TextAnalysis
   * [[SubstrDedupStream]] contract: clustered after-lookup appends,
   * (lineage, batch-id)-scoped replay guard via [[Streams.lineageId]]
   * (null-safe — adopted stores keep their history), idempotent-append
-  * ledgers ([[accepted]]/[[rejects]] dedupe on replay re-emission). */
+  * ledgers ([[accepted]]/[[rejects]] dedupe on replay re-emission).
+  *
+  * With [[Views]] enabled the guard ALSO maintains the at-ingest
+  * analytics family over the ACCEPTED subset, inside the same
+  * `foreachBatch` — the reference's EP2→EP3 composition (decide, then
+  * dashboard the survivors; ksqldb-statements.sql:50-93) at the
+  * streaming layer: a per-group count/sum view, the token-length
+  * histogram ([[HistogramStream]] grid store, so percentiles are served
+  * at read without touching the corpus) and the HLL distinct-fingerprint
+  * view ([[HllViewStream]]). Each view is its own
+  * [[Streams.foldAppendOnce]] store, so replay safety is per-store
+  * batch-atomic: a crash between ledger write and a view fold replays
+  * the batch, the decision recomputes identically (the fingerprint-store
+  * filter excludes this (lineage, batch)'s own rows), committed views
+  * skip on their commit records and the missed one applies. */
 object IngestGuard {
+
+  /** At-ingest analytics config: `groupCol` must be a column of the
+    * input docs (the dashboard dimension, e.g. `source`); the histogram
+    * grid is pinned up front — the streaming-sketch constraint — in
+    * ACCEPTED-token units, and the HLL counts distinct normalized-text
+    * fingerprints per group (= deduped corpus size per source, the
+    * number the guard's own exact-dedup semantics make meaningful). */
+  final case class Views(baseDir: String, groupCol: String = "source",
+                         histMax: Double = 4096.0, histBins: Int = 4096,
+                         lgK: Int = 12, compactEvery: Int = 8)
+
+  private[streaming] val countsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_tokens",
+        org.apache.spark.sql.types.LongType)))
 
   /** Start the guard. `evalHashes` is the eval set's sorted distinct
     * shingle-hash array (build with
@@ -46,7 +79,9 @@ object IngestGuard {
             acceptedDir: String, rejectsDir: String, checkpoint: String,
             minTokens: Int = 5, maxPunctRatio: Double = 0.2,
             n: Int = 3, expectedDocs: Long = 1L << 22,
-            fpp: Double = 0.01): StreamingQuery = {
+            fpp: Double = 0.01, views: Option[Views] = None): StreamingQuery = {
+    views.foreach(v => require(docs.columns.contains(v.groupCol),
+      s"Views.groupCol '${v.groupCol}' is not a column of the input docs"))
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     val inputCols = docs.columns.toIndexedSeq
@@ -148,6 +183,28 @@ object IngestGuard {
             case None => batchBloom
           })
         }
+        // at-ingest analytics over the survivors: three maintained views,
+        // each fed from the already-materialized `judged` checkpoint (no
+        // corpus re-read), each with its own batch-atomic commit record
+        views.foreach { v =>
+          val acc = accepted.select(
+            col(v.groupCol).cast("string").as("grp"),
+            col("n_tokens").cast("double").as("n_tokens"), col("__fp"))
+          Streams.foldAppendOnce(spark, s"${v.baseDir}/counts", lineage,
+            batchId, s"guard-counts/grp=${v.groupCol}", "IngestGuard.Views",
+            v.compactEvery) {
+            acc.groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
+              sum(col("n_tokens")).cast("long").as("sum_tokens"))
+          } { log =>
+            log.groupBy(col("grp")).agg(sum(col("cnt")).as("cnt"),
+              sum(col("sum_tokens")).as("sum_tokens"))
+          }
+          HistogramStream.applyBatch(acc, s"${v.baseDir}/hist", lineage,
+            batchId, "grp", "n_tokens", 0.0, v.histMax, v.histBins,
+            v.compactEvery)
+          HllViewStream.applyBatch(acc, s"${v.baseDir}/hll", lineage,
+            batchId, "grp", "__fp", v.lgK, v.compactEvery)
+        }
         Seq(scored, judged).foreach(df =>
           org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
             .foreach(_.unpersist(false)))
@@ -165,4 +222,26 @@ object IngestGuard {
   def rejects(spark: org.apache.spark.sql.SparkSession,
               rejectsDir: String): DataFrame =
     spark.read.parquet(rejectsDir).select("doc_id", "reason").distinct()
+
+  /** Accepted-corpus count/sum per group, as of the last committed batch
+    * (view-sized read: the fold log re-aggregated, never the corpus). */
+  def viewCounts(spark: org.apache.spark.sql.SparkSession,
+                 viewsBase: String): DataFrame =
+    Streams.readFoldStore(spark, s"$viewsBase/counts", countsSchema)
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_tokens")).as("sum_tokens"))
+
+  /** Accepted-corpus token-length percentiles per group, served from the
+    * histogram store's own grid marker. */
+  def viewQuantiles(spark: org.apache.spark.sql.SparkSession,
+                    viewsBase: String,
+                    qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+    HistogramStream.quantiles(spark, s"$viewsBase/hist", qs)
+
+  /** Distinct accepted fingerprints per group (HLL estimate) — the
+    * deduped corpus size each source contributed. */
+  def viewDistinct(spark: org.apache.spark.sql.SparkSession,
+                   viewsBase: String): DataFrame =
+    graft.functions.HllView.distinctBySource(
+      HllViewStream.view(spark, s"$viewsBase/hll"))
 }

@@ -201,11 +201,14 @@ object StreamBench {
     // the FULL accept/reject decision including both ledger writes and
     // the fingerprint-store append. Throughput = docs/s through the
     // complete decision, not a noop sink.
-    val (igRows, igSec) = {
+    // shared by the plain guard and the guard+views pipelines: the same
+    // synthesized pathology mix, plus a 5-way `source` dimension for the
+    // views' dashboard group
+    def guardDocs(): DataFrame = {
       val words = Seq("metric", "space", "measure", "theory", "lecture",
         "notes", "volume", "series", "chapter", "section")
         .map(w => s"'$w'").mkString(", ")
-      val docs = events().select(
+      events().select(
         col("event_id").as("doc_id"),
         expr(s"""concat(
           array_join(transform(sequence(0, 39), i ->
@@ -213,10 +216,13 @@ object StreamBench {
                                THEN event_id - 1 ELSE event_id END) * 40 + i),
                          10), $words)), ' '),
           CASE WHEN event_id % 13 = 0 THEN ' alpha beta gamma' ELSE '' END)
-          """).as("text"))
+          """).as("text"),
+        concat(lit("src"), pmod(col("event_id"), lit(5))).as("source"))
         .withColumn("text",
           when(col("doc_id") % 17 === 0, lit("too short doc"))
             .otherwise(col("text")))
+    }
+    val evalHashes = {
       val eval = spark.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(1000L, "alpha beta gamma")),
         org.apache.spark.sql.types.StructType(Seq(
@@ -224,17 +230,34 @@ object StreamBench {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
-      val evalHashes = graft.operators.Dedup.shingleRows(eval)
+      graft.operators.Dedup.shingleRows(eval)
         .select("h1").distinct().collect().map(_.getLong(0)).sorted
+    }
+    val (igRows, igSec) = {
       val base = java.nio.file.Files
         .createTempDirectory("graft-sb-ingest").toString
       ledger(drain(graft.streaming.IngestGuard.start(
-        docs, evalHashes, s"$base/state", s"$base/accepted",
+        guardDocs(), evalHashes, s"$base/state", s"$base/accepted",
         s"$base/rejects", s"$base/checkpoint")))
     }
 
+    // The guard with the at-ingest view family folded in the same
+    // foreachBatch (round 11): decision + dashboard (per-source count/sum,
+    // token-length histogram, HLL distinct fingerprints) end-to-end — the
+    // reference's EP2→EP3 composition. The throughput delta vs the plain
+    // guard is the measured price of at-ingest analytics.
+    val (gvRows, gvSec) = {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sb-guardviews").toString
+      ledger(drain(graft.streaming.IngestGuard.start(
+        guardDocs(), evalHashes, s"$base/state", s"$base/accepted",
+        s"$base/rejects", s"$base/checkpoint",
+        views = Some(graft.streaming.IngestGuard.Views(
+          s"$base/views", groupCol = "source", compactEvery = 4)))))
+    }
+
     def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"heavy_hitters_events_per_sec":${rate(hhRows, hhSec)},"ingest_guard_docs_per_sec":${rate(igRows, igSec)},"cpus":$cpus}""")
+    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"heavy_hitters_events_per_sec":${rate(hhRows, hhSec)},"ingest_guard_docs_per_sec":${rate(igRows, igSec)},"guard_views_docs_per_sec":${rate(gvRows, gvSec)},"cpus":$cpus}""")
     spark.stop()
   }
 }

