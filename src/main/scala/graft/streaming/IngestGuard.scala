@@ -56,10 +56,26 @@ object IngestGuard {
     * grid is pinned up front — the streaming-sketch constraint — in
     * ACCEPTED-token units, and the HLL counts distinct normalized-text
     * fingerprints per group (= deduped corpus size per source, the
-    * number the guard's own exact-dedup semantics make meaningful). */
+    * number the guard's own exact-dedup semantics make meaningful).
+    *
+    * `maxPerGroup` turns the counts view LOAD-BEARING: admission is
+    * capped at that many accepted docs per group over the stream's
+    * lifetime (domain caps — the mixing-control a pretraining corpus
+    * applies so one crawl domain cannot flood the mix), reject reason
+    * `quota`. Admission order is deterministic: batches in order,
+    * `doc_id` ascending within a batch — so the decision is a pure
+    * function of (pre-batch store state, batch contents), which is what
+    * makes replay exact. The quota read is
+    * [[Streams.readFoldStoreBefore]] — strictly-pre-batch commits only,
+    * so a replayed batch never sees its own first attempt's counts — and
+    * the counts store then compacts via
+    * [[Streams.compactFoldStoreBefore]] (labeled prefix compaction,
+    * never crossing the current batch) instead of the after-the-fold
+    * compact, which would make pre-batch state unrecoverable. */
   final case class Views(baseDir: String, groupCol: String = "source",
                          histMax: Double = 4096.0, histBins: Int = 4096,
-                         lgK: Int = 12, compactEvery: Int = 8)
+                         lgK: Int = 12, compactEvery: Int = 8,
+                         maxPerGroup: Option[Long] = None)
 
   private[streaming] val countsSchema =
     org.apache.spark.sql.types.StructType(Seq(
@@ -140,17 +156,51 @@ object IngestGuard {
             SketchExpressions.bloomMightContain(col("__fp"), b)
           case None => lit(true)
         }
-        val judged = scored
+        val probed = scored
           .withColumn("__rn", rn)
           .withColumn("__probe", probeGate)
           .join(priorFps.withColumnRenamed("__fp", "__pfp"),
             col("__probe") && col("__fp") === col("__pfp"), "left")
           .drop("__pfp")
+        val isDup = coalesce(col("__seen"), lit(false)) || col("__rn") > 1
+        // per-group admission quota (Views.maxPerGroup): a doc that
+        // survives every content gate still lands `quota` once its group
+        // has admitted `cap` docs. Prior counts come from the counts
+        // store's strictly-pre-batch commits (replay-exact: a crashed
+        // batch's own fold is excluded on retry), the batch's own
+        // survivors are ranked doc_id-ascending within the group (the
+        // survivor predicate rides the partition key, like __rn's gate —
+        // non-survivors rank in their own partition and never reach the
+        // quota branch), and prior + rank > cap condemns the overflow.
+        // The prior frame is ≤ n_groups rows — broadcast.
+        val withQuota = (for { v <- views; cap <- v.maxPerGroup } yield {
+          val countsDir = s"${v.baseDir}/counts"
+          if (v.compactEvery > 0 && batchId % v.compactEvery == 0)
+            Streams.compactFoldStoreBefore(spark, countsDir, lineage,
+              batchId)(log => log.groupBy(col("grp"))
+                .agg(sum(col("cnt")).as("cnt"),
+                  sum(col("sum_tokens")).as("sum_tokens")))
+          val prior = Streams.readFoldStoreBefore(spark, countsDir,
+              countsSchema, lineage, batchId)
+            .groupBy(col("grp")).agg(sum(col("cnt")).as("__admitted"))
+            .withColumnRenamed("grp", "__qgrp")
+          val survivor = quality && col("__overlap") === 0 && !isDup
+          val rq = row_number().over(
+            Window.partitionBy(col(v.groupCol).cast("string"), survivor)
+              .orderBy(col("doc_id")))
+          probed.join(broadcast(prior),
+              col(v.groupCol).cast("string") <=> col("__qgrp"), "left")
+            .drop("__qgrp")
+            .withColumn("__over_quota", survivor &&
+              coalesce(col("__admitted"), lit(0L)) + rq > cap)
+            .drop("__admitted")
+        }).getOrElse(probed.withColumn("__over_quota", lit(false)))
+        val judged = withQuota
           .withColumn("reason",
             when(!quality, "quality")
               .when(col("__overlap") > 0, "contaminated")
-              .when(coalesce(col("__seen"), lit(false)) || col("__rn") > 1,
-                "exact_dup"))
+              .when(isDup, "exact_dup")
+              .when(col("__over_quota"), "quota"))
           .localCheckpoint(false)
         judged.filter(col("reason").isNotNull)
           .select(col("doc_id"), col("reason"))
@@ -190,9 +240,12 @@ object IngestGuard {
           val acc = accepted.select(
             col(v.groupCol).cast("string").as("grp"),
             col("n_tokens").cast("double").as("n_tokens"), col("__fp"))
+          // quota mode compacts via the pre-fold labeled prefix instead
+          // (see Views scaladoc) — the after-the-fold compact would fold
+          // THIS batch into a partition the pre-batch read can't split
           Streams.foldAppendOnce(spark, s"${v.baseDir}/counts", lineage,
             batchId, s"guard-counts/grp=${v.groupCol}", "IngestGuard.Views",
-            v.compactEvery) {
+            if (v.maxPerGroup.isDefined) 0 else v.compactEvery) {
             acc.groupBy(col("grp")).agg(count(lit(1)).as("cnt"),
               sum(col("n_tokens")).cast("long").as("sum_tokens"))
           } { log =>

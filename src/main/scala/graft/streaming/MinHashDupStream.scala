@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.Dedup
+
+/** STREAMING MinHash+LSH near-duplicate detection — the fifth at-ingest
+  * dedup modality, and the one that bounds set-level JACCARD similarity:
+  * [[NearDupStream]] (SimHash) bounds Hamming distance on a token-hash
+  * projection, [[SubstrDedupStream]] exact substrings,
+  * [[EmbedDupStream]] embedding cosine, [[EditDistStream]] bounded
+  * Levenshtein on prefixes. MinHash banding is the classic shingle-set
+  * resemblance detector (Broder '97; the reference pipeline's curation
+  * layer motivates it the same way the batch operator
+  * [[Dedup.minhashCandidatePairs]] does), and a crawl wants it AT THE
+  * DOOR: token-reordered or lightly-edited reposts agree on an LSH band
+  * long after SimHash's bit budget blurs.
+  *
+  * Shape per microbatch (`foreachBatch`, serialized):
+  *  1. the batch's band rows come from the SAME oracle-checked batch
+  *     pipeline ([[Dedup.bandRows]]: shingle → k min-hashes → `bands`
+  *     md5 band keys, already localCheckpoint'ed because three consumers
+  *     read it);
+  *  2. within-batch candidates: the band self-join, bit-identical to
+  *     [[Dedup.minhashCandidatePairs]] by construction;
+  *  3. cross-batch candidates: the batch's bands equi-join the
+  *     accumulated band store on `(band_id, band_key)` — the store is
+  *     `band_part`-partitioned (≤[[BandParts]] dirs, a hash of the band
+  *     key) and the read is pruned to the batch's own distinct parts
+  *     (bounded collect), so a batch touches only the store slices its
+  *     bands can possibly match, never the full history;
+  *  4. the batch's bands append AFTER the lookup, clustered on the
+  *     partition key ([[Streams.appendPartitioned]]).
+  *
+  * Replay safety needs no lineage guard — the [[NearDupStream]]
+  * argument: a batch that crashed after its store append replays against
+  * its own band rows, but `least/greatest` normalization plus the
+  * `doc_id` inequality mean those joins can only re-produce pairs the
+  * intra-batch join already emits — duplicate ROWS, never wrong ones —
+  * and [[matches]]' distinct absorbs them. Retention (`retainBatches`)
+  * bounds the store to a sliding horizon via the crash-safe
+  * [[Streams.rewriteStore]] swap. A format marker stamps `(k, bands, n)`:
+  * band keys hash `k/bands`-minhash slices of `n`-shingles, so probing a
+  * store built with any other geometry would silently never match — a
+  * mismatched restart fails fast instead.
+  *
+  * 100 TB shape: everything that moves is (long doc_id, int band_id,
+  * 32-char band_key) rows — `bands` per document, independent of
+  * document size; the joins are hash equi-joins on those keys; nothing
+  * all-pairs ever forms (the quadratic blowup is confined to true
+  * same-band cliques, which is the answer's own size). */
+object MinHashDupStream {
+
+  private val BandParts = 64
+
+  private def formatTag(k: Int, bands: Int, n: Int): String =
+    s"minhash-lsh/k=$k/bands=$bands/n=$n"
+
+  /** Start the detector: emits `(doc_a, doc_b, band_id, __batch_id)`
+    * candidate rows to `matchesDir` and maintains the band store at
+    * `stateDir`. `docs` must be a streaming DataFrame with
+    * (doc_id: long, text: string). */
+  def start(docs: DataFrame, stateDir: String, matchesDir: String,
+            checkpoint: String, k: Int = 16, bands: Int = 4, n: Int = 3,
+            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+    require(retainBatches >= 0 && pruneEvery >= 0,
+      "retainBatches/pruneEvery must be >= 0")
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val pruneInterval =
+      if (retainBatches == 0) 0
+      else if (pruneEvery > 0) pruneEvery else retainBatches
+    var formatChecked = false
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val rows = Dedup.bandRows(batch, k, bands, n)
+          .withColumn("band_part",
+            pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Streams.recoverCompaction(fs, stateDir)
+        if (!formatChecked) {
+          Streams.checkStoreFormat(fs, stateDir, formatTag(k, bands, n),
+            "MinHashDupStream")
+          formatChecked = true
+        }
+        val a = rows.alias("a")
+        val b = rows.hint("shuffle_hash").alias("b")
+        val intra = a.join(b,
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band_key") === col("b.band_key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.band_id"))
+        val cross = (if (fs.exists(statePath))
+          Some(spark.read.parquet(stateDir)) else None)
+          .map { prior =>
+            // bounded collect: ≤ BandParts distinct partition values
+            val parts = rows.select("band_part").distinct()
+              .collect().map(_.getInt(0))
+            rows.alias("n").join(
+                prior.filter(col("band_part").isin(parts.toIndexedSeq: _*))
+                  .alias("p"),
+                col("n.band_id") === col("p.band_id") &&
+                  col("n.band_key") === col("p.band_key") &&
+                  col("n.doc_id") =!= col("p.doc_id"))
+              .select(least(col("n.doc_id"), col("p.doc_id")).as("doc_a"),
+                greatest(col("n.doc_id"), col("p.doc_id")).as("doc_b"),
+                col("n.band_id"))
+          }
+        cross.fold(intra)(intra.unionByName(_))
+          .distinct()
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(matchesDir)
+        // grow the store AFTER the lookup so a doc never matches itself
+        Streams.appendPartitioned(
+          rows.withColumn("__batch_id", lit(batchId)),
+          stateDir, "band_part")
+        if (pruneInterval > 0 &&
+            batchId % pruneInterval == (pruneInterval - 1))
+          Streams.rewriteStore(spark, stateDir, Seq("band_part"))(
+            _.filter(col("__batch_id") > batchId - retainBatches))
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(rows)
+          .foreach(_.unpersist(false))
+        ()
+      }
+      .start()
+  }
+
+  /** All candidate pairs emitted so far, deduplicated (idempotent-append
+    * contract: batch retries re-emit their rows). Same shape as
+    * [[Dedup.minhashCandidatePairs]]. */
+  def matches(spark: org.apache.spark.sql.SparkSession,
+              matchesDir: String): DataFrame =
+    spark.read.parquet(matchesDir).select("doc_a", "doc_b").distinct()
+}

@@ -586,6 +586,74 @@ object Streams {
     else spark.read.parquet(stateDir).drop("batch")
   }
 
+  /** Predicate over a fold store's `batch` partition values selecting
+    * commits that happened strictly BEFORE (`lineage`, `batchId`).
+    * Partition values are `<lin>-<id>` (plain) or `c-<lin>-<id>`
+    * (compaction covering ids ≤ id); lineage ids may contain '-', so the
+    * id is everything after the LAST '-'. Another lineage's commits are
+    * all "before" — stores are single-writer, so anything not stamped by
+    * THIS lineage predates its first batch (adoption). */
+  private def foldCommitBefore(lineage: String, batchId: Long)
+      : org.apache.spark.sql.Column = {
+    val idStr = expr("substring_index(cast(batch as string), '-', -1)")
+    val linStr = expr(
+      """regexp_replace(substring(cast(batch as string), 1,
+        |  length(cast(batch as string)) -
+        |  length(substring_index(cast(batch as string), '-', -1)) - 1),
+        |  '^c-', '')""".stripMargin)
+    linStr =!= lit(lineage) || idStr.cast("long") < lit(batchId)
+  }
+
+  /** A fold store's contents as of strictly BEFORE (`lineage`,
+    * `batchId`) — the read a replay-deterministic DECISION must make
+    * (e.g. quota admission): after a crash between this batch's fold
+    * commit and the checkpoint commit, the replayed batch would
+    * otherwise see its own first attempt's contribution and decide
+    * differently. Exact by the commit-record layout: every partition is
+    * either a single batch's commit or a compaction labeled with the
+    * max id it covers, and [[compactFoldStoreBefore]] never lets a
+    * compaction cross the current batch boundary. */
+  def readFoldStoreBefore(spark: SparkSession, stateDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          lineage: String, batchId: Long): DataFrame = {
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, stateDir)
+    val hasData = fs.exists(statePath) &&
+      fs.listStatus(statePath).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+    if (!hasData)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(stateDir)
+      .filter(foldCommitBefore(lineage, batchId))
+      .drop("batch")
+  }
+
+  /** Compact a fold store's PRE-BATCH prefix only: merge every partition
+    * committed strictly before (`lineage`, `batchId`) into one
+    * `batch=c-<lineage>-<batchId-1>` partition, leaving any partition at
+    * or past the boundary untouched. This is the compaction a
+    * [[readFoldStoreBefore]]-consuming store must use instead of
+    * [[foldAppendOnce]]'s after-the-fold compact: a compaction covering
+    * the current batch would make the pre-batch state unrecoverable on
+    * replay (the current batch's rows are inseparably inside it).
+    * Idempotent — re-running after a crash merges the previous
+    * compaction's own output (same predicate) into the same label; the
+    * swap is the crash-safe [[rewriteStore]]. Run it BEFORE the batch's
+    * fold, every N batches. */
+  def compactFoldStoreBefore(spark: SparkSession, stateDir: String,
+                             lineage: String, batchId: Long)
+                            (compact: DataFrame => DataFrame): Unit = {
+    if (batchId <= 0) return
+    val pre = foldCommitBefore(lineage, batchId)
+    rewriteStore(spark, stateDir, Seq("batch")) { df =>
+      compact(df.filter(pre).drop("batch"))
+        .withColumn("batch", lit(s"c-$lineage-${batchId - 1}"))
+        .unionByName(df.filter(!pre))
+    }
+  }
+
   /** Atomically REPLACE a store with `next` — the write half of
     * [[rewriteStore]] for callers whose new contents are not a function
     * of the old (e.g. a maintained view merged outside): write to a tmp

@@ -169,4 +169,75 @@ class HardeningSpec extends GraftSuite {
     // a different lineage's commit records don't arm this lineage's guard
     assert(Streams.appliedBatchMax(fs, dir, "other") === None)
   }
+
+  test("fold-store pre-batch reads are replay-exact; prefix compaction never " +
+      "crosses the batch boundary") {
+    // The quota-admission protocol: a DECISION computed from a fold store
+    // must read only commits strictly before (lineage, batchId), or a
+    // replayed batch sees its own first attempt's contribution and decides
+    // differently. Build a store, read it at several boundaries, compact
+    // the prefix, and pin that reads are invariant.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fold-before").toString
+    val dir = s"$base/fold"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    def fold(lin: String, id: Long, n: Long) =
+      Streams.foldAppendOnce(spark, dir, lin, id, "test-fold/v1",
+        "FoldBeforeSpec", compactEvery = 0) {
+        Seq(("a", n)).toDF("grp", "cnt")
+      } { log => log.groupBy("grp").agg(sum("cnt").as("cnt")) }
+    def before(lin: String, id: Long): Long = {
+      val r = Streams.readFoldStoreBefore(spark, dir, schema, lin, id)
+        .agg(sum(col("cnt"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // an adopted store: a foreign lineage's history, then ours
+    fold("old-lin", 0L, 16L)
+    fold("lin", 0L, 1L); fold("lin", 1L, 2L); fold("lin", 2L, 4L)
+    // pre-batch boundaries: own commits at or past the id are excluded,
+    // the foreign lineage's history is always "before" (single writer)
+    assert(before("lin", 0L) === 16L)
+    assert(before("lin", 2L) === 19L)
+    assert(before("lin", 3L) === 23L)
+    // the replay scenario itself: batch 2's fold committed, then the
+    // checkpoint crash — the retry's decision read must NOT see batch 2
+    assert(before("lin", 2L) === 19L,
+      "a replayed batch must not see its own first attempt")
+    // prefix compaction at batch 3: merges everything before it into
+    // c-lin-2, touches nothing at/past the boundary
+    Streams.compactFoldStoreBefore(spark, dir, "lin", 3L)(log =>
+      log.groupBy("grp").agg(sum("cnt").as("cnt")))
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(parts === Seq("batch=c-lin-2"), s"parts: $parts")
+    // reads are invariant under the compaction…
+    assert(before("lin", 3L) === 23L)
+    assert(before("other", 0L) === 23L)
+    // …the commit record survives (max covered id = the label)…
+    assert(Streams.appliedBatchMax(fs, dir, "lin") === Some(2L))
+    // …and folding continues past it
+    fold("lin", 3L, 8L)
+    assert(before("lin", 4L) === 31L)
+    assert(before("lin", 3L) === 23L,
+      "batch 3's own commit must stay invisible to its pre-read")
+    // compaction while a current-batch commit exists: batch 4 folds
+    // first (crash-before-checkpoint shape), then the prefix compaction
+    // for batch 4 runs on retry — batch 4's partition must survive
+    fold("lin", 4L, 32L)
+    Streams.compactFoldStoreBefore(spark, dir, "lin", 4L)(log =>
+      log.groupBy("grp").agg(sum("cnt").as("cnt")))
+    val parts2 = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(parts2 === Seq("batch=c-lin-3", "batch=lin-4"), s"parts: $parts2")
+    assert(before("lin", 4L) === 31L,
+      "the boundary partition must not leak into the pre-read")
+    assert(before("lin", 5L) === 63L)
+  }
 }

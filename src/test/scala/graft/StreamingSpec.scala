@@ -1132,6 +1132,101 @@ class StreamingSpec extends GraftSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("ingest guard quota: per-source caps admit in deterministic order " +
+      "and the counts view stays load-bearing") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest-quota").toString
+    val in = MemoryStream[(Long, String, String)]
+    def doc(i: Long, src: String) =
+      (i, s"unique document number $i with sufficient extra words", src)
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text", "source"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      views = Some(graft.streaming.IngestGuard.Views(s"$base/views",
+        groupCol = "source", maxPerGroup = Some(3L), compactEvery = 2)))
+    try {
+      // admission order is batches-in-order, doc_id ascending per batch:
+      // cap 3 per source ⇒ A admits 1,2,4 (5 over), B admits 3,6,7 (9 over)
+      in.addData(doc(1, "A"), doc(2, "A"), doc(3, "B"))
+      q.processAllAvailable()
+      in.addData(doc(4, "A"), doc(5, "A"), doc(6, "B"), doc(7, "B"))
+      q.processAllAvailable()
+      in.addData(doc(8, "A"), doc(9, "B")) // batch 2: compaction batch
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(acc === Set(1L, 2L, 3L, 4L, 6L, 7L), s"accepted: $acc")
+      assert(rej === Map(5L -> "quota", 8L -> "quota", 9L -> "quota"),
+        s"rejects: $rej")
+      // the load-bearing view agrees with the ledger it governed
+      val counts = graft.streaming.IngestGuard
+        .viewCounts(spark, s"$base/views")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === Map("A" -> 3L, "B" -> 3L), s"counts: $counts")
+    } finally q.stop()
+  }
+
+  test("ingest guard quota replay: a crashed batch's own counts commit does " +
+      "not shrink its retry's quota") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-quota-replay").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lineage = graft.streaming.Streams.lineageId(conf, s"$base/checkpoint")
+    // forge the failed first attempt: batch 0's counts fold COMMITTED
+    // (batch=<lineage>-0 partition says 2 docs already admitted for A),
+    // then the crash before the checkpoint commit. The retry of batch 0
+    // must decide from the strictly-pre-batch state (empty), or caps
+    // would shrink by one whole batch on every replay.
+    val countsDir = s"$base/views/counts"
+    Seq(("A", 2L, 12L)).toDF("grp", "cnt", "sum_tokens")
+      .coalesce(1).write.parquet(s"$countsDir/batch=$lineage-0")
+    val fs = new org.apache.hadoop.fs.Path(countsDir).getFileSystem(conf)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(countsDir + ".__format"), true)
+    out.write("guard-counts/grp=source".getBytes("UTF-8")); out.close()
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text", "source"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      views = Some(graft.streaming.IngestGuard.Views(s"$base/views",
+        groupCol = "source", maxPerGroup = Some(2L))))
+    try {
+      in.addData(
+        (1L, "unique document number one with sufficient extra words", "A"),
+        (2L, "unique document number two with sufficient extra words", "A"),
+        (3L, "unique document number three with sufficient extra words", "A"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(acc === Set(1L, 2L),
+        s"retry must ignore its own first attempt's counts; accepted: $acc")
+      assert(rej === Map(3L -> "quota"), s"rejects: $rej")
+      // and the counts store did NOT double-commit batch 0 (the forged
+      // record is batch 0's commit; foldAppendOnce must skip the refold)
+      val total = spark.read.parquet(countsDir)
+        .agg(sum(col("cnt"))).head().getLong(0)
+      assert(total === 2L, s"batch 0 double-committed: total $total")
+    } finally q.stop()
+  }
+
   test("heavy-hitter state swap is an overwriting rename, never delete-then-rename") {
     import graft.streaming.HeavyHittersStream
     val dir = java.nio.file.Files
@@ -1431,6 +1526,55 @@ class StreamingSpec extends GraftSuite {
       bad.stop()
       assert(e.getMessage.contains("editdist-passjoin") ||
         e.getCause.getMessage.contains("editdist-passjoin"))
+    } finally { docs.unpersist(); () }
+  }
+
+  test("streaming MinHash-LSH dedup equals the batch candidate operator over the full corpus") {
+    import graft.streaming.MinHashDupStream
+    import graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-minhash-stream").toString
+    val inDir = s"$base/in"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").cache()
+    try {
+      // three chunks, one file each → three deterministic microbatches;
+      // signatures are a pure function of text, so a pair agrees on a
+      // band intra- or cross-batch identically and the union must equal
+      // the batch self-join either way
+      (0 until 3).foreach { c =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val q = MinHashDupStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state", s"$base/matches", s"$base/ckpt")
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      val got = MinHashDupStream.matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = Dedup.minhashCandidatePairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "fixture must contain LSH candidate pairs")
+      assert(got === want,
+        s"streamed candidates diverged: missing ${want -- got}, extra ${got -- want}")
+      // replay: re-running a batch's worth of docs against the store that
+      // already holds them can only re-produce known pairs (least/greatest
+      // + doc_id inequality) — the reader's distinct absorbs them
+      // geometry marker: a restart with different banding must fail fast,
+      // not silently never-match against the accumulated store
+      val bad = MinHashDupStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state", s"$base/matches2", s"$base/ckpt2", bands = 8)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.processAllAvailable()
+      }
+      bad.stop()
+      assert(e.getMessage.contains("minhash-lsh") ||
+        e.getCause.getMessage.contains("minhash-lsh"))
     } finally { docs.unpersist(); () }
   }
 
