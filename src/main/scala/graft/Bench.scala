@@ -113,12 +113,26 @@ object Bench {
     * baseline). The baseline is a best-known-clean floor, not a rolling
     * last-observation: a genuine regression still reproduces on the
     * guard's retry and is REPORTED in the sweep's own JSON — the floor
-    * only decides when the guard double-checks. */
+    * only decides when the guard double-checks.
+    *
+    * The floor needs an escape hatch (round-11 advice): an ACCEPTED
+    * regression — or a durably slower machine/dataset — would otherwise
+    * trip the guard's retry on every future sweep forever, since min()
+    * can never raise a baseline. `SPARK_GRAFT_BENCH_RESET=q_a,q_b` (or
+    * `all`) restores last-write-wins for the named queries for ONE
+    * sweep: their previous floor is dropped before the merge (and the
+    * cross-sweep guard skips them that sweep), so the new clean medians
+    * become the baseline. A reset query the sweep didn't run is simply
+    * deleted from the file. */
   private[graft] def writeMedians(path: java.nio.file.Path,
                                   prev: Map[String, Double],
-                                  sweep: Map[String, Double]): Unit = {
-    val merged = prev ++ sweep.map { case (k, v) =>
-      k -> prev.get(k).fold(v)(math.min(v, _))
+                                  sweep: Map[String, Double],
+                                  reset: Set[String] = Set.empty): Unit = {
+    val kept =
+      if (reset.contains("all")) Map.empty[String, Double]
+      else prev -- reset
+    val merged = kept ++ sweep.map { case (k, v) =>
+      k -> kept.get(k).fold(v)(math.min(v, _))
     }
     java.nio.file.Files.writeString(path,
       merged.toSeq.sorted.map { case (k, v) => s"$k $v" }
@@ -203,18 +217,27 @@ object Bench {
     Option(mediansPath.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))
     val prevMedians: Map[String, Double] = readMedians(mediansPath)
+    // Baseline reset (see writeMedians): named queries — or `all` — get
+    // last-write-wins this sweep, and the guard doesn't compare them
+    // against the floor being discarded.
+    val reset: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_RESET")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def prevFor(name: String): Option[Double] =
+      if (reset.contains("all") || reset.contains(name)) None
+      else prevMedians.get(name)
 
     var retried = Map.empty[String, Double]
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
       name -> guardedMedian(
         warmup = () => runOnce(name),
         trials = () => trials(name),
-        prev = prevMedians.get(name),
+        prev = prevFor(name),
         record = m => retried += name -> m)
     }
     // Persist this sweep's medians for the next sweep's cross-run guard.
     writeMedians(mediansPath, prevMedians,
-      results.collect { case (k, Right(t)) => k -> t }.toMap)
+      results.collect { case (k, Right(t)) => k -> t }.toMap, reset)
 
     def jstr(s: String): String = graft.functions.Json.quote(s)
     // 3-decimal values: keeps the whole marker line small enough to survive

@@ -24,7 +24,9 @@ import graft.operators.TextAnalysis
   *    fingerprint wins (one window over the batch's fingerprints);
   *    across batches the fingerprint store — distinct 60-bit hashes of
   *    ACCEPTED docs only, `fp_part`-partitioned parquet — is probed with
-  *    a LEFT SEMI on one long. Rejected docs never enter the store: a
+  *    a LEFT SEMI on one long, read-pruned to the bloom-positive docs'
+  *    own `fp_part` partitions (a bloom-all-negative batch never reads
+  *    the store at all). Rejected docs never enter the store: a
   *    later duplicate of a rejected page is judged on its own merits,
   *    because dedup is against the CORPUS, not the reject pile.
   *
@@ -134,34 +136,51 @@ object IngestGuard {
         // cross-batch: fingerprint already accepted in an earlier batch.
         // Bloom sidecar prefilter (shared [[Streams]] sidecar, like the
         // gram store): bloom-NEGATIVE fingerprints are definitively new —
-        // no false negatives — so for mostly-unique content the store
-        // join's probe side shrinks to the few bloom-positive docs, and
-        // the exact join only CONFIRMS (a Bloom false positive costs a
-        // confirm read, never a wrongly-rejected doc). Replay guard: rows
-        // this (lineage, batch) wrote before a crash are not history.
+        // no false negatives — so the store is consulted only for the
+        // batch's bloom-POSITIVE docs. The store (right) side is pruned
+        // to those docs' fp_part partitions (bounded ≤256 collect — the
+        // SubstrDedupStream/MinHashDupStream contract), and when the
+        // batch has NO bloom positives (the common case for fresh
+        // content) the store is never read at all. Membership is then
+        // confirmed by a LEFT SEMI of the pruned slice against the
+        // batch's candidate fps (broadcast — bounded by the batch's own
+        // distinct positives), so no microbatch ever pays a corpus-sized
+        // scan, distinct, or shuffle; a Bloom false positive costs a
+        // pruned confirm read, never a wrongly-rejected doc. Replay
+        // guard: rows this (lineage, batch) wrote before a crash are not
+        // history.
         val bloom = Streams.readOrRebuildBloomSidecar(
           spark, fs, stateDir, "__fp", expectedDocs, fpp)
-        val priorFps =
-          if (fs.exists(statePath))
-            spark.read.parquet(stateDir)
-              .filter(!(col("__lineage") <=> lit(lineage) &&
-                col("__batch_id") === lit(batchId)))
-              .select(col("__fp")).withColumn("__seen", lit(true))
-              .distinct()
-          else spark.emptyDataFrame
-            .withColumn("__fp", lit(0L)).withColumn("__seen", lit(true))
-            .limit(0)
         val probeGate = bloom match {
           case Some(b) =>
             SketchExpressions.bloomMightContain(col("__fp"), b)
           case None => lit(true)
         }
-        val probed = scored
-          .withColumn("__rn", rn)
-          .withColumn("__probe", probeGate)
-          .join(priorFps.withColumnRenamed("__fp", "__pfp"),
-            col("__probe") && col("__fp") === col("__pfp"), "left")
-          .drop("__pfp")
+        val posParts =
+          if (fs.exists(statePath))
+            scored.filter(probeGate)
+              .select(pmod(col("__fp"), lit(256)).cast("int").as("p"))
+              .distinct().collect().map(_.getInt(0)) // bounded ≤256
+          else Array.empty[Int]
+        val withRn = scored.withColumn("__rn", rn)
+        val probed =
+          if (posParts.isEmpty) withRn.withColumn("__seen", lit(false))
+          else {
+            val candidateFps = scored.filter(probeGate)
+              .select(col("__fp")).distinct()
+            val seenFps = spark.read.parquet(stateDir)
+              .filter(col("fp_part").isin(posParts.toIndexedSeq: _*))
+              .filter(!(col("__lineage") <=> lit(lineage) &&
+                col("__batch_id") === lit(batchId)))
+              .select(col("__fp"))
+              .join(broadcast(candidateFps), Seq("__fp"), "left_semi")
+              // replay-duplicated store rows would fan out the join back
+              // onto the batch; the distinct is over ≤ the batch's own
+              // candidate fps, never the corpus
+              .distinct()
+              .withColumn("__seen", lit(true))
+            withRn.join(broadcast(seenFps), Seq("__fp"), "left")
+          }
         val isDup = coalesce(col("__seen"), lit(false)) || col("__rn") > 1
         // per-group admission quota (Views.maxPerGroup): a doc that
         // survives every content gate still lands `quota` once its group
@@ -194,12 +213,32 @@ object IngestGuard {
             .withColumn("__over_quota", survivor &&
               coalesce(col("__admitted"), lit(0L)) + rq > cap)
             .drop("__admitted")
-        }).getOrElse(probed.withColumn("__over_quota", lit(false)))
+            // when the fingerprint's within-batch winner is itself
+            // condemned by quota, the fingerprint never entered the
+            // corpus — charging its same-batch followers exact_dup would
+            // violate "dedup is against the CORPUS" (the gate comment's
+            // invariant). They are charged `quota` instead: the honest
+            // reason (the fp's slot was quota-denied), deliberately
+            // WITHOUT re-admission — promoting a follower would shift
+            // later quota ranks in ITS group, whose winners could then
+            // overflow and free other fps: a fixpoint, not a window. The
+            // deviation is confined to multi-copy fps arriving in the
+            // same batch as a quota overflow and biases toward
+            // under-admission, never corpus corruption; StreamingSpec
+            // pins it ("quota-rejected winner does not convict ...").
+            .withColumn("__winner_quota",
+              max(when(col("__rn") === 1, col("__over_quota"))
+                .otherwise(lit(false)))
+                .over(Window.partitionBy(col("__fp"), gate)))
+        }).getOrElse(probed.withColumn("__over_quota", lit(false))
+          .withColumn("__winner_quota", lit(false)))
         val judged = withQuota
           .withColumn("reason",
             when(!quality, "quality")
               .when(col("__overlap") > 0, "contaminated")
-              .when(isDup, "exact_dup")
+              .when(coalesce(col("__seen"), lit(false)), "exact_dup")
+              .when(col("__rn") > 1 && col("__winner_quota"), "quota")
+              .when(col("__rn") > 1, "exact_dup")
               .when(col("__over_quota"), "quota"))
           .localCheckpoint(false)
         judged.filter(col("reason").isNotNull)

@@ -18,7 +18,8 @@ import graft.operators.Dedup
   * DOOR: token-reordered or lightly-edited reposts agree on an LSH band
   * long after SimHash's bit budget blurs.
   *
-  * Shape per microbatch (`foreachBatch`, serialized):
+  * Shape per microbatch (`foreachBatch`, serialized), on the shared
+  * [[Streams.SideStore]] skeleton:
   *  1. the batch's band rows come from the SAME oracle-checked batch
   *     pipeline ([[Dedup.bandRows]]: shingle → k min-hashes → `bands`
   *     md5 band keys, already localCheckpoint'ed because three consumers
@@ -32,19 +33,26 @@ import graft.operators.Dedup
   *     (bounded collect), so a batch touches only the store slices its
   *     bands can possibly match, never the full history;
   *  4. the batch's bands append AFTER the lookup, clustered on the
-  *     partition key ([[Streams.appendPartitioned]]).
+  *     partition key.
   *
-  * Replay safety needs no lineage guard — the [[NearDupStream]]
-  * argument: a batch that crashed after its store append replays against
-  * its own band rows, but `least/greatest` normalization plus the
-  * `doc_id` inequality mean those joins can only re-produce pairs the
-  * intra-batch join already emits — duplicate ROWS, never wrong ones —
-  * and [[matches]]' distinct absorbs them. Retention (`retainBatches`)
-  * bounds the store to a sliding horizon via the crash-safe
-  * [[Streams.rewriteStore]] swap. A format marker stamps `(k, bands, n)`:
-  * band keys hash `k/bands`-minhash slices of `n`-shingles, so probing a
-  * store built with any other geometry would silently never match — a
-  * mismatched restart fails fast instead.
+  * Replay safety of the EMITTED matches needs no lineage guard — the
+  * [[NearDupStream]] argument: a batch that crashed after its store
+  * append replays against its own band rows, but `least/greatest`
+  * normalization plus the `doc_id` inequality mean those joins can only
+  * re-produce pairs the intra-batch join already emits — duplicate ROWS,
+  * never wrong ones — and [[matches]]' distinct absorbs them. The STORE,
+  * though, would grow by one copy of the batch per crash-replay
+  * (round-11 advice): rows are therefore stamped `(lineage, batch_id)`
+  * and the append is skipped when the store already holds this batch's
+  * rows. Only the first batch after a (re)start can be such a replay —
+  * within a run the engine serializes batches and ids only advance — so
+  * the existence probe costs one metadata-pruned read per restart, not
+  * per batch. Retention (`retainBatches`) bounds the store to a sliding
+  * horizon via the crash-safe [[Streams.rewriteStore]] swap. A format
+  * marker stamps `(k, bands, n)`: band keys hash `k/bands`-minhash
+  * slices of `n`-shingles, so probing a store built with any other
+  * geometry would silently never match — a mismatched restart fails
+  * fast instead.
   *
   * 100 TB shape: everything that moves is (long doc_id, int band_id,
   * 32-char band_key) rows — `bands` per document, independent of
@@ -65,30 +73,21 @@ object MinHashDupStream {
   def start(docs: DataFrame, stateDir: String, matchesDir: String,
             checkpoint: String, k: Int = 16, bands: Int = 4, n: Int = 3,
             retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
-    require(retainBatches >= 0 && pruneEvery >= 0,
-      "retainBatches/pruneEvery must be >= 0")
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val pruneInterval =
-      if (retainBatches == 0) 0
-      else if (pruneEvery > 0) pruneEvery else retainBatches
-    var formatChecked = false
+    val store = new Streams.SideStore(stateDir, "band_part",
+      formatTag(k, bands, n), "MinHashDupStream", retainBatches, pruneEvery)
+    val lineage = Streams.lineageId(
+      docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
+    var firstBatch = true
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val fs = store.ensureReady(spark)
         val rows = Dedup.bandRows(batch, k, bands, n)
           .withColumn("band_part",
             pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Streams.recoverCompaction(fs, stateDir)
-        if (!formatChecked) {
-          Streams.checkStoreFormat(fs, stateDir, formatTag(k, bands, n),
-            "MinHashDupStream")
-          formatChecked = true
-        }
         val a = rows.alias("a")
         val b = rows.hint("shuffle_hash").alias("b")
         val intra = a.join(b,
@@ -97,15 +96,12 @@ object MinHashDupStream {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.band_id"))
-        val cross = (if (fs.exists(statePath))
-          Some(spark.read.parquet(stateDir)) else None)
-          .map { prior =>
+        val cross = (if (store.exists(fs)) Some(()) else None)
+          .map { _ =>
             // bounded collect: ≤ BandParts distinct partition values
             val parts = rows.select("band_part").distinct()
-              .collect().map(_.getInt(0))
-            rows.alias("n").join(
-                prior.filter(col("band_part").isin(parts.toIndexedSeq: _*))
-                  .alias("p"),
+              .collect().map(_.getInt(0)).toIndexedSeq
+            rows.alias("n").join(store.prunedRead(spark, parts).alias("p"),
                 col("n.band_id") === col("p.band_id") &&
                   col("n.band_key") === col("p.band_key") &&
                   col("n.doc_id") =!= col("p.doc_id"))
@@ -117,14 +113,24 @@ object MinHashDupStream {
           .distinct()
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(matchesDir)
-        // grow the store AFTER the lookup so a doc never matches itself
-        Streams.appendPartitioned(
-          rows.withColumn("__batch_id", lit(batchId)),
-          stateDir, "band_part")
-        if (pruneInterval > 0 &&
-            batchId % pruneInterval == (pruneInterval - 1))
-          Streams.rewriteStore(spark, stateDir, Seq("band_part"))(
-            _.filter(col("__batch_id") > batchId - retainBatches))
+        // grow the store AFTER the lookup so a doc never matches itself —
+        // unless this is a crash-replay whose first attempt already
+        // appended (only the first batch of a run can be one; the append
+        // job commit is atomic, so any committed row for this
+        // (lineage, batch) means the whole batch landed). Pre-guard
+        // stores have no __lineage column: treated as not-appended, a
+        // one-time duplicate append at worst — the old behavior.
+        val alreadyAppended = firstBatch && store.exists(fs) && {
+          val prior = spark.read.parquet(stateDir)
+          prior.columns.contains("__lineage") &&
+            !prior.filter(col("__lineage") <=> lit(lineage) &&
+              col("__batch_id") === lit(batchId)).isEmpty
+        }
+        firstBatch = false
+        if (!alreadyAppended)
+          store.appendBatch(rows.withColumn("__lineage", lit(lineage)),
+            batchId)
+        store.pruneIfDue(spark, batchId)
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(rows)
           .foreach(_.unpersist(false))
         ()

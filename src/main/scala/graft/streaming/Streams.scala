@@ -482,6 +482,81 @@ object Streams {
     }
   }
 
+  /** The shared at-ingest side-store skeleton — ONE implementation of
+    * the contract the five streaming dedup modalities
+    * ([[NearDupStream]], [[SubstrDedupStream]], [[EmbedDupStream]],
+    * [[EditDistStream]], [[MinHashDupStream]]) each proved separately
+    * and used to hand-roll: per microbatch, (1) recover an interrupted
+    * retention swap and (once per query start) check the store's
+    * geometry marker; (2) read the store pruned to the batch's own
+    * partition values (bounded collect upstream — the caller computes
+    * the parts); (3) append the batch's rows AFTER the lookup, clustered
+    * on the partition key; (4) every `pruneEvery` batches, rewrite the
+    * store keeping the last `retainBatches` batches (crash-safe
+    * [[rewriteStore]] swap). The sixth modality is configuration of this
+    * class, not another copy.
+    *
+    * `checkFormat` defaults to the shared [[checkStoreFormat]] marker
+    * protocol; [[NearDupStream]] overrides it (its pre-marker stores
+    * need layout inference). Instances are single-writer per-query
+    * objects, like the foreachBatch loops that own them. */
+  final class SideStore(val stateDir: String, partCol: String,
+                        formatTag: String, storeKind: String,
+                        retainBatches: Int, pruneEvery: Int,
+                        checkFormat: (SparkSession,
+                          org.apache.hadoop.fs.FileSystem) => Unit = null) {
+    require(retainBatches >= 0 && pruneEvery >= 0,
+      "retainBatches/pruneEvery must be >= 0")
+    private val pruneInterval =
+      if (retainBatches == 0) 0
+      else if (pruneEvery > 0) pruneEvery else retainBatches
+    private var formatChecked = false
+    private val statePath = new org.apache.hadoop.fs.Path(stateDir)
+
+    /** Per-batch entry point: crash recovery + the once-per-start format
+      * check. Returns the store's FileSystem for the caller's own IO. */
+    def ensureReady(spark: SparkSession): org.apache.hadoop.fs.FileSystem = {
+      val fs = statePath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverCompaction(fs, stateDir)
+      if (!formatChecked) {
+        if (checkFormat != null) checkFormat(spark, fs)
+        else checkStoreFormat(fs, stateDir, formatTag, storeKind)
+        formatChecked = true
+      }
+      fs
+    }
+
+    def exists(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+      fs.exists(statePath)
+
+    /** The store pruned to `parts` — static partition pruning on the
+      * layout key, so the read touches only the slices the batch's own
+      * rows can possibly match. */
+    def prunedRead(spark: SparkSession, parts: Seq[Any]): DataFrame =
+      spark.read.parquet(stateDir)
+        .filter(col(partCol).isin(parts: _*))
+
+    /** Clustered after-lookup append of the batch's rows (stamped with
+      * `__batch_id`; skips empty frames — the [[appendPartitioned]]
+      * contract). */
+    def appendBatch(df: DataFrame, batchId: Long): Unit =
+      appendPartitioned(df.withColumn("__batch_id", lit(batchId)),
+        stateDir, partCol)
+
+    /** Retention: when due, rewrite the store keeping the last
+      * `retainBatches` batches. Returns true when a prune ran, so
+      * callers with derived sidecars (the gram store's Bloom) can
+      * rebuild them. */
+    def pruneIfDue(spark: SparkSession, batchId: Long): Boolean =
+      if (pruneInterval > 0 &&
+          batchId % pruneInterval == (pruneInterval - 1)) {
+        rewriteStore(spark, stateDir, Seq(partCol))(
+          _.filter(col("__batch_id") > batchId - retainBatches))
+        true
+      } else false
+  }
+
   /** Exactly-once fold for ADDITIVE view stores (histogram counts, HLL
     * sketch rows — anything whose reader re-aggregates a log of
     * per-batch partial aggregates).
@@ -514,6 +589,7 @@ object Streams {
                     (batchAgg: => DataFrame)
                     (compact: DataFrame => DataFrame): Unit = {
     require(compactEvery >= 0, "compactEvery must be >= 0")
+    requireParsableLineage(lineage)
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, stateDir)
@@ -543,11 +619,24 @@ object Streams {
     ()
   }
 
+  /** The `batch=` partition parsers below ([[appliedBatchMax]],
+    * [[foldCommitBefore]]) disambiguate compaction labels by a leading
+    * `c-`; a lineage that ITSELF starts with `c-` would make its plain
+    * commits parse as another lineage's compactions, corrupting
+    * pre-batch reads and applied-max. Unreachable with [[lineageId]]'s
+    * UUIDs — enforced at every parsing boundary so the format
+    * assumption can never silently drift with a caller-supplied id. */
+  private def requireParsableLineage(lineage: String): Unit =
+    require(!lineage.startsWith("c-"),
+      s"lineage id '$lineage' must not start with 'c-': it would be " +
+        "indistinguishable from a compaction label in batch= partitions")
+
   /** Highest batch id this `lineage` has committed to the store (from
     * the `batch=` partition names — a directory listing, no data read);
     * None for a fresh store or an unseen lineage. */
   def appliedBatchMax(fs: org.apache.hadoop.fs.FileSystem,
                       stateDir: String, lineage: String): Option[Long] = {
+    requireParsableLineage(lineage)
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     if (!fs.exists(statePath)) None
     else {
@@ -595,6 +684,7 @@ object Streams {
     * THIS lineage predates its first batch (adoption). */
   private def foldCommitBefore(lineage: String, batchId: Long)
       : org.apache.spark.sql.Column = {
+    requireParsableLineage(lineage)
     val idStr = expr("substring_index(cast(batch as string), '-', -1)")
     val linStr = expr(
       """regexp_replace(substring(cast(batch as string), 1,
@@ -616,6 +706,7 @@ object Streams {
   def readFoldStoreBefore(spark: SparkSession, stateDir: String,
                           schema: org.apache.spark.sql.types.StructType,
                           lineage: String, batchId: Long): DataFrame = {
+    requireParsableLineage(lineage)
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompaction(fs, stateDir)

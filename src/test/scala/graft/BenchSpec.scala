@@ -66,6 +66,32 @@ class BenchSpec extends GraftSuite {
       "inflated sweep values must not replace the clean floor")
   }
 
+  test("baseline reset restores last-write-wins for the named queries only") {
+    // The floor's escape hatch (round-11 advice): an ACCEPTED regression
+    // can never raise its baseline through min-merge, so the guard would
+    // retry it on every future sweep forever. A reset names the queries
+    // whose floor should be replaced by this sweep's value; everything
+    // else keeps the min-merge contract, and a reset query the sweep
+    // didn't run is deleted rather than kept stale.
+    val path = java.nio.file.Files.createTempFile("graft-medians", ".txt")
+    Bench.writeMedians(path, Map.empty,
+      Map("q_a" -> 0.5, "q_b" -> 0.7, "q_c" -> 0.9))
+    // q_a regressed for real to 2.0 and the regression was accepted
+    Bench.writeMedians(path, Bench.readMedians(path),
+      Map("q_a" -> 2.0, "q_b" -> 5.0), reset = Set("q_a"))
+    assert(Bench.readMedians(path) ===
+      Map("q_a" -> 2.0, "q_b" -> 0.7, "q_c" -> 0.9),
+      "reset replaces q_a's floor; q_b stays min-merged; q_c untouched")
+    // reset of a query the sweep didn't run deletes its entry
+    Bench.writeMedians(path, Bench.readMedians(path),
+      Map("q_b" -> 0.6), reset = Set("q_c"))
+    assert(Bench.readMedians(path) === Map("q_a" -> 2.0, "q_b" -> 0.6))
+    // `all` replaces the whole baseline with this sweep
+    Bench.writeMedians(path, Bench.readMedians(path),
+      Map("q_b" -> 3.0), reset = Set("all"))
+    assert(Bench.readMedians(path) === Map("q_b" -> 3.0))
+  }
+
   test("planted inflated prior median routes through the real retry path") {
     // Drives Bench.guardedMedian — the production warmup/trials/retry
     // branch the sweep loop calls — with planted trial results: the prior

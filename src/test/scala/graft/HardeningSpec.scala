@@ -240,4 +240,36 @@ class HardeningSpec extends GraftSuite {
       "the boundary partition must not leak into the pre-read")
     assert(before("lin", 5L) === 63L)
   }
+
+  test("fold-store parsers refuse a lineage that collides with the c- compaction prefix") {
+    // round-11 advice: foldCommitBefore/appliedBatchMax strip a leading
+    // 'c-' to recognize compaction labels, so a lineage id that itself
+    // starts with 'c-' would make a plain commit parse as another
+    // lineage's compaction — corrupting pre-batch reads and applied-max.
+    // Unreachable with lineageId's UUIDs; enforced at the parse boundary.
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lin-format").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.appliedBatchMax(fs, dir, "c-lin")
+    }
+    assert(e1.getMessage.contains("c-"))
+    intercept[IllegalArgumentException] {
+      Streams.readFoldStoreBefore(spark, dir, schema, "c-lin", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Streams.foldAppendOnce(spark, dir, "c-lin", 0L, "fmt", "Spec", 0) {
+        spark.range(1).selectExpr("'a' as grp", "id as cnt")
+      }(identity)
+    }
+    // a sane UUID-shaped lineage still passes
+    assert(Streams.appliedBatchMax(fs, dir, "ab12cd-ef") === None)
+  }
 }

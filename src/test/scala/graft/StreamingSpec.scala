@@ -1227,6 +1227,87 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ingest guard pruned probe: a bloom-all-negative batch never reads the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest-prune").toString
+    // a store whose data files are GARBAGE — any read dies on the footer —
+    // beside a VALID bloom sidecar holding one foreign fp (built with the
+    // guard's own sizing so the post-accept merge stays compatible): the
+    // batch below is bloom-all-negative, so the guard must make its whole
+    // decision without ever opening the store
+    val stateDir = s"$base/state"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$stateDir/fp_part=0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateDir/fp_part=0/part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
+    graft.streaming.Streams.writeBloomSidecar(fs, stateDir,
+      Seq(123456789L).toDF("__fp").stat.bloomFilter("__fp", 1L << 22, 0.01))
+    // the poison is live: reading the store really would fail
+    intercept[Exception] { spark.read.parquet(stateDir).collect() }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      stateDir, s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3)
+    try {
+      in.addData(1L -> "clean words about metric spaces and measure theory")
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(acc === Set(1L),
+        "bloom-all-negative batch must decide without the store")
+    } finally q.stop()
+  }
+
+  test("ingest guard quota: a quota-rejected winner does not convict its " +
+      "same-batch twin as exact_dup") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-quota-twin").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text", "source"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      views = Some(graft.streaming.IngestGuard.Views(s"$base/views",
+        groupCol = "source", maxPerGroup = Some(1L))))
+    val twin = "the exact same document text shared by three arrivals"
+    try {
+      // batch 0 fills source A's cap of 1
+      in.addData((1L, "a perfectly unique first document for source A", "A"))
+      q.processAllAvailable()
+      // batch 1: doc 2 (A) is the fp's winner but lands `quota`; doc 3 (B)
+      // shares the fp — the fp never entered the corpus, so exact_dup
+      // would be a lie: it is charged `quota` too (the pinned deviation —
+      // no re-admission), and crucially the fp stays OUT of the store
+      in.addData((2L, twin, "A"), (3L, twin, "B"))
+      q.processAllAvailable()
+      // batch 2: the same fp arrives fresh for under-quota B → ACCEPTED,
+      // proving the quota-denied fp never poisoned the fingerprint store
+      in.addData((4L, twin, "B"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(acc === Set(1L, 4L), s"accepted: $acc")
+      assert(rej === Map(2L -> "quota", 3L -> "quota"), s"rejects: $rej")
+    } finally q.stop()
+  }
+
   test("heavy-hitter state swap is an overwriting rename, never delete-then-rename") {
     import graft.streaming.HeavyHittersStream
     val dir = java.nio.file.Files
