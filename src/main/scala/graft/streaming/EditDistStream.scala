@@ -51,56 +51,34 @@ object EditDistStream {
   private def formatTag(k: Int, prefixLen: Int): String =
     s"editdist-passjoin/k=$k/prefix=$prefixLen"
 
-  /** Segment boundaries depend on (k, prefixLen) — probing a store built
-    * with a different geometry would silently miss true pairs. Shared
-    * marker protocol: [[Streams.checkStoreFormat]]. */
-  private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
-                               stateDir: String, k: Int,
-                               prefixLen: Int): Unit =
-    Streams.checkStoreFormat(fs, stateDir, formatTag(k, prefixLen),
-      "EditDistStream")
-
   /** Start the detector: emits `(doc_a, doc_b, dist, __batch_id)` rows to
     * `matchesDir` and maintains the segment store at `stateDir`. `docs`
     * must be a streaming DataFrame with (doc_id: long, text: string). */
   def start(docs: DataFrame, stateDir: String, matchesDir: String,
             checkpoint: String, k: Int = 2, prefixLen: Int = 40,
             retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
-    require(retainBatches >= 0 && pruneEvery >= 0,
-      "retainBatches/pruneEvery must be >= 0")
-    val pruneInterval =
-      if (retainBatches == 0) 0
-      else if (pruneEvery > 0) pruneEvery else retainBatches
-    var formatChecked = false
+    val store = new Streams.SideStore(stateDir, "seg_part",
+      formatTag(k, prefixLen), "EditDistStream", retainBatches, pruneEvery)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val keys = Dedup.prefixKeys(batch, prefixLen).localCheckpoint(false)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Streams.recoverCompaction(fs, stateDir)
-        if (!formatChecked) {
-          checkStoreFormat(fs, stateDir, k, prefixLen)
-          formatChecked = true
-        }
+        val fs = store.ensureReady(spark)
         val intra = Dedup.editDistancePairs(
           keys.select(col("doc_id"), col("s").as("text")), k, prefixLen)
-        val cross = (if (fs.exists(statePath))
-          Some(spark.read.parquet(stateDir)) else None)
-          .map { prior =>
+        val cross = (if (store.exists(fs)) Some(()) else None)
+          .map { _ =>
             val probe = Dedup.passjoinProbe(keys, k, prefixLen)
               .withColumn("seg_part",
                 pmod(xxhash64(col("sub")), lit(SegParts)).cast("int"))
             // bounded collect: ≤ 64 distinct partition values — store
             // slices outside the probes' own parts cannot match
             val parts = probe.select("seg_part").distinct()
-              .collect().map(_.getInt(0))
+              .collect().map(_.getInt(0)).toIndexedSeq
             val candidates = probe.alias("n").join(
-                prior.filter(col("seg_part").isin(parts.toIndexedSeq: _*))
-                  .alias("p"),
+                store.prunedRead(spark, parts).alias("p"),
                 col("n.i") === col("p.i") && col("n.sub") === col("p.sub") &&
                   col("n.doc_id") =!= col("p.doc_id"))
               .select(col("n.doc_id").as("new_id"),
@@ -120,17 +98,13 @@ object EditDistStream {
           .write.mode(SaveMode.Append).parquet(matchesDir)
         // grow the store AFTER the lookup; carry the prefix so verify
         // never re-reads the corpus
-        Streams.appendPartitioned(
+        store.appendBatch(
           Dedup.passjoinIndex(keys, k, prefixLen)
             .join(keys.select(col("doc_id"), col("s")), "doc_id")
             .withColumn("seg_part",
-              pmod(xxhash64(col("sub")), lit(SegParts)).cast("int"))
-            .withColumn("__batch_id", lit(batchId)),
-          stateDir, "seg_part")
-        if (pruneInterval > 0 &&
-            batchId % pruneInterval == (pruneInterval - 1))
-          Streams.rewriteStore(spark, stateDir, Seq("seg_part"))(
-            _.filter(col("__batch_id") > batchId - retainBatches))
+              pmod(xxhash64(col("sub")), lit(SegParts)).cast("int")),
+          batchId)
+        store.pruneIfDue(spark, batchId)
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(keys)
           .foreach(_.unpersist(false))
         ()

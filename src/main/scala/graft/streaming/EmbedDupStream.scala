@@ -46,15 +46,6 @@ object EmbedDupStream {
   private def formatTag(numPlanes: Int, dim: Int): String =
     s"lsh-signbucket/planes=$numPlanes/dim=$dim"
 
-  /** Bucket ids from different LSH geometries share an integer keyspace
-    * but mean different things — shared marker protocol:
-    * [[Streams.checkStoreFormat]]. */
-  private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
-                               stateDir: String, numPlanes: Int,
-                               dim: Int): Unit =
-    Streams.checkStoreFormat(fs, stateDir, formatTag(numPlanes, dim),
-      "EmbedDupStream")
-
   /** Start the detector: emits `(vec_a, vec_b, score, __batch_id)` rows
     * to `matchesDir` and maintains the bucketed vector store at
     * `stateDir`. `vecs` must be a streaming DataFrame with
@@ -63,13 +54,9 @@ object EmbedDupStream {
             checkpoint: String, threshold: Double = 0.4,
             numPlanes: Int = 8, dim: Int = 64,
             retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
-    require(retainBatches >= 0 && pruneEvery >= 0,
-      "retainBatches/pruneEvery must be >= 0")
-    val pruneInterval =
-      if (retainBatches == 0) 0
-      else if (pruneEvery > 0) pruneEvery else retainBatches
     val planes = Hashing.hyperplanes(numPlanes, dim)
-    var formatChecked = false
+    val store = new Streams.SideStore(stateDir, "bucket",
+      formatTag(numPlanes, dim), "EmbedDupStream", retainBatches, pruneEvery)
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -80,14 +67,7 @@ object EmbedDupStream {
           .withColumn("bucket",
             VectorExpressions.lshBucket(col("embedding"), planes))
           .localCheckpoint(false)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Streams.recoverCompaction(fs, stateDir)
-        if (!formatChecked) {
-          checkStoreFormat(fs, stateDir, numPlanes, dim)
-          formatChecked = true
-        }
+        val fs = store.ensureReady(spark)
         val a = bucketed.alias("a")
         val b = bucketed.hint("shuffle_hash").alias("b")
         val intra = a.join(b,
@@ -96,14 +76,12 @@ object EmbedDupStream {
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             VectorExpressions.cosineSim(col("a.embedding"),
               col("b.embedding")).as("score"))
-        val cross = (if (fs.exists(statePath))
-          Some(spark.read.parquet(stateDir)) else None)
-          .map { prior =>
+        val cross = (if (store.exists(fs)) Some(()) else None)
+          .map { _ =>
             val buckets = bucketed.select("bucket").distinct()
-              .collect().map(_.getInt(0))
+              .collect().map(_.getInt(0)).toIndexedSeq
             bucketed.alias("n").join(
-                prior.filter(col("bucket").isin(buckets.toIndexedSeq: _*))
-                  .alias("p"),
+                store.prunedRead(spark, buckets).alias("p"),
                 col("n.bucket") === col("p.bucket") &&
                   col("n.vec_id") =!= col("p.vec_id"))
               .select(
@@ -119,13 +97,8 @@ object EmbedDupStream {
           .distinct()
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(matchesDir)
-        Streams.appendPartitioned(
-          bucketed.withColumn("__batch_id", lit(batchId)),
-          stateDir, "bucket")
-        if (pruneInterval > 0 &&
-            batchId % pruneInterval == (pruneInterval - 1))
-          Streams.rewriteStore(spark, stateDir, Seq("bucket"))(
-            _.filter(col("__batch_id") > batchId - retainBatches))
+        store.appendBatch(bucketed, batchId)
+        store.pruneIfDue(spark, batchId)
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(bucketed)
           .foreach(_.unpersist(false))
         ()

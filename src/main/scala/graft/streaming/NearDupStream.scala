@@ -134,15 +134,11 @@ object NearDupStream {
             checkpoint: String, maxHamming: Int = 3,
             retainBatches: Int = 0, pruneEvery: Int = 0,
             wide: Boolean = false): StreamingQuery = {
-    require(retainBatches >= 0 && pruneEvery >= 0,
-      "retainBatches/pruneEvery must be >= 0")
-    val pruneInterval =
-      if (retainBatches == 0) 0
-      else if (pruneEvery > 0) pruneEvery else retainBatches
-    // format-guard runs once per query start (foreachBatch is serialized,
-    // so a plain flag is safe); the store layout can't change under a
-    // single writer after that
-    var formatChecked = false
+    // shared skeleton, with THIS stream's custom format check (pre-marker
+    // stores need layout inference; the marker check alone won't do)
+    val store = new Streams.SideStore(stateDir, "band_part",
+      formatTag(wide), "NearDupStream", retainBatches, pruneEvery,
+      checkFormat = (spark, fs) => checkStoreFormat(spark, fs, stateDir, wide))
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -172,27 +168,18 @@ object NearDupStream {
         // Try/recover would also swallow REAL read failures (corrupt
         // footer, permissions) as "no prior state" and silently skip
         // cross-batch detection for the batch. An interrupted retention
-        // swap is restored before the read, same as the upsert store.
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val stateFs = statePath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Streams.recoverCompaction(stateFs, stateDir)
-        if (!formatChecked) {
-          checkStoreFormat(spark, stateFs, stateDir, wide)
-          formatChecked = true
-        }
-        val cross = (if (stateFs.exists(statePath))
-          Some(spark.read.parquet(stateDir)) else None)
-          .map { prior =>
+        // swap is restored by ensureReady, same as the upsert store.
+        val stateFs = store.ensureReady(spark)
+        val cross = (if (store.exists(stateFs)) Some(()) else None)
+          .map { _ =>
             // prune the partitioned store to the batch's own band_part
             // values: ≤256 distinct parts (a bounded collect), and every
             // store partition outside that set cannot match — the read
             // touches only the pruned slices
             val batchParts = bands.select("band_part").distinct()
-              .collect().map(_.getInt(0))
+              .collect().map(_.getInt(0)).toIndexedSeq
             bands.alias("n").join(
-                prior.filter(col("band_part").isin(batchParts.toIndexedSeq: _*))
-                  .alias("p"),
+                store.prunedRead(spark, batchParts).alias("p"),
                 col("n.band_id") === col("p.band_id") &&
                   col("n.band_byte") === col("p.band_byte") &&
                   col("n.doc_id") =!= col("p.doc_id"))
@@ -208,22 +195,17 @@ object NearDupStream {
           .withColumn("__batch_id", lit(batchId))
         matches.write.mode(SaveMode.Append).parquet(matchesDir)
         // (4) grow the store AFTER the lookup so a doc never matches itself.
-        // Cluster the append on the partition key first: without it every
-        // write task touches every band_part dir — up to tasks×256 ~2 KB
-        // files PER BATCH, and the cross-batch read becomes file-OPEN
-        // bound, not data bound (measured: 124k files for a 225 MB store
-        // at 500k docs, with per-batch latency growing 2× over 20
-        // batches mostly on listing/footer costs). One extra shuffle of
-        // 8-byte hash rows buys ≤1 file per touched dir per batch.
-        Streams.appendPartitioned(
-          bands.withColumn("__batch_id", lit(batchId)),
-          stateDir, "band_part")
-        // retention: periodically drop band rows older than the horizon.
-        // Runs AFTER this batch's append, inside the same foreachBatch —
-        // single-writer, and the swap is crash-safe (rewriteStore).
-        if (pruneInterval > 0 && batchId % pruneInterval == (pruneInterval - 1))
-          Streams.rewriteStore(spark, stateDir, Seq("band_part"))(
-            _.filter(col("__batch_id") > batchId - retainBatches))
+        // The clustered append matters: without it every write task
+        // touches every band_part dir — up to tasks×256 ~2 KB files PER
+        // BATCH, and the cross-batch read becomes file-OPEN bound, not
+        // data bound (measured: 124k files for a 225 MB store at 500k
+        // docs, with per-batch latency growing 2× over 20 batches mostly
+        // on listing/footer costs). One extra shuffle of 8-byte hash rows
+        // buys ≤1 file per touched dir per batch. Retention runs AFTER
+        // this batch's append, inside the same foreachBatch —
+        // single-writer, crash-safe swap.
+        store.appendBatch(bands, batchId)
+        store.pruneIfDue(spark, batchId)
         // free the per-batch checkpoint's cached blocks NOW —
         // Dataset.unpersist() never reaches a localCheckpoint RDD, and
         // leaving it to the ContextCleaner accumulates one band-table copy

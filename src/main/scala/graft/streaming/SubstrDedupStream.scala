@@ -54,14 +54,6 @@ object SubstrDedupStream {
 
   private def formatTag(k: Int): String = s"substr-grams/k=$k"
 
-  /** Fail fast when the store at `stateDir` was written with a different
-    * gram width: k=8 and k=12 hashes share a keyspace but mean different
-    * things, and a silent join would emit garbage spans. Shared marker
-    * protocol: [[Streams.checkStoreFormat]]. */
-  private def checkStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
-                               stateDir: String, k: Int): Unit =
-    Streams.checkStoreFormat(fs, stateDir, formatTag(k), "SubstrDedupStream")
-
   // sidecar IO shared with IngestGuard: [[Streams.writeBloomSidecar]] /
   // [[Streams.readOrRebuildBloomSidecar]]
   private def writeBloom(fs: org.apache.hadoop.fs.FileSystem,
@@ -93,12 +85,8 @@ object SubstrDedupStream {
             checkpoint: String, k: Int = 8,
             expectedGrams: Long = 1L << 22, fpp: Double = 0.01,
             retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
-    require(retainBatches >= 0 && pruneEvery >= 0,
-      "retainBatches/pruneEvery must be >= 0")
-    val pruneInterval =
-      if (retainBatches == 0) 0
-      else if (pruneEvery > 0) pruneEvery else retainBatches
-    var formatChecked = false
+    val store = new Streams.SideStore(stateDir, "gram_part",
+      formatTag(k), "SubstrDedupStream", retainBatches, pruneEvery)
     // Checkpoint-lineage id ([[Streams.lineageId]]): the replay guard
     // below must only exclude rows written by this checkpoint's own
     // lineage — a store adopted under a fresh checkpoint restarts at
@@ -112,19 +100,11 @@ object SubstrDedupStream {
         val spark = batch.sparkSession
         val grams = Dedup.positionalGramRows(batch, k).localCheckpoint(false)
         val intra = Dedup.flaggedPositions(grams, keepFirst = true)
-        val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Streams.recoverCompaction(fs, stateDir)
-        if (!formatChecked) {
-          checkStoreFormat(fs, stateDir, k)
-          formatChecked = true
-        }
+        val fs = store.ensureReady(spark)
         val bloom =
           readOrRebuildBloom(spark, fs, stateDir, expectedGrams, fpp)
-        val cross = (if (fs.exists(statePath))
-          Some(spark.read.parquet(stateDir)) else None)
-          .flatMap { prior =>
+        val cross = (if (store.exists(fs)) Some(()) else None)
+          .flatMap { _ =>
             val candidates = bloom match {
               case Some(b) =>
                 grams.filter(
@@ -139,7 +119,7 @@ object SubstrDedupStream {
               .distinct().collect().map(_.getInt(0))
             if (parts.isEmpty) None
             else Some(candidates.join(
-              prior.filter(col("gram_part").isin(parts.toIndexedSeq: _*))
+              store.prunedRead(spark, parts.toIndexedSeq)
                 // replay guard: a batch that crashed AFTER its store
                 // append replays with its own grams already persisted
                 // under THIS (lineage, batch id) — without the exclusion
@@ -164,12 +144,11 @@ object SubstrDedupStream {
           .write.mode(SaveMode.Append).parquet(spansDir)
         // grow the store AFTER the lookup so a gram never matches itself;
         // distinct hashes only — positions never persist
-        Streams.appendPartitioned(
+        store.appendBatch(
           grams.select(col("h1"), col("h2")).distinct()
             .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
-            .withColumn("__batch_id", lit(batchId))
             .withColumn("__lineage", lit(lineage)),
-          stateDir, "gram_part")
+          batchId)
         // a batch can gram NOTHING (no doc reaches k tokens) — nothing to
         // add, the existing sidecar stays as-is
         Streams.bloomOfNonEmpty(grams, "h1", expectedGrams, fpp)
@@ -190,15 +169,12 @@ object SubstrDedupStream {
               case None => batchBloom
             })
           }
-        if (pruneInterval > 0 &&
-            batchId % pruneInterval == (pruneInterval - 1)) {
-          Streams.rewriteStore(spark, stateDir, Seq("gram_part"))(
-            _.filter(col("__batch_id") > batchId - retainBatches))
+        if (store.pruneIfDue(spark, batchId)) {
           // a Bloom cannot forget: rebuild from the pruned store. A
           // rewrite that keeps NOTHING deletes the dir outright — then
           // drop the stale sidecar too (absent store = fresh store; a
           // leftover sidecar would cost confirm reads forever)
-          if (fs.exists(statePath))
+          if (store.exists(fs))
             Streams.bloomOfNonEmpty(spark.read.parquet(stateDir), "h1",
                 expectedGrams, fpp)
               .foreach(writeBloom(fs, stateDir, _))

@@ -1308,6 +1308,53 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ingest guard quota mode: the counts store stays bounded under sustained batches") {
+    // quota mode disables foldAppendOnce's after-the-fold compact and
+    // compacts via the pre-fold labeled prefix instead
+    // (compactFoldStoreBefore every compactEvery batches) — this pins
+    // that the protocol actually BOUNDS the store: after N batches the
+    // log is one compaction partition plus the uncompacted suffix, never
+    // one partition per batch forever (the HistogramStream compaction
+    // bound, re-proven for the quota path).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-quota-bound").toString
+    val compactEvery = 4
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text", "source"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      views = Some(graft.streaming.IngestGuard.Views(s"$base/views",
+        groupCol = "source", maxPerGroup = Some(1000L),
+        compactEvery = compactEvery)))
+    val nBatches = 20
+    try {
+      (0 until nBatches).foreach { i =>
+        in.addData(
+          (i * 2L, s"wholly unique document number ${i * 2} for source A", "A"),
+          (i * 2 + 1L, s"wholly unique document number ${i * 2 + 1} for B", "B"))
+        q.processAllAvailable()
+      }
+      q.exception.foreach(throw _)
+      val countsDir = s"$base/views/counts"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(countsDir).getFileSystem(conf)
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(countsDir))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+      assert(parts.length <= 1 + compactEvery,
+        s"counts store grew unbounded: ${parts.length} partitions ($parts)")
+      // and the bounded log still reads back exact
+      val counts = graft.streaming.IngestGuard
+        .viewCounts(spark, s"$base/views")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === Map("A" -> nBatches.toLong, "B" -> nBatches.toLong),
+        s"counts: $counts")
+    } finally q.stop()
+  }
+
   test("heavy-hitter state swap is an overwriting rename, never delete-then-rename") {
     import graft.streaming.HeavyHittersStream
     val dir = java.nio.file.Files
@@ -1656,6 +1703,61 @@ class StreamingSpec extends GraftSuite {
       bad.stop()
       assert(e.getMessage.contains("minhash-lsh") ||
         e.getCause.getMessage.contains("minhash-lsh"))
+    } finally { docs.unpersist(); () }
+  }
+
+  test("streaming MinHash-LSH crash-replay does not re-append its batch to the band store") {
+    // round-11 advice: a batch replayed after a crash that followed the
+    // store append used to re-append its band rows unconditionally —
+    // matches stayed correct (distinct) but the store grew by one copy of
+    // the batch per replay, and with retainBatches=0 the copies never
+    // aged out. Forge the failed first attempt (batch 0's rows already in
+    // the store under this lineage) and assert the retry appends nothing.
+    import graft.streaming.{MinHashDupStream, Streams}
+    import graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-minhash-replay").toString
+    val inDir = s"$base/in"; val stateDir = s"$base/state"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").cache()
+    try {
+      (0 until 2).foreach { c =>
+        docs.filter(pmod(col("doc_id"), lit(2)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      val lineage = Streams.lineageId(conf, s"$base/ckpt")
+      val chunk0 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      Streams.appendPartitioned(
+        Dedup.bandRows(chunk0, 16, 4, 3)
+          .withColumn("band_part",
+            pmod(xxhash64(col("band_key")), lit(64)).cast("int"))
+          .withColumn("__batch_id", lit(0L))
+          .withColumn("__lineage", lit(lineage)),
+        stateDir, "band_part")
+      val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(stateDir + ".__format"), true)
+      out.write("minhash-lsh/k=16/bands=4/n=3".getBytes("UTF-8")); out.close()
+      val q = MinHashDupStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        stateDir, s"$base/matches", s"$base/ckpt")
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      // every doc's bands exactly once: batch 0's replay appended nothing
+      // (its forged first attempt is the store copy), batch 1 appended once
+      val stored = spark.read.parquet(stateDir).count()
+      val want = Dedup.bandRows(docs, 16, 4, 3).count()
+      assert(stored === want,
+        s"store holds $stored band rows, want $want — replay re-appended")
+      // and the emitted matches still equal the batch operator
+      val got = MinHashDupStream.matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantPairs = Dedup.minhashCandidatePairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === wantPairs)
     } finally { docs.unpersist(); () }
   }
 
