@@ -123,7 +123,11 @@ object Bench {
     * sweep: their previous floor is dropped before the merge (and the
     * cross-sweep guard skips them that sweep), so the new clean medians
     * become the baseline. A reset query the sweep didn't run is simply
-    * deleted from the file. */
+    * deleted from the file. `main` expands `all` to the queries the
+    * sweep actually RUNS before calling here, so `all` under a
+    * SPARK_GRAFT_ONLY subset resets only that subset — never the other
+    * queries' floors (which would disarm their guard until the next
+    * full sweep); the literal branch below serves direct callers. */
   private[graft] def writeMedians(path: java.nio.file.Path,
                                   prev: Map[String, Double],
                                   sweep: Map[String, Double],
@@ -219,9 +223,15 @@ object Bench {
     val prevMedians: Map[String, Double] = readMedians(mediansPath)
     // Baseline reset (see writeMedians): named queries — or `all` — get
     // last-write-wins this sweep, and the guard doesn't compare them
-    // against the floor being discarded.
+    // against the floor being discarded. `all` expands to the queries
+    // THIS sweep runs, not the whole file: RESET=all combined with
+    // SPARK_GRAFT_ONLY (or lingering in the environment across a subset
+    // sweep) would otherwise delete every unswept query's floor and
+    // silently disarm the guard for them — the round-7 incident,
+    // reachable again through the escape hatch (round-12 self-review).
     val reset: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_RESET")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(r => if (r.contains("all")) names.toSet else r)
       .getOrElse(Set.empty)
     def prevFor(name: String): Option[Double] =
       if (reset.contains("all") || reset.contains(name)) None

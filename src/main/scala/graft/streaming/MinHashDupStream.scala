@@ -43,11 +43,13 @@ import graft.operators.Dedup
   * never wrong ones — and [[matches]]' distinct absorbs them. The STORE,
   * though, would grow by one copy of the batch per crash-replay
   * (round-11 advice): rows are therefore stamped `(lineage, batch_id)`
-  * and the append is skipped when the store already holds this batch's
-  * rows. Only the first batch after a (re)start can be such a replay —
-  * within a run the engine serializes batches and ids only advance — so
-  * the existence probe costs one metadata-pruned read per restart, not
-  * per batch. Retention (`retainBatches`) bounds the store to a sliding
+  * and appended through the shared guard
+  * ([[Streams.SideStore.appendBatchOnce]]) — a `.__applied` sidecar
+  * skips a completed append's replay with zero store IO, and a crash
+  * inside the append window is repaired by an anti-join that appends
+  * exactly the missing remainder (a PARTIAL job commit must not be
+  * mistaken for a full one — skipping would lose rows forever).
+  * Retention (`retainBatches`) bounds the store to a sliding
   * horizon via the crash-safe [[Streams.rewriteStore]] swap. A format
   * marker stamps `(k, bands, n)`: band keys hash `k/bands`-minhash
   * slices of `n`-shingles, so probing a store built with any other
@@ -78,7 +80,6 @@ object MinHashDupStream {
       formatTag(k, bands, n), "MinHashDupStream", retainBatches, pruneEvery)
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
-    var firstBatch = true
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -113,23 +114,13 @@ object MinHashDupStream {
           .distinct()
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(matchesDir)
-        // grow the store AFTER the lookup so a doc never matches itself —
-        // unless this is a crash-replay whose first attempt already
-        // appended (only the first batch of a run can be one; the append
-        // job commit is atomic, so any committed row for this
-        // (lineage, batch) means the whole batch landed). Pre-guard
-        // stores have no __lineage column: treated as not-appended, a
-        // one-time duplicate append at worst — the old behavior.
-        val alreadyAppended = firstBatch && store.exists(fs) && {
-          val prior = spark.read.parquet(stateDir)
-          prior.columns.contains("__lineage") &&
-            !prior.filter(col("__lineage") <=> lit(lineage) &&
-              col("__batch_id") === lit(batchId)).isEmpty
-        }
-        firstBatch = false
-        if (!alreadyAppended)
-          store.appendBatch(rows.withColumn("__lineage", lit(lineage)),
-            batchId)
+        // grow the store AFTER the lookup so a doc never matches itself;
+        // the shared crash-replay guard skips a replayed batch's
+        // re-append — or completes a PARTIAL commit's missing remainder —
+        // via the .__applied sidecar + (lineage, batch) anti-join
+        store.appendBatchOnce(spark,
+          rows.withColumn("__lineage", lit(lineage)), lineage, batchId,
+          Seq("doc_id", "band_id", "band_key"))
         store.pruneIfDue(spark, batchId)
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(rows)
           .foreach(_.unpersist(false))

@@ -544,6 +544,74 @@ object Streams {
       appendPartitioned(df.withColumn("__batch_id", lit(batchId)),
         stateDir, partCol)
 
+    /** [[appendBatch]] with the crash-replay append guard, for stores
+      * whose rows carry a `__lineage` stamp (`df` must include it): a
+      * batch replayed after a crash that followed the store append must
+      * not append a second copy (store bloat per replay — the round-11
+      * advice), and a crash that landed MID job-commit (the v1
+      * committer's multi-rename window) must not be mistaken for a full
+      * append — skipping then would silently lose the uncommitted rows
+      * forever, which is strictly worse than the bloat (round-12
+      * self-review). Two layers:
+      *  - a tiny `.__applied` sidecar records the last (lineage, batch)
+      *    whose append COMPLETED (written after the append, overwriting
+      *    rename) — on restart, a matching sidecar skips everything
+      *    with certainty and zero store IO;
+      *  - when the sidecar does not match (crash between append and
+      *    sidecar write, or a partial commit), the batch's rows
+      *    anti-join the store's own (lineage, batch) rows on `keyCols`
+      *    and only the MISSING remainder appends — a full earlier
+      *    commit appends nothing, a partial one is completed exactly.
+      * Only the FIRST batch after a (re)start can be a replay (the
+      * engine serializes batches within a run), so the anti-join store
+      * read happens at most once per restart, and only when the crash
+      * hit the narrow append-to-sidecar window. Rows deterministically
+      * recomputed from the batch make the anti-join sound. Pre-guard
+      * stores (no `__lineage` column) take the plain append — the old
+      * behavior, one duplicate copy at worst. */
+    def appendBatchOnce(spark: SparkSession, df: DataFrame,
+                        lineage: String, batchId: Long,
+                        keyCols: Seq[String]): Unit = {
+      val fs = statePath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
+      val stamp = s"$lineage $batchId"
+      def readMarker(): Option[String] =
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim)
+          finally in.close()
+        }
+      val replayCandidate = firstAppend && exists(fs)
+      firstAppend = false
+      if (replayCandidate && readMarker().contains(stamp)) return
+      val toAppend =
+        if (!replayCandidate) df
+        else {
+          val prior = spark.read.parquet(stateDir)
+          if (!prior.columns.contains("__lineage")) df
+          else df.join(
+            prior.filter(col("__lineage") <=> lit(lineage) &&
+                col("__batch_id") === lit(batchId))
+              .select(keyCols.map(col): _*),
+            keyCols, "left_anti")
+        }
+      appendBatch(toAppend, batchId)
+      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__applied.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(marker),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      ()
+    }
+
+    private var firstAppend = true
+
     /** Retention: when due, rewrite the store keeping the last
       * `retainBatches` batches. Returns true when a prune ran, so
       * callers with derived sidecars (the gram store's Bloom) can

@@ -143,12 +143,17 @@ object SubstrDedupStream {
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(spansDir)
         // grow the store AFTER the lookup so a gram never matches itself;
-        // distinct hashes only — positions never persist
-        store.appendBatch(
+        // distinct hashes only — positions never persist. The shared
+        // crash-replay guard (round-12): a replayed batch's grams are
+        // already excluded from LOOKUPS by the lineage filter above, but
+        // an unconditional re-append still duplicated them in the store —
+        // appendBatchOnce skips a completed append (sidecar) or appends
+        // exactly a partial commit's missing remainder (anti-join)
+        store.appendBatchOnce(spark,
           grams.select(col("h1"), col("h2")).distinct()
             .withColumn("gram_part", pmod(col("h1"), lit(256)).cast("int"))
             .withColumn("__lineage", lit(lineage)),
-          batchId)
+          lineage, batchId, Seq("h1", "h2"))
         // a batch can gram NOTHING (no doc reaches k tokens) — nothing to
         // add, the existing sidecar stays as-is
         Streams.bloomOfNonEmpty(grams, "h1", expectedGrams, fpp)

@@ -32,6 +32,10 @@ object EditDistBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the progress ledger IS the measurement: default cap is 100 entries,
+      // a >100-batch run would silently drop its earliest batches from the
+      // reported curve and totals (round-12 self-review)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

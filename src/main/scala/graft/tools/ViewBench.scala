@@ -31,6 +31,10 @@ object ViewBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the progress ledger IS the measurement: default cap is 100 entries,
+      // a >100-batch run would silently drop its earliest batches from the
+      // reported curve and totals (round-12 self-review)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -241,6 +241,45 @@ class HardeningSpec extends GraftSuite {
     assert(before("lin", 5L) === 63L)
   }
 
+  test("SideStore.appendBatchOnce: full replay appends nothing; a PARTIAL commit is completed exactly") {
+    // round-12 self-review: the first cut of the replay-append guard
+    // skipped the whole append when ANY (lineage, batch) row existed —
+    // but a v1-committer job commit is a multi-rename sequence, so a
+    // crash MID-commit leaves a partial batch which the skip would have
+    // turned into silent permanent row loss. The guard now completes the
+    // missing remainder via anti-join, and a .__applied sidecar makes
+    // the completed-append replay zero-IO.
+    import spark.implicits._
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-appendonce").toString + "/store"
+    val store = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store.ensureReady(spark)
+    val rows = (1L to 100L).map(i => (i, (i % 4).toInt, "lin"))
+      .toDF("k", "p", "__lineage")
+    // forge the crashed first attempt: only HALF the batch's rows
+    // committed, no applied sidecar
+    Streams.appendPartitioned(
+      rows.filter(col("k") <= 50).withColumn("__batch_id", lit(0L)),
+      dir, "p")
+    store.appendBatchOnce(spark, rows, "lin", 0L, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 100,
+      "partial commit must be completed to exactly the full batch")
+    assert(spark.read.parquet(dir).select("k").distinct().count() === 100,
+      "no committed row may duplicate")
+    // a restart AFTER the completed append: the sidecar matches, the
+    // replay appends nothing (fresh handle = fresh firstAppend window)
+    val store2 = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store2.ensureReady(spark)
+    store2.appendBatchOnce(spark, rows, "lin", 0L, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 100,
+      "completed-append replay must be a no-op")
+    // and the run continues normally past the replay window
+    store2.appendBatchOnce(spark,
+      rows.withColumn("k", col("k") + 100), "lin", 1L, Seq("k"))
+    assert(spark.read.parquet(dir).count() === 200)
+  }
+
   test("fold-store parsers refuse a lineage that collides with the c- compaction prefix") {
     // round-11 advice: foldCommitBefore/appliedBatchMax strip a leading
     // 'c-' to recognize compaction labels, so a lineage id that itself
