@@ -32,12 +32,15 @@ import graft.operators.Dedup
   *     append to the store AFTER the lookup, clustered on the partition
   *     key ([[Streams.appendPartitioned]]).
   *
-  * Replay safety needs NO lineage guard — the [[EmbedDupStream]]
-  * argument: a batch that crashed after its store append replays against
-  * its own segments, but the `least/greatest` pair normalization plus
-  * the `doc_id` inequality mean those can only re-produce pairs the
-  * intra-batch join already emits — duplicate ROWS, never wrong ones —
-  * and [[matches]]' distinct absorbs them.
+  * Replay safety of the emitted MATCHES needs no lineage guard — the
+  * [[EmbedDupStream]] argument: a batch that crashed after its store
+  * append replays against its own segments, but the `least/greatest`
+  * pair normalization plus the `doc_id` inequality mean those can only
+  * re-produce pairs the intra-batch join already emits — duplicate
+  * ROWS, never wrong ones — and [[matches]]' distinct absorbs them.
+  * The STORE append goes through the shared
+  * [[Streams.SideStore.appendBatchOnce]] guard (round 12), so a
+  * crash-replay no longer grows the store by a copy of the batch.
   *
   * Retention (`retainBatches`) bounds the store to a sliding horizon via
   * the crash-safe [[Streams.rewriteStore]] swap. A format marker stamps
@@ -59,6 +62,8 @@ object EditDistStream {
             retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
     val store = new Streams.SideStore(stateDir, "seg_part",
       formatTag(k, prefixLen), "EditDistStream", retainBatches, pruneEvery)
+    val lineage = Streams.lineageId(
+      docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -97,13 +102,16 @@ object EditDistStream {
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(matchesDir)
         // grow the store AFTER the lookup; carry the prefix so verify
-        // never re-reads the corpus
-        store.appendBatch(
+        // never re-reads the corpus. Lineage-stamped through the shared
+        // crash-replay guard (pre-upgrade store files read __lineage as
+        // null → guard no-ops).
+        store.appendBatchOnce(spark,
           Dedup.passjoinIndex(keys, k, prefixLen)
             .join(keys.select(col("doc_id"), col("s")), "doc_id")
             .withColumn("seg_part",
-              pmod(xxhash64(col("sub")), lit(SegParts)).cast("int")),
-          batchId)
+              pmod(xxhash64(col("sub")), lit(SegParts)).cast("int"))
+            .withColumn("__lineage", lit(lineage)),
+          lineage, batchId, Seq("doc_id", "i"))
         store.pruneIfDue(spark, batchId)
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(keys)
           .foreach(_.unpersist(false))

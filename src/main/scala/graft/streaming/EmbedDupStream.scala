@@ -28,12 +28,15 @@ import graft.functions.{Hashing, VectorExpressions}
   *  4. matches append with `__batch_id`; the batch's vectors append to
   *     the store AFTER the lookup, clustered on the partition key.
   *
-  * Replay safety needs NO lineage guard here — same argument as
-  * [[NearDupStream]], opposite of [[SubstrDedupStream]]: a batch that
-  * crashed after its store append replays against its own vectors, but
-  * the `vec_id` inequality bounds mean those can only re-produce pairs
-  * the intra-batch join already emits — duplicate ROWS, never wrong
-  * ones — and [[matches]]' distinct absorbs them.
+  * Replay safety of the emitted MATCHES needs no lineage guard — same
+  * argument as [[NearDupStream]], opposite of [[SubstrDedupStream]]: a
+  * batch that crashed after its store append replays against its own
+  * vectors, but the `vec_id` inequality bounds mean those can only
+  * re-produce pairs the intra-batch join already emits — duplicate
+  * ROWS, never wrong ones — and [[matches]]' distinct absorbs them.
+  * The STORE append, though, goes through the shared
+  * [[Streams.SideStore.appendBatchOnce]] guard (round 12), so a
+  * crash-replay no longer grows the store by a copy of the batch.
   *
   * Retention (`retainBatches`) bounds the store to a sliding horizon via
   * the crash-safe [[Streams.rewriteStore]] swap, with the same
@@ -57,6 +60,8 @@ object EmbedDupStream {
     val planes = Hashing.hyperplanes(numPlanes, dim)
     val store = new Streams.SideStore(stateDir, "bucket",
       formatTag(numPlanes, dim), "EmbedDupStream", retainBatches, pruneEvery)
+    val lineage = Streams.lineageId(
+      vecs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -97,7 +102,11 @@ object EmbedDupStream {
           .distinct()
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(matchesDir)
-        store.appendBatch(bucketed, batchId)
+        // lineage-stamped append through the shared crash-replay guard
+        // (pre-upgrade store files read __lineage as null → guard no-ops)
+        store.appendBatchOnce(spark,
+          bucketed.withColumn("__lineage", lit(lineage)), lineage, batchId,
+          Seq("vec_id"))
         store.pruneIfDue(spark, batchId)
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(bucketed)
           .foreach(_.unpersist(false))

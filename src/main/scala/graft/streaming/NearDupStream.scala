@@ -35,13 +35,16 @@ import graft.operators.Dedup
   * (the compacted-changelog retention contract) and the store stays
   * O(docs-per-horizon) instead of growing with the corpus forever;
   * `retainBatches = 0` keeps ALL history. A batch retry after a sink
-  * failure re-appends the same `__batch_id` rows; readers of `matchesDir`
-  * dedupe on (doc_a, doc_b) — both halves of the standard
+  * failure re-emits the same `__batch_id` match rows; readers of
+  * `matchesDir` dedupe on (doc_a, doc_b) — both halves of the standard
   * idempotent-append contract (replay CORRECTNESS needs no batch-id guard
   * here: the cross-batch join's `doc_id =!=` bound means a replayed
   * batch's own store rows only produce duplicate PAIRS, which the
   * reader's distinct absorbs — unlike the gram store, where
-  * [[SubstrDedupStream]] needs its lineage-scoped exclusion). Batch ids
+  * [[SubstrDedupStream]] needs its lineage-scoped exclusion; the STORE
+  * append itself is guarded by the shared
+  * [[Streams.SideStore.appendBatchOnce]] since round 12, so replays no
+  * longer bloat it either). Batch ids
   * are checkpoint-scoped: adopting an existing store under a FRESH
   * checkpoint keeps its matches and signatures, but a retention rewrite
   * then compares adopted rows' old ids against the new lineage's — run
@@ -139,6 +142,8 @@ object NearDupStream {
     val store = new Streams.SideStore(stateDir, "band_part",
       formatTag(wide), "NearDupStream", retainBatches, pruneEvery,
       checkFormat = (spark, fs) => checkStoreFormat(spark, fs, stateDir, wide))
+    val lineage = Streams.lineageId(
+      docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -203,8 +208,14 @@ object NearDupStream {
         // on listing/footer costs). One extra shuffle of 8-byte hash rows
         // buys ≤1 file per touched dir per batch. Retention runs AFTER
         // this batch's append, inside the same foreachBatch —
-        // single-writer, crash-safe swap.
-        store.appendBatch(bands, batchId)
+        // single-writer, crash-safe swap. Rows carry the checkpoint
+        // lineage so the shared crash-replay guard can skip (or
+        // remainder-complete) a replayed batch's append — pre-upgrade
+        // store files read the column as null and the guard no-ops,
+        // so adoption needs no migration.
+        store.appendBatchOnce(spark,
+          bands.withColumn("__lineage", lit(lineage)), lineage, batchId,
+          Seq("doc_id", "band_id"))
         store.pruneIfDue(spark, batchId)
         // free the per-batch checkpoint's cached blocks NOW —
         // Dataset.unpersist() never reaches a localCheckpoint RDD, and
