@@ -103,6 +103,13 @@ object IngestGuard {
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     val inputCols = docs.columns.toIndexedSeq
+    // the fp store through the shared skeleton — a no-op format hook
+    // (fingerprints carry no geometry, and refusing historically
+    // unmarked guard stores would break adoption), used for the
+    // crash-replay-guarded append only; the probe keeps its own
+    // pruned-read path below
+    val fpStore = new Streams.SideStore(stateDir, "fp_part",
+      "guard-fps/v1", "IngestGuard", 0, 0, checkFormat = (_, _) => ())
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -250,13 +257,21 @@ object IngestGuard {
           .select(inputCols.map(col): _*)
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(acceptedDir)
-        // grow the store AFTER the lookup, accepted fingerprints only
-        Streams.appendPartitioned(
+        // grow the store AFTER the lookup, accepted fingerprints only —
+        // through the shared crash-replay guard, so a replayed batch
+        // no longer re-appends its fps (the probe's lineage filter and
+        // seenFps distinct already kept LOOKUPS exact; this keeps the
+        // store itself single-copy)
+        // repair = false: the guard's batch path must be able to skip
+        // the store entirely (bloom-all-negative), so the one-batch
+        // append-to-sidecar crash window takes a duplicate copy instead
+        // of an anti-join read — the probe's lineage filter + seenFps
+        // distinct already absorb store duplicates exactly
+        fpStore.appendBatchOnce(spark,
           accepted.select(col("__fp")).distinct()
             .withColumn("fp_part", pmod(col("__fp"), lit(256)).cast("int"))
-            .withColumn("__batch_id", lit(batchId))
             .withColumn("__lineage", lit(lineage)),
-          stateDir, "fp_part")
+          lineage, batchId, Seq("__fp"), repair = false)
         // a batch can accept NOTHING (every doc rejected) — then there is
         // nothing to add and the existing sidecar stays as-is
         Streams.bloomOfNonEmpty(accepted.select(col("__fp")), "__fp",

@@ -557,38 +557,57 @@ object Streams {
       *    whose append COMPLETED (written after the append, overwriting
       *    rename) — on restart, a matching sidecar skips everything
       *    with certainty and zero store IO;
-      *  - when the sidecar does not match (crash between append and
-      *    sidecar write, or a partial commit), the batch's rows
+      *  - when it does not (a normal restart's first batch, a crash in
+      *    the append-to-sidecar window, a pre-sidecar or adopted
+      *    store — indistinguishable from the sidecar alone), the
+      *    behavior is the `repair` mode's:
+      *    `repair = true` (default — for stores whose foreachBatch
+      *    already reads the store every batch, so one more pruned read
+      *    on a restart's first batch costs nothing): the batch's rows
       *    anti-join the store's own (lineage, batch) rows on `keyCols`
       *    and only the MISSING remainder appends — a full earlier
-      *    commit appends nothing, a partial one is completed exactly.
+      *    commit appends nothing, a partial one is completed exactly,
+      *    zero bloat ever;
+      *    `repair = false` (for stores whose batch path must be able to
+      *    SKIP the store entirely — [[IngestGuard]]'s bloom-all-negative
+      *    contract): plain append, no store read — a crash inside the
+      *    one-batch append-to-sidecar window costs one duplicate copy
+      *    (the pre-guard behavior, which the caller's lookup path must
+      *    already absorb), everything else is exact.
       * Only the FIRST batch after a (re)start can be a replay (the
-      * engine serializes batches within a run), so the anti-join store
-      * read happens at most once per restart, and only when the crash
-      * hit the narrow append-to-sidecar window. Rows deterministically
+      * engine serializes batches within a run). Rows deterministically
       * recomputed from the batch make the anti-join sound. Pre-guard
       * stores (no `__lineage` column) take the plain append — the old
       * behavior, one duplicate copy at worst. */
     def appendBatchOnce(spark: SparkSession, df: DataFrame,
                         lineage: String, batchId: Long,
-                        keyCols: Seq[String]): Unit = {
+                        keyCols: Seq[String],
+                        repair: Boolean = true): Unit = {
       val fs = statePath
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
       val stamp = s"$lineage $batchId"
-      def readMarker(): Option[String] =
+      // stamp layout is "<lineage> <id>"; lineage ids never contain a
+      // space (UUIDs), but parse from the LAST one anyway
+      def readStamp(): Option[(String, Long)] =
         if (!fs.exists(marker)) None
         else {
           val in = fs.open(marker)
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim)
-          finally in.close()
+          val s =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          val cut = s.lastIndexOf(' ')
+          if (cut <= 0) None
+          else s.substring(cut + 1).toLongOption
+            .map(id => (s.substring(0, cut), id))
         }
       val replayCandidate = firstAppend && exists(fs)
       firstAppend = false
-      if (replayCandidate && readMarker().contains(stamp)) return
+      val applied = if (replayCandidate) readStamp() else None
+      if (applied.exists { case (l, id) => l == lineage && id >= batchId })
+        return // this batch's append already completed
       val toAppend =
-        if (!replayCandidate) df
+        if (!replayCandidate || !repair) df
         else {
           val prior = spark.read.parquet(stateDir)
           if (!prior.columns.contains("__lineage")) df
