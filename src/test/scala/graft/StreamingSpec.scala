@@ -1761,6 +1761,67 @@ class StreamingSpec extends GraftSuite {
     } finally { docs.unpersist(); () }
   }
 
+  test("streaming Jaccard-estimate dedup equals the batch estimator over the full corpus") {
+    // the SIXTH modality, built as SideStore configuration: candidates
+    // from band agreement (like MinHashDupStream) but every pair SCORED
+    // with the signature-agreement Jaccard estimate — the streamed union
+    // must equal Dedup.minhashJaccardEstimate (oracle-checked) exactly,
+    // estimates included (they are pure functions of the two texts)
+    import graft.streaming.JaccardDupStream
+    import graft.operators.Dedup
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-jaccard-stream").toString
+    val inDir = s"$base/in"
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").cache()
+    try {
+      (0 until 3).foreach { c =>
+        docs.filter(pmod(col("doc_id"), lit(3)) === c)
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val q = JaccardDupStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state", s"$base/matches", s"$base/ckpt")
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      q.stop()
+      val got = keyed(JaccardDupStream.matches(spark, s"$base/matches"))
+      val want = keyed(Dedup.minhashJaccardEstimate(docs))
+      assert(want.nonEmpty, "fixture must contain candidate pairs")
+      assert(got === want,
+        s"streamed estimates diverged: missing ${want -- got}, extra ${got -- want}")
+      // the similarity gate: a threshold stream emits exactly the strong
+      // subset — candidacy alone no longer admits a pair
+      val tau = 0.5
+      assert(want.exists(_._3 < tau) && want.exists(_._3 >= tau),
+        "fixture must straddle the threshold for the gate test to bite")
+      val qt = JaccardDupStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state_t", s"$base/matches_t", s"$base/ckpt_t", minEst = tau)
+      qt.processAllAvailable()
+      qt.exception.foreach(throw _)
+      qt.stop()
+      val gotT = keyed(JaccardDupStream.matches(spark, s"$base/matches_t"))
+      assert(gotT === want.filter(_._3 >= tau), s"threshold gate diverged")
+      // geometry marker: a mismatched restart fails fast
+      val bad = JaccardDupStream.start(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        s"$base/state", s"$base/m2", s"$base/ckpt2", bands = 8)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.processAllAvailable()
+      }
+      bad.stop()
+      assert(e.getMessage.contains("minhash-jaccard") ||
+        e.getCause.getMessage.contains("minhash-jaccard"))
+    } finally { docs.unpersist(); () }
+  }
+
   test("streaming HLL view: fold estimates are BIT-identical to the batch sketch") {
     import graft.streaming.HllViewStream
     import graft.functions.HllView
