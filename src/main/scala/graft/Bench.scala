@@ -127,14 +127,29 @@ object Bench {
     * sweep actually RUNS before calling here, so `all` under a
     * SPARK_GRAFT_ONLY subset resets only that subset — never the other
     * queries' floors (which would disarm their guard until the next
-    * full sweep); the literal branch below serves direct callers. */
+    * full sweep); the literal branch below serves direct callers.
+    *
+    * `failed` names reset queries that RAN but produced no median
+    * (Left): their previous floor is KEPT, loudly — dropping it would
+    * leave neither old nor new value and silently disarm the
+    * cross-sweep guard for them until some later sweep succeeds, the
+    * same disarm class the round-7 fix guards against (round-12
+    * advice). A reset query absent from both `sweep` and `failed`
+    * genuinely didn't run and is deleted, as documented above. */
   private[graft] def writeMedians(path: java.nio.file.Path,
                                   prev: Map[String, Double],
                                   sweep: Map[String, Double],
-                                  reset: Set[String] = Set.empty): Unit = {
+                                  reset: Set[String] = Set.empty,
+                                  failed: Set[String] = Set.empty): Unit = {
+    val spared = reset.intersect(failed)
+    if (spared.nonEmpty)
+      System.err.println("[bench] WARN reset queries failed this sweep; " +
+        s"keeping their previous floors: ${spared.toSeq.sorted.mkString(",")}")
+    val effectiveReset = reset -- failed
     val kept =
-      if (reset.contains("all")) Map.empty[String, Double]
-      else prev -- reset
+      if (effectiveReset.contains("all"))
+        prev.view.filterKeys(failed).toMap
+      else prev -- effectiveReset
     val merged = kept ++ sweep.map { case (k, v) =>
       k -> kept.get(k).fold(v)(math.min(v, _))
     }
@@ -246,8 +261,12 @@ object Bench {
         record = m => retried += name -> m)
     }
     // Persist this sweep's medians for the next sweep's cross-run guard.
+    // Failed queries are passed separately so a reset query whose sweep
+    // FAILED keeps its previous floor instead of vanishing (see
+    // writeMedians).
     writeMedians(mediansPath, prevMedians,
-      results.collect { case (k, Right(t)) => k -> t }.toMap, reset)
+      results.collect { case (k, Right(t)) => k -> t }.toMap, reset,
+      results.collect { case (k, Left(_)) => k }.toSet)
 
     def jstr(s: String): String = graft.functions.Json.quote(s)
     // 3-decimal values: keeps the whole marker line small enough to survive

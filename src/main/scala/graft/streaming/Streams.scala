@@ -410,12 +410,26 @@ object Streams {
     * all-too-short microbatch is a legitimate no-op, not a poisoned
     * store. The repartition on the partition column keeps the append at
     * ≤1 file per touched partition dir per batch (the small-files
-    * discipline every store here follows). */
-  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Unit =
-    if (!df.isEmpty)
-      df.repartition(col(partCol))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
+    * discipline every store here follows). `sortCols` additionally sorts
+    * rows WITHIN each written file — parquet then lays narrow min/max
+    * ranges into its row-group and page statistics for those columns, so
+    * a later probe that pushes point predicates (`isin`) down to the scan
+    * reads only the row groups/pages that can contain a candidate,
+    * instead of every byte of the partition ([[IngestGuard]]'s
+    * fingerprint store is the motivating case: its store can never
+    * retention-prune, so partition pruning alone leaves an
+    * O(store/parts) read per probe — sorted stats make the read
+    * O(candidates)). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String,
+                        sortCols: Seq[String] = Nil): Unit =
+    if (!df.isEmpty) {
+      val clustered = df.repartition(col(partCol))
+      val laidOut =
+        if (sortCols.isEmpty) clustered
+        else clustered.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      laidOut.write.mode(org.apache.spark.sql.SaveMode.Append)
         .partitionBy(partCol).parquet(dir)
+    }
 
   /** Read the sidecar, or rebuild it from the store's `hashCol` when the
     * sidecar is missing but the store exists (self-heal), or None on a
@@ -498,13 +512,16 @@ object Streams {
     *
     * `checkFormat` defaults to the shared [[checkStoreFormat]] marker
     * protocol; [[NearDupStream]] overrides it (its pre-marker stores
-    * need layout inference). Instances are single-writer per-query
-    * objects, like the foreachBatch loops that own them. */
+    * need layout inference). `sortCols` orders rows within each written
+    * file (see [[appendPartitioned]]) so probes with pushed point
+    * predicates prune below the partition. Instances are single-writer
+    * per-query objects, like the foreachBatch loops that own them. */
   final class SideStore(val stateDir: String, partCol: String,
                         formatTag: String, storeKind: String,
                         retainBatches: Int, pruneEvery: Int,
                         checkFormat: (SparkSession,
-                          org.apache.hadoop.fs.FileSystem) => Unit = null) {
+                          org.apache.hadoop.fs.FileSystem) => Unit = null,
+                        sortCols: Seq[String] = Nil) {
     require(retainBatches >= 0 && pruneEvery >= 0,
       "retainBatches/pruneEvery must be >= 0")
     private val pruneInterval =
@@ -542,7 +559,7 @@ object Streams {
       * contract). */
     def appendBatch(df: DataFrame, batchId: Long): Unit =
       appendPartitioned(df.withColumn("__batch_id", lit(batchId)),
-        stateDir, partCol)
+        stateDir, partCol, sortCols)
 
     /** [[appendBatch]] with the crash-replay append guard, for stores
       * whose rows carry a `__lineage` stamp (`df` must include it): a
@@ -608,15 +625,7 @@ object Streams {
         return // this batch's append already completed
       val toAppend =
         if (!replayCandidate || !repair) df
-        else {
-          val prior = spark.read.parquet(stateDir)
-          if (!prior.columns.contains("__lineage")) df
-          else df.join(
-            prior.filter(col("__lineage") <=> lit(lineage) &&
-                col("__batch_id") === lit(batchId))
-              .select(keyCols.map(col): _*),
-            keyCols, "left_anti")
-        }
+        else repairRemainder(spark, df, lineage, batchId, keyCols)
       appendBatch(toAppend, batchId)
       val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__applied.tmp")
       val out = fs.create(tmp, true)
@@ -627,6 +636,36 @@ object Streams {
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(marker),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       ()
+    }
+
+    /** The repair path's anti-join: the batch's rows minus whatever this
+      * (lineage, batch) already committed. mergeSchema on the reference
+      * read — an adopted/mixed store may have pre-__lineage files, and
+      * plain schema inference SAMPLES one file: sampling an old file
+      * would hide the column and silently disarm the guard (round-12
+      * advice); merged, old rows read it as null and the `<=>` excludes
+      * them. The reference read is pruned to the batch's own partCol
+      * values (bounded by the store's part geometry — the replayed rows
+      * are deterministic, so the prior copy can only live in those
+      * partitions): a restart's first batch must not pay an O(store)
+      * scan, the same unbounded-probe shape the pruned stores exist to
+      * avoid. Package-private so HardeningSpec can assert the pruning
+      * from the plan's own scan metrics. */
+    private[graft] def repairRemainder(spark: SparkSession,
+                                           df: DataFrame, lineage: String,
+                                           batchId: Long,
+                                           keyCols: Seq[String]): DataFrame = {
+      val parts = df.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+      val prior = spark.read.option("mergeSchema", "true")
+        .parquet(stateDir)
+      if (!prior.columns.contains("__lineage") || parts.isEmpty) df
+      else df.join(
+        prior.filter(col(partCol).isin(parts: _*))
+          .filter(col("__lineage") <=> lit(lineage) &&
+            col("__batch_id") === lit(batchId))
+          .select(keyCols.map(col): _*),
+        keyCols, "left_anti")
     }
 
     private var firstAppend = true
@@ -890,7 +929,13 @@ object Streams {
     // created it) — nothing to rewrite, and spark.read.parquet on the
     // missing path would throw PATH_NOT_FOUND
     if (!fs.exists(live)) return
-    val rewritten = rewrite(spark.read.parquet(path))
+    // mergeSchema: a retention rewrite of a mixed-schema store (e.g. a
+    // pre-__lineage store adopted and then appended to with the stamp)
+    // must not let SAMPLED schema inference pick an old file and
+    // permanently strip the newer columns from every row that had them
+    // (round-12 advice) — merged, old rows carry null and nothing is lost
+    val rewritten = rewrite(
+      spark.read.option("mergeSchema", "true").parquet(path))
     atomicSwap(fs, path) { tmpPath =>
       // a rewrite that keeps NOTHING (e.g. a retention horizon past the
       // whole store) → drop the store (atomicSwap's false branch)

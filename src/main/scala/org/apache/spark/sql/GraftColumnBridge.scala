@@ -28,6 +28,36 @@ object GraftColumnBridge {
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.sessionState.conf.autoBroadcastJoinThreshold
 
+  /** Block until the SparkListener bus has delivered every queued event —
+    * lets specs that meter IO through `TaskMetrics.inputMetrics` read the
+    * accumulated total without racing the async bus (`listenerBus` is
+    * `private[spark]`; this bridge is the sanctioned crossing, like the
+    * Column converters above). */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Sum of `numOutputRows` across every file-scan leaf of an EXECUTED
+    * plan, descending through AQE's final plan and query stages. With
+    * the vectorized parquet reader this counts DECODED rows — the rows
+    * of exactly those row groups/pages that survived pushed-predicate
+    * pruning (per-row filtering happens above the scan) — so specs can
+    * assert "this probe decoded the candidates' row groups, not the
+    * partition" from the engine's own metric. (TaskMetrics
+    * `inputMetrics.bytesRead` undercounts the vectorized reader's IO on
+    * local files, so byte-level metering is not usable for this.) */
+  def scanOutputRows(ds: Dataset[_]): Long = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      case other => other.children.map(walk).sum
+    }
+    walk(ds.queryExecution.executedPlan)
+  }
+
   /** Column names crossing each shuffle exchange in a physical plan —
     * lets PlanSpec assert that wide payloads (document text) never ride an
     * exchange. Descends into AQE's adaptive wrapper, which hides the

@@ -92,6 +92,32 @@ class BenchSpec extends GraftSuite {
     assert(Bench.readMedians(path) === Map("q_b" -> 3.0))
   }
 
+  test("a reset query that ran but FAILED keeps its floor instead of vanishing") {
+    // round-12 advice: writeMedians dropped a reset query's floor
+    // unconditionally, so a reset query whose sweep failed (absent from
+    // the sweep map) lost BOTH values — silently disarming the
+    // cross-sweep guard for it until some later sweep succeeded, the
+    // same disarm class the round-7 fix targets. Failed queries are now
+    // spared from the reset.
+    val path = java.nio.file.Files.createTempFile("graft-medians", ".txt")
+    Bench.writeMedians(path, Map.empty,
+      Map("q_a" -> 0.5, "q_b" -> 0.7, "q_c" -> 0.9))
+    // reset q_a and q_b; q_a fails this sweep, q_b succeeds at 2.0,
+    // q_c (unreset) min-merges as usual
+    Bench.writeMedians(path, Bench.readMedians(path),
+      Map("q_b" -> 2.0, "q_c" -> 1.5),
+      reset = Set("q_a", "q_b"), failed = Set("q_a"))
+    assert(Bench.readMedians(path) ===
+      Map("q_a" -> 0.5, "q_b" -> 2.0, "q_c" -> 0.9),
+      "failed reset keeps its floor; successful reset last-write-wins; " +
+        "unreset stays min-merged")
+    // the literal-`all` direct-caller branch: failures keep their floors
+    Bench.writeMedians(path, Bench.readMedians(path),
+      Map("q_b" -> 3.0), reset = Set("all"), failed = Set("q_a"))
+    assert(Bench.readMedians(path) === Map("q_a" -> 0.5, "q_b" -> 3.0),
+      "reset=all must not delete a FAILED query's floor")
+  }
+
   test("planted inflated prior median routes through the real retry path") {
     // Drives Bench.guardedMedian — the production warmup/trials/retry
     // branch the sweep loop calls — with planted trial results: the prior

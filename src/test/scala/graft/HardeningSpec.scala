@@ -280,6 +280,92 @@ class HardeningSpec extends GraftSuite {
     assert(spark.read.parquet(dir).count() === 200)
   }
 
+  test("SideStore.appendBatchOnce repair: mixed-schema stores keep the " +
+      "lineage column and the reference read is partition-pruned") {
+    // round-12 advice, both mediums: (1) plain schema inference SAMPLES
+    // one file, so a store adopted from pre-__lineage days could hide
+    // the column from the repair anti-join (silent no-op) — the repair
+    // read must mergeSchema; (2) the repair read must prune to the
+    // batch's own partCol values, not scan the whole store (the same
+    // unbounded-probe shape the pruned stores exist to avoid).
+    import spark.implicits._
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-appendonce-mixed").toString + "/store"
+    val store = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store.ensureReady(spark) // marker first; the forged files follow
+    // an adopted pre-guard file: NO __lineage column, in a partition the
+    // batch below never touches — and big enough that an unpruned repair
+    // read would show up in the scan's decoded-row metric
+    Streams.appendPartitioned(
+      spark.range(0L, 500000L).select(col("id").as("k"))
+        .withColumn("p", lit(99)).withColumn("__batch_id", lit(0L)),
+      dir, "p")
+    // the crashed first attempt: HALF the batch's rows committed WITH
+    // the lineage stamp, no applied sidecar
+    val rows = (1L to 100L).map(i => (i, (i % 4).toInt, "lin"))
+      .toDF("k", "p", "__lineage")
+    Streams.appendPartitioned(
+      rows.filter(col("k") <= 50).withColumn("__batch_id", lit(7L)),
+      dir, "p")
+    // pruning half, asserted from the repair read's own plan: the
+    // remainder computation decodes only the batch's partitions' rows,
+    // never the 500k-row foreign partition
+    val store2 = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store2.ensureReady(spark)
+    val remainder = store2.repairRemainder(spark, rows, "lin", 7L, Seq("k"))
+    // collect THIS df (not a derivation) so its own plan carries metrics
+    val got = remainder.collect().map(_.getAs[Long]("k")).toSet
+    assert(got === (51L to 100L).toSet,
+      s"repair must compute exactly the missing half: ${got.size} rows")
+    val decoded = org.apache.spark.sql.GraftColumnBridge
+      .scanOutputRows(remainder)
+    assert(decoded > 0 && decoded <= 100,
+      s"repair decoded $decoded store rows — the reference read is not " +
+        "partition-pruned (the foreign partition alone holds 500000)")
+    // mergeSchema half, end-to-end through the public API: the anti-join
+    // saw the stamped rows — the partial commit is completed to exactly
+    // the full batch, no duplicates, and the adopted rows survive
+    val store3 = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store3.ensureReady(spark)
+    store3.appendBatchOnce(spark, rows, "lin", 7L, Seq("k"))
+    val mine = spark.read.option("mergeSchema", "true").parquet(dir)
+      .filter(col("__lineage") <=> lit("lin"))
+    assert(mine.count() === 100,
+      "partial commit must complete exactly despite the mixed schema")
+    assert(mine.select("k").distinct().count() === 100,
+      "no stamped row may duplicate")
+    assert(spark.read.parquet(dir).count() === 500100,
+      "adopted pre-lineage rows must survive the repair")
+  }
+
+  test("rewriteStore on a mixed-schema store keeps columns sampling " +
+      "would strip") {
+    // round-12 advice: a retention rewrite that SAMPLES a pre-__lineage
+    // file for the schema rewrites the store WITHOUT the column —
+    // permanently disarming the replay guard for rows that had it
+    import spark.implicits._
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rewrite-mixed").toString + "/store"
+    Streams.appendPartitioned(
+      Seq((1L, 0)).toDF("k", "p").withColumn("__batch_id", lit(0L)),
+      dir, "p")
+    Streams.appendPartitioned(
+      Seq((2L, 0, "lin")).toDF("k", "p", "__lineage")
+        .withColumn("__batch_id", lit(1L)),
+      dir, "p")
+    Streams.rewriteStore(spark, dir, Seq("p"))(df =>
+      df.filter(col("__batch_id") >= 0L))
+    val after = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(after.columns.contains("__lineage"),
+      "rewrite stripped __lineage from the store")
+    val stamped = after.filter(col("__lineage") <=> lit("lin"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(stamped === Set(2L),
+      s"the stamped row must keep its lineage through the rewrite: $stamped")
+  }
+
   test("fold-store parsers refuse a lineage that collides with the c- compaction prefix") {
     // round-11 advice: foldCommitBefore/appliedBatchMax strip a leading
     // 'c-' to recognize compaction labels, so a lineage id that itself
