@@ -49,6 +49,57 @@ object SketchExpressions {
                    n: Int): Column =
     GraftColumnBridge.column(
       ShingleStats(GraftColumnBridge.expression(text), sortedHashes, n))
+
+  /** SHARDED [[bloomMightContain]]: `shards(pmod(h, shards.length))`
+    * answers for `h`, a null shard meaning "definitively not present"
+    * (that slice of the key space has no members — e.g. the store has no
+    * such partition). One expression, one codegen span, probes only the
+    * one filter its row's shard index selects — the gate for a store
+    * whose Bloom sidecars are kept PER PARTITION so each is sized to its
+    * slice and rebuilt from one partition, never the whole store
+    * ([[graft.streaming.BloomShards]]). */
+  def bloomMightContainSharded(h: Column,
+                               shards: Array[BloomFilter]): Column =
+    GraftColumnBridge.column(
+      BloomMightContainSharded(GraftColumnBridge.expression(h), shards))
+
+  /** Grouped Bloom BUILD as an [[org.apache.spark.sql.expressions.Aggregator]]
+    * (the house alternative to a UDAF): one filter of (`expectedItems`,
+    * `fpp`) geometry per group, returned serialized. All groups of one
+    * call share the geometry, so driver-side `mergeInPlace` with
+    * same-geometry sidecar filters is always compatible. Group FIRST by
+    * the shard key after a `repartition` on it — partial buffers then
+    * merge in-task and no serialized filter ever rides the shuffle (the
+    * rows do, at 8 bytes each). */
+  def bloomAgg(h: Column, expectedItems: Long, fpp: Double): Column =
+    org.apache.spark.sql.functions.udaf(
+      new BloomLongAgg(expectedItems, fpp),
+      org.apache.spark.sql.Encoders.scalaLong).apply(h)
+}
+
+/** [[SketchExpressions.bloomAgg]]'s aggregator: fold LONG hashes into a
+  * [[BloomFilter]] per group. The buffer is the filter itself
+  * (java-serialized between partial and final aggregation — avoid by
+  * co-partitioning on the group key first); finish emits the wire bytes
+  * [[BloomFilter.readFrom]] understands. */
+class BloomLongAgg(expectedItems: Long, fpp: Double)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, BloomFilter, Array[Byte]] {
+  override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+  override def reduce(b: BloomFilter, h: Long): BloomFilter = {
+    b.putLong(h); b
+  }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+    a.mergeInPlace(b)
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
 }
 
 /** The probe kernel, static so generated code calls it directly. */
@@ -133,6 +184,42 @@ case class ShingleOverlap(child: Expression, sortedHashes: Array[Long],
     nullSafeCodeGen(ctx, ev, v => {
       val arr = ctx.addReferenceObj("evalHashes", sortedHashes, "long[]")
       s"${ev.value} = graft.functions.ShingleProbe.overlap($v, $arr, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Sharded membership probe: `shards` is indexed by `pmod(value,
+  * shards.length)` — the same shard arithmetic as the store's partition
+  * key — and a null entry short-circuits to false (no members in that
+  * slice). The array ships once per task as a codegen reference object,
+  * exactly like the single-filter form. */
+case class BloomMightContainSharded(child: Expression,
+                                    shards: Array[BloomFilter])
+    extends UnaryExpression {
+  require(shards.nonEmpty, "bloom_might_contain_sharded needs >= 1 shard")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_sharded"
+
+  private val n = shards.length
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val h = v.asInstanceOf[Long]
+    val b = shards((((h % n) + n) % n).toInt)
+    b != null && b.mightContainLong(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val arr = ctx.addReferenceObj("bloomShards", shards,
+        s"${classOf[BloomFilter].getName}[]")
+      val idx = ctx.freshName("shardIdx")
+      s"""int $idx = (int) ((($v % ${n}L) + ${n}L) % ${n}L);
+         |${ev.value} = $arr[$idx] != null &&
+         |  $arr[$idx].mightContainLong($v);""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression)

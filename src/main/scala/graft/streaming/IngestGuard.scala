@@ -23,10 +23,15 @@ import graft.operators.TextAnalysis
   *    normalized-text fingerprint: within a batch the lowest doc_id per
   *    fingerprint wins (one window over the batch's fingerprints);
   *    across batches the fingerprint store — distinct 60-bit hashes of
-  *    ACCEPTED docs only, `fp_part`-partitioned parquet — is probed with
-  *    a LEFT SEMI on one long, read-pruned to the bloom-positive docs'
-  *    own `fp_part` partitions (a bloom-all-negative batch never reads
-  *    the store at all). Rejected docs never enter the store: a
+  *    ACCEPTED docs only, `fp_part`-partitioned parquet (partition
+  *    count pinned by a format marker), files SORTED on `__fp` — is
+  *    probed behind per-partition Bloom shards ([[BloomShards]]):
+  *    a bloom-all-negative batch never reads the store at all, and the
+  *    positives' membership is confirmed by a read pruned to their own
+  *    partitions, with the candidate fps pushed as point predicates so
+  *    the sorted files' row-group stats bound the read by the
+  *    CANDIDATES, not the partitions (see [[start]]'s geometry notes).
+  *    Rejected docs never enter the store: a
   *    later duplicate of a rejected page is judged on its own merits,
   *    because dedup is against the CORPUS, not the reject pile.
   *
@@ -79,6 +84,73 @@ object IngestGuard {
                          lgK: Int = 12, compactEvery: Int = 8,
                          maxPerGroup: Option[Long] = None)
 
+  /** Optional at-ingest NEAR-duplicate stage — the reference's EP2
+    * composition taken to the corpus-quality argument of Lee et al. '21
+    * ("Deduplicating Training Data Makes Language Models Better"): a
+    * crawl pipeline should reject near-copies (reposts, boilerplate
+    * rewraps, light edits), not just byte-copies. The modality is
+    * [[MinHashDupStream]]'s band store composed INTO the guard as a
+    * fifth reject reason `near_dup` — precedence after `exact_dup`
+    * (the cheaper, certain test names the doc first) and before
+    * `quota` (a near-copy must not consume an admission slot).
+    *
+    * A doc is `near_dup` when a MinHash LSH band of its text collides
+    * with (a) a band of anything ever ACCEPTED (the band store — like
+    * the fingerprint store, rejected docs never enter it), or (b) a
+    * band of a lower-doc_id same-batch doc that itself survived the
+    * exact level AND is not a store-near-dup. Same-batch CHAINS are
+    * resolved one level only (if B near-dups accepted A, and C collides
+    * only with B, C is still charged `near_dup`): exact sequential
+    * admission within a batch is a graph fixpoint, not a window — the
+    * deviation is batch-confined and biases toward over-rejection,
+    * never corpus corruption, the mirror of the quota-twin rule's
+    * pinned under-admission bias.
+    *
+    * `minEst` gates collisions on the signature-agreement Jaccard
+    * estimate (E[est] = J, Broder '97 — [[JaccardDupStream]]'s scoring):
+    * None rejects on ANY band collision (max recall); Some(t) rejects
+    * only pairs with est ≥ t. The store carries the k-long signature
+    * per band row either way, so `minEst` is a restart-safe QUERY
+    * parameter, not store geometry — `(k, bands, n)` are the geometry
+    * and are format-marked. */
+  final case class NearDup(stateDir: String, k: Int = 16, bands: Int = 4,
+                           n: Int = 3, minEst: Option[Double] = None) {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    minEst.foreach(t => require(t >= 0.0 && t <= 1.0,
+      "minEst must be in [0, 1]"))
+  }
+
+  private val BandParts = 64
+
+  /** Band+signature rows of `docs` (doc_id, text) — the
+    * [[JaccardDupStream]] row shape (signature riding each band row so
+    * the estimate is computed inside the band join, no second join back
+    * to a signature table). Package-private: specs forge crashed-store
+    * states from the same builder the guard probes with. */
+  private[graft] def nearDupRows(docs: DataFrame, k: Int, bands: Int,
+                                 n: Int): DataFrame = {
+    val rpb = k / bands
+    graft.operators.Dedup.minhashSignatures(docs, k, n)
+      .select(col("doc_id"), col("sig"), expr(
+        s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
+           |  b AS band_id,
+           |  md5(array_join(transform(slice(sig, b * $rpb + 1, $rpb),
+           |                           x -> cast(x AS string)), ',')) AS band_key)))"""
+          .stripMargin).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_id"), col("band.band_key"))
+      .withColumn("band_part",
+        pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
+  }
+
+  private def nearDupFormatTag(nd: NearDup): String =
+    s"guard-neardup/v1/k=${nd.k}/bands=${nd.bands}/n=${nd.n}"
+
+  private def estExpr(k: Int, sigA: String, sigB: String) = expr(
+    s"""round(aggregate(zip_with($sigA, $sigB,
+       |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+       |  0, (a, e) -> a + e) / CAST($k AS DOUBLE), 6)""".stripMargin)
+
   private[streaming] val countsSchema =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("grp",
@@ -88,43 +160,120 @@ object IngestGuard {
       org.apache.spark.sql.types.StructField("sum_tokens",
         org.apache.spark.sql.types.LongType)))
 
+  /** The fp store's format marker: the partition count IS the store's
+    * geometry (the probe's partition pruning, the Bloom shard index, and
+    * the layout key all derive from it), so it is pinned at store
+    * creation and a restart configured differently fails fast. A store
+    * directory with contents but NO marker is a legacy (pre-round-13)
+    * guard store: those were all written 256-way, so they adopt as
+    * `parts=256` — under any other configured count adoption is refused
+    * rather than silently probing the wrong slices. */
+  private[streaming] def checkFpFormat(
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      fpParts: Int): Unit = {
+    val expected = s"guard-fps/v2/parts=$fpParts"
+    if (Streams.readStoreFormat(fs, stateDir).isEmpty &&
+        fs.exists(new org.apache.hadoop.fs.Path(stateDir))) {
+      require(fpParts == LegacyFpParts,
+        s"fingerprint store at $stateDir predates the geometry marker " +
+          s"and was written $LegacyFpParts-way; configured fpParts=" +
+          s"$fpParts cannot adopt it — restart with " +
+          s"fpParts=$LegacyFpParts or point at a fresh stateDir")
+      // pin the adopted geometry so the NEXT restart checks it
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(stateDir + ".__format"), true)
+      try out.write(
+        expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else Streams.checkStoreFormat(fs, stateDir, expected, "IngestGuard")
+  }
+
+  private val LegacyFpParts = 256
+
   /** Start the guard. `evalHashes` is the eval set's sorted distinct
     * shingle-hash array (build with
     * `Dedup.shingleRows(evalDocs).select("h1").distinct()` — see
     * [[graft.operators.Dedup.decontaminateScan]]); `docs` must be a
-    * streaming DataFrame with at least (doc_id: long, text: string). */
+    * streaming DataFrame with at least (doc_id: long, text: string).
+    *
+    * Scale geometry (round-13): `fpParts` sets the fingerprint store's
+    * partition count AT CREATION (format-marked; size it so one
+    * partition's rows fit a comfortable pruned read at the deployment's
+    * corpus ceiling — corpus/fpParts rows each). Appends are sorted on
+    * `__fp` within each file, so the probe's candidate fingerprints —
+    * pushed into the scan as point predicates when the batch has at most
+    * `maxFpPushdown` distinct bloom-positive fps — prune by parquet
+    * row-group/page statistics INSIDE the partition: probe IO is
+    * bounded by the candidates' own row groups, not the partition.
+    * (Point predicates, not parquet's native large-set `In`: its
+    * statistics filter prunes only on the candidate SET's min..max —
+    * useless for uniform hashes — so the session's
+    * `spark.sql.parquet.pushdown.inFilterThreshold` is raised to the
+    * cap at start, making Spark push or-of-eq, which prunes per value.
+    * The cap stays small deliberately: per-value pruning only wins
+    * while candidates number fewer than the partition's row groups —
+    * a dup-heavy batch past the cap gains nothing from point reads and
+    * falls back to the pruned-partition semi-join, unhinted so AQE
+    * sizes the join.) The Bloom prefilter is per-partition
+    * [[BloomShards]] sidecars — each sized to its slice
+    * (`expectedDocs / fpParts` floor-bounded), loaded only for the
+    * batch's own touched partitions, rebuilt from one store partition
+    * on saturation with geometric capacity growth — so no driver-held
+    * filter ever has to be sized for the whole corpus and a saturated
+    * filter can never silently degrade the probe to read-everything. */
   def start(docs: DataFrame, evalHashes: Array[Long], stateDir: String,
             acceptedDir: String, rejectsDir: String, checkpoint: String,
             minTokens: Int = 5, maxPunctRatio: Double = 0.2,
             n: Int = 3, expectedDocs: Long = 1L << 22,
-            fpp: Double = 0.01, views: Option[Views] = None): StreamingQuery = {
+            fpp: Double = 0.01, views: Option[Views] = None,
+            fpParts: Int = LegacyFpParts,
+            maxFpPushdown: Int = 64,
+            nearDup: Option[NearDup] = None): StreamingQuery = {
+    require(fpParts > 0, "fpParts must be positive")
+    require(maxFpPushdown >= 0, "maxFpPushdown must be >= 0")
     views.foreach(v => require(docs.columns.contains(v.groupCol),
       s"Views.groupCol '${v.groupCol}' is not a column of the input docs"))
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     val inputCols = docs.columns.toIndexedSeq
-    // the fp store through the shared skeleton — a no-op format hook
-    // (fingerprints carry no geometry, and refusing historically
-    // unmarked guard stores would break adoption), used for the
-    // crash-replay-guarded append only; the probe keeps its own
-    // pruned-read path below
+    val sliceCap0 = math.max(expectedDocs / fpParts, 64L)
+    // candidate-fp point predicates must reach parquet as or-of-eq (see
+    // the scaladoc); raise the session threshold to the cap — never
+    // lower it if the session already runs with a bigger one
+    val sess = docs.sparkSession
+    val inThreshold = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (sess.conf.get(inThreshold, "10").toInt < maxFpPushdown)
+      sess.conf.set(inThreshold, maxFpPushdown.toString)
+    // the fp store through the shared skeleton: geometry-marked (legacy
+    // stores adopt, see [[checkFpFormat]]), appends sorted on __fp so
+    // in-partition row-group stats serve the probe's pushed candidates;
+    // used for the crash-replay-guarded append — the probe keeps its
+    // own pruned-read path below
     val fpStore = new Streams.SideStore(stateDir, "fp_part",
-      "guard-fps/v1", "IngestGuard", 0, 0, checkFormat = (_, _) => ())
+      s"guard-fps/v2/parts=$fpParts", "IngestGuard", 0, 0,
+      checkFormat = (_, fs) => checkFpFormat(fs, stateDir, fpParts),
+      sortCols = Seq("__fp"))
+    // the optional near-dup band store — same skeleton, same discipline
+    // as [[MinHashDupStream]]'s (geometry marker, pruned reads,
+    // after-lookup guarded appends); accepted docs' bands only
+    val ndStore: Option[Streams.SideStore] = nearDup.map(nd =>
+      new Streams.SideStore(nd.stateDir, "band_part",
+        nearDupFormatTag(nd), "IngestGuard.NearDup", 0, 0))
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val statePath = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = statePath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Streams.recoverCompaction(fs, stateDir)
+        val fs = fpStore.ensureReady(spark) // recovery + geometry check
         // one scan projection computes every per-doc signal
         val scored = TextAnalysis.withQualityCols(batch)
           .withColumn("__overlap",
             SketchExpressions.shingleOverlap(col("text"), evalHashes, n))
           .withColumn("__fp", expr(Hashing.hash64(
             "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")))
+          .withColumn("fp_part",
+            pmod(col("__fp"), lit(fpParts)).cast("int"))
           .localCheckpoint(false)
         val quality = col("n_tokens") >= minTokens &&
           col("punct_ratio") <= maxPunctRatio
@@ -141,54 +290,154 @@ object IngestGuard {
         val rn = row_number().over(
           Window.partitionBy(col("__fp"), gate).orderBy(col("doc_id")))
         // cross-batch: fingerprint already accepted in an earlier batch.
-        // Bloom sidecar prefilter (shared [[Streams]] sidecar, like the
-        // gram store): bloom-NEGATIVE fingerprints are definitively new —
-        // no false negatives — so the store is consulted only for the
-        // batch's bloom-POSITIVE docs. The store (right) side is pruned
-        // to those docs' fp_part partitions (bounded ≤256 collect — the
-        // SubstrDedupStream/MinHashDupStream contract), and when the
-        // batch has NO bloom positives (the common case for fresh
-        // content) the store is never read at all. Membership is then
-        // confirmed by a LEFT SEMI of the pruned slice against the
-        // batch's candidate fps (broadcast — bounded by the batch's own
-        // distinct positives), so no microbatch ever pays a corpus-sized
-        // scan, distinct, or shuffle; a Bloom false positive costs a
-        // pruned confirm read, never a wrongly-rejected doc. Replay
-        // guard: rows this (lineage, batch) wrote before a crash are not
-        // history.
-        val bloom = Streams.readOrRebuildBloomSidecar(
-          spark, fs, stateDir, "__fp", expectedDocs, fpp)
-        val probeGate = bloom match {
-          case Some(b) =>
-            SketchExpressions.bloomMightContain(col("__fp"), b)
-          case None => lit(true)
-        }
+        // Per-partition Bloom prefilter ([[BloomShards]]): only docs that
+        // can ever be charged exact_dup — the GATE-passing ones
+        // (quality/contamination rejects keep their cheaper reason under
+        // the precedence, so probing for them is dead work) — determine
+        // the touched fp_part slices; shards are loaded for exactly
+        // those, any slice whose shard is stale (missing for live store
+        // data, under-capacity after a geometry migration, or saturated
+        // past its tracked n_items) is rebuilt from ITS store partition
+        // in one grouped job, and bloom-NEGATIVE fingerprints are
+        // definitively new (no false negatives). A batch with NO
+        // bloom-positive gate-passers never reads the store at all — the
+        // fresh-content common case. Membership of the positives is then
+        // CONFIRMED against the store pruned to their partitions; with at
+        // most maxFpPushdown candidates the fps are pushed into the scan
+        // as point predicates, so the sorted store's row-group/page stats
+        // bound the read by the candidates' own row groups — probe IO
+        // sublinear in store size even inside a partition. Above the cap
+        // (a pathologically dup-heavy batch) the pruned semi-join form
+        // takes over, unhinted so AQE picks the join strategy instead of
+        // force-broadcasting a batch-sized set. A Bloom false positive
+        // costs a pruned confirm read, never a wrongly-rejected doc.
+        // Replay guard: rows this (lineage, batch) wrote before a crash
+        // are not history.
+        val liveParts: Set[Int] =
+          if (!fs.exists(statePath)) Set.empty
+          else fs.listStatus(statePath).toIndexedSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith("fp_part="))
+            .flatMap(_.stripPrefix("fp_part=").toIntOption).toSet
+        val touchedParts: Seq[Int] =
+          if (liveParts.isEmpty) Nil
+          else scored.filter(gate).select(col("fp_part"))
+            .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
+            .toIndexedSeq.filter(liveParts)
+        val loaded = BloomShards.load(spark, stateDir, "fp_part",
+          touchedParts)
+        // target slice capacity: the configured sizing, raised past any
+        // shard that outgrew it (saturated ⇒ double) — shards at other
+        // geometries are rebuilt to it on touch, so a capacity migration
+        // spreads across batches instead of spiking
+        val capG = (sliceCap0 +: loaded.values.toSeq.map(s =>
+          if (s.nItems >= s.capacity) s.capacity * 2 else s.capacity)).max
+        val usable = loaded.filter(_._2.capacity == capG)
+        val rebuilt = BloomShards.rebuild(spark, stateDir, "fp_part",
+          touchedParts.filterNot(usable.contains), capG, fpp)
+        val shards = usable ++ rebuilt
+        val probeGate =
+          if (shards.isEmpty) lit(false) // nothing accepted in these slices
+          else {
+            val arr = new Array[
+              org.apache.spark.util.sketch.BloomFilter](fpParts)
+            shards.foreach { case (p, s) => arr(p) = s.bloom }
+            SketchExpressions.bloomMightContainSharded(col("__fp"), arr)
+          }
+        val positives = scored.filter(gate && probeGate)
         val posParts =
-          if (fs.exists(statePath))
-            scored.filter(probeGate)
-              .select(pmod(col("__fp"), lit(256)).cast("int").as("p"))
-              .distinct().collect().map(_.getInt(0)) // bounded ≤256
-          else Array.empty[Int]
+          if (shards.isEmpty) Array.empty[Int]
+          else positives.select(col("fp_part"))
+            .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
         val withRn = scored.withColumn("__rn", rn)
         val probed =
           if (posParts.isEmpty) withRn.withColumn("__seen", lit(false))
           else {
-            val candidateFps = scored.filter(probeGate)
-              .select(col("__fp")).distinct()
-            val seenFps = spark.read.parquet(stateDir)
-              .filter(col("fp_part").isin(posParts.toIndexedSeq: _*))
-              .filter(!(col("__lineage") <=> lit(lineage) &&
-                col("__batch_id") === lit(batchId)))
-              .select(col("__fp"))
-              .join(broadcast(candidateFps), Seq("__fp"), "left_semi")
-              // replay-duplicated store rows would fan out the join back
-              // onto the batch; the distinct is over ≤ the batch's own
-              // candidate fps, never the corpus
-              .distinct()
-              .withColumn("__seen", lit(true))
-            withRn.join(broadcast(seenFps), Seq("__fp"), "left")
+            val candRows = positives.select(col("__fp")).distinct()
+              .take(maxFpPushdown + 1)
+            if (candRows.length <= maxFpPushdown) {
+              // candidate fps pushed as point predicates: partition
+              // pruning on fp_part, then parquet row-group/page stats
+              // on the sorted __fp — the read is bounded by the
+              // candidates' row groups, not the partitions
+              val cands = candRows.map(_.getLong(0)).toIndexedSeq
+              val seenFps = spark.read.parquet(stateDir)
+                .filter(col("fp_part").isin(posParts.toIndexedSeq: _*))
+                .filter(col("__fp").isin(cands: _*))
+                .filter(!(col("__lineage") <=> lit(lineage) &&
+                  col("__batch_id") === lit(batchId)))
+                .select(col("__fp"))
+                // replay-duplicated store rows must not fan out the
+                // join back onto the batch; ≤ maxFpPushdown rows
+                .distinct()
+                .withColumn("__seen", lit(true))
+              // the broadcast is bounded by the pushdown cap
+              withRn.join(broadcast(seenFps), Seq("__fp"), "left")
+            } else {
+              // dup-heavy batch past the cap: candidate and seen sets
+              // are batch-sized, so NO forced broadcast anywhere — AQE
+              // sizes both joins from runtime stats (round-12 advice: a
+              // force-broadcast batch-sized set risks OOM where a
+              // shuffle join would have absorbed it)
+              val candidateFps = positives.select(col("__fp")).distinct()
+              val seenFps = spark.read.parquet(stateDir)
+                .filter(col("fp_part").isin(posParts.toIndexedSeq: _*))
+                .filter(!(col("__lineage") <=> lit(lineage) &&
+                  col("__batch_id") === lit(batchId)))
+                .select(col("__fp"))
+                .join(candidateFps, Seq("__fp"), "left_semi")
+                .distinct()
+                .withColumn("__seen", lit(true))
+              withRn.join(seenFps, Seq("__fp"), "left")
+            }
           }
         val isDup = coalesce(col("__seen"), lit(false)) || col("__rn") > 1
+        // near-dup stage (see [[NearDup]]): bands are computed ONLY for
+        // exact-level keepers (anything already condemned keeps its
+        // cheaper reason under the precedence — the same dead-work
+        // argument as the fp probe's gate filter), probed against the
+        // accepted-docs band store pruned to the batch's own band_part
+        // slices, and within the batch against lower-doc_id keepers that
+        // are not themselves store-near-dups. The hit sets are bounded
+        // by the batch; no forced broadcasts.
+        val (withNear, ndRows) = (for { nd <- nearDup; st <- ndStore } yield {
+          val ndfs = st.ensureReady(spark)
+          val keepers = probed.filter(gate && !isDup)
+            .select(col("doc_id"), col("text"))
+          val rows = nearDupRows(keepers, nd.k, nd.bands, nd.n)
+            .localCheckpoint(false)
+          val noIds = rows.select(col("doc_id")).limit(0)
+          val storeHits = (if (st.exists(ndfs)) Some(()) else None)
+            .map { _ =>
+              val parts = rows.select(col("band_part")).distinct()
+                .collect().map(_.getInt(0)).toIndexedSeq // bounded ≤64
+              if (parts.isEmpty) noIds
+              else rows.alias("nn").join(
+                  st.prunedRead(spark, parts)
+                    .filter(!(col("__lineage") <=> lit(lineage) &&
+                      col("__batch_id") === lit(batchId))).alias("pp"),
+                  col("nn.band_id") === col("pp.band_id") &&
+                    col("nn.band_key") === col("pp.band_key"))
+                .filter(nd.minEst.fold(lit(true))(t =>
+                  estExpr(nd.k, "nn.sig", "pp.sig") >= lit(t)))
+                .select(col("nn.doc_id")).distinct()
+            }.getOrElse(noIds)
+          val batchHits = rows.alias("aa").join(rows.alias("bb"),
+              col("aa.band_id") === col("bb.band_id") &&
+                col("aa.band_key") === col("bb.band_key") &&
+                col("bb.doc_id") < col("aa.doc_id"))
+            .filter(nd.minEst.fold(lit(true))(t =>
+              estExpr(nd.k, "aa.sig", "bb.sig") >= lit(t)))
+            // one-level chain resolution (see [[NearDup]]): the kept
+            // lower side must not itself be a store-near-dup
+            .join(storeHits.withColumnRenamed("doc_id", "__bdoc"),
+              col("bb.doc_id") === col("__bdoc"), "left_anti")
+            .select(col("aa.doc_id")).distinct()
+          val nearIds = storeHits.unionByName(batchHits).distinct()
+            .withColumn("__near", lit(true))
+          (probed.join(nearIds, Seq("doc_id"), "left"), Some(rows))
+        }).getOrElse((probed.withColumn("__near", lit(false)), None))
+        val isNear = coalesce(col("__near"), lit(false))
         // per-group admission quota (Views.maxPerGroup): a doc that
         // survives every content gate still lands `quota` once its group
         // has admitted `cap` docs. Prior counts come from the counts
@@ -210,11 +459,12 @@ object IngestGuard {
               countsSchema, lineage, batchId)
             .groupBy(col("grp")).agg(sum(col("cnt")).as("__admitted"))
             .withColumnRenamed("grp", "__qgrp")
-          val survivor = quality && col("__overlap") === 0 && !isDup
+          val survivor = quality && col("__overlap") === 0 && !isDup &&
+            !isNear
           val rq = row_number().over(
             Window.partitionBy(col(v.groupCol).cast("string"), survivor)
               .orderBy(col("doc_id")))
-          probed.join(broadcast(prior),
+          withNear.join(broadcast(prior),
               col(v.groupCol).cast("string") <=> col("__qgrp"), "left")
             .drop("__qgrp")
             .withColumn("__over_quota", survivor &&
@@ -237,7 +487,7 @@ object IngestGuard {
               max(when(col("__rn") === 1, col("__over_quota"))
                 .otherwise(lit(false)))
                 .over(Window.partitionBy(col("__fp"), gate)))
-        }).getOrElse(probed.withColumn("__over_quota", lit(false))
+        }).getOrElse(withNear.withColumn("__over_quota", lit(false))
           .withColumn("__winner_quota", lit(false)))
         val judged = withQuota
           .withColumn("reason",
@@ -246,6 +496,7 @@ object IngestGuard {
               .when(coalesce(col("__seen"), lit(false)), "exact_dup")
               .when(col("__rn") > 1 && col("__winner_quota"), "quota")
               .when(col("__rn") > 1, "exact_dup")
+              .when(isNear, "near_dup")
               .when(col("__over_quota"), "quota"))
           .localCheckpoint(false)
         judged.filter(col("reason").isNotNull)
@@ -268,25 +519,29 @@ object IngestGuard {
         // of an anti-join read — the probe's lineage filter + seenFps
         // distinct already absorb store duplicates exactly
         fpStore.appendBatchOnce(spark,
-          accepted.select(col("__fp")).distinct()
-            .withColumn("fp_part", pmod(col("__fp"), lit(256)).cast("int"))
+          accepted.select(col("__fp"), col("fp_part")).distinct()
             .withColumn("__lineage", lit(lineage)),
           lineage, batchId, Seq("__fp"), repair = false)
-        // a batch can accept NOTHING (every doc rejected) — then there is
-        // nothing to add and the existing sidecar stays as-is
-        Streams.bloomOfNonEmpty(accepted.select(col("__fp")), "__fp",
-          expectedDocs, fpp).foreach { batchBloom =>
-          Streams.writeBloomSidecar(fs, stateDir, bloom match {
-            case Some(prev) =>
-              try prev.mergeInPlace(batchBloom)
-              catch {
-                case _: org.apache.spark.util.sketch.IncompatibleMergeException =>
-                  spark.read.parquet(stateDir)
-                    .stat.bloomFilter("__fp", expectedDocs, fpp)
-              }
-            case None => batchBloom
-          })
-        }
+        // fold the batch's accepted fps into the per-partition Bloom
+        // sidecars (same-geometry merge with the shards the probe
+        // loaded/rebuilt; fresh slices get their first shard). A batch
+        // can accept NOTHING (every doc rejected) — then there is
+        // nothing to add and the sidecar stays as-is (update skips
+        // empty). A replayed batch re-merges its own fps: bits are
+        // idempotent, n_items over-counts — which can only trigger an
+        // EARLY rebuild that resets the count from the store.
+        BloomShards.update(spark, stateDir, "fp_part",
+          accepted.select(col("fp_part"), col("__fp")).distinct(),
+          shards, capG, fpp, alsoPersist = rebuilt.keySet)
+        // grow the near-dup band store with the ACCEPTED docs' bands —
+        // after the lookup (a doc never near-dups itself), guarded
+        // appends in exact-repair mode (this store IS read whenever any
+        // keeper exists, so a restart's repair read is already paid for)
+        for { st <- ndStore; rows <- ndRows } st.appendBatchOnce(spark,
+          rows.join(accepted.select(col("doc_id")), Seq("doc_id"),
+              "left_semi")
+            .withColumn("__lineage", lit(lineage)),
+          lineage, batchId, Seq("doc_id", "band_id"))
         // at-ingest analytics over the survivors: three maintained views,
         // each fed from the already-materialized `judged` checkpoint (no
         // corpus re-read), each with its own batch-atomic commit record
@@ -312,7 +567,7 @@ object IngestGuard {
           HllViewStream.applyBatch(acc, s"${v.baseDir}/hll", lineage,
             batchId, "grp", "__fp", v.lgK, v.compactEvery)
         }
-        Seq(scored, judged).foreach(df =>
+        (Seq(scored, judged) ++ ndRows).foreach(df =>
           org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
             .foreach(_.unpersist(false)))
         ()

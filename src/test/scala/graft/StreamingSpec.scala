@@ -1233,21 +1233,37 @@ class StreamingSpec extends GraftSuite {
     import spark.implicits._
     val base = java.nio.file.Files
       .createTempDirectory("graft-ingest-prune").toString
-    // a store whose data files are GARBAGE — any read dies on the footer —
-    // beside a VALID bloom sidecar holding one foreign fp (built with the
-    // guard's own sizing so the post-accept merge stays compatible): the
-    // batch below is bloom-all-negative, so the guard must make its whole
-    // decision without ever opening the store
+    // a store whose data file — IN THE DOC'S OWN fp_part PARTITION — is
+    // GARBAGE (any read dies on the footer), beside a VALID per-part
+    // Bloom shard for that partition holding one foreign fp (built with
+    // the guard's own slice sizing so the post-accept merge stays
+    // compatible): the batch below is bloom-all-negative in a LIVE
+    // partition, so the guard must make its whole decision without ever
+    // opening the store
     val stateDir = s"$base/state"
+    val good = "clean words about metric spaces and measure theory"
+    val docPart = Seq(good).toDF("text")
+      .select(pmod(expr(graft.functions.Hashing.hash64(
+        "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")), lit(256))
+        .cast("int")).head().getInt(0)
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$stateDir/fp_part=0"))
+      java.nio.file.Paths.get(s"$stateDir/fp_part=$docPart"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$stateDir/fp_part=0/part-00000.parquet"),
+      java.nio.file.Paths.get(
+        s"$stateDir/fp_part=$docPart/part-00000.parquet"),
       "not a parquet file".getBytes("UTF-8"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(conf)
-    graft.streaming.Streams.writeBloomSidecar(fs, stateDir,
-      Seq(123456789L).toDF("__fp").stat.bloomFilter("__fp", 1L << 22, 0.01))
+    // the guard's default slice sizing: expectedDocs 4M over 256 parts
+    val sliceCap = (1L << 22) / 256
+    val shardBytes = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(sliceCap, 0.01)
+      bf.putLong(123456789L)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    Seq((docPart, sliceCap, 1L, shardBytes))
+      .toDF("fp_part", "capacity", "n_items", "bloom")
+      .write.partitionBy("fp_part")
+      .parquet(graft.streaming.BloomShards.sidecarDir(stateDir))
     // the poison is live: reading the store really would fail
     intercept[Exception] { spark.read.parquet(stateDir).collect() }
     val in = MemoryStream[(Long, String)]
@@ -1256,7 +1272,7 @@ class StreamingSpec extends GraftSuite {
       stateDir, s"$base/accepted", s"$base/rejects",
       s"$base/checkpoint", minTokens = 3)
     try {
-      in.addData(1L -> "clean words about metric spaces and measure theory")
+      in.addData(1L -> good)
       q.processAllAvailable()
       q.exception.foreach(throw _)
       val acc = graft.streaming.IngestGuard
@@ -1264,6 +1280,359 @@ class StreamingSpec extends GraftSuite {
         .collect().map(_.getLong(0)).toSet
       assert(acc === Set(1L),
         "bloom-all-negative batch must decide without the store")
+    } finally q.stop()
+  }
+
+  test("ingest guard probe IO: pushed candidate fps read candidate row " +
+      "groups, not the partition") {
+    // the round-13 geometry claim, asserted from the engine's own task
+    // metrics: the fingerprint store can never retention-prune, so
+    // partition pruning alone leaves an O(store/parts) read per probe —
+    // appends sorted on __fp + the candidate fps pushed as point
+    // predicates must bound the read by the CANDIDATES' row groups
+    // (parquet min/max stats on the sorted files), not the partition
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-probe-io").toString + "/state"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    // ~128 KB row groups so the 2M-row partition has ~100+ of them
+    hc.setInt("parquet.block.size", 128 * 1024)
+    try {
+      // ONE fp_part partition holding 2M fingerprints, appended the way
+      // the guard appends (sorted on __fp within the file)
+      graft.streaming.Streams.appendPartitioned(
+        spark.range(0L, 2000000L)
+          .select((col("id") * 2654435761L).as("__fp"))
+          .withColumn("fp_part", lit(0))
+          .withColumn("__lineage", lit("lin"))
+          .withColumn("__batch_id", lit(0L)),
+        dir, "fp_part", sortCols = Seq("__fp"))
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    // 12 candidates — 11 present scattered across the partition, 1
+    // absent — UNDER the guard's raised inFilterThreshold (parquet's
+    // native large-set In prunes only on the set's min..max, useless
+    // for uniform hashes; or-of-eq prunes per value, which is why the
+    // guard raises the threshold to its pushdown cap at start). The
+    // probe is the guard's own read shape: partition filter, pushed fp
+    // candidates, lineage exclusion.
+    val present = Seq(3L, 180000L, 360000L, 540000L, 720000L, 900000L,
+      1080000L, 1260000L, 1440000L, 1620000L, 1999999L)
+      .map(_ * 2654435761L)
+    val cands = (present :+ 7L).toIndexedSeq
+    val inThreshold = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val oldThreshold = spark.conf.get(inThreshold, "10")
+    spark.conf.set(inThreshold, "64") // the guard's default cap
+    val (got, probe) = try {
+      val p = spark.read.parquet(dir)
+        .filter(col("fp_part").isin(0))
+        .filter(col("__fp").isin(cands: _*))
+        .filter(!(col("__lineage") <=> lit("other-lineage") &&
+          col("__batch_id") === lit(9L)))
+      (p.collect().map(_.getAs[Long]("__fp")).toSet, p)
+    } finally spark.conf.set(inThreshold, oldThreshold)
+    assert(got === present.toSet,
+      "pushed probe must still return exactly the present candidates")
+    // the engine's own scan metric: with the vectorized reader,
+    // numOutputRows counts DECODED rows — rows of the row groups/pages
+    // that survived the pushed predicates (per-row filtering happens
+    // above the scan) — so this IS "probe IO bounded by the candidates'
+    // row groups". 12 candidates × ~16k-row groups ≈ 200k worst case,
+    // vs 2M for the partition.
+    val decoded = org.apache.spark.sql.GraftColumnBridge
+      .scanOutputRows(probe)
+    assert(decoded > 0, "scan metric empty — the probe ran no file scan?")
+    assert(decoded * 4 < 2000000L,
+      s"probe decoded $decoded of the partition's 2000000 rows — the " +
+        "pushed candidates are not pruning row groups inside the partition")
+  }
+
+  test("ingest guard Bloom shards: a saturated slice rebuilds at doubled " +
+      "capacity and the probe stays exact") {
+    // the silent-saturation failure mode of a fixed-size global filter
+    // (degrades to all-positive = full pruned read every batch, no error
+    // anywhere): per-part shards track n_items, a saturated shard is
+    // rebuilt from ITS store partition at doubled capacity, and
+    // correctness never depends on the sidecar — duplicates are still
+    // caught and fresh docs still admitted across the migration
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-sat").toString
+    val in = MemoryStream[(Long, String)]
+    // tiny geometry: 2 slices sized 64 each (expectedDocs 128) — ~240
+    // accepted docs saturate both slices twice over
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      expectedDocs = 128L, fpParts = 2)
+    try {
+      (0 until 4).foreach { b =>
+        in.addData((0 until 60).map(i =>
+          (b * 60L + i, s"wholly unique document number ${b * 60 + i} " +
+            s"about subject ${b * 60 + i} with several extra words")): _*)
+        q.processAllAvailable()
+      }
+      // a cross-batch duplicate of the very first doc, post-migration
+      in.addData(9999L -> ("wholly unique document number 0 " +
+        "about subject 0 with several extra words"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted").count()
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(acc === 240L, s"every fresh doc must be admitted: $acc")
+      assert(rej === Map(9999L -> "exact_dup"), s"rejects: $rej")
+      // and the sidecar really did migrate: capacity grew past the
+      // initial 64-item slice sizing
+      val caps = spark.read.parquet(
+        graft.streaming.BloomShards.sidecarDir(s"$base/state"))
+        .select(col("capacity")).collect().map(_.getLong(0))
+      assert(caps.max >= 128L,
+        s"saturated shards must rebuild at doubled capacity: ${caps.toSeq}")
+    } finally q.stop()
+  }
+
+  test("ingest guard fp geometry is pinned: a mismatched restart fails " +
+      "fast; unmarked stores adopt only as legacy 256-way") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fp-geom").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3, fpParts = 4)
+    try {
+      in.addData(1L -> "a first clean document about metric spaces")
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+    } finally q.stop()
+    // restart the same store under a DIFFERENT partition count: the
+    // probe's pruning, the shard index, and the layout key would all
+    // disagree with the store — must fail fast, not silently mismatch
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.IngestGuard.start(
+      in2.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint2", minTokens = 3, fpParts = 8)
+    try {
+      in2.addData(2L -> "a second clean document about measure theory")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("parts=4"),
+        s"mismatch must name the store's pinned geometry: ${e.getMessage}")
+    } finally q2.stop()
+    // an unmarked store with contents is legacy (written 256-way before
+    // the marker existed): adoption under any other count is refused
+    val legacyDir = s"$base/legacy"
+    Seq((123L, 123, 0L, "old-lin"))
+      .toDF("__fp", "fp_part", "__batch_id", "__lineage")
+      .write.partitionBy("fp_part").parquet(legacyDir)
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = graft.streaming.IngestGuard.start(
+      in3.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      legacyDir, s"$base/accepted3", s"$base/rejects3",
+      s"$base/checkpoint3", minTokens = 3, fpParts = 8)
+    try {
+      in3.addData(3L -> "a third clean document about lecture notes")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(e.getMessage.contains("predates the geometry marker"),
+        s"legacy adoption under fpParts=8 must be refused: ${e.getMessage}")
+    } finally q3.stop()
+  }
+
+  test("ingest guard near-dup: reason precedence, corpus-only store, and " +
+      "one-level within-batch chains") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val eval = Seq((1000L, "alpha beta gamma")).toDF("doc_id", "text")
+    val evalHashes = graft.operators.Dedup.shingleRows(eval)
+      .select(col("h1")).distinct().collect().map(_.getLong(0)).sorted
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-guard").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), evalHashes,
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      nearDup = Some(graft.streaming.IngestGuard.NearDup(s"$base/bands")))
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    // light edit: same tokens, one appended — high shingle overlap, NOT
+    // the same normalized fingerprint (so never exact_dup); the batch
+    // operator proves the pair band-collides, so the expectation is
+    // derived, not hoped
+    val nearCopy = baseDoc + " appendix"
+    assert(graft.operators.Dedup.minhashCandidatePairs(
+      Seq((1L, baseDoc), (2L, nearCopy)).toDF("doc_id", "text"))
+      .count() === 1, "fixture pair must band-collide")
+    val unrelated = "an entirely different document about orchard " +
+      "irrigation schedules and autumn harvest logistics planning"
+    try {
+      in.addData(1L -> baseDoc)
+      q.processAllAvailable()
+      in.addData(
+        3L -> nearCopy,             // cross-batch near-dup of accepted 1
+        4L -> baseDoc,              // exact dup of 1 → exact_dup, NOT near_dup
+        5L -> (nearCopy + " intro alpha beta gamma"), // contaminated wins
+        6L -> unrelated)            // accepted
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(rej === Map(3L -> "near_dup", 4L -> "exact_dup",
+        5L -> "contaminated"), s"rejects: $rej")
+      assert(acc === Set(1L, 6L), s"accepted: $acc")
+      // within-batch: two fresh near-copies of each other — the lower
+      // doc_id is kept, the higher charged near_dup; and a near-copy of
+      // a REJECTED doc stays judged on its own merits (corpus-only
+      // store: doc 3 never entered it, so a copy of 3's text is only a
+      // near-dup of 1 via the shared shingles — still caught; use a
+      // FRESH pair to prove the rejected-doc path cleanly)
+      val freshA = "planetary orbits precess under relativistic " +
+        "corrections measured by interferometric satellites yearly"
+      val freshB = freshA + " almanac"
+      in.addData(7L -> freshA, 8L -> freshB)
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej2 = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej2(8L) === "near_dup",
+        s"within-batch near-copy must lose to the lower doc_id: $rej2")
+      assert(!rej2.contains(7L), s"the kept side must be accepted: $rej2")
+    } finally q.stop()
+  }
+
+  test("ingest guard near-dup: minEst gates on estimated similarity " +
+      "strength, and band geometry is format-pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-est").toString
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    // one mid-text word swapped: still band-collides, but several
+    // min-hashes disagree — a strictly INTERIOR estimate (0.8125 for
+    // these fixed texts), so thresholds can sit on either side of it
+    val nearCopy = "metric spaces carry a measure theory lecture with " +
+      "notes volume errata chapter section topics"
+    // self-calibrate from the oracle-checked batch twin: the pair's
+    // deterministic signature-agreement estimate
+    val est = graft.operators.Dedup.minhashJaccardEstimate(
+      Seq((1L, baseDoc), (2L, nearCopy)).toDF("doc_id", "text"))
+      .collect().head.getDouble(2)
+    assert(est > 0.0 && est < 1.0, s"fixture estimate degenerate: $est")
+    // threshold ABOVE the pair's estimate: collision is not strong
+    // enough, the near-copy is admitted
+    val inHi = MemoryStream[(Long, String)]
+    val qHi = IngestGuard.start(inHi.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/hi/state", s"$base/hi/accepted",
+      s"$base/hi/rejects", s"$base/hi/checkpoint", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/hi/bands",
+        minEst = Some(math.min(est + 0.05, 1.0)))))
+    try {
+      inHi.addData(1L -> baseDoc); qHi.processAllAvailable()
+      inHi.addData(2L -> nearCopy); qHi.processAllAvailable()
+      qHi.exception.foreach(throw _)
+      val acc = IngestGuard.accepted(spark, s"$base/hi/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(acc === Set(1L, 2L),
+        s"estimate $est under the threshold must admit the doc: $acc")
+    } finally qHi.stop()
+    // threshold BELOW the estimate: rejected as near_dup
+    val inLo = MemoryStream[(Long, String)]
+    val qLo = IngestGuard.start(inLo.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/lo/state", s"$base/lo/accepted",
+      s"$base/lo/rejects", s"$base/lo/checkpoint", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/lo/bands",
+        minEst = Some(math.max(est - 0.05, 0.0)))))
+    try {
+      inLo.addData(1L -> baseDoc); qLo.processAllAvailable()
+      inLo.addData(2L -> nearCopy); qLo.processAllAvailable()
+      qLo.exception.foreach(throw _)
+      val rej = IngestGuard.rejects(spark, s"$base/lo/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(2L -> "near_dup"),
+        s"estimate $est over the threshold must reject: $rej")
+    } finally qLo.stop()
+    // geometry is format-pinned: a restart with different banding fails
+    // fast instead of silently probing keys that can never match
+    val inBad = MemoryStream[(Long, String)]
+    val qBad = IngestGuard.start(inBad.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/lo/state2", s"$base/lo/accepted2",
+      s"$base/lo/rejects2", s"$base/lo/checkpoint2", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/lo/bands", k = 32,
+        bands = 8)))
+    try {
+      inBad.addData(9L -> baseDoc)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qBad.processAllAvailable()
+      }
+      assert(e.getMessage.contains("guard-neardup/v1/k=16/bands=4/n=3"),
+        s"band-geometry mismatch must fail fast: ${e.getMessage}")
+    } finally qBad.stop()
+  }
+
+  test("ingest guard near-dup replay: a crashed batch's own band rows " +
+      "are not history") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-replay").toString
+    val good = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lineage = graft.streaming.Streams.lineageId(conf, s"$base/checkpoint")
+    // forge the crashed first attempt: the doc's OWN band rows already
+    // in the store under (this lineage, batch 0) — built by the same
+    // builder the guard probes with, so the collision would be total
+    IngestGuard.nearDupRows(Seq((1L, good)).toDF("doc_id", "text"),
+        16, 4, 3)
+      .withColumn("__lineage", lit(lineage))
+      .withColumn("__batch_id", lit(0L))
+      .write.partitionBy("band_part").parquet(s"$base/bands")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/bands.__format"),
+      "guard-neardup/v1/k=16/bands=4/n=3")
+    val in = MemoryStream[(Long, String)]
+    val q = IngestGuard.start(in.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands")))
+    try {
+      in.addData(1L -> good); q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc = IngestGuard.accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(acc === Set(1L),
+        "replayed batch rejected itself on its own half-persisted bands")
+      // and the store did not take a second copy (the guarded append's
+      // anti-join completed the already-complete commit with nothing)
+      val copies = spark.read.parquet(s"$base/bands")
+        .groupBy(col("doc_id"), col("band_id")).count()
+        .filter(col("count") > 1).count()
+      assert(copies === 0, "replay must not duplicate band rows")
     } finally q.stop()
   }
 
