@@ -93,13 +93,56 @@ class Engine(val spark: SparkSession,
     q
   }
 
-  /** Re-register the compacted view of every upsert table (no-op for a
-    * table whose changelog hasn't received its first batch yet). */
-  private def refreshUpsertViews(): Unit =
+  // name -> thunk producing the view's CURRENT contents; re-evaluated
+  // before every pull so reads see the latest committed store state —
+  // the registration path for store-backed materializations that are
+  // not upsert changelogs (the ingest guard's at-ingest view family)
+  private val registeredViews = TrieMap.empty[String, () => DataFrame]
+
+  /** Register a MATERIALIZED VIEW for pull queries: `build` re-reads the
+    * backing store on every pull (store-sized view reads, never the
+    * corpus), so `SELECT`s over `name` via [[pullQuery]] / REST `/query`
+    * always serve the latest committed state — the EP3 contract every
+    * other materialization in the engine honors. A view whose store has
+    * not received its first commit yet is simply absent (like an upsert
+    * table pre-first-batch). */
+  def registerView(name: String, build: () => DataFrame): Unit = {
+    registeredViews.put(name, build)
+    ()
+  }
+
+  /** Register [[graft.streaming.IngestGuard]]'s at-ingest analytics
+    * family — accepted-corpus counts/sums, token-length quantiles, HLL
+    * distinct fingerprints per group — as the pull-queryable tables
+    * `<prefix>_counts` / `<prefix>_quantiles` / `<prefix>_distinct`:
+    * the reference's decide-then-dashboard loop served end-to-end over
+    * HTTP (`ksqldb-statements.sql:104-110`, `readme.md:589-597`).
+    * `viewsBase` is the guard's `Views.baseDir`. */
+  def registerGuardViews(viewsBase: String,
+                         prefix: String = "guard"): Unit = {
+    registerView(s"${prefix}_counts",
+      () => graft.streaming.IngestGuard.viewCounts(spark, viewsBase))
+    registerView(s"${prefix}_quantiles",
+      () => graft.streaming.IngestGuard.viewQuantiles(spark, viewsBase))
+    registerView(s"${prefix}_distinct",
+      () => graft.streaming.IngestGuard.viewDistinct(spark, viewsBase))
+  }
+
+  /** Re-register the compacted view of every upsert table and every
+    * [[registerView]] materialization (no-op for a table/view whose
+    * backing store hasn't received its first commit yet). */
+  private def refreshUpsertViews(): Unit = {
     upserts.foreach { case (name, (path, keys)) =>
       try Streams.upsertView(spark, path, keys).createOrReplaceTempView(name)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    registeredViews.foreach { case (name, build) =>
+      // a store mid-first-commit can be absent OR missing its geometry
+      // marker — both mean "no committed view yet", not an error
+      try build().createOrReplaceTempView(name)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   /** Push query over a TABLE (`ksqldb-statements.sql:96-102`: `SELECT ...
     * FROM RATINGS_PER_CUSTOMER_PER_15MINUTE ... EMIT CHANGES`): a TABLE's
@@ -495,6 +538,7 @@ class Engine(val spark: SparkSession,
   def drop(name: String): Unit = {
     terminate(name)
     upserts.remove(name)
+    registeredViews.remove(name)
     topics.remove(name.toLowerCase)
     spark.catalog.dropTempView(name)
     ()

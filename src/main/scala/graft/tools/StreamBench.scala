@@ -29,6 +29,11 @@ import graft.streaming.Streams
   *
   * Usage: `runMain graft.tools.StreamBench [rowsPerBatch=250000]
   * [batches=8]` (2 warmup batches are excluded from each measurement).
+  * `SPARK_GRAFT_SB_ROTATE=k` rotates the pipeline EXECUTION order left
+  * by k while keeping the reported keys fixed — the round-12 verdict's
+  * de-biasing protocol: a fixed order confounds position with pipeline
+  * (late pipelines absorb the sweep's accumulated JVM state), so sweep
+  * pairs at different rotations separate position from plan.
   * `SPARK_GRAFT_STATESTORE=rocksdb` switches the stateful queries (the
   * windowed agg and sessionize) onto the RocksDB state-store provider —
   * the at-scale configuration README recommends (state off-heap and
@@ -147,11 +152,22 @@ object StreamBench {
       sys.exit(0)
     }
 
-    val (unhappyRows, unhappySec) = measure(
+    // Every measured pipeline as a named thunk, so the sweep ORDER can
+    // rotate: a fixed order confounds position with pipeline (the
+    // late-running guard pipelines absorb the sweep's accumulated JVM
+    // state — round-12 verdict measured 43-72% collapses on untouched
+    // control code). `SPARK_GRAFT_SB_ROTATE=k` runs the same pipelines
+    // rotated left by k; reported keys are unchanged, so paired
+    // comparisons across differently-rotated sweeps separate position
+    // effects from plan effects.
+    val pipelines = scala.collection.mutable.LinkedHashMap[
+      String, () => (Long, Double)]()
+
+    pipelines("unhappy_events_per_sec") = () => measure(
       df => Streams.unhappyStream(
         Streams.enrichedStream(Streams.liveEvents(df), customers)),
       OutputMode.Append())
-    val (windowRows, windowSec) = measure(
+    pipelines("windowed_agg_events_per_sec") = () => measure(
       df => Streams.windowedRatings(
         Streams.enrichedStream(Streams.liveEvents(df), customers)),
       OutputMode.Update())
@@ -160,7 +176,7 @@ object StreamBench {
     // (watermark-bounded), the heaviest state shape in the repo.
     // Append is the only supported mode for streaming session windows:
     // a session row emits once, when the watermark passes its close.
-    val (sessRows, sessSec) = measure(
+    pipelines("sessionize_events_per_sec") = () => measure(
       df => Streams.sessionizeStream(df, gap = "10 minutes",
         watermarkDelay = "30 minutes"),
       OutputMode.Append())
@@ -169,7 +185,7 @@ object StreamBench {
     // ~10% tombstones through bulkLines rendering, the latest-per-key
     // ordering reduction, and a draining transport — the full sink path
     // minus only the network socket. Throughput = input events/s.
-    val (esRows, esSec) = {
+    pipelines("es_delete_sink_events_per_sec") = () => {
       val df = events().select(
         col("user_id").cast("string").as("key"),
         when(pmod(xxhash64(col("event_id"), lit(9)), lit(10)) =!= 0,
@@ -190,8 +206,9 @@ object StreamBench {
     // user key space — per batch, one 32 KB sketch aggregate + a bounded
     // exact-top collect; throughput = input events/s through the full
     // foreachBatch (sketch, merge, candidate re-estimate, ledger append
-    // with emit retention).
-    val (hhRows, hhSec) = {
+    // with emit retention). Also the cross-sweep CONTROL: its code has
+    // been untouched since round 8, so swings here are environment.
+    pipelines("heavy_hitters_events_per_sec") = () => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-sb-hh").toString
       ledger(drain(graft.streaming.HeavyHittersStream.start(
@@ -237,7 +254,7 @@ object StreamBench {
       graft.operators.Dedup.shingleRows(eval)
         .select("h1").distinct().collect().map(_.getLong(0)).sorted
     }
-    val (igRows, igSec) = {
+    pipelines("ingest_guard_docs_per_sec") = () => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-sb-ingest").toString
       ledger(drain(graft.streaming.IngestGuard.start(
@@ -250,7 +267,7 @@ object StreamBench {
     // token-length histogram, HLL distinct fingerprints) end-to-end — the
     // reference's EP2→EP3 composition. The throughput delta vs the plain
     // guard is the measured price of at-ingest analytics.
-    val (gvRows, gvSec) = {
+    pipelines("guard_views_docs_per_sec") = () => {
       val base = java.nio.file.Files
         .createTempDirectory("graft-sb-guardviews").toString
       ledger(drain(graft.streaming.IngestGuard.start(
@@ -260,8 +277,34 @@ object StreamBench {
           s"$base/views", groupCol = "source", compactEvery = 4)))))
     }
 
-    def rate(rows: Long, sec: Double): Long = (rows / sec).round
-    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"unhappy_events_per_sec":${rate(unhappyRows, unhappySec)},"windowed_agg_events_per_sec":${rate(windowRows, windowSec)},"sessionize_events_per_sec":${rate(sessRows, sessSec)},"es_delete_sink_events_per_sec":${rate(esRows, esSec)},"heavy_hitters_events_per_sec":${rate(hhRows, hhSec)},"ingest_guard_docs_per_sec":${rate(igRows, igSec)},"guard_views_docs_per_sec":${rate(gvRows, gvSec)},"cpus":$cpus}""")
+    // The guard with the near-dup stage (round 13): MinHash bands of
+    // every exact-level keeper — one signature pass per batch — probed
+    // against the accepted-docs band store. The delta vs the plain
+    // guard is the measured price of at-ingest NEAR-dedup.
+    pipelines("guard_neardup_docs_per_sec") = () => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sb-guardnear").toString
+      ledger(drain(graft.streaming.IngestGuard.start(
+        guardDocs(), evalHashes, s"$base/state", s"$base/accepted",
+        s"$base/rejects", s"$base/checkpoint",
+        nearDup = Some(graft.streaming.IngestGuard.NearDup(
+          s"$base/bands")))))
+    }
+
+    val rotate = sys.env.get("SPARK_GRAFT_SB_ROTATE").map(_.toInt)
+      .getOrElse(0)
+    val names = pipelines.keys.toIndexedSeq
+    val order = names.drop(rotate % names.length) ++
+      names.take(rotate % names.length)
+    val measured: Map[String, (Long, Double)] =
+      order.map(n => n -> pipelines(n)()).toMap
+
+    def rate(n: String): Long = {
+      val (rows, sec) = measured(n)
+      (rows / sec).round
+    }
+    val fields = names.map(n => s""""$n":${rate(n)}""").mkString(",")
+    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"rotate":$rotate,$fields,"cpus":$cpus}""")
     spark.stop()
   }
 }
