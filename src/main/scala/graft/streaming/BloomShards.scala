@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.SketchExpressions
+import graft.operators.Relational
 
 /** PER-PARTITION Bloom sidecars for a partitioned side store — the scale
   * fix for the one store that can never retention-prune:
@@ -26,23 +27,34 @@ import graft.functions.SketchExpressions
   *    one-partition read, never a corpus scan. Capacity grows
   *    geometrically (double on saturation), so total rebuild work is
   *    amortized O(corpus) per doubling, the dynamic-array argument;
-  *  - a shard missing for a partition that HAS store data (adoption
-  *    from the pre-shard global-sidecar layout, or a torn sidecar
-  *    write) is indistinguishable from stale and is rebuilt the same
-  *    way — self-healing, like the global sidecar it replaces.
+  *  - a live store partition with no usable shard (adoption, torn
+  *    write, lineage change) is indistinguishable from stale and is
+  *    rebuilt the same way — self-healing, like the global sidecar it
+  *    replaces.
   *
-  * Layout: `<stateDir>.__bloomparts/` — parquet partitioned by the
-  * store's own partition column, one row per shard:
-  * `(partCol, capacity, n_items, bloom)`. Writes overwrite ONLY the
-  * touched partitions (dynamic partition overwrite); a crash mid-write
-  * leaves at worst a missing shard row, which the staleness check
-  * repairs on next touch. `n_items` is an UPPER estimate (a replayed
-  * batch whose store append was guard-skipped still re-merges its
-  * items), so over-counting can only trigger an EARLY rebuild — which
-  * resets it from the store's actual row count. Correctness never
-  * depends on the sidecar: filters are rebuilt from the store, and a
-  * Bloom false positive costs a pruned confirm read, never a wrongly
-  * rejected document.
+  * Layout: `<stateDir>.__bloomparts/` is an APPEND-LOG, not a
+  * dir-per-shard table — one parquet file per batch holding the touched
+  * shards' current rows `(fp_part, capacity, n_items, bloom, __lineage,
+  * __batch_id)`, sorted by `fp_part` so loads prune row groups by the
+  * touched-part predicate; the latest own-lineage row per part wins.
+  * (The first cut partitioned the sidecar by `fp_part`: 256 partition
+  * dirs meant 256 parquet-writer inits per batch through one task —
+  * profiled at ~5 s/batch of pure file-create overhead. The log writes
+  * ONE file per batch and compacts every [[IngestGuard]] cadence to
+  * latest-per-part through the crash-safe [[Streams.rewriteStore]]
+  * swap.)
+  *
+  * Lineage scoping: batch ids are checkpoint-scoped, so ordering rows
+  * from DIFFERENT lineages by batch id would let a stale shard shadow a
+  * newer one after a fresh-checkpoint adoption — and a stale Bloom has
+  * FALSE NEGATIVES, the one failure correctness can't absorb. The
+  * loader therefore trusts only the CURRENT lineage's rows; a live
+  * partition with none is rebuilt from the store on first touch (a
+  * one-time warming cost per adoption), and compaction drops foreign
+  * rows (they can never serve a read again). `n_items` is an UPPER
+  * estimate (a replayed batch re-merges its items), so over-counting
+  * only triggers an EARLY rebuild — which resets it from the store's
+  * actual row count.
   *
   * Single-writer per store, like every side store here (call from the
   * owning foreachBatch only). */
@@ -62,16 +74,23 @@ object BloomShards {
     bos.toByteArray
   }
 
-  /** Sidecar rows for `parts` only (partition-pruned read; the sidecar
-    * is partitioned by the same key as the store). Empty map when the
-    * sidecar doesn't exist yet. */
+  /** Current shards for `parts` under `lineage`: latest own-lineage row
+    * per part (one small shuffle over the pruned log — the touched-part
+    * predicate reaches the scan, and log files are fp_part-sorted, so
+    * row-group stats prune inside each file). Empty map when the
+    * sidecar doesn't exist yet; parts absent from the result are either
+    * fresh or need a rebuild — the caller's staleness check decides. */
   def load(spark: SparkSession, stateDir: String, partCol: String,
-           parts: Seq[Int]): Map[Int, Shard] = {
+           lineage: String, parts: Seq[Int]): Map[Int, Shard] = {
     val d = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Streams.recoverCompaction(fs, sidecarDir(stateDir))
     if (parts.isEmpty || !fs.exists(d)) Map.empty
-    else spark.read.parquet(sidecarDir(stateDir))
-      .filter(col(partCol).isin(parts: _*))
+    else Relational.latestByKeys(
+        spark.read.parquet(sidecarDir(stateDir))
+          .filter(col(partCol).isin(parts: _*))
+          .filter(col("__lineage") <=> lit(lineage)),
+        Seq(partCol), col("__batch_id"))
       .select(col(partCol).cast("int"), col("capacity"), col("n_items"),
         col("bloom"))
       .collect()
@@ -104,16 +123,20 @@ object BloomShards {
   /** Fold a batch's accepted hashes into the sidecar: build one
     * same-geometry filter per touched shard (grouped aggregate over the
     * co-partitioned hashes), merge driver-side into the loaded shards
-    * (same capacity ⇒ always compatible), and overwrite ONLY the
-    * touched partition rows. `fps` must be `(partCol: int, __fp: long)`
-    * with batch-distinct fps; `existing` are the batch's loaded/rebuilt
+    * (same capacity ⇒ always compatible), and append the updated rows
+    * as ONE log file. `fps` must be `(partCol: int, __fp: long)` with
+    * batch-distinct fps; `existing` are the batch's loaded/rebuilt
     * shards, all at `capacity`. `alsoPersist` names shards of `existing`
     * to write even when this batch added nothing to them — the probe's
     * rebuilds, which would otherwise be recomputed on every later
-    * touch. */
+    * touch. Every `compactEvery` batches the log is rewritten to the
+    * current lineage's latest row per part (crash-safe swap; foreign
+    * lineages' rows are dropped — the loader can never use them). */
   def update(spark: SparkSession, stateDir: String, partCol: String,
              fps: DataFrame, existing: Map[Int, Shard], capacity: Long,
-             fpp: Double, alsoPersist: Set[Int] = Set.empty): Unit = {
+             fpp: Double, lineage: String, batchId: Long,
+             alsoPersist: Set[Int] = Set.empty,
+             compactEvery: Int = 8): Unit = {
     val batchRows = fps
       .select(col(partCol).cast("int").as("__p"), col("__fp"))
       .repartition(col("__p"))
@@ -139,13 +162,20 @@ object BloomShards {
       .flatMap(p => existing.get(p).map(s =>
         (p, s.capacity, s.nItems, ser(s.bloom))))
     val rows = updated ++ carried
-    if (rows.isEmpty) return
-    import spark.implicits._
-    rows.toDF(partCol, "capacity", "n_items", "bloom")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(sidecarDir(stateDir))
+    if (rows.nonEmpty) {
+      import spark.implicits._
+      rows.toDF(partCol, "capacity", "n_items", "bloom")
+        .withColumn("__lineage", lit(lineage))
+        .withColumn("__batch_id", lit(batchId))
+        .coalesce(1)
+        .sortWithinPartitions(col(partCol)) // row-group stats serve loads
+        .write.mode(SaveMode.Append)
+        .parquet(sidecarDir(stateDir))
+    }
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+      Streams.rewriteStore(spark, sidecarDir(stateDir))(log =>
+        Relational.latestByKeys(
+          log.filter(col("__lineage") <=> lit(lineage)),
+          Seq(partCol), col("__batch_id")))
   }
 }

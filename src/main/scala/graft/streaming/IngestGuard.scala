@@ -325,7 +325,7 @@ object IngestGuard {
             .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
             .toIndexedSeq.filter(liveParts)
         val loaded = BloomShards.load(spark, stateDir, "fp_part",
-          touchedParts)
+          lineage, touchedParts)
         // target slice capacity: the configured sizing, raised past any
         // shard that outgrew it (saturated ⇒ double) — shards at other
         // geometries are rebuilt to it on touch, so a capacity migration
@@ -532,7 +532,8 @@ object IngestGuard {
         // EARLY rebuild that resets the count from the store.
         BloomShards.update(spark, stateDir, "fp_part",
           accepted.select(col("fp_part"), col("__fp")).distinct(),
-          shards, capG, fpp, alsoPersist = rebuilt.keySet)
+          shards, capG, fpp, lineage, batchId,
+          alsoPersist = rebuilt.keySet)
         // grow the near-dup band store with the ACCEPTED docs' bands —
         // after the lookup (a doc never near-dups itself), guarded
         // appends in exact-repair mode (this store IS read whenever any

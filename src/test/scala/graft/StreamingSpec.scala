@@ -1252,18 +1252,24 @@ class StreamingSpec extends GraftSuite {
       java.nio.file.Paths.get(
         s"$stateDir/fp_part=$docPart/part-00000.parquet"),
       "not a parquet file".getBytes("UTF-8"))
-    // the guard's default slice sizing: expectedDocs 4M over 256 parts
+    // the guard's default slice sizing: expectedDocs 4M over 256 parts;
+    // the shard log row carries the guard's OWN lineage (the loader
+    // trusts only current-lineage rows — foreign ones mean rebuild,
+    // which would read the poison)
     val sliceCap = (1L << 22) / 256
+    val lineage = graft.streaming.Streams.lineageId(
+      spark.sparkContext.hadoopConfiguration, s"$base/checkpoint")
     val shardBytes = {
       val bf = org.apache.spark.util.sketch.BloomFilter.create(sliceCap, 0.01)
       bf.putLong(123456789L)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos); bos.toByteArray
     }
-    Seq((docPart, sliceCap, 1L, shardBytes))
-      .toDF("fp_part", "capacity", "n_items", "bloom")
-      .write.partitionBy("fp_part")
-      .parquet(graft.streaming.BloomShards.sidecarDir(stateDir))
+    Seq((docPart, sliceCap, 1L, shardBytes, lineage, 0L))
+      .toDF("fp_part", "capacity", "n_items", "bloom",
+        "__lineage", "__batch_id")
+      .coalesce(1)
+      .write.parquet(graft.streaming.BloomShards.sidecarDir(stateDir))
     // the poison is live: reading the store really would fail
     intercept[Exception] { spark.read.parquet(stateDir).collect() }
     val in = MemoryStream[(Long, String)]
@@ -1450,6 +1456,51 @@ class StreamingSpec extends GraftSuite {
       assert(e.getMessage.contains("predates the geometry marker"),
         s"legacy adoption under fpParts=8 must be refused: ${e.getMessage}")
     } finally q3.stop()
+  }
+
+  test("ingest guard Bloom shards: a fresh-checkpoint adoption ignores " +
+      "foreign-lineage rows and still catches the dup") {
+    // batch ids are checkpoint-scoped, so ordering sidecar rows from
+    // different lineages by batch id could let a STALE shard shadow a
+    // newer one — and a stale Bloom has FALSE NEGATIVES, the one failure
+    // the probe can't absorb. The loader trusts only current-lineage
+    // rows; an adopted store's live partitions rebuild on first touch.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-adopt").toString
+    val good = "clean words about metric spaces and measure theory"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.IngestGuard.start(
+      in1.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint1", minTokens = 3)
+    try {
+      in1.addData(1L -> good); q1.processAllAvailable()
+      q1.exception.foreach(throw _)
+    } finally q1.stop()
+    // adopt under a FRESH checkpoint: the sidecar's rows are now
+    // foreign-lineage; a dup of doc 1 must still be rejected
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.IngestGuard.start(
+      in2.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint2", minTokens = 3)
+    try {
+      in2.addData(2L -> good,
+        3L -> "a wholly new document arriving under the new lineage")
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val acc = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(rej === Map(2L -> "exact_dup"), s"rejects: $rej")
+      assert(acc === Set(1L, 3L), s"accepted: $acc")
+    } finally q2.stop()
   }
 
   test("ingest guard near-dup: reason precedence, corpus-only store, and " +
