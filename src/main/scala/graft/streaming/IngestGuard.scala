@@ -438,6 +438,20 @@ object IngestGuard {
           (probed.join(nearIds, Seq("doc_id"), "left"), Some(rows))
         }).getOrElse((probed.withColumn("__near", lit(false)), None))
         val isNear = coalesce(col("__near"), lit(false))
+        // honest reason for same-batch fp-twins of a NEAR-DUP winner
+        // (the quota-twin rule's sibling): the winner's fingerprint
+        // never entered the corpus, so exact_dup would be a lie — but
+        // identical fp means identical normalized text, which near-dups
+        // whatever the winner near-dupped, so the follower's honest
+        // reason is near_dup (and unlike the quota case, the follower
+        // could never have been admitted). Same window partitioning as
+        // __rn/__winner_quota — the planner reuses the exchange.
+        val withWinnerNear =
+          if (nearDup.isEmpty)
+            withNear.withColumn("__winner_near", lit(false))
+          else withNear.withColumn("__winner_near",
+            max(when(col("__rn") === 1, isNear).otherwise(lit(false)))
+              .over(Window.partitionBy(col("__fp"), gate)))
         // per-group admission quota (Views.maxPerGroup): a doc that
         // survives every content gate still lands `quota` once its group
         // has admitted `cap` docs. Prior counts come from the counts
@@ -464,7 +478,7 @@ object IngestGuard {
           val rq = row_number().over(
             Window.partitionBy(col(v.groupCol).cast("string"), survivor)
               .orderBy(col("doc_id")))
-          withNear.join(broadcast(prior),
+          withWinnerNear.join(broadcast(prior),
               col(v.groupCol).cast("string") <=> col("__qgrp"), "left")
             .drop("__qgrp")
             .withColumn("__over_quota", survivor &&
@@ -487,7 +501,7 @@ object IngestGuard {
               max(when(col("__rn") === 1, col("__over_quota"))
                 .otherwise(lit(false)))
                 .over(Window.partitionBy(col("__fp"), gate)))
-        }).getOrElse(withNear.withColumn("__over_quota", lit(false))
+        }).getOrElse(withWinnerNear.withColumn("__over_quota", lit(false))
           .withColumn("__winner_quota", lit(false)))
         val judged = withQuota
           .withColumn("reason",
@@ -495,6 +509,7 @@ object IngestGuard {
               .when(col("__overlap") > 0, "contaminated")
               .when(coalesce(col("__seen"), lit(false)), "exact_dup")
               .when(col("__rn") > 1 && col("__winner_quota"), "quota")
+              .when(col("__rn") > 1 && col("__winner_near"), "near_dup")
               .when(col("__rn") > 1, "exact_dup")
               .when(isNear, "near_dup")
               .when(col("__over_quota"), "quota"))

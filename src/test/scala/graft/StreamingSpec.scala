@@ -1571,6 +1571,42 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ingest guard near-dup: a near-dup winner's same-batch fp-twin is " +
+      "charged near_dup, not exact_dup") {
+    // the quota-twin rule's sibling (round-13 self-review): the winner's
+    // fingerprint never entered the corpus, so exact_dup would be a lie —
+    // but identical fp means identical normalized text, which near-dups
+    // whatever the winner near-dupped, so near_dup is the honest reason
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-twin").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      nearDup = Some(graft.streaming.IngestGuard.NearDup(s"$base/bands")))
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val nearCopy = baseDoc + " appendix" // est 1.0 — certain collision
+    try {
+      in.addData(1L -> baseDoc)
+      q.processAllAvailable()
+      // batch 2: doc 2 is nearCopy's fp winner and near-dups accepted 1;
+      // doc 3 shares doc 2's fp exactly — its text also near-dups 1
+      in.addData(2L -> nearCopy, 3L -> nearCopy)
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(2L -> "near_dup", 3L -> "near_dup"),
+        s"rejects: $rej")
+    } finally q.stop()
+  }
+
   test("ingest guard near-dup: minEst gates on estimated similarity " +
       "strength, and band geometry is format-pinned") {
     implicit val sqlCtx = spark.sqlContext
