@@ -141,7 +141,9 @@ object Bench {
                                   sweep: Map[String, Double],
                                   reset: Set[String] = Set.empty,
                                   failed: Set[String] = Set.empty): Unit = {
-    val spared = reset.intersect(failed)
+    // literal `all` spares every failed query, and must say so too
+    val spared =
+      if (reset.contains("all")) failed else reset.intersect(failed)
     if (spared.nonEmpty)
       System.err.println("[bench] WARN reset queries failed this sweep; " +
         s"keeping their previous floors: ${spared.toSeq.sorted.mkString(",")}")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -113,18 +113,40 @@ object Dedup {
     * ngramJaccardPairs); the checkpointed table is (long, int, hash) —
     * `bands` rows per doc, tiny relative to recomputing signatures. */
   def bandRows(docs: DataFrame, k: Int = 16, bands: Int = 4,
-               n: Int = 3): DataFrame = {
+               n: Int = 3): DataFrame =
+    bandSigRows(docs, k, bands, n)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+      .localCheckpoint(false)
+
+  /** [[bandRows]] with the SIGNATURE riding each band row — the shape
+    * the at-ingest consumers ([[graft.streaming.JaccardDupStream]], the
+    * ingest guard's near-dup stage) need so the signature-agreement
+    * estimate is computed inside the band join itself, with no second
+    * join back to a signature table. ONE band-key construction for
+    * every MinHash surface — a drifted copy would silently desync a
+    * stream's collisions from the batch twin's. NOT checkpointed
+    * (callers decide; the streaming consumers checkpoint per batch). */
+  def bandSigRows(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                  n: Int = 3): DataFrame = {
     val rpb = k / bands
     minhashSignatures(docs, k, n)
-      .select(col("doc_id"), expr(
+      .select(col("doc_id"), col("sig"), expr(
         s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
            |  b AS band_id,
            |  md5(array_join(transform(slice(sig, b * $rpb + 1, $rpb),
            |                           x -> cast(x AS string)), ',')) AS band_key)))"""
           .stripMargin).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      .localCheckpoint(false)
+      .select(col("doc_id"), col("sig"),
+        col("band.band_id"), col("band.band_key"))
   }
+
+  /** The signature-agreement Jaccard estimate (E[est] = J, Broder '97)
+    * between two k-long signature columns — codegen'd zip_with/aggregate,
+    * shared by [[minhashJaccardEstimate]]'s streaming twins. */
+  def sigAgreement(k: Int, sigA: String, sigB: String): Column = expr(
+    s"""round(aggregate(zip_with($sigA, $sigB,
+       |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+       |  0, (a, e) -> a + e) / CAST($k AS DOUBLE), 6)""".stripMargin)
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * hash each band, and emit candidate pairs of documents agreeing on at

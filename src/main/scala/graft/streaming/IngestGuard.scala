@@ -100,11 +100,17 @@ object IngestGuard {
     * band of a lower-doc_id same-batch doc that itself survived the
     * exact level AND is not a store-near-dup. Same-batch CHAINS are
     * resolved one level only (if B near-dups accepted A, and C collides
-    * only with B, C is still charged `near_dup`): exact sequential
-    * admission within a batch is a graph fixpoint, not a window — the
-    * deviation is batch-confined and biases toward over-rejection,
-    * never corpus corruption, the mirror of the quota-twin rule's
-    * pinned under-admission bias.
+    * only with B, C is still charged `near_dup`), and a same-batch
+    * collision stands even when the kept side is LATER rejected by
+    * quota (quota is decided after near-dup under the precedence, and
+    * re-admitting C would shift quota ranks in its group — the same
+    * fixpoint the quota-twin rule refuses): exact sequential admission
+    * within a batch is a graph fixpoint, not a window — both deviations
+    * are batch-confined and bias toward over-rejection, never corpus
+    * corruption, the mirror of the quota-twin rule's pinned
+    * under-admission bias. (A same-batch fp-TWIN of a near-dup winner
+    * is the one case resolved exactly: identical fp ⇒ identical text ⇒
+    * the twin near-dups whatever the winner did, reason `near_dup`.)
     *
     * `minEst` gates collisions on the signature-agreement Jaccard
     * estimate (E[est] = J, Broder '97 — [[JaccardDupStream]]'s scoring):
@@ -128,28 +134,13 @@ object IngestGuard {
     * to a signature table). Package-private: specs forge crashed-store
     * states from the same builder the guard probes with. */
   private[graft] def nearDupRows(docs: DataFrame, k: Int, bands: Int,
-                                 n: Int): DataFrame = {
-    val rpb = k / bands
-    graft.operators.Dedup.minhashSignatures(docs, k, n)
-      .select(col("doc_id"), col("sig"), expr(
-        s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
-           |  b AS band_id,
-           |  md5(array_join(transform(slice(sig, b * $rpb + 1, $rpb),
-           |                           x -> cast(x AS string)), ',')) AS band_key)))"""
-          .stripMargin).as("band"))
-      .select(col("doc_id"), col("sig"),
-        col("band.band_id"), col("band.band_key"))
+                                 n: Int): DataFrame =
+    graft.operators.Dedup.bandSigRows(docs, k, bands, n)
       .withColumn("band_part",
         pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
-  }
 
   private def nearDupFormatTag(nd: NearDup): String =
     s"guard-neardup/v1/k=${nd.k}/bands=${nd.bands}/n=${nd.n}"
-
-  private def estExpr(k: Int, sigA: String, sigB: String) = expr(
-    s"""round(aggregate(zip_with($sigA, $sigB,
-       |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-       |  0, (a, e) -> a + e) / CAST($k AS DOUBLE), 6)""".stripMargin)
 
   private[streaming] val countsSchema =
     org.apache.spark.sql.types.StructType(Seq(
@@ -326,13 +317,36 @@ object IngestGuard {
             .toIndexedSeq.filter(liveParts)
         val loaded = BloomShards.load(spark, stateDir, "fp_part",
           lineage, touchedParts)
-        // target slice capacity: the configured sizing, raised past any
-        // shard that outgrew it (saturated ⇒ double) — shards at other
-        // geometries are rebuilt to it on touch, so a capacity migration
-        // spreads across batches instead of spiking
-        val capG = (sliceCap0 +: loaded.values.toSeq.map(s =>
-          if (s.nItems >= s.capacity) s.capacity * 2 else s.capacity)).max
-        val usable = loaded.filter(_._2.capacity == capG)
+        // live touched slices with NO shard row (adoption, torn write,
+        // new lineage): their true size is unknown, and rebuilding an
+        // arbitrarily large adopted partition at the configured slice
+        // sizing would birth a saturated filter and re-read the
+        // partition once per capacity doubling — so count them first
+        // (one cheap job over exactly those partitions, rare by
+        // construction) and let the count inform the capacity
+        val unknownParts = touchedParts.filterNot(loaded.contains)
+        val unknownCounts: Map[Int, Long] =
+          if (unknownParts.isEmpty) Map.empty
+          else spark.read.parquet(stateDir)
+            .filter(col("fp_part").isin(unknownParts: _*))
+            .groupBy(col("fp_part")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // target slice capacity: the configured sizing DOUBLED until it
+        // strictly exceeds every touched slice's known item count (a
+        // saturated shard's tracked n_items, an unknown slice's actual
+        // rows) and covers every loaded capacity — one geometry per
+        // batch, so same-capacity merges are always compatible, and a
+        // capacity migration spreads across batches instead of spiking
+        val needed = (0L +: (loaded.values.toSeq
+          .filter(s => s.nItems >= s.capacity).map(_.nItems) ++
+          unknownCounts.values.toSeq)).max
+        val capFloor = (sliceCap0 +:
+          loaded.values.toSeq.map(_.capacity)).max
+        var capG = capFloor
+        while (capG <= needed) capG *= 2
+        val usable = loaded.filter { case (_, s) =>
+          s.capacity == capG && s.nItems < s.capacity
+        }
         val rebuilt = BloomShards.rebuild(spark, stateDir, "fp_part",
           touchedParts.filterNot(usable.contains), capG, fpp)
         val shards = usable ++ rebuilt
@@ -350,6 +364,24 @@ object IngestGuard {
           else positives.select(col("fp_part"))
             .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
         val withRn = scored.withColumn("__rn", rn)
+        // the confirm read's history view: rows this (lineage, batch)
+        // wrote before a crash are not history. Plain schema inference
+        // SAMPLES one footer; on a MIXED store (adopted pre-lineage
+        // files + stamped appends) a legacy sample would hide
+        // __lineage — skipping the exclusion then would count own-crash
+        // rows as history and wrongly reject a replayed batch — so a
+        // lineage-less sample retries with mergeSchema (paid only by
+        // legacy-looking stores, never the steady state); a store with
+        // genuinely NO stamped file has no own rows to exclude.
+        def storeHistory(): DataFrame = {
+          val plain = spark.read.parquet(stateDir)
+          val st =
+            if (plain.columns.contains("__lineage")) plain
+            else spark.read.option("mergeSchema", "true").parquet(stateDir)
+          if (!st.columns.contains("__lineage")) st
+          else st.filter(!(col("__lineage") <=> lit(lineage) &&
+            col("__batch_id") === lit(batchId)))
+        }
         val probed =
           if (posParts.isEmpty) withRn.withColumn("__seen", lit(false))
           else {
@@ -361,11 +393,9 @@ object IngestGuard {
               // on the sorted __fp — the read is bounded by the
               // candidates' row groups, not the partitions
               val cands = candRows.map(_.getLong(0)).toIndexedSeq
-              val seenFps = spark.read.parquet(stateDir)
+              val seenFps = storeHistory()
                 .filter(col("fp_part").isin(posParts.toIndexedSeq: _*))
                 .filter(col("__fp").isin(cands: _*))
-                .filter(!(col("__lineage") <=> lit(lineage) &&
-                  col("__batch_id") === lit(batchId)))
                 .select(col("__fp"))
                 // replay-duplicated store rows must not fan out the
                 // join back onto the batch; ≤ maxFpPushdown rows
@@ -380,10 +410,8 @@ object IngestGuard {
               // force-broadcast batch-sized set risks OOM where a
               // shuffle join would have absorbed it)
               val candidateFps = positives.select(col("__fp")).distinct()
-              val seenFps = spark.read.parquet(stateDir)
+              val seenFps = storeHistory()
                 .filter(col("fp_part").isin(posParts.toIndexedSeq: _*))
-                .filter(!(col("__lineage") <=> lit(lineage) &&
-                  col("__batch_id") === lit(batchId)))
                 .select(col("__fp"))
                 .join(candidateFps, Seq("__fp"), "left_semi")
                 .distinct()
@@ -419,7 +447,7 @@ object IngestGuard {
                   col("nn.band_id") === col("pp.band_id") &&
                     col("nn.band_key") === col("pp.band_key"))
                 .filter(nd.minEst.fold(lit(true))(t =>
-                  estExpr(nd.k, "nn.sig", "pp.sig") >= lit(t)))
+                  graft.operators.Dedup.sigAgreement(nd.k, "nn.sig", "pp.sig") >= lit(t)))
                 .select(col("nn.doc_id")).distinct()
             }.getOrElse(noIds)
           val batchHits = rows.alias("aa").join(rows.alias("bb"),
@@ -427,7 +455,7 @@ object IngestGuard {
                 col("aa.band_key") === col("bb.band_key") &&
                 col("bb.doc_id") < col("aa.doc_id"))
             .filter(nd.minEst.fold(lit(true))(t =>
-              estExpr(nd.k, "aa.sig", "bb.sig") >= lit(t)))
+              graft.operators.Dedup.sigAgreement(nd.k, "aa.sig", "bb.sig") >= lit(t)))
             // one-level chain resolution (see [[NearDup]]): the kept
             // lower side must not itself be a store-near-dup
             .join(storeHits.withColumnRenamed("doc_id", "__bdoc"),

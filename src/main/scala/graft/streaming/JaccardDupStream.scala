@@ -50,11 +50,6 @@ object JaccardDupStream {
   private def formatTag(k: Int, bands: Int, n: Int): String =
     s"minhash-jaccard/k=$k/bands=$bands/n=$n"
 
-  private def estExpr(k: Int, sigA: String, sigB: String) = expr(
-    s"""round(aggregate(zip_with($sigA, $sigB,
-       |  (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
-       |  0, (a, e) -> a + e) / CAST($k AS DOUBLE), 6)""".stripMargin)
-
   /** Start the detector: emits `(doc_a, doc_b, est_jaccard, __batch_id)`
     * rows (estimate ≥ `minEst`) to `matchesDir` and maintains the
     * band+signature store at `stateDir`. `docs` must be a streaming
@@ -71,24 +66,16 @@ object JaccardDupStream {
       formatTag(k, bands, n), "JaccardDupStream", retainBatches, pruneEvery)
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
-    val rpb = k / bands
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fs = store.ensureReady(spark)
-        // one signature pass; bands exploded WITH the signature riding,
-        // same band-key construction as Dedup.bandRows
-        val rows = Dedup.minhashSignatures(batch, k, n)
-          .select(col("doc_id"), col("sig"), expr(
-            s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
-               |  b AS band_id,
-               |  md5(array_join(transform(slice(sig, b * $rpb + 1, $rpb),
-               |                           x -> cast(x AS string)), ',')) AS band_key)))"""
-              .stripMargin).as("band"))
-          .select(col("doc_id"), col("sig"),
-            col("band.band_id"), col("band.band_key"))
+        // one signature pass; bands exploded WITH the signature riding —
+        // the SHARED builder, so the band keys are bit-identical to
+        // every other MinHash surface by construction
+        val rows = Dedup.bandSigRows(batch, k, bands, n)
           .withColumn("band_part",
             pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
           .localCheckpoint(false)
@@ -99,7 +86,7 @@ object JaccardDupStream {
               col("a.band_key") === col("b.band_key") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            estExpr(k, "a.sig", "b.sig").as("est_jaccard"))
+            Dedup.sigAgreement(k, "a.sig", "b.sig").as("est_jaccard"))
         val cross = (if (store.exists(fs)) Some(()) else None)
           .map { _ =>
             val parts = rows.select("band_part").distinct()
@@ -112,7 +99,7 @@ object JaccardDupStream {
                 greatest(col("n.doc_id"), col("p.doc_id")).as("doc_b"),
                 // zip_with is positionally symmetric, so the estimate is
                 // independent of which side is the newer doc
-                estExpr(k, "n.sig", "p.sig").as("est_jaccard"))
+                Dedup.sigAgreement(k, "n.sig", "p.sig").as("est_jaccard"))
           }
         cross.fold(intra)(intra.unionByName(_))
           .filter(col("est_jaccard") >= lit(minEst))

@@ -430,7 +430,11 @@ object Streams {
       // bytes). Pinning the session's shuffle parallelism spreads the
       // file creates across tasks without changing the file count
       // (each dir's rows still land in exactly one task).
-      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      // toIntOption: the conf can be non-numeric on some platforms
+      // ("auto") — fall back to Spark's default rather than killing the
+      // stream inside foreachBatch
+      val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toIntOption.filter(_ > 0).getOrElse(200)
       val clustered = df.repartition(n, col(partCol))
       val laidOut =
         if (sortCols.isEmpty) clustered

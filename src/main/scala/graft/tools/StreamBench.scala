@@ -294,8 +294,11 @@ object StreamBench {
     val rotate = sys.env.get("SPARK_GRAFT_SB_ROTATE").map(_.toInt)
       .getOrElse(0)
     val names = pipelines.keys.toIndexedSeq
-    val order = names.drop(rotate % names.length) ++
-      names.take(rotate % names.length)
+    // floorMod: a negative rotation must actually rotate — drop/take on
+    // a negative k silently runs rotation 0 while STAMPING the negative
+    // value, which would mislabel a paired-rotation comparison
+    val shift = java.lang.Math.floorMod(rotate, names.length)
+    val order = names.drop(shift) ++ names.take(shift)
     val measured: Map[String, (Long, Double)] =
       order.map(n => n -> pipelines(n)()).toMap
 

@@ -28,14 +28,6 @@ object GraftColumnBridge {
   def autoBroadcastThreshold(spark: SparkSession): Long =
     spark.sessionState.conf.autoBroadcastJoinThreshold
 
-  /** Block until the SparkListener bus has delivered every queued event —
-    * lets specs that meter IO through `TaskMetrics.inputMetrics` read the
-    * accumulated total without racing the async bus (`listenerBus` is
-    * `private[spark]`; this bridge is the sanctioned crossing, like the
-    * Column converters above). */
-  def waitForListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
-
   /** Sum of `numOutputRows` across every file-scan leaf of an EXECUTED
     * plan, descending through AQE's final plan and query stages. With
     * the vectorized parquet reader this counts DECODED rows — the rows

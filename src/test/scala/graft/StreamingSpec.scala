@@ -1503,6 +1503,68 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("ingest guard Bloom shards: an adopted oversized slice is sized " +
+      "from its count in one rebuild") {
+    // round-13 review finding: rebuilding an arbitrarily large adopted
+    // partition at the configured slice sizing births a saturated
+    // filter and re-reads the partition once per capacity doubling —
+    // the unknown-count slices are counted first (one job) so the
+    // rebuild lands at a covering capacity immediately
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-sized").toString
+    val in1 = MemoryStream[(Long, String)]
+    // slice sizing 64 (expectedDocs 128 over 2 parts); 300 accepted docs
+    // make each slice ~150 — past TWO doublings of the configured cap
+    val q1 = graft.streaming.IngestGuard.start(
+      in1.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint1", minTokens = 3,
+      expectedDocs = 128L, fpParts = 2)
+    try {
+      in1.addData((0 until 300).map(i =>
+        (i.toLong, s"wholly unique document number $i about " +
+          s"subject $i with several extra words")): _*)
+      q1.processAllAvailable(); q1.exception.foreach(throw _)
+    } finally q1.stop()
+    // fresh checkpoint = foreign sidecar rows = unknown-count slices
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.IngestGuard.start(
+      in2.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint2", minTokens = 3,
+      expectedDocs = 128L, fpParts = 2)
+    try {
+      in2.addData(
+        1000L -> ("wholly unique document number 7 about " +
+          "subject 7 with several extra words"), // dup of doc 7
+        1001L -> "a genuinely new document arriving after adoption")
+      q2.processAllAvailable(); q2.exception.foreach(throw _)
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(1000L -> "exact_dup"), s"rejects: $rej")
+      // ONE batch after adoption, the rebuilt shards already cover
+      // their ~150-item slices: capacity jumped straight past two
+      // doublings and the shard is NOT saturated at birth (the log
+      // still holds the first lineage's 64-capacity rows — only the
+      // adopting lineage's rows are its current shards)
+      val lineage2 = graft.streaming.Streams.lineageId(
+        spark.sparkContext.hadoopConfiguration, s"$base/checkpoint2")
+      val shardRows = spark.read.parquet(
+        graft.streaming.BloomShards.sidecarDir(s"$base/state"))
+        .filter(col("__lineage") === lineage2)
+        .select(col("capacity"), col("n_items")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(shardRows.exists(_._1 >= 256L),
+        s"adopted slice must be sized from its count: ${shardRows.toSeq}")
+      assert(shardRows.forall { case (cap, n) => n < cap },
+        s"no shard may be saturated at birth: ${shardRows.toSeq}")
+    } finally q2.stop()
+  }
+
   test("ingest guard near-dup: reason precedence, corpus-only store, and " +
       "one-level within-batch chains") {
     implicit val sqlCtx = spark.sqlContext
@@ -1604,6 +1666,59 @@ class StreamingSpec extends GraftSuite {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(rej === Map(2L -> "near_dup", 3L -> "near_dup"),
         s"rejects: $rej")
+    } finally q.stop()
+  }
+
+  test("ingest guard near-dup: a collision with a quota-rejected keeper " +
+      "stands (the pinned over-rejection bias)") {
+    // round-13 review finding, resolved by PINNING rather than fixing:
+    // quota is decided after near-dup under the precedence, so a doc
+    // whose only collision is with a same-batch keeper that quota later
+    // rejects stays near_dup — re-admitting it would shift quota ranks
+    // in ITS group, the exact fixpoint the quota-twin rule refuses.
+    // Batch-confined, biases toward over-rejection, never corpus
+    // corruption.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-neardup-quota").toString
+    val in = MemoryStream[(Long, String, String)]
+    val q = IngestGuard.start(
+      in.toDF().toDF("doc_id", "text", "source"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      views = Some(IngestGuard.Views(s"$base/views", groupCol = "source",
+        maxPerGroup = Some(1L))),
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands")))
+    val textX = "planetary orbits precess under relativistic " +
+      "corrections measured by interferometric satellites yearly"
+    try {
+      in.addData(
+        // group G: doc 1 takes the quota slot, doc 2 (fresh text X)
+        // overflows it; doc 3 (group H) is a near-copy of X only
+        (1L, "a perfectly unique first document for source G", "G"),
+        (2L, textX, "G"),
+        (3L, textX + " almanac", "H"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej = IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val acc = IngestGuard.accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(rej === Map(2L -> "quota", 3L -> "near_dup"),
+        s"rejects: $rej")
+      assert(acc === Set(1L), s"accepted: $acc")
+      // and the bias is batch-confined: the same near-copy arriving
+      // LATER is judged against the corpus only (X never entered it)
+      in.addData((4L, textX + " almanac", "H"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val acc2 = IngestGuard.accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(acc2 === Set(1L, 4L),
+        s"the next batch must judge the copy on corpus merits: $acc2")
     } finally q.stop()
   }
 
