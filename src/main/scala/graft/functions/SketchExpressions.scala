@@ -50,6 +50,19 @@ object SketchExpressions {
     GraftColumnBridge.column(
       ShingleStats(GraftColumnBridge.expression(text), sortedHashes, n))
 
+  /** `minhash_sig(text)` — the k-long MinHash signature of a document's
+    * n-gram shingle set in ONE codegen'd pass over the grams (one md5
+    * each), null when the document has fewer than n tokens. Replaces an
+    * explode → per-shingle projection → groupBy(doc) shuffle of ~(tokens
+    * per doc) rows per document with zero shuffle and zero intermediate
+    * rows; bit-parity with that pipeline is pinned by spec, so every
+    * MinHash surface (batch candidates, Jaccard estimates, the streaming
+    * band stores, the guard's near-dup stage) keeps its oracle-checked
+    * values. */
+  def minhashSig(text: Column, k: Int, n: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSig(GraftColumnBridge.expression(text), k, n))
+
   /** SHARDED [[bloomMightContain]]: `shards(pmod(h, shards.length))`
     * answers for `h`, a null shard meaning "definitively not present"
     * (that slice of the key space has no members — e.g. the store has no
@@ -137,6 +150,52 @@ object ShingleProbe {
               sorted: Array[Long], n: Int): Long =
     stats(text, sorted, n)(1)
 
+  /** One-pass MinHash signature: k Kirsch-Mitzenmacher minima
+    * (`h_i = h1 + i·(h2 & maskKM)`) over the document's n-gram shingles,
+    * one md5 per gram — BIT-PARITY with the SQL pipeline it replaces
+    * (`Dedup.shingleRows` → k `min` aggregates): same tokenizer as
+    * [[stats]], h1 = md5 hex chars 1-15 (= big-endian bytes 0-7 >>> 4),
+    * h2 = hex chars 17-31 (= bytes 8-15 >>> 4), both the
+    * [[graft.functions.Hashing.hash64]]/[[graft.functions.Hashing.hash64Hi]]
+    * contracts. Null for documents with fewer than n tokens (the old
+    * pipeline's `size(toks) >= n` filter). No overflow: h1 < 2^60,
+    * i·h2m < 15·2^56, sum < 2^61. */
+  def minhashSig(text: org.apache.spark.unsafe.types.UTF8String,
+                 k: Int, n: Int): Array[Long] = {
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    if (toks.length < n) return null
+    val sig = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    val m = md.get()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      m.reset()
+      val dg = m.digest(sb.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L
+      var b = 0
+      while (b < 8) { h1 = (h1 << 8) | (dg(b) & 0xffL); b += 1 }
+      h1 = h1 >>> 4
+      var h2 = 0L
+      while (b < 16) { h2 = (h2 << 8) | (dg(b) & 0xffL); b += 1 }
+      val h2m = (h2 >>> 4) & Hashing.maskKM
+      var q = 0
+      var v = h1
+      while (q < k) {
+        if (v < sig(q)) sig(q) = v
+        v += h2m; q += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** One pass over the grams: `[distinct shingles, distinct matched]` —
     * the numerator AND denominator of the contamination fraction. */
   def stats(text: org.apache.spark.unsafe.types.UTF8String,
@@ -184,6 +243,42 @@ case class ShingleOverlap(child: Expression, sortedHashes: Array[Long],
     nullSafeCodeGen(ctx, ev, v => {
       val arr = ctx.addReferenceObj("evalHashes", sortedHashes, "long[]")
       s"${ev.value} = graft.functions.ShingleProbe.overlap($v, $arr, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** One-pass MinHash signature of a text column (see
+  * [[SketchExpressions.minhashSig]]); null for sub-n-token documents, so
+  * callers filter rather than aggregate empties. */
+case class MinHashSig(child: Expression, k: Int, n: Int)
+    extends UnaryExpression {
+  require(k > 0 && n > 0, "minhash_sig needs k > 0 and n > 0")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val sig = ShingleProbe.minhashSig(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, n)
+    if (sig == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sig = ctx.freshName("sig")
+      s"""long[] $sig = graft.functions.ShingleProbe.minhashSig($v, $k, $n);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}""".stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression)

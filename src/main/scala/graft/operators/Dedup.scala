@@ -87,21 +87,21 @@ object Dedup {
 
   /** MinHash signatures: k min-hashes over the shingle set, via
     * Kirsch-Mitzenmacher double hashing (`h_i = h1 + i·h2`, one md5 per
-    * shingle). Shingles are exploded so the hash runs in a codegen'd
-    * projection (higher-order-function lambdas are interpreted and were the
-    * hot path); the k per-document minima are k `min` aggregates with
-    * map-side partial aggregation, so the shuffle carries k longs per
-    * document regardless of document size — the 100 TB-safe shape. */
-  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame = {
-    // min is duplicate-insensitive, so no per-document distinct pass needed.
-    val mins = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2").bitwiseAND(lit(Hashing.maskKM)))
-        .as(s"m_$i"))
-    shingleRows(docs, n)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
-  }
+    * shingle), computed by ONE codegen'd pass per document
+    * ([[SketchExpressions.minhashSig]]) — no explode, no per-shingle
+    * intermediate rows, NO SHUFFLE at all (the previous shape exploded
+    * ~(tokens per doc) rows per document and shuffled k partial minima
+    * per doc through a groupBy; at a 250k-doc microbatch that was a
+    * ~10M-row exchange per batch in the streaming consumers). Bit-parity
+    * with the exploded pipeline — same tokenizer, same h1/h2 md5
+    * derivations, same `& maskKM` — is pinned by DedupSpec against the
+    * inlined legacy formula, so every oracle-checked MinHash surface
+    * keeps its values. Sub-n-token documents yield no signature, exactly
+    * like the old `size(toks) >= n` filter. */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        SketchExpressions.minhashSig(col("text"), k, n).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** (doc_id, band_id, band_key) rows of the LSH banding over
     * [[minhashSignatures]] — the joinable index shared by

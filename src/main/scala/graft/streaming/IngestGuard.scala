@@ -619,6 +619,28 @@ object IngestGuard {
       .start()
   }
 
+  /** MAINTENANCE compaction of the fingerprint store: rewrite each
+    * `fp_part` partition to one file, globally sorted on `__fp` — the
+    * store can never retention-prune (dedup is against everything ever
+    * accepted), so its per-batch appends accumulate one file per
+    * touched partition per batch FOREVER, and a candidate probe pays
+    * one row group per FILE instead of one per candidate; compaction
+    * collapses that back and bounds the partitions' file counts.
+    * Crash-safe two-rename swap ([[Streams.rewriteStore]]), columns
+    * (incl. the `__lineage`/`__batch_id` stamps) preserved via merged
+    * schema, Bloom sidecars untouched (contents are unchanged).
+    *
+    * Cost is O(store) per call — run it OUT OF BAND during a low-traffic
+    * window amortized over many batches (the lakehouse equivalent of a
+    * RocksDB major compaction; a MERGE-capable table format would make
+    * it a metadata operation). SINGLE-WRITER: the store's streaming
+    * query must be stopped while this runs — the guard's foreachBatch
+    * owns the store while active. */
+  def compactFpStore(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): Unit =
+    Streams.rewriteStore(spark, stateDir, Seq("fp_part"), Seq("__fp"))(
+      identity)
+
   /** Accepted corpus so far (idempotent-append: replays re-emit rows). */
   def accepted(spark: org.apache.spark.sql.SparkSession,
                acceptedDir: String): DataFrame =

@@ -930,7 +930,8 @@ object Streams {
   }
 
   def rewriteStore(spark: SparkSession, path: String,
-                   partitionCols: Seq[String] = Nil)
+                   partitionCols: Seq[String] = Nil,
+                   sortCols: Seq[String] = Nil)
                   (rewrite: DataFrame => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(path)
@@ -957,10 +958,19 @@ object Streams {
         // file from one task, not one from every task — a partitioned
         // rewrite without it multiplies file count by the task count,
         // and readers of the compacted store pay per-file open cost
-        // forever after
-        val writer = (if (partitionCols.nonEmpty)
-            rewritten.repartition(partitionCols.map(col): _*)
-          else rewritten).write.mode("overwrite")
+        // forever after. `sortCols` additionally sorts within each
+        // written file, restoring the row-group-statistics layout a
+        // probe-pushdown store depends on (per-batch appends are each
+        // sorted, but a candidate probe pays one row group PER FILE —
+        // compaction collapses that back to one per candidate).
+        val clustered =
+          if (partitionCols.isEmpty) rewritten
+          else rewritten.repartition(partitionCols.map(col): _*)
+        val laidOut =
+          if (sortCols.isEmpty) clustered
+          else clustered.sortWithinPartitions(
+            (partitionCols ++ sortCols).map(col): _*)
+        val writer = laidOut.write.mode("overwrite")
         (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
          else writer).parquet(tmpPath)
         true

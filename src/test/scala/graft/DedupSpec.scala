@@ -19,6 +19,49 @@ class DedupSpec extends GraftSuite {
     d(a.length)(b.length)
   }
 
+  test("one-pass minhash_sig is bit-identical to the exploded SQL pipeline") {
+    // round 13 replaced minhashSignatures' explode → per-shingle md5 →
+    // groupBy(doc) shuffle with one codegen'd pass per document; every
+    // MinHash surface (band stores, Jaccard estimates, the guard's
+    // near-dup stage) inherits its values, so parity must be EXACT —
+    // pinned here against the legacy formula inlined verbatim, over the
+    // real documents fixture plus the edge docs the filter used to drop
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 16
+    val n = 3
+    val edge = Seq((900001L, "one two"), // < n tokens: no signature
+      (900002L, "  leading and trailing whitespace padded text here  "),
+      (900003L, "exactly three tokens")).toDF("doc_id", "text")
+    val fixture = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val got = Dedup.minhashSignatures(fixture, k, n)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // the legacy pipeline, verbatim (shingle rows -> k min aggregates)
+    val cat = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    val mins = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) *
+        col("h2").bitwiseAND(lit(graft.functions.Hashing.maskKM)))
+        .as(s"m_$i"))
+    val want = fixture
+      .select(col("doc_id"),
+        expr(graft.operators.TextAnalysis.tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $n)")).as("i"))
+      .select(col("doc_id"),
+        expr(graft.functions.Hashing.hash64(s"($cat)")).as("h1"),
+        expr(graft.functions.Hashing.hash64Hi(s"($cat)")).as("h2"))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m_$i")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(got.size === want.size && got.keySet === want.keySet,
+      s"doc coverage differs: ${got.size} vs ${want.size}")
+    assert(!got.contains(900001L), "sub-n-token doc must yield no signature")
+    val diffs = got.collect { case (id, s) if want(id) != s => id }
+    assert(diffs.isEmpty, s"signatures differ for docs: ${diffs.take(5)}")
+  }
+
   test("minhash banding recalls high-jaccard pairs (16 hashes, 4 bands)") {
     // expected recall for jaccard s: 1-(1-s^4)^4 — ~0.88 at s=0.8
     val exactHigh = Dedup.ngramJaccardPairs(docs, threshold = 0.8)

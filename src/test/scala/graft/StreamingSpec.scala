@@ -1503,6 +1503,67 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("ingest guard fp-store compaction: files collapse to one per " +
+      "partition and the probe still catches dups") {
+    // the store can never retention-prune, so appends accumulate one
+    // file per touched partition per batch forever — the maintenance
+    // compaction (run with the stream STOPPED, single-writer) rewrites
+    // each partition to one sorted file, restoring the
+    // one-row-group-per-candidate probe layout
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fp-compact").toString
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.IngestGuard.start(
+      in1.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3, fpParts = 4)
+    try {
+      (0 until 5).foreach { b =>
+        in1.addData((0 until 20).map(i =>
+          (b * 20L + i, s"wholly unique document number ${b * 20 + i} " +
+            s"about subject ${b * 20 + i} with several extra words")): _*)
+        q1.processAllAvailable()
+      }
+      q1.exception.foreach(throw _)
+    } finally q1.stop()
+    def filesPerPart(): Map[String, Int] = {
+      val root = new java.io.File(s"$base/state")
+      root.listFiles().filter(_.getName.startsWith("fp_part="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerPart().values.max > 1,
+      s"fixture must accumulate files first: ${filesPerPart()}")
+    graft.streaming.IngestGuard.compactFpStore(spark, s"$base/state")
+    assert(filesPerPart().values.forall(_ == 1),
+      s"compaction must leave one file per partition: ${filesPerPart()}")
+    // a fresh query over the compacted store (a MemoryStream cannot
+    // resume a checkpoint): the probe still works — a dup of a
+    // pre-compaction doc is caught, fresh passes
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.IngestGuard.start(
+      in2.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint2", minTokens = 3, fpParts = 4)
+    try {
+      in2.addData(
+        999L -> ("wholly unique document number 7 about subject 7 " +
+          "with several extra words"),
+        1000L -> "a brand new document arriving after the compaction")
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      val rej = graft.streaming.IngestGuard
+        .rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(999L -> "exact_dup"), s"rejects: $rej")
+      assert(graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted").count() === 101)
+    } finally q2.stop()
+  }
+
   test("ingest guard Bloom shards: an adopted oversized slice is sized " +
       "from its count in one rebuild") {
     // round-13 review finding: rebuilding an arbitrarily large adopted
