@@ -117,16 +117,33 @@ object IngestGuard {
     * None rejects on ANY band collision (max recall); Some(t) rejects
     * only pairs with est ≥ t. The store carries the k-long signature
     * per band row either way, so `minEst` is a restart-safe QUERY
-    * parameter, not store geometry — `(k, bands, n)` are the geometry
-    * and are format-marked. */
+    * parameter, not store geometry — `(k, bands, n, bandParts)` are the
+    * geometry and are format-marked.
+    *
+    * Scale geometry (round-14 — the fp store's round-13 playbook applied
+    * to this store, which like it can never retention-prune): `bandParts`
+    * sets the band store's partition count AT CREATION (format-marked;
+    * pre-round-14 stores were all written 64-way and adopt as such);
+    * appends are sorted on `band_key` within each file; the probe is
+    * gated by per-partition Bloom sidecars over `xxhash64(band_key)`
+    * ([[BloomShards]] — the same cache/delta/rebuild machinery as the fp
+    * store), and with at most `maxKeyPushdown` distinct bloom-positive
+    * band keys the candidates are pushed into the store scan as string
+    * point predicates, so the sorted files' row-group stats bound the
+    * read by the CANDIDATES' row groups, not the partitions. Past the
+    * cap the partition-pruned join takes over, unhinted for AQE. */
   final case class NearDup(stateDir: String, k: Int = 16, bands: Int = 4,
-                           n: Int = 3, minEst: Option[Double] = None) {
+                           n: Int = 3, minEst: Option[Double] = None,
+                           bandParts: Int = LegacyBandParts,
+                           maxKeyPushdown: Int = 64) {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    require(bandParts > 0, "bandParts must be positive")
+    require(maxKeyPushdown >= 0, "maxKeyPushdown must be >= 0")
     minEst.foreach(t => require(t >= 0.0 && t <= 1.0,
       "minEst must be in [0, 1]"))
   }
 
-  private val BandParts = 64
+  private val LegacyBandParts = 64
 
   /** Band+signature rows of `docs` (doc_id, text) — the
     * [[JaccardDupStream]] row shape (signature riding each band row so
@@ -134,13 +151,31 @@ object IngestGuard {
     * to a signature table). Package-private: specs forge crashed-store
     * states from the same builder the guard probes with. */
   private[graft] def nearDupRows(docs: DataFrame, k: Int, bands: Int,
-                                 n: Int): DataFrame =
+                                 n: Int,
+                                 parts: Int = LegacyBandParts): DataFrame =
     graft.operators.Dedup.bandSigRows(docs, k, bands, n)
       .withColumn("band_part",
-        pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
+        pmod(xxhash64(col("band_key")), lit(parts)).cast("int"))
 
   private def nearDupFormatTag(nd: NearDup): String =
-    s"guard-neardup/v1/k=${nd.k}/bands=${nd.bands}/n=${nd.n}"
+    s"guard-neardup/v2/k=${nd.k}/bands=${nd.bands}/n=${nd.n}" +
+      s"/parts=${nd.bandParts}"
+
+  /** The band store's marker check with v1 ADOPTION: pre-round-14
+    * markers pin `(k, bands, n)` but not the partition count — those
+    * stores were all written [[LegacyBandParts]]-way, so a matching v1
+    * marker upgrades in place to the v2 tag iff the configured
+    * `bandParts` is the legacy count; any other configuration falls
+    * through to the strict check and fails fast naming both tags
+    * (probing a store partitioned differently than `pmod(xxhash64(key),
+    * parts)` expects would silently MISS near-dups — false negatives,
+    * the unabsorbable direction). */
+  private[streaming] def checkNdFormat(
+      fs: org.apache.hadoop.fs.FileSystem, nd: NearDup): Unit = {
+    val legacy = s"guard-neardup/v1/k=${nd.k}/bands=${nd.bands}/n=${nd.n}"
+    Streams.checkStoreFormatUpgrade(fs, nd.stateDir, nearDupFormatTag(nd),
+      legacy, nd.bandParts == LegacyBandParts, "IngestGuard.NearDup")
+  }
 
   private[streaming] val countsSchema =
     org.apache.spark.sql.types.StructType(Seq(
@@ -170,6 +205,24 @@ object IngestGuard {
           s"and was written $LegacyFpParts-way; configured fpParts=" +
           s"$fpParts cannot adopt it — restart with " +
           s"fpParts=$LegacyFpParts or point at a fresh stateDir")
+      // adoption writes a marker ONTO the directory, so first prove it
+      // actually looks like a legacy guard store (fp_part=N partition
+      // dirs, nothing else data-shaped) — pointing at a wrong path must
+      // refuse, not silently claim foreign data as the fp store
+      // (round-13 advice)
+      val entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(stateDir)).toIndexedSeq
+        .map(s => (s.getPath.getName, s.isDirectory))
+        .filterNot { case (n, _) => n.startsWith("_") || n.startsWith(".") }
+      val looksLegacy = entries.nonEmpty && entries.forall { case (n, d) =>
+        d && n.startsWith("fp_part=") &&
+          n.stripPrefix("fp_part=").toIntOption.exists(p =>
+            p >= 0 && p < LegacyFpParts)
+      }
+      require(looksLegacy,
+        s"directory $stateDir has contents but no format marker and does " +
+          "not look like a legacy guard fingerprint store (expected only " +
+          "fp_part=N partition directories) — refusing to adopt it")
       // pin the adopted geometry so the NEXT restart checks it
       val out = fs.create(
         new org.apache.hadoop.fs.Path(stateDir + ".__format"), true)
@@ -201,17 +254,33 @@ object IngestGuard {
     * useless for uniform hashes — so the session's
     * `spark.sql.parquet.pushdown.inFilterThreshold` is raised to the
     * cap at start, making Spark push or-of-eq, which prunes per value.
-    * The cap stays small deliberately: per-value pruning only wins
-    * while candidates number fewer than the partition's row groups —
-    * a dup-heavy batch past the cap gains nothing from point reads and
-    * falls back to the pruned-partition semi-join, unhinted so AQE
-    * sizes the join.) The Bloom prefilter is per-partition
-    * [[BloomShards]] sidecars — each sized to its slice
-    * (`expectedDocs / fpParts` floor-bounded), loaded only for the
-    * batch's own touched partitions, rebuilt from one store partition
-    * on saturation with geometric capacity growth — so no driver-held
-    * filter ever has to be sized for the whole corpus and a saturated
-    * filter can never silently degrade the probe to read-everything. */
+    * NOTE this raise is SESSION-GLOBAL and lives past the query — the
+    * conf has no per-read form, so every other query on a shared
+    * session plans In-pushdown with the raised threshold from then on;
+    * the default cap of 64 is the documented safe ceiling (round-13
+    * measurement: or-of-eq pruning degrades past ~64 values), raise it
+    * consciously on shared sessions. The cap stays small deliberately:
+    * per-value pruning only wins while candidates number fewer than the
+    * partition's row groups — a dup-heavy batch past the cap gains
+    * nothing from point reads and falls back to the pruned-partition
+    * semi-join, unhinted so AQE sizes the join.) The Bloom prefilter is
+    * per-partition [[BloomShards]] sidecars — each sized to its slice
+    * (`expectedDocs / fpParts` floor-bounded), CACHED in the driver
+    * across batches (the store is single-writer, so the in-memory map
+    * is authoritative: the log is read only on a run's first touch of a
+    * partition), fed per batch by batch-proportional DELTA rows rather
+    * than full filter rewrites, and rebuilt from one store partition on
+    * saturation with geometric capacity growth — so no driver-held
+    * filter ever has to be sized for the whole corpus, a saturated
+    * filter can never silently degrade the probe to read-everything,
+    * and per-batch sidecar IO is proportional to the batch.
+    * `maxBloomLoadBytes` bounds what a single batch may LOAD for its
+    * uncached shards (a restart's full-touch first batch at a corpus
+    * too big to re-load wholesale): past it the Bloom gate is skipped
+    * for the batch — candidates in live partitions all take the
+    * pruned+pushed confirm read, which is exact without the Bloom —
+    * while delta maintenance continues, so a skipped batch never
+    * starves the sidecars into false negatives. */
   def start(docs: DataFrame, evalHashes: Array[Long], stateDir: String,
             acceptedDir: String, rejectsDir: String, checkpoint: String,
             minTokens: Int = 5, maxPunctRatio: Double = 0.2,
@@ -219,22 +288,26 @@ object IngestGuard {
             fpp: Double = 0.01, views: Option[Views] = None,
             fpParts: Int = LegacyFpParts,
             maxFpPushdown: Int = 64,
-            nearDup: Option[NearDup] = None): StreamingQuery = {
+            nearDup: Option[NearDup] = None,
+            maxBloomLoadBytes: Long = 2L << 30): StreamingQuery = {
     require(fpParts > 0, "fpParts must be positive")
     require(maxFpPushdown >= 0, "maxFpPushdown must be >= 0")
+    require(maxBloomLoadBytes > 0, "maxBloomLoadBytes must be positive")
     views.foreach(v => require(docs.columns.contains(v.groupCol),
       s"Views.groupCol '${v.groupCol}' is not a column of the input docs"))
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     val inputCols = docs.columns.toIndexedSeq
     val sliceCap0 = math.max(expectedDocs / fpParts, 64L)
-    // candidate-fp point predicates must reach parquet as or-of-eq (see
-    // the scaladoc); raise the session threshold to the cap — never
-    // lower it if the session already runs with a bigger one
+    // candidate point predicates must reach parquet as or-of-eq (see
+    // the scaladoc, incl. the session-global caveat); raise the session
+    // threshold to the larger cap — never lower an existing bigger one
     val sess = docs.sparkSession
     val inThreshold = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (sess.conf.get(inThreshold, "10").toInt < maxFpPushdown)
-      sess.conf.set(inThreshold, maxFpPushdown.toString)
+    val pushCap = math.max(maxFpPushdown,
+      nearDup.map(_.maxKeyPushdown).getOrElse(0))
+    if (sess.conf.get(inThreshold, "10").toInt < pushCap)
+      sess.conf.set(inThreshold, pushCap.toString)
     // the fp store through the shared skeleton: geometry-marked (legacy
     // stores adopt, see [[checkFpFormat]]), appends sorted on __fp so
     // in-partition row-group stats serve the probe's pushed candidates;
@@ -244,12 +317,19 @@ object IngestGuard {
       s"guard-fps/v2/parts=$fpParts", "IngestGuard", 0, 0,
       checkFormat = (_, fs) => checkFpFormat(fs, stateDir, fpParts),
       sortCols = Seq("__fp"))
-    // the optional near-dup band store — same skeleton, same discipline
-    // as [[MinHashDupStream]]'s (geometry marker, pruned reads,
-    // after-lookup guarded appends); accepted docs' bands only
+    val fpBloomCache = new BloomShards.Cache
+    // the optional near-dup band store — same skeleton, same geometry
+    // discipline as the fp store's (marker-pinned parts with legacy
+    // adoption, band_key-sorted files for pushed-candidate row-group
+    // pruning, per-part Bloom sidecars); accepted docs' bands only
     val ndStore: Option[Streams.SideStore] = nearDup.map(nd =>
       new Streams.SideStore(nd.stateDir, "band_part",
-        nearDupFormatTag(nd), "IngestGuard.NearDup", 0, 0))
+        nearDupFormatTag(nd), "IngestGuard.NearDup", 0, 0,
+        checkFormat = (_, fs) => checkNdFormat(fs, nd),
+        sortCols = Seq("band_key")))
+    val ndBloomCache = new BloomShards.Cache
+    val ndSliceCap0 = nearDup.map(nd => math.max(
+      expectedDocs * nd.bands / nd.bandParts, 64L)).getOrElse(64L)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
@@ -315,52 +395,22 @@ object IngestGuard {
           else scored.filter(gate).select(col("fp_part"))
             .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
             .toIndexedSeq.filter(liveParts)
-        val loaded = BloomShards.load(spark, stateDir, "fp_part",
-          lineage, touchedParts)
-        // live touched slices with NO shard row (adoption, torn write,
-        // new lineage): their true size is unknown, and rebuilding an
-        // arbitrarily large adopted partition at the configured slice
-        // sizing would birth a saturated filter and re-read the
-        // partition once per capacity doubling — so count them first
-        // (one cheap job over exactly those partitions, rare by
-        // construction) and let the count inform the capacity
-        val unknownParts = touchedParts.filterNot(loaded.contains)
-        val unknownCounts: Map[Int, Long] =
-          if (unknownParts.isEmpty) Map.empty
-          else spark.read.parquet(stateDir)
-            .filter(col("fp_part").isin(unknownParts: _*))
-            .groupBy(col("fp_part")).count()
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        // target slice capacity: the configured sizing DOUBLED until it
-        // strictly exceeds every touched slice's known item count (a
-        // saturated shard's tracked n_items, an unknown slice's actual
-        // rows) and covers every loaded capacity — one geometry per
-        // batch, so same-capacity merges are always compatible, and a
-        // capacity migration spreads across batches instead of spiking
-        val needed = (0L +: (loaded.values.toSeq
-          .filter(s => s.nItems >= s.capacity).map(_.nItems) ++
-          unknownCounts.values.toSeq)).max
-        val capFloor = (sliceCap0 +:
-          loaded.values.toSeq.map(_.capacity)).max
-        var capG = capFloor
-        while (capG <= needed) capG *= 2
-        val usable = loaded.filter { case (_, s) =>
-          s.capacity == capG && s.nItems < s.capacity
-        }
-        val rebuilt = BloomShards.rebuild(spark, stateDir, "fp_part",
-          touchedParts.filterNot(usable.contains), capG, fpp)
-        val shards = usable ++ rebuilt
+        // cache-first shard prep ([[BloomShards.prepare]]): first-touch
+        // parts load base+delta rows from the log, live parts with no
+        // loadable shard are counted then rebuilt at a covering
+        // capacity, saturated shards rebuild at a covering doubled
+        // capacity — all per shard, nothing global. Past the load
+        // budget the gate is skipped: live-part candidates all take the
+        // exact confirm read below.
+        val prep = BloomShards.prepare(spark, stateDir, "fp_part",
+          col("__fp"), lineage, touchedParts, fpBloomCache, sliceCap0,
+          fpp, maxBloomLoadBytes)
         val probeGate =
-          if (shards.isEmpty) lit(false) // nothing accepted in these slices
-          else {
-            val arr = new Array[
-              org.apache.spark.util.sketch.BloomFilter](fpParts)
-            shards.foreach { case (p, s) => arr(p) = s.bloom }
-            SketchExpressions.bloomMightContainSharded(col("__fp"), arr)
-          }
+          if (prep.gateSkipped) col("fp_part").isin(touchedParts: _*)
+          else BloomShards.gate(col("__fp"), prep.shards, fpParts)
         val positives = scored.filter(gate && probeGate)
         val posParts =
-          if (shards.isEmpty) Array.empty[Int]
+          if (prep.shards.isEmpty && !prep.gateSkipped) Array.empty[Int]
           else positives.select(col("fp_part"))
             .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
         val withRn = scored.withColumn("__rn", rn)
@@ -423,33 +473,75 @@ object IngestGuard {
         // near-dup stage (see [[NearDup]]): bands are computed ONLY for
         // exact-level keepers (anything already condemned keeps its
         // cheaper reason under the precedence — the same dead-work
-        // argument as the fp probe's gate filter), probed against the
-        // accepted-docs band store pruned to the batch's own band_part
-        // slices, and within the batch against lower-doc_id keepers that
-        // are not themselves store-near-dups. The hit sets are bounded
-        // by the batch; no forced broadcasts.
-        val (withNear, ndRows) = (for { nd <- nearDup; st <- ndStore } yield {
+        // argument as the fp probe's gate filter). The store probe runs
+        // the fp store's full geometry: per-part Bloom sidecars over
+        // xxhash64(band_key) gate which band rows can collide with
+        // history at all (bloom-negative rows are definitively new — a
+        // no-keeper or all-negative batch never reads the store), and
+        // the positives' candidate band keys are pushed into the
+        // band_key-sorted store scan as string point predicates under
+        // the cap, so the read is bounded by the candidates' row
+        // groups, not the partitions. Within the batch: lower-doc_id
+        // keepers that are not themselves store-near-dups. The hit sets
+        // are bounded by the batch; no forced broadcasts.
+        val (withNear, ndCtx) = (for { nd <- nearDup; st <- ndStore } yield {
           val ndfs = st.ensureReady(spark)
           val keepers = probed.filter(gate && !isDup)
             .select(col("doc_id"), col("text"))
-          val rows = nearDupRows(keepers, nd.k, nd.bands, nd.n)
+          val rows = nearDupRows(keepers, nd.k, nd.bands, nd.n,
+              nd.bandParts)
             .localCheckpoint(false)
           val noIds = rows.select(col("doc_id")).limit(0)
-          val storeHits = (if (st.exists(ndfs)) Some(()) else None)
-            .map { _ =>
-              val parts = rows.select(col("band_part")).distinct()
-                .collect().map(_.getInt(0)).toIndexedSeq // bounded ≤64
-              if (parts.isEmpty) noIds
-              else rows.alias("nn").join(
-                  st.prunedRead(spark, parts)
-                    .filter(!(col("__lineage") <=> lit(lineage) &&
-                      col("__batch_id") === lit(batchId))).alias("pp"),
+          val ndStatePath = new org.apache.hadoop.fs.Path(nd.stateDir)
+          val ndLive: Set[Int] =
+            if (!ndfs.exists(ndStatePath)) Set.empty
+            else ndfs.listStatus(ndStatePath).toIndexedSeq
+              .map(_.getPath.getName)
+              .filter(_.startsWith("band_part="))
+              .flatMap(_.stripPrefix("band_part=").toIntOption).toSet
+          val touchedNd: Seq[Int] =
+            if (ndLive.isEmpty) Nil
+            else rows.select(col("band_part")).distinct()
+              .collect().map(_.getInt(0)) // bounded ≤ bandParts
+              .toIndexedSeq.filter(ndLive)
+          val ndPrep = BloomShards.prepare(spark, nd.stateDir,
+            "band_part", xxhash64(col("band_key")), lineage, touchedNd,
+            ndBloomCache, ndSliceCap0, fpp, maxBloomLoadBytes)
+          val ndGate =
+            if (ndPrep.gateSkipped) col("band_part").isin(touchedNd: _*)
+            else BloomShards.gate(xxhash64(col("band_key")),
+              ndPrep.shards, nd.bandParts)
+          val ndPositives = rows.filter(ndGate)
+          val ndPosParts =
+            if (ndPrep.shards.isEmpty && !ndPrep.gateSkipped)
+              Array.empty[Int]
+            else ndPositives.select(col("band_part"))
+              .distinct().collect().map(_.getInt(0)) // bounded ≤ bandParts
+          val storeHits =
+            if (ndPosParts.isEmpty) noIds
+            else {
+              def ndHistory() = st
+                .prunedRead(spark, ndPosParts.toIndexedSeq)
+                .filter(!(col("__lineage") <=> lit(lineage) &&
+                  col("__batch_id") === lit(batchId)))
+              val candRows = ndPositives.select(col("band_key"))
+                .distinct().take(nd.maxKeyPushdown + 1)
+              val history =
+                if (candRows.length <= nd.maxKeyPushdown)
+                  // candidate band keys pushed as point predicates:
+                  // partition pruning on band_part, then row-group
+                  // stats on the sorted band_key bound the read by the
+                  // candidates, not the partitions
+                  ndHistory().filter(col("band_key").isin(
+                    candRows.map(_.getString(0)).toIndexedSeq: _*))
+                else ndHistory() // dup-heavy: AQE sizes the plain join
+              ndPositives.alias("nn").join(history.alias("pp"),
                   col("nn.band_id") === col("pp.band_id") &&
                     col("nn.band_key") === col("pp.band_key"))
                 .filter(nd.minEst.fold(lit(true))(t =>
                   graft.operators.Dedup.sigAgreement(nd.k, "nn.sig", "pp.sig") >= lit(t)))
                 .select(col("nn.doc_id")).distinct()
-            }.getOrElse(noIds)
+            }
           val batchHits = rows.alias("aa").join(rows.alias("bb"),
               col("aa.band_id") === col("bb.band_id") &&
                 col("aa.band_key") === col("bb.band_key") &&
@@ -463,7 +555,8 @@ object IngestGuard {
             .select(col("aa.doc_id")).distinct()
           val nearIds = storeHits.unionByName(batchHits).distinct()
             .withColumn("__near", lit(true))
-          (probed.join(nearIds, Seq("doc_id"), "left"), Some(rows))
+          (probed.join(nearIds, Seq("doc_id"), "left"),
+            Some((rows, ndPrep.gateSkipped)))
         }).getOrElse((probed.withColumn("__near", lit(false)), None))
         val isNear = coalesce(col("__near"), lit(false))
         // honest reason for same-batch fp-twins of a NEAR-DUP winner
@@ -565,27 +658,37 @@ object IngestGuard {
           accepted.select(col("__fp"), col("fp_part")).distinct()
             .withColumn("__lineage", lit(lineage)),
           lineage, batchId, Seq("__fp"), repair = false)
-        // fold the batch's accepted fps into the per-partition Bloom
-        // sidecars (same-geometry merge with the shards the probe
-        // loaded/rebuilt; fresh slices get their first shard). A batch
-        // can accept NOTHING (every doc rejected) — then there is
-        // nothing to add and the sidecar stays as-is (update skips
-        // empty). A replayed batch re-merges its own fps: bits are
-        // idempotent, n_items over-counts — which can only trigger an
-        // EARLY rebuild that resets the count from the store.
+        // fold the batch's accepted fps into the cached per-partition
+        // Bloom shards and append one batch-proportional delta row per
+        // touched part (fresh slices get their first base row; this
+        // batch's rebuilds persist theirs). A batch can accept NOTHING
+        // (every doc rejected) — then there is nothing to add and the
+        // sidecar stays as-is. A replayed batch re-folds its own fps:
+        // bits are idempotent, n_items over-counts — which can only
+        // trigger an EARLY rebuild that resets the count from the store.
         BloomShards.update(spark, stateDir, "fp_part",
           accepted.select(col("fp_part"), col("__fp")).distinct(),
-          shards, capG, fpp, lineage, batchId,
-          alsoPersist = rebuilt.keySet)
+          fpBloomCache, sliceCap0, fpp, lineage, batchId,
+          gateSkipped = prep.gateSkipped)
         // grow the near-dup band store with the ACCEPTED docs' bands —
         // after the lookup (a doc never near-dups itself), guarded
         // appends in exact-repair mode (this store IS read whenever any
-        // keeper exists, so a restart's repair read is already paid for)
-        for { st <- ndStore; rows <- ndRows } st.appendBatchOnce(spark,
-          rows.join(accepted.select(col("doc_id")), Seq("doc_id"),
-              "left_semi")
-            .withColumn("__lineage", lit(lineage)),
-          lineage, batchId, Seq("doc_id", "band_id"))
+        // keeper exists, so a restart's repair read is already paid
+        // for) — then fold the same bands' key hashes into ITS Bloom
+        // sidecars (after the store append, so delta rows never cover
+        // hashes the store lacks)
+        for { (rows, ndSkipped) <- ndCtx; st <- ndStore; nd <- nearDup } {
+          val acceptedBands = rows.join(
+            accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          st.appendBatchOnce(spark,
+            acceptedBands.withColumn("__lineage", lit(lineage)),
+            lineage, batchId, Seq("doc_id", "band_id"))
+          BloomShards.update(spark, nd.stateDir, "band_part",
+            acceptedBands.select(col("band_part"),
+              xxhash64(col("band_key"))).distinct(),
+            ndBloomCache, ndSliceCap0, fpp, lineage, batchId,
+            gateSkipped = ndSkipped)
+        }
         // at-ingest analytics over the survivors: three maintained views,
         // each fed from the already-materialized `judged` checkpoint (no
         // corpus re-read), each with its own batch-atomic commit record
@@ -611,7 +714,7 @@ object IngestGuard {
           HllViewStream.applyBatch(acc, s"${v.baseDir}/hll", lineage,
             batchId, "grp", "__fp", v.lgK, v.compactEvery)
         }
-        (Seq(scored, judged) ++ ndRows).foreach(df =>
+        (Seq(scored, judged) ++ ndCtx.map(_._1)).foreach(df =>
           org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
             .foreach(_.unpersist(false)))
         ()
@@ -640,6 +743,19 @@ object IngestGuard {
                      stateDir: String): Unit =
     Streams.rewriteStore(spark, stateDir, Seq("fp_part"), Seq("__fp"))(
       identity)
+
+  /** [[compactFpStore]]'s twin for the near-dup BAND store: rewrite each
+    * `band_part` partition to one file globally sorted on `band_key`,
+    * restoring the one-row-group-per-candidate layout the probe's pushed
+    * band-key predicates depend on (per-batch appends are each sorted,
+    * but a candidate pays one row group PER FILE until compaction
+    * collapses them). Same contract as the fp twin: crash-safe two-rename
+    * swap, merged schema, Bloom sidecars untouched, SINGLE-WRITER — stop
+    * the guard's streaming query first. */
+  def compactNdStore(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): Unit =
+    Streams.rewriteStore(spark, stateDir, Seq("band_part"),
+      Seq("band_key"))(identity)
 
   /** Accepted corpus so far (idempotent-append: replays re-emit rows). */
   def accepted(spark: org.apache.spark.sql.SparkSession,

@@ -496,6 +496,25 @@ object Streams {
     }
   }
 
+  /** [[checkStoreFormat]] with a LEGACY-TAG upgrade path: a marker
+    * matching `legacy` is rewritten in place to `expected` when
+    * `legacyAdoptable` (the caller's configuration equals what the
+    * legacy tag implied); otherwise the strict check runs and a legacy
+    * marker fails fast naming both tags. Used by stores whose tag
+    * GREW a geometry field (e.g. the band stores' partition count):
+    * adoption must be explicit, never a silent reinterpretation. */
+  def checkStoreFormatUpgrade(fs: org.apache.hadoop.fs.FileSystem,
+                              stateDir: String, expected: String,
+                              legacy: String, legacyAdoptable: Boolean,
+                              storeKind: String): Unit =
+    if (legacyAdoptable && readStoreFormat(fs, stateDir).contains(legacy)) {
+      val marker = new org.apache.hadoop.fs.Path(stateDir + ".__format")
+      val out = fs.create(marker, true)
+      try out.write(
+        expected.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else checkStoreFormat(fs, stateDir, expected, storeKind)
+
   /** Read a store's format marker, if present. */
   def readStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
                       stateDir: String): Option[String] = {

@@ -1850,7 +1850,7 @@ class StreamingSpec extends GraftSuite {
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         qBad.processAllAvailable()
       }
-      assert(e.getMessage.contains("guard-neardup/v1/k=16/bands=4/n=3"),
+      assert(e.getMessage.contains("guard-neardup/v2/k=16/bands=4/n=3/parts=64"),
         s"band-geometry mismatch must fail fast: ${e.getMessage}")
     } finally qBad.stop()
   }
