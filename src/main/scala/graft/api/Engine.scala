@@ -137,10 +137,15 @@ class Engine(val spark: SparkSession,
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     registeredViews.foreach { case (name, build) =>
-      // a store mid-first-commit can be absent OR missing its geometry
-      // marker — both mean "no committed view yet", not an error
+      // only the EXPECTED pre-first-commit states are absorbed (absent
+      // path → AnalysisException, typed not-ready) — a genuinely
+      // corrupted or malformed backing store must surface, not silently
+      // serve a stale/absent table over REST (round-13 advice)
       try build().createOrReplaceTempView(name)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => ()
+        case _: Streams.StoreNotReadyException => ()
+      }
     }
   }
 

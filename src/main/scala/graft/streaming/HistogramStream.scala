@@ -87,6 +87,12 @@ object HistogramStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Streams.readStoreFormat(fs, stateDir) match {
       case Some(TagRe(mn, mx, bins)) => (mn.toDouble, mx.toDouble, bins.toInt)
+      // no marker AND no store: nothing has committed yet — the typed
+      // not-ready signal a view registry may absorb; a store that EXISTS
+      // without a parseable marker is malformed and must surface
+      case None if !fs.exists(new org.apache.hadoop.fs.Path(stateDir)) =>
+        throw new Streams.StoreNotReadyException(
+          s"$stateDir has no HistogramStream store yet")
       case other => throw new IllegalStateException(
         s"$stateDir carries no HistogramStream geometry marker (found: $other)")
     }

@@ -45,10 +45,10 @@ import graft.operators.Dedup
   * candidate, paid only on true band agreement. */
 object JaccardDupStream {
 
-  private val BandParts = 64
+  private val LegacyBandParts = 64
 
-  private def formatTag(k: Int, bands: Int, n: Int): String =
-    s"minhash-jaccard/k=$k/bands=$bands/n=$n"
+  private def formatTag(k: Int, bands: Int, n: Int, parts: Int): String =
+    s"minhash-jaccard/v2/k=$k/bands=$bands/n=$n/parts=$parts"
 
   /** Start the detector: emits `(doc_a, doc_b, est_jaccard, __batch_id)`
     * rows (estimate ≥ `minEst`) to `matchesDir` and maintains the
@@ -59,11 +59,21 @@ object JaccardDupStream {
   def start(docs: DataFrame, stateDir: String, matchesDir: String,
             checkpoint: String, k: Int = 16, bands: Int = 4, n: Int = 3,
             minEst: Double = 0.0,
-            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+            retainBatches: Int = 0, pruneEvery: Int = 0,
+            bandParts: Int = LegacyBandParts): StreamingQuery = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     require(minEst >= 0.0 && minEst <= 1.0, "minEst must be in [0, 1]")
+    require(bandParts > 0, "bandParts must be positive")
+    // pre-round-14 markers carried no partition count (stores were all
+    // written 64-way) — they adopt in place; any other configured count
+    // fails fast instead of pruning with the wrong arithmetic
+    val legacyTag = s"minhash-jaccard/k=$k/bands=$bands/n=$n"
     val store = new Streams.SideStore(stateDir, "band_part",
-      formatTag(k, bands, n), "JaccardDupStream", retainBatches, pruneEvery)
+      formatTag(k, bands, n, bandParts), "JaccardDupStream",
+      retainBatches, pruneEvery,
+      checkFormat = (_, fs) => Streams.checkStoreFormatUpgrade(fs,
+        stateDir, formatTag(k, bands, n, bandParts), legacyTag,
+        bandParts == LegacyBandParts, "JaccardDupStream"))
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     docs.writeStream
@@ -77,7 +87,7 @@ object JaccardDupStream {
         // every other MinHash surface by construction
         val rows = Dedup.bandSigRows(batch, k, bands, n)
           .withColumn("band_part",
-            pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
+            pmod(xxhash64(col("band_key")), lit(bandParts)).cast("int"))
           .localCheckpoint(false)
         val a = rows.alias("a")
         val b = rows.hint("shuffle_hash").alias("b")

@@ -63,21 +63,34 @@ import graft.operators.Dedup
   * same-band cliques, which is the answer's own size). */
 object MinHashDupStream {
 
-  private val BandParts = 64
+  private val LegacyBandParts = 64
 
-  private def formatTag(k: Int, bands: Int, n: Int): String =
-    s"minhash-lsh/k=$k/bands=$bands/n=$n"
+  private def formatTag(k: Int, bands: Int, n: Int, parts: Int): String =
+    s"minhash-lsh/v2/k=$k/bands=$bands/n=$n/parts=$parts"
 
   /** Start the detector: emits `(doc_a, doc_b, band_id, __batch_id)`
     * candidate rows to `matchesDir` and maintains the band store at
     * `stateDir`. `docs` must be a streaming DataFrame with
-    * (doc_id: long, text: string). */
+    * (doc_id: long, text: string). `bandParts` pins the store's
+    * partition count at creation (format-marked; pre-round-14 markers
+    * carried no count — those stores were all written 64-way and adopt
+    * as such, any other configured count fails fast): a full-history
+    * deployment (`retainBatches = 0`) inherits the fp store's
+    * can-never-prune shape, so size the slices for the corpus ceiling
+    * rather than living with the old hard 64. */
   def start(docs: DataFrame, stateDir: String, matchesDir: String,
             checkpoint: String, k: Int = 16, bands: Int = 4, n: Int = 3,
-            retainBatches: Int = 0, pruneEvery: Int = 0): StreamingQuery = {
+            retainBatches: Int = 0, pruneEvery: Int = 0,
+            bandParts: Int = LegacyBandParts): StreamingQuery = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    require(bandParts > 0, "bandParts must be positive")
+    val legacyTag = s"minhash-lsh/k=$k/bands=$bands/n=$n"
     val store = new Streams.SideStore(stateDir, "band_part",
-      formatTag(k, bands, n), "MinHashDupStream", retainBatches, pruneEvery)
+      formatTag(k, bands, n, bandParts), "MinHashDupStream",
+      retainBatches, pruneEvery,
+      checkFormat = (_, fs) => Streams.checkStoreFormatUpgrade(fs,
+        stateDir, formatTag(k, bands, n, bandParts), legacyTag,
+        bandParts == LegacyBandParts, "MinHashDupStream"))
     val lineage = Streams.lineageId(
       docs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     docs.writeStream
@@ -88,7 +101,7 @@ object MinHashDupStream {
         val fs = store.ensureReady(spark)
         val rows = Dedup.bandRows(batch, k, bands, n)
           .withColumn("band_part",
-            pmod(xxhash64(col("band_key")), lit(BandParts)).cast("int"))
+            pmod(xxhash64(col("band_key")), lit(bandParts)).cast("int"))
         val a = rows.alias("a")
         val b = rows.hint("shuffle_hash").alias("b")
         val intra = a.join(b,

@@ -515,6 +515,16 @@ object Streams {
       finally out.close()
     } else checkStoreFormat(fs, stateDir, expected, storeKind)
 
+  /** A maintained view's backing store has not received its FIRST commit
+    * yet (no directory, no marker) — the one build failure a view
+    * registry may silently treat as "no view yet". Distinct from an
+    * [[IllegalStateException]] on a store that EXISTS but is
+    * malformed/markerless, which must surface instead of silently
+    * serving a stale or absent table (round-13 advice on
+    * Engine.refreshUpsertViews). */
+  final class StoreNotReadyException(msg: String)
+      extends RuntimeException(msg)
+
   /** Read a store's format marker, if present. */
   def readStoreFormat(fs: org.apache.hadoop.fs.FileSystem,
                       stateDir: String): Option[String] = {

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.BloomShards
+
+/** Round-14 IO-geometry contract of the per-partition Bloom sidecars:
+  * per-batch log writes proportional to the BATCH (delta rows) instead
+  * of touched-shards × capacity, a driver cache whose reload path folds
+  * base + deltas exactly, delta rows never trusted without a base
+  * (false-negative safety), fpp drift absorbed without filter merges,
+  * and compaction bounding the log to latest-base + its delta suffix. */
+class BloomShardsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def dirBytes(path: String): Long = {
+    val d = new java.io.File(path)
+    if (!d.exists()) 0L
+    else d.listFiles().filter(_.isFile).map(_.length()).sum
+  }
+
+  private def fps(part: Int, hs: Seq[Long]) =
+    hs.map(h => (part, h)).toDF("fp_part", "__fp")
+
+  test("sidecar writes are batch-proportional: deltas after the first base") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-delta").toString
+    val state = s"$base/state"
+    val cap0 = 1L << 20 // base row ~1.2 MB at 1% fpp — deltas must be far under
+    val cache = new BloomShards.Cache
+    // a DENSE first batch (≈40% of capacity): parquet compression would
+    // otherwise shrink a near-empty filter's zeros and mask the
+    // base-vs-delta asymmetry this test pins (at the design point the
+    // corpus filters are dense and incompressible)
+    val a = (0L until 400000L).map(_ * 2654435761L)
+    BloomShards.update(spark, state, "fp_part", fps(0, a), cache,
+      cap0, 0.01, "lin", 0L)
+    val afterBase = dirBytes(BloomShards.sidecarDir(state))
+    assert(afterBase > BloomShards.bloomBytes(cap0, 0.01) / 4,
+      s"first touch must persist a full base row, wrote $afterBase bytes")
+    val b = (0L until 200L).map(_ * 104729L + 1)
+    BloomShards.update(spark, state, "fp_part", fps(0, b), cache,
+      cap0, 0.01, "lin", 1L)
+    val deltaBytes = dirBytes(BloomShards.sidecarDir(state)) - afterBase
+    assert(deltaBytes * 10 < afterBase,
+      s"a cached shard's batch must append a batch-sized delta, not a " +
+        s"capacity-sized filter: base $afterBase B vs delta $deltaBytes B")
+    // a fresh cache (= a restart) reloads base + deltas exactly
+    val cache2 = new BloomShards.Cache
+    val prep = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache2, cap0, 0.01)
+    assert(!prep.gateSkipped && prep.shards.contains(0))
+    val s = prep.shards(0)
+    assert(s.nItems === 400200L, s"base+delta counts must fold: ${s.nItems}")
+    assert((a ++ b).forall(s.bloom.mightContainLong),
+      "reloaded shard lost members from the delta suffix")
+    assert(Seq(3L, 5L, 11L).forall(h => !s.bloom.mightContainLong(h)),
+      "reloaded shard is saturated or corrupt")
+  }
+
+  test("delta rows without a base are never trusted: the part rebuilds " +
+      "from the store") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-orphan").toString
+    val state = s"$base/state"
+    // the STORE (ground truth) holds C; an orphan delta claims D
+    Seq((0, 101L), (0, 102L)).toDF("fp_part", "__fp")
+      .write.partitionBy("fp_part").parquet(state)
+    val cache0 = new BloomShards.Cache
+    BloomShards.update(spark, state, "fp_part", fps(0, Seq(999L)),
+      cache0, 64L, 0.01, "lin", 0L, gateSkipped = true)
+    assert(dirBytes(BloomShards.sidecarDir(state)) > 0,
+      "gate-skipped batches must still write their delta rows")
+    // a fresh cache must NOT serve the orphan delta as membership —
+    // deltas cover only hashes since they began; trusting them alone
+    // would be a false negative for everything older. The part rebuilds
+    // from its store partition instead.
+    val cache = new BloomShards.Cache
+    val prep = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache, 64L, 0.01)
+    val s = prep.shards(0)
+    assert(Seq(101L, 102L).forall(s.bloom.mightContainLong),
+      "rebuild must cover the store partition")
+    assert(!s.bloom.mightContainLong(999L),
+      "an orphan delta (no base row) must not be folded as membership")
+  }
+
+  test("a restart under a different fpp neither crashes nor loses members") {
+    // the round-13 advice scenario: the old sidecar MERGED a batch-built
+    // filter into the loaded one — same capacity + different fpp =
+    // different bit geometry = IncompatibleMergeException in a crash
+    // loop. The delta design folds hashes with putLong into whatever
+    // geometry the loaded filter has, so there is nothing to merge and
+    // nothing to throw; only a rebuild adopts the new fpp.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-fpp").toString
+    val state = s"$base/state"
+    val a = (0L until 100L).map(_ * 31L + 7)
+    val cache1 = new BloomShards.Cache
+    BloomShards.update(spark, state, "fp_part", fps(0, a), cache1,
+      1024L, 0.01, "lin", 0L)
+    // "restart" configured at fpp 0.05
+    val cache2 = new BloomShards.Cache
+    val prep = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache2, 1024L, 0.05)
+    val b = (0L until 100L).map(_ * 37L + 11)
+    BloomShards.update(spark, state, "fp_part", fps(0, b), cache2,
+      1024L, 0.05, "lin", 1L)
+    val after = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache2, 1024L, 0.05).shards(0)
+    assert((a ++ b).forall(after.bloom.mightContainLong),
+      "membership must survive an fpp drift across restarts")
+    assert(prep.shards(0).capacity === 1024L)
+  }
+
+  test("compaction bounds the log: latest base + its delta suffix, " +
+      "foreign lineages dropped") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-compact").toString
+    val state = s"$base/state"
+    val cache = new BloomShards.Cache
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // a foreign-lineage row that compaction must drop (it can never
+    // serve a load again)
+    BloomShards.update(spark, state, "fp_part", fps(0, Seq(555L)),
+      new BloomShards.Cache, 1024L, 0.01, "other-lin", 0L)
+    (0L until 8L).foreach { b =>
+      val hs = (0L until 50L).map(_ * 131L + b)
+      all ++= hs
+      BloomShards.update(spark, state, "fp_part", fps(0, hs), cache,
+        1024L, 0.01, "lin", b, compactEvery = 8) // compacts at batch 7
+    }
+    val log = spark.read.option("mergeSchema", "true")
+      .parquet(BloomShards.sidecarDir(state))
+    assert(log.filter(col("__lineage") =!= "lin").count() === 0,
+      "foreign-lineage rows must not survive compaction")
+    val baseRows = log.filter(coalesce(col("kind"), lit(0)) === 0)
+    assert(baseRows.count() === 1,
+      "compaction must leave ONE base row per part")
+    val baseBatch = baseRows.select(col("__batch_id")).head().getLong(0)
+    assert(log.filter(col("__batch_id") < baseBatch).count() === 0,
+      "rows older than the compacted base must be gone")
+    // and the compacted log reloads the full membership
+    val cache2 = new BloomShards.Cache
+    val prep = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache2, 1024L, 0.01)
+    assert(all.forall(prep.shards(0).bloom.mightContainLong),
+      "compaction lost members")
+  }
+}

@@ -2695,6 +2695,326 @@ class StreamingSpec extends GraftSuite {
       assert(after === snap, "the new lineage's own replay must still skip")
     } finally { envB.unpersist(); () }
   }
+
+  test("near-dup band store probe IO: pushed candidate band keys read " +
+      "candidate row groups, not the partition") {
+    // the round-14 geometry claim for the BAND store, asserted from the
+    // engine's own scan metrics (the fp store's round-13 pattern): the
+    // store can never retention-prune, so partition pruning alone leaves
+    // an O(store/parts) read per probe — appends sorted on band_key +
+    // the candidate keys pushed as string point predicates must bound
+    // the read by the CANDIDATES' row groups
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nd-probe-io").toString + "/state"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 128 * 1024)
+    try {
+      // ONE band_part partition of 1M band keys, appended the way the
+      // guard appends (sorted on band_key within the file)
+      graft.streaming.Streams.appendPartitioned(
+        spark.range(0L, 1000000L)
+          .select(md5(col("id").cast("string")).as("band_key"))
+          .withColumn("band_id", lit(0))
+          .withColumn("band_part", lit(0))
+          .withColumn("__lineage", lit("lin"))
+          .withColumn("__batch_id", lit(0L)),
+        dir, "band_part", sortCols = Seq("band_key"))
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    // 12 candidate keys — 11 present scattered across the key space, 1
+    // absent — under the guard's raised inFilterThreshold so parquet
+    // gets or-of-eq (per-value row-group pruning on the sorted column)
+    val present = spark.range(0L, 1000000L)
+      .filter(col("id").isin(3L, 90000L, 180000L, 270000L, 360000L,
+        450000L, 540000L, 630000L, 720000L, 810000L, 999999L))
+      .select(md5(col("id").cast("string"))).collect()
+      .map(_.getString(0)).toIndexedSeq
+    val cands = present :+ "00000000000000000000000000000000"
+    val inThreshold = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val oldThreshold = spark.conf.get(inThreshold, "10")
+    spark.conf.set(inThreshold, "64")
+    val (got, probe) = try {
+      val p = spark.read.parquet(dir)
+        .filter(col("band_part").isin(0))
+        .filter(col("band_key").isin(cands: _*))
+        .filter(!(col("__lineage") <=> lit("other-lineage") &&
+          col("__batch_id") === lit(9L)))
+      (p.collect().map(_.getAs[String]("band_key")).toSet, p)
+    } finally spark.conf.set(inThreshold, oldThreshold)
+    assert(got === present.toSet,
+      "pushed probe must still return exactly the present candidates")
+    val decoded = org.apache.spark.sql.GraftColumnBridge
+      .scanOutputRows(probe)
+    assert(decoded > 0, "scan metric empty — the probe ran no file scan?")
+    assert(decoded * 4 < 1000000L,
+      s"probe decoded $decoded of the partition's 1000000 rows — the " +
+        "pushed band keys are not pruning row groups inside the partition")
+  }
+
+  test("ingest guard near-dup: custom bandParts geometry works end-to-end " +
+      "and a mismatched restart fails fast") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-nd-parts").toString
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val nearCopy = baseDoc + " appendix"
+    val in = MemoryStream[(Long, String)]
+    val q = IngestGuard.start(in.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands", bandParts = 8)))
+    try {
+      in.addData(1L -> baseDoc); q.processAllAvailable()
+      in.addData(2L -> nearCopy,
+        3L -> ("an entirely different document about orchard " +
+          "irrigation schedules and autumn harvest logistics"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej = IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(2L -> "near_dup"), s"rejects: $rej")
+      // the layout really is 8-way: every partition dir parses < 8
+      val parts = new java.io.File(s"$base/bands").listFiles()
+        .map(_.getName).filter(_.startsWith("band_part="))
+        .map(_.stripPrefix("band_part=").toInt)
+      assert(parts.nonEmpty && parts.forall(p => p >= 0 && p < 8),
+        s"store must be laid out 8-way: ${parts.toSeq}")
+    } finally q.stop()
+    // a restart under different bandParts would prune and shard with the
+    // wrong arithmetic — silently missed near-dups — so it fails fast
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = IngestGuard.start(in2.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state2", s"$base/accepted2",
+      s"$base/rejects2", s"$base/checkpoint2", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands", bandParts = 16)))
+    try {
+      in2.addData(9L -> baseDoc)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("parts=8") &&
+        e.getMessage.contains("parts=16"),
+        s"band-part mismatch must name both geometries: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
+  test("ingest guard near-dup: a pre-round-14 v1 marker adopts in place " +
+      "as 64-way and upgrades to v2") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-nd-adopt").toString
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    // a legacy store: 64-way band rows of an accepted doc, v1 marker
+    // (no parts field — those stores were all written 64-way)
+    IngestGuard.nearDupRows(Seq((1L, baseDoc)).toDF("doc_id", "text"),
+        16, 4, 3, 64)
+      .withColumn("__lineage", lit("old-lin"))
+      .withColumn("__batch_id", lit(0L))
+      .write.partitionBy("band_part").parquet(s"$base/bands")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/bands.__format"),
+      "guard-neardup/v1/k=16/bands=4/n=3")
+    val in = MemoryStream[(Long, String)]
+    val q = IngestGuard.start(in.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands")))
+    try {
+      in.addData(2L -> (baseDoc + " appendix"))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej = IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(2L -> "near_dup"),
+        s"adopted legacy store must still convict the near-copy: $rej")
+      val marker = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$base/bands.__format")).trim
+      assert(marker === "guard-neardup/v2/k=16/bands=4/n=3/parts=64",
+        s"adoption must pin the v2 geometry: $marker")
+    } finally q.stop()
+  }
+
+  test("ingest guard Bloom budget: past maxBloomLoadBytes the gate is " +
+      "skipped and the decision stays exact") {
+    // the round-14 byte budget: a restart's full-touch first batch at a
+    // corpus Bloom too big to re-load wholesale skips the gate — every
+    // candidate in a live partition takes the pruned+pushed confirm
+    // read, which is exact without the Bloom — and delta maintenance
+    // continues, so nothing ever goes stale into false negatives
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-budget").toString
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = IngestGuard.start(in1.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint1", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands")))
+    try {
+      in1.addData(1L -> baseDoc); q1.processAllAvailable()
+      q1.exception.foreach(throw _)
+    } finally q1.stop()
+    // restart (fresh checkpoint = uncached shards) under a 1-byte budget:
+    // both stores' gates skip — exact dup, near dup, and fresh must all
+    // still land exactly, batch after batch
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = IngestGuard.start(in2.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint2", minTokens = 3,
+      nearDup = Some(IngestGuard.NearDup(s"$base/bands")),
+      maxBloomLoadBytes = 1L)
+    try {
+      in2.addData(2L -> baseDoc, 3L -> (baseDoc + " appendix"),
+        4L -> ("an entirely different document about orchard " +
+          "irrigation schedules and autumn harvest logistics"))
+      q2.processAllAvailable()
+      // a second gate-skipped batch: a dup of the PREVIOUS batch's
+      // accepted doc — the store append under skip must still be live
+      in2.addData(5L -> ("an entirely different document about orchard " +
+        "irrigation schedules and autumn harvest logistics"))
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      val rej = IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val acc = IngestGuard.accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      assert(rej === Map(2L -> "exact_dup", 3L -> "near_dup",
+        5L -> "exact_dup"), s"rejects: $rej")
+      assert(acc === Set(1L, 4L), s"accepted: $acc")
+    } finally q2.stop()
+  }
+
+  test("ingest guard sidecar IO: steady-state batches append deltas, " +
+      "never capacity-sized filters") {
+    // the round-14 per-batch IO bound end-to-end: with the store's
+    // partitions all cached after the first touch, every later batch
+    // appends ONLY kind=1 delta rows (packed batch hashes) to the
+    // sidecar log — write bytes proportional to the batch, not to
+    // touched-shards × capacity
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sidecar-io").toString
+    def sidecarBytes(): Long = {
+      val d = new java.io.File(
+        graft.streaming.BloomShards.sidecarDir(s"$base/state"))
+      if (!d.exists()) 0L
+      else d.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.IngestGuard.start(
+      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+      s"$base/state", s"$base/accepted", s"$base/rejects",
+      s"$base/checkpoint", minTokens = 3,
+      expectedDocs = 1L << 20, fpParts = 1)
+    try {
+      val grew = (0 until 3).map { b =>
+        val before = sidecarBytes()
+        in.addData((0 until 20).map(i =>
+          (b * 20L + i, s"wholly unique document number ${b * 20 + i} " +
+            s"about subject ${b * 20 + i} with several extra words")): _*)
+        q.processAllAvailable()
+        sidecarBytes() - before
+      }
+      q.exception.foreach(throw _)
+      assert(grew(0) > 0, "first batch must persist the base row")
+      assert(grew(1) * 5 < grew(0) && grew(2) * 5 < grew(0),
+        s"steady-state batches must write batch-sized deltas: $grew")
+      // and the log says why: batches 1-2 wrote ONLY delta rows
+      val kinds = spark.read.option("mergeSchema", "true")
+        .parquet(graft.streaming.BloomShards.sidecarDir(s"$base/state"))
+        .filter(col("__batch_id") > 0)
+        .select(coalesce(col("kind"), lit(0))).distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(kinds === Set(1),
+        s"non-first batches must append deltas only, saw kinds $kinds")
+    } finally q.stop()
+  }
+
+  test("minhash/jaccard dup streams: bandParts is geometry-pinned with " +
+      "legacy-marker adoption") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mh-parts").toString
+    val docA = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.MinHashDupStream.start(
+      in.toDF().toDF("doc_id", "text"), s"$base/state", s"$base/matches",
+      s"$base/checkpoint", bandParts = 8)
+    try {
+      in.addData(1L -> docA); q.processAllAvailable()
+      in.addData(2L -> (docA + " appendix")); q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val got = graft.streaming.MinHashDupStream
+        .matches(spark, s"$base/matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)),
+        s"8-way store must still match cross-batch: $got")
+    } finally q.stop()
+    // restart under a different count fails fast
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.MinHashDupStream.start(
+      in2.toDF().toDF("doc_id", "text"), s"$base/state",
+      s"$base/matches2", s"$base/checkpoint2", bandParts = 16)
+    try {
+      in2.addData(9L -> docA)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("parts=8"),
+        s"mismatch must name the pinned count: ${e.getMessage}")
+    } finally q2.stop()
+    // a pre-round-14 marker (no parts field) adopts as 64-way in place
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(s"$base/legacy")
+      .getFileSystem(conf)
+    val inL1 = MemoryStream[(Long, String)]
+    val qL1 = graft.streaming.JaccardDupStream.start(
+      inL1.toDF().toDF("doc_id", "text"), s"$base/legacy",
+      s"$base/lmatches", s"$base/lcheckpoint")
+    try {
+      inL1.addData(1L -> docA); qL1.processAllAvailable()
+      qL1.exception.foreach(throw _)
+    } finally qL1.stop()
+    // rewind the marker to its v1 text, as a pre-upgrade store would have
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$base/legacy.__format"), true)
+    out.write("minhash-jaccard/k=16/bands=4/n=3".getBytes("UTF-8"))
+    out.close()
+    val inL2 = MemoryStream[(Long, String)]
+    val qL2 = graft.streaming.JaccardDupStream.start(
+      inL2.toDF().toDF("doc_id", "text"), s"$base/legacy",
+      s"$base/lmatches", s"$base/lcheckpoint2")
+    try {
+      inL2.addData(2L -> (docA + " appendix")); qL2.processAllAvailable()
+      qL2.exception.foreach(throw _)
+      val got = graft.streaming.JaccardDupStream
+        .matches(spark, s"$base/lmatches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)),
+        s"adopted legacy store must still match cross-batch: $got")
+      assert(graft.streaming.Streams.readStoreFormat(fs, s"$base/legacy")
+        .contains("minhash-jaccard/v2/k=16/bands=4/n=3/parts=64"),
+        "adoption must upgrade the marker in place")
+    } finally qL2.stop()
+  }
 }
 
 /** Typed row of the `events` fixture for MemoryStream feeding. */
