@@ -92,12 +92,55 @@ object BloomShards {
     * .SideStore]]. `dirty` tracks shards holding hashes not yet covered
     * by a persisted base row; `needBase` marks shards rebuilt this batch
     * whose base row must persist so later restarts don't re-pay the
-    * rebuild. */
-  final class Cache {
+    * rebuild.
+    *
+    * `maxBytes` bounds the cache the way the sharding bounds everything
+    * else: an unbounded cache would eventually hold the WHOLE corpus
+    * filter in driver memory (the ~120 GB-at-1e11-fps infeasibility the
+    * shards exist to avoid) — past the budget the least-recently-touched
+    * shards evict. Eviction never loses state: every cached hash is in
+    * the log as a base or delta row by the time [[update]] returns (and
+    * a not-yet-persisted rebuild is pinned via `needBase`), so an
+    * evicted shard reloads exactly on its next touch — the cost is that
+    * reload, never correctness. */
+  final class Cache(private[streaming] val maxBytes: Long = 8L << 30) {
     private[streaming] val shards =
       scala.collection.mutable.HashMap.empty[Int, Shard]
     private[streaming] val dirty = scala.collection.mutable.Set.empty[Int]
     private[streaming] val needBase = scala.collection.mutable.Set.empty[Int]
+    private[streaming] val lastTouch =
+      scala.collection.mutable.HashMap.empty[Int, Long]
+    private[streaming] var clock = 0L
+
+    private[streaming] def touch(p: Int): Unit = {
+      clock += 1
+      lastTouch(p) = clock
+    }
+
+    /** Observability: parts currently held / their filter bytes. */
+    def heldParts: Int = shards.size
+    def heldBytes: Long =
+      shards.valuesIterator.map(_.bloom.bitSize() / 8).sum
+
+    /** Evict least-recently-touched shards until the held filter bytes
+      * fit `maxBytes`. `needBase` shards are pinned (their rebuilt
+      * contents are not in the log yet — evicting one would re-pay the
+      * store rebuild on next touch for no memory win that batch). */
+    private[streaming] def evictToBudget(): Unit = {
+      def held = shards.iterator
+        .map { case (_, s) => s.bloom.bitSize() / 8 }.sum
+      if (held <= maxBytes) return
+      val evictable = shards.keysIterator
+        .filterNot(needBase.contains).toIndexedSeq
+        .sortBy(p => lastTouch.getOrElse(p, 0L))
+      var over = held - maxBytes
+      evictable.iterator.takeWhile(_ => over > 0).foreach { p =>
+        over -= shards(p).bloom.bitSize() / 8
+        shards.remove(p)
+        dirty.remove(p)
+        lastTouch.remove(p)
+      }
+    }
   }
 
   /** [[prepare]]'s result: the touched parts' shards (empty when the
@@ -297,6 +340,7 @@ object BloomShards {
           cache.dirty -= p // the pending base row covers everything
         }
     }
+    touched.foreach(cache.touch)
     Prepared(
       touched.flatMap(p => cache.shards.get(p).map(p -> _)).toMap,
       gateSkipped = false)
@@ -347,6 +391,7 @@ object BloomShards {
           hs.foreach(s.bloom.putLong)
           cache.shards(p) = s.copy(nItems = s.nItems + hs.length)
           cache.dirty += p
+          cache.touch(p)
         case None =>
           if (gateSkipped) skippedDeltas += (p -> hs)
           else {
@@ -355,6 +400,7 @@ object BloomShards {
             hs.foreach(bf.putLong)
             cache.shards(p) = Shard(cap, hs.length, bf)
             cache.needBase += p
+            cache.touch(p)
           }
       }
     }
@@ -388,6 +434,10 @@ object BloomShards {
       cache.needBase --= baseParts
       cache.dirty --= baseParts
     }
+    // eviction AFTER the batch's rows are in the log (so every cached
+    // hash is reloadable) and only between batches — an evicted part's
+    // next touch reloads via [[prepare]], never silently restarts fresh
+    cache.evictToBudget()
     if (compacting)
       Streams.rewriteStore(spark, sidecarDir(stateDir)) { log0 =>
         val log =

@@ -289,10 +289,12 @@ object IngestGuard {
             fpParts: Int = LegacyFpParts,
             maxFpPushdown: Int = 64,
             nearDup: Option[NearDup] = None,
-            maxBloomLoadBytes: Long = 2L << 30): StreamingQuery = {
+            maxBloomLoadBytes: Long = 2L << 30,
+            maxBloomCacheBytes: Long = 8L << 30): StreamingQuery = {
     require(fpParts > 0, "fpParts must be positive")
     require(maxFpPushdown >= 0, "maxFpPushdown must be >= 0")
     require(maxBloomLoadBytes > 0, "maxBloomLoadBytes must be positive")
+    require(maxBloomCacheBytes > 0, "maxBloomCacheBytes must be positive")
     views.foreach(v => require(docs.columns.contains(v.groupCol),
       s"Views.groupCol '${v.groupCol}' is not a column of the input docs"))
     val lineage = Streams.lineageId(
@@ -317,7 +319,11 @@ object IngestGuard {
       s"guard-fps/v2/parts=$fpParts", "IngestGuard", 0, 0,
       checkFormat = (_, fs) => checkFpFormat(fs, stateDir, fpParts),
       sortCols = Seq("__fp"))
-    val fpBloomCache = new BloomShards.Cache
+    // each store's shard cache gets its own LRU byte budget: the driver
+    // must never end up holding the whole corpus filter (the 1e11-fps
+    // infeasibility the sharding exists to avoid) — evicted shards
+    // reload from the log on next touch
+    val fpBloomCache = new BloomShards.Cache(maxBloomCacheBytes)
     // the optional near-dup band store — same skeleton, same geometry
     // discipline as the fp store's (marker-pinned parts with legacy
     // adoption, band_key-sorted files for pushed-candidate row-group
@@ -327,7 +333,7 @@ object IngestGuard {
         nearDupFormatTag(nd), "IngestGuard.NearDup", 0, 0,
         checkFormat = (_, fs) => checkNdFormat(fs, nd),
         sortCols = Seq("band_key")))
-    val ndBloomCache = new BloomShards.Cache
+    val ndBloomCache = new BloomShards.Cache(maxBloomCacheBytes)
     val ndSliceCap0 = nearDup.map(nd => math.max(
       expectedDocs * nd.bands / nd.bandParts, 64L)).getOrElse(64L)
     docs.writeStream

@@ -113,6 +113,43 @@ class BloomShardsSpec extends GraftSuite {
     assert(prep.shards(0).capacity === 1024L)
   }
 
+  test("cache eviction past the byte budget loses nothing: evicted " +
+      "shards reload from the log on next touch") {
+    // an unbounded driver cache would eventually hold the whole corpus
+    // filter (the infeasibility the sharding exists to avoid); the LRU
+    // byte budget evicts, and eviction is safe because every cached
+    // hash is in the log as a base or delta row by the end of update
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-evict").toString
+    val state = s"$base/state"
+    // one 1024-capacity filter is ~1.2 KB serialized — a 1.5 KB budget
+    // holds exactly one shard
+    val cache = new BloomShards.Cache(1500L)
+    val a = (0L until 50L).map(_ * 13L + 1)
+    val b = (0L until 50L).map(_ * 17L + 2)
+    val c = (0L until 50L).map(_ * 19L + 3)
+    BloomShards.update(spark, state, "fp_part", fps(0, a), cache,
+      1024L, 0.01, "lin", 0L)
+    BloomShards.update(spark, state, "fp_part", fps(1, b), cache,
+      1024L, 0.01, "lin", 1L)
+    assert(cache.heldParts === 1,
+      s"budget must evict down to one shard, held ${cache.heldParts}")
+    // the evicted part 0 reloads on touch and takes new fps as deltas
+    val prep = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache, 1024L, 0.01)
+    assert(a.forall(prep.shards(0).bloom.mightContainLong),
+      "evicted shard must reload its full membership")
+    BloomShards.update(spark, state, "fp_part", fps(0, c), cache,
+      1024L, 0.01, "lin", 2L)
+    // a cold restart sees everything: base + deltas across evictions
+    val cold = new BloomShards.Cache
+    val all = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0, 1), cold, 1024L, 0.01)
+    assert((a ++ c).forall(all.shards(0).bloom.mightContainLong) &&
+      b.forall(all.shards(1).bloom.mightContainLong),
+      "membership must survive eviction cycles")
+  }
+
   test("compaction bounds the log: latest base + its delta suffix, " +
       "foreign lineages dropped") {
     val base = java.nio.file.Files
