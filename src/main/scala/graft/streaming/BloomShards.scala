@@ -360,8 +360,11 @@ object BloomShards {
     }
 
   /** Fold a batch's accepted hashes into the cache and the log. `fps`
-    * must be batch-distinct `(part: int, hash: long)` rows (by
-    * POSITION). Cached shards take the hashes in memory (`putLong`) and
+    * must be `(part: int, hash: long)` rows (by POSITION); duplicates
+    * are deduped DRIVER-SIDE after the collect — a DataFrame distinct
+    * would shuffle the whole batch just to shrink a collect the driver
+    * dedupes in microseconds. Cached shards take the hashes in memory
+    * (`putLong`) and
     * the log takes one packed DELTA row per touched part — bytes
     * proportional to the batch. Parts absent from the cache are
     * genuinely fresh (no live store data before this batch — the caller
@@ -382,7 +385,7 @@ object BloomShards {
              compactEvery: Int = 8): Unit = {
     val byPart: Map[Int, Array[Long]] = fps.collect()
       .map(r => (r.get(0).asInstanceOf[Number].intValue(), r.getLong(1)))
-      .groupBy(_._1).map { case (p, a) => p -> a.map(_._2) }
+      .groupBy(_._1).map { case (p, a) => p -> a.map(_._2).distinct }
     val skippedDeltas = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Array[Long])]
     byPart.toSeq.sortBy(_._1).foreach { case (p, hs) =>

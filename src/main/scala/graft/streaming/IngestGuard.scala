@@ -441,9 +441,22 @@ object IngestGuard {
         val probed =
           if (posParts.isEmpty) withRn.withColumn("__seen", lit(false))
           else {
-            val candRows = positives.select(col("__fp")).distinct()
-              .take(maxFpPushdown + 1)
-            if (candRows.length <= maxFpPushdown) {
+            // cheap cardinality probe BEFORE the exact distinct: the
+            // distinct is a shuffle of the batch's candidate column, and
+            // a dup-heavy batch that is obviously past the cap (the
+            // StreamBench worst case — every batch) must not pay it just
+            // to learn it can't push. approx_count_distinct is one
+            // narrow partial-agg pass; its ±2% error only mis-routes
+            // borderline batches between two EXACT paths.
+            val nCandEst = positives
+              .agg(approx_count_distinct(col("__fp")).as("n"))
+              .head().getLong(0)
+            val candRows =
+              if (nCandEst > maxFpPushdown) Array.empty[org.apache.spark.sql.Row]
+              else positives.select(col("__fp")).distinct()
+                .take(maxFpPushdown + 1)
+            if (nCandEst <= maxFpPushdown &&
+                candRows.length <= maxFpPushdown) {
               // candidate fps pushed as point predicates: partition
               // pruning on fp_part, then parquet row-group/page stats
               // on the sorted __fp — the read is bounded by the
@@ -530,10 +543,20 @@ object IngestGuard {
                 .prunedRead(spark, ndPosParts.toIndexedSeq)
                 .filter(!(col("__lineage") <=> lit(lineage) &&
                   col("__batch_id") === lit(batchId)))
-              val candRows = ndPositives.select(col("band_key"))
-                .distinct().take(nd.maxKeyPushdown + 1)
+              // same cheap cardinality probe as the fp confirm: never
+              // pay the distinct shuffle just to learn the batch is
+              // past the cap (both routes are exact)
+              val nKeyEst = ndPositives
+                .agg(approx_count_distinct(col("band_key")).as("n"))
+                .head().getLong(0)
+              val candRows =
+                if (nKeyEst > nd.maxKeyPushdown)
+                  Array.empty[org.apache.spark.sql.Row]
+                else ndPositives.select(col("band_key"))
+                  .distinct().take(nd.maxKeyPushdown + 1)
               val history =
-                if (candRows.length <= nd.maxKeyPushdown)
+                if (nKeyEst <= nd.maxKeyPushdown &&
+                    candRows.length <= nd.maxKeyPushdown)
                   // candidate band keys pushed as point predicates:
                   // partition pruning on band_part, then row-group
                   // stats on the sorted band_key bound the read by the
@@ -673,7 +696,7 @@ object IngestGuard {
         // bits are idempotent, n_items over-counts — which can only
         // trigger an EARLY rebuild that resets the count from the store.
         BloomShards.update(spark, stateDir, "fp_part",
-          accepted.select(col("fp_part"), col("__fp")).distinct(),
+          accepted.select(col("fp_part"), col("__fp")),
           fpBloomCache, sliceCap0, fpp, lineage, batchId,
           gateSkipped = prep.gateSkipped)
         // grow the near-dup band store with the ACCEPTED docs' bands —
@@ -684,16 +707,22 @@ object IngestGuard {
         // sidecars (after the store append, so delta rows never cover
         // hashes the store lacks)
         for { (rows, ndSkipped) <- ndCtx; st <- ndStore; nd <- nearDup } {
+          // checkpointed once: the store append and the sidecar update
+          // both consume it — without this the keeper⋉accepted semi-join
+          // runs twice per batch
           val acceptedBands = rows.join(
-            accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint(false)
           st.appendBatchOnce(spark,
             acceptedBands.withColumn("__lineage", lit(lineage)),
             lineage, batchId, Seq("doc_id", "band_id"))
           BloomShards.update(spark, nd.stateDir, "band_part",
             acceptedBands.select(col("band_part"),
-              xxhash64(col("band_key"))).distinct(),
+              xxhash64(col("band_key"))),
             ndBloomCache, ndSliceCap0, fpp, lineage, batchId,
             gateSkipped = ndSkipped)
+          org.apache.spark.sql.GraftColumnBridge
+            .checkpointRdd(acceptedBands).foreach(_.unpersist(false))
         }
         // at-ingest analytics over the survivors: three maintained views,
         // each fed from the already-materialized `judged` checkpoint (no
