@@ -14,9 +14,20 @@ class BloomShardsSpec extends GraftSuite {
   import spark.implicits._
 
   private def dirBytes(path: String): Long = {
-    val d = new java.io.File(path)
-    if (!d.exists()) 0L
-    else d.listFiles().filter(_.isFile).map(_.length()).sum
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  private def deltaFileCount(state: String): Int = {
+    val d = new java.io.File(BloomShards.sidecarDir(state) + "/delta")
+    if (!d.exists()) 0 else d.listFiles().count(f =>
+      f.getName.startsWith("d") && !f.getName.endsWith(".tmp"))
   }
 
   private def fps(part: Int, hs: Seq[Long]) =
@@ -150,38 +161,63 @@ class BloomShardsSpec extends GraftSuite {
       "membership must survive eviction cycles")
   }
 
-  test("compaction bounds the log: latest base + its delta suffix, " +
-      "foreign lineages dropped") {
+  test("delta-log truncation and threshold base refresh bound the " +
+      "sidecar: nothing lost, foreign sections dropped") {
     val base = java.nio.file.Files
-      .createTempDirectory("graft-bloom-compact").toString
+      .createTempDirectory("graft-bloom-trunc").toString
     val state = s"$base/state"
     val cache = new BloomShards.Cache
     val all = scala.collection.mutable.ArrayBuffer.empty[Long]
-    // a foreign-lineage row that compaction must drop (it can never
-    // serve a load again)
+    // a foreign-lineage delta that truncation must drop (it can never
+    // serve a load again); written gate-skipped so it stays an orphan
     BloomShards.update(spark, state, "fp_part", fps(0, Seq(555L)),
-      new BloomShards.Cache, 1024L, 0.01, "other-lin", 0L)
+      new BloomShards.Cache, 1024L, 0.01, "other-lin", 99L,
+      gateSkipped = true)
+    // SMALL batches (10 hashes each): deltas accumulate; a base refresh
+    // fires only when the ACCUMULATED pending hashes cross the
+    // quarter-filter threshold (~38 here), so the log always holds a
+    // base + an uncovered delta suffix — truncation must retain that
+    // suffix, the false-negative hazard this test pins
     (0L until 8L).foreach { b =>
-      val hs = (0L until 50L).map(_ * 131L + b)
+      val hs = (0L until 10L).map(i => i * 131L + b * 1000L)
       all ++= hs
       BloomShards.update(spark, state, "fp_part", fps(0, hs), cache,
-        1024L, 0.01, "lin", b, compactEvery = 8) // compacts at batch 7
+        1024L, 0.01, "lin", b, maxDeltaFiles = 4)
     }
-    val log = spark.read.option("mergeSchema", "true")
-      .parquet(BloomShards.sidecarDir(state))
-    assert(log.filter(col("__lineage") =!= "lin").count() === 0,
-      "foreign-lineage rows must not survive compaction")
-    val baseRows = log.filter(coalesce(col("kind"), lit(0)) === 0)
-    assert(baseRows.count() === 1,
-      "compaction must leave ONE base row per part")
-    val baseBatch = baseRows.select(col("__batch_id")).head().getLong(0)
-    assert(log.filter(col("__batch_id") < baseBatch).count() === 0,
-      "rows older than the compacted base must be gone")
-    // and the compacted log reloads the full membership
-    val cache2 = new BloomShards.Cache
+    assert(deltaFileCount(state) <= 5,
+      s"truncation must bound the delta log: ${deltaFileCount(state)} files")
+    val cold = new BloomShards.Cache
     val prep = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
-      "lin", Seq(0), cache2, 1024L, 0.01)
+      "lin", Seq(0), cold, 1024L, 0.01)
     assert(all.forall(prep.shards(0).bloom.mightContainLong),
-      "compaction lost members")
+      "truncation lost uncovered delta sections")
+    assert(prep.shards(0).nItems === all.length.toLong,
+      s"base+delta counts must fold exactly: ${prep.shards(0).nItems}")
+    assert(!prep.shards(0).bloom.mightContainLong(555L),
+      "a foreign-lineage orphan delta must never be folded")
+    // a LARGE batch crosses the quarter-filter threshold: the base
+    // refreshes (covers everything folded) and the next truncation
+    // drops the now-covered sections
+    val big = (0L until 200L).map(_ * 977L + 7)
+    all ++= big
+    BloomShards.update(spark, state, "fp_part", fps(0, big), cache,
+      1024L, 0.01, "lin", 8L, maxDeltaFiles = 4)
+    val meta = BloomShards.baseMeta(spark, state, "lin")
+    assert(meta.contains(0) && meta(0)._3 === 8L,
+      s"threshold refresh must write a base covering batch 8: $meta")
+    (9L until 14L).foreach { b => // drive another truncation past the bound
+      val hs = Seq(b * 7919L)
+      all += hs.head
+      BloomShards.update(spark, state, "fp_part", fps(0, hs), cache,
+        1024L, 0.01, "lin", b, maxDeltaFiles = 4)
+    }
+    assert(deltaFileCount(state) <= 5,
+      s"post-refresh truncation must drop covered sections: " +
+        s"${deltaFileCount(state)} files")
+    val cold2 = new BloomShards.Cache
+    val prep2 = BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cold2, 1024L, 0.01)
+    assert(all.forall(prep2.shards(0).bloom.mightContainLong),
+      "membership must survive refresh + truncation cycles")
   }
 }

@@ -1396,10 +1396,11 @@ class StreamingSpec extends GraftSuite {
       assert(rej === Map(9999L -> "exact_dup"), s"rejects: $rej")
       // and the sidecar really did migrate: capacity grew past the
       // initial 64-item slice sizing
-      val caps = spark.read.parquet(
-        graft.streaming.BloomShards.sidecarDir(s"$base/state"))
-        .select(col("capacity")).collect().map(_.getLong(0))
-      assert(caps.max >= 128L,
+      val lineage = graft.streaming.Streams.lineageId(
+        spark.sparkContext.hadoopConfiguration, s"$base/checkpoint")
+      val caps = graft.streaming.BloomShards
+        .baseMeta(spark, s"$base/state", lineage).values.map(_._1)
+      assert(caps.nonEmpty && caps.max >= 128L,
         s"saturated shards must rebuild at doubled capacity: ${caps.toSeq}")
     } finally q.stop()
   }
@@ -1609,16 +1610,14 @@ class StreamingSpec extends GraftSuite {
       assert(rej === Map(1000L -> "exact_dup"), s"rejects: $rej")
       // ONE batch after adoption, the rebuilt shards already cover
       // their ~150-item slices: capacity jumped straight past two
-      // doublings and the shard is NOT saturated at birth (the log
-      // still holds the first lineage's 64-capacity rows — only the
-      // adopting lineage's rows are its current shards)
+      // doublings and the shard is NOT saturated at birth (the first
+      // lineage's base files are foreign — only the adopting lineage's
+      // bases are its current shards)
       val lineage2 = graft.streaming.Streams.lineageId(
         spark.sparkContext.hadoopConfiguration, s"$base/checkpoint2")
-      val shardRows = spark.read.parquet(
-        graft.streaming.BloomShards.sidecarDir(s"$base/state"))
-        .filter(col("__lineage") === lineage2)
-        .select(col("capacity"), col("n_items")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      val shardRows = graft.streaming.BloomShards
+        .baseMeta(spark, s"$base/state", lineage2).values
+        .map { case (cap, n, _) => (cap, n) }
       assert(shardRows.exists(_._1 >= 256L),
         s"adopted slice must be sized from its count: ${shardRows.toSeq}")
       assert(shardRows.forall { case (cap, n) => n < cap },
@@ -2910,10 +2909,15 @@ class StreamingSpec extends GraftSuite {
     val base = java.nio.file.Files
       .createTempDirectory("graft-sidecar-io").toString
     def sidecarBytes(): Long = {
-      val d = new java.io.File(
+      val p = java.nio.file.Paths.get(
         graft.streaming.BloomShards.sidecarDir(s"$base/state"))
-      if (!d.exists()) 0L
-      else d.listFiles().filter(_.isFile).map(_.length()).sum
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
     }
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.IngestGuard.start(
@@ -2931,17 +2935,24 @@ class StreamingSpec extends GraftSuite {
         sidecarBytes() - before
       }
       q.exception.foreach(throw _)
-      assert(grew(0) > 0, "first batch must persist the base row")
+      assert(grew(0) > 0, "first batch must persist the base file")
       assert(grew(1) * 5 < grew(0) && grew(2) * 5 < grew(0),
         s"steady-state batches must write batch-sized deltas: $grew")
-      // and the log says why: batches 1-2 wrote ONLY delta rows
-      val kinds = spark.read.option("mergeSchema", "true")
-        .parquet(graft.streaming.BloomShards.sidecarDir(s"$base/state"))
-        .filter(col("__batch_id") > 0)
-        .select(coalesce(col("kind"), lit(0))).distinct()
-        .collect().map(_.getInt(0)).toSet
-      assert(kinds === Set(1),
-        s"non-first batches must append deltas only, saw kinds $kinds")
+      // and the layout says why: batches 1-2 added ONLY delta files —
+      // the single base file (fpParts = 1) is batch 0's, untouched
+      // (20-doc batches never cross the quarter-filter refresh
+      // threshold at the 1M-item slice sizing)
+      def visible(dir: String) = new java.io.File(
+        graft.streaming.BloomShards.sidecarDir(s"$base/state") + dir)
+        .listFiles().filter(f => !f.getName.endsWith(".tmp") &&
+          !f.getName.startsWith("."))
+      val baseFiles = visible("/base")
+      val deltaFiles = visible("/delta")
+      assert(baseFiles.length === 1,
+        s"one part ⇒ one base file: ${baseFiles.map(_.getName).toSeq}")
+      assert(deltaFiles.length === 2,
+        s"batches 1-2 must each add one delta file: " +
+          s"${deltaFiles.map(_.getName).toSeq}")
     } finally q.stop()
   }
 
