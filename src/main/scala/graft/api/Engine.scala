@@ -132,20 +132,42 @@ class Engine(val spark: SparkSession,
     * [[registerView]] materialization (no-op for a table/view whose
     * backing store hasn't received its first commit yet). */
   private def refreshUpsertViews(): Unit = {
+    // only the EXPECTED pre-first-commit states are absorbed (absent
+    // path → AnalysisException, typed not-ready) — a genuinely
+    // corrupted or malformed backing store must surface, not silently
+    // serve a stale/absent table over REST (round-13 advice). But it
+    // must surface WITHOUT collateral damage: one malformed store must
+    // not abort the refresh of every remaining healthy view (round-14
+    // advice), so failures are collected per view, the loop completes,
+    // and the first error is rethrown with the rest aggregated.
+    val malformed = scala.collection.mutable.ListBuffer
+      .empty[(String, Throwable)]
     upserts.foreach { case (name, (path, keys)) =>
-      try Streams.upsertView(spark, path, keys).createOrReplaceTempView(name)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      try Streams.upsertView(spark, path, keys)
+        .createOrReplaceTempView(name)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => ()
+        case scala.util.control.NonFatal(e) => malformed += (name -> e)
+      }
     }
     registeredViews.foreach { case (name, build) =>
-      // only the EXPECTED pre-first-commit states are absorbed (absent
-      // path → AnalysisException, typed not-ready) — a genuinely
-      // corrupted or malformed backing store must surface, not silently
-      // serve a stale/absent table over REST (round-13 advice)
       try build().createOrReplaceTempView(name)
       catch {
         case _: org.apache.spark.sql.AnalysisException => ()
         case _: Streams.StoreNotReadyException => ()
+        case scala.util.control.NonFatal(e) => malformed += (name -> e)
       }
+    }
+    malformed.toList match {
+      case Nil => ()
+      case (_, firstErr) :: _ =>
+        val all = malformed.map { case (n, e) =>
+          s"$n (${e.getClass.getSimpleName}: ${e.getMessage})"
+        }.mkString("; ")
+        throw new IllegalStateException(
+          s"${malformed.size} view(s) failed to refresh " +
+            s"(healthy views were refreshed): $all",
+          firstErr)
     }
   }
 

@@ -59,17 +59,26 @@ import graft.operators.Relational
   *    ≤ b (rebuilds read the store, which holds every completed append;
   *    refreshes serialize the cache, which holds everything folded).
   *  - **Delta truncation**: past a file-count bound the delta log is
-  *    merged to the sections no base covers yet (crash-safe: merged
-  *    file renamed in before the olds delete — re-folding a leftover is
-  *    idempotent). Foreign-lineage sections drop (they can never serve
-  *    a load).
-  *  - **Byte budget** ([[prepare]]'s `maxLoadBytes`): the bytes a batch
-  *    would load for its uncached shards, EXACT from the base files'
-  *    listed sizes; past the budget the Bloom gate is SKIPPED for the
-  *    batch — every candidate in a live partition is treated as
-  *    positive and the pruned+pushed confirm read (exact without the
-  *    Bloom) decides. Delta files are still written, so skipped batches
-  *    never starve the sidecar into false negatives.
+  *    merged to the sections no base covers yet, STREAMED one section
+  *    at a time (driver memory bounded by one section — one batch's
+  *    per-part hashes — not the uncovered volume) into a FRESH file
+  *    name (crash-safe: the merged file renames in before the olds
+  *    delete, and because the name never collides with a leftover
+  *    merge, a replayed truncation can never delete the only copy of
+  *    sections that survive solely in that leftover — re-folding a
+  *    leftover is idempotent and duplicate sections merge once).
+  *    Foreign-lineage sections drop (they can never serve a load).
+  *  - **Byte budget** ([[prepare]]'s `maxLoadBytes`): each batch loads
+  *    AT MOST this many bytes of uncached shards (own-lineage base
+  *    files at their exact listed length plus the pending delta bytes
+  *    the load folds; cap0-filter estimates for parts with no usable
+  *    base) and DEFERS the rest — deferred parts are reported to the
+  *    caller, which treats their rows as bloom-POSITIVE (exact: the
+  *    confirm read decides; a false negative is impossible). The cache
+  *    persists across batches, so a restarted full-touch stream warms
+  *    fully in ~⌈totalBytes/budget⌉ batches instead of skipping the
+  *    gate forever. Delta files are still written for deferred parts,
+  *    so deferral never starves the sidecar into false negatives.
   *
   * There is NO filter merge anywhere (delta folds are `putLong`), so a
   * restart under a different `fpp` can never throw
@@ -113,6 +122,9 @@ object BloomShards {
     private[streaming] val lastTouch =
       scala.collection.mutable.HashMap.empty[Int, Long]
     private[streaming] var clock = 0L
+    /** Observability + spec surface: the byte estimate of what the last
+      * [[prepare]] actually loaded (always ≤ its `maxLoadBytes`). */
+    var lastLoadBytes: Long = 0L
 
     private[streaming] def touch(p: Int): Unit = {
       clock += 1
@@ -146,9 +158,11 @@ object BloomShards {
   }
 
   /** [[prepare]]'s result: the touched parts' shards (empty when the
-    * store has nothing for them — or when the gate was skipped), and
-    * whether the byte budget skipped the gate for this batch. */
-  final case class Prepared(shards: Map[Int, Shard], gateSkipped: Boolean)
+    * store has nothing for them), and the touched LIVE parts the byte
+    * budget DEFERRED this batch — their sidecars were not loaded, so
+    * the caller must treat their rows as bloom-positive (exact; never a
+    * false negative) until a later batch's warming loads them. */
+  final case class Prepared(shards: Map[Int, Shard], deferred: Seq[Int])
 
   def sidecarDir(stateDir: String): String = stateDir + ".__bloomparts"
   private def baseDir(stateDir: String) = sidecarDir(stateDir) + "/base"
@@ -294,6 +308,21 @@ object BloomShards {
     }
   }
 
+  /** Skip exactly `n` bytes. `DataInputStream.skipBytes(n * 8)` is
+    * Int-armed — a section above ~268M hashes overflows to a negative
+    * (no-op) skip and misparses the rest of the stream — and `skip`
+    * itself may be short, so loop with a read fallback; a tear inside
+    * the span surfaces as EOFException (an IOException), which callers
+    * treat as a torn file. */
+  private def skipFully(in: java.io.DataInputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else { in.readByte(); left -= 1 }
+    }
+  }
+
   private def deltaFiles(fs: org.apache.hadoop.fs.FileSystem,
                          stateDir: String)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -332,7 +361,7 @@ object BloomShards {
           var j = 0
           while (j < n) { hs(j) = in.readLong(); j += 1 }
           out += ((p, batchId, hs))
-        } else in.skipBytes(n * 8)
+        } else skipFully(in, n.toLong * 8)
         i += 1
       }
       out.result()
@@ -361,6 +390,49 @@ object BloomShards {
     }
   }
 
+  /** Header-scan of the delta log: per `wanted` part, the payload bytes
+    * of the own-lineage sections newer than that part's base cover
+    * (i.e. what a load would fold). Payloads are skipped, never read —
+    * the scan costs one header pass over the (file-count-bounded) log,
+    * paid only by batches that actually have uncached parts. */
+  private def deltaPendingBytes(fs: org.apache.hadoop.fs.FileSystem,
+                                stateDir: String, lineage: String,
+                                wanted: Map[Int, Long]): Map[Int, Long] = {
+    val acc = scala.collection.mutable.HashMap.empty[Int, Long]
+    deltaFiles(fs, stateDir).foreach { st =>
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(fs.open(st.getPath)))
+      try {
+        if (in.readInt() == DeltaMagic && in.readUTF() == lineage) {
+          val nSections = in.readInt()
+          var i = 0
+          while (i < nSections) {
+            val p = in.readInt()
+            val batchId = in.readLong()
+            val n = in.readInt()
+            skipFully(in, n.toLong * 8)
+            if (wanted.get(p).exists(batchId > _))
+              acc(p) = acc.getOrElse(p, 0L) + n.toLong * 8
+            i += 1
+          }
+        }
+      } catch {
+        case _: java.io.IOException => () // torn tail: count what parsed
+      } finally in.close()
+    }
+    acc.toMap
+  }
+
+  // sidecar roots observed to hold NO legacy parquet — memoized so a
+  // genuinely fresh (or fully upgraded) store pays the root listing at
+  // most once per JVM instead of once per first-touch load. Safe to
+  // memoize the NEGATIVE only: legacy files are pre-upgrade artifacts
+  // and nothing ever writes new root-level parquet. The fallback (and
+  // this set) can be deleted outright once every deployed store has
+  // base files for its live parts — one full-touch cycle post-upgrade.
+  private val legacyAbsent =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The PRE-round-14 sidecar fallback: one parquet log of full-filter
     * rows at the sidecar root. Read only for parts that have no base
     * file (an upgraded deployment's first touches); refreshes then
@@ -371,14 +443,18 @@ object BloomShards {
                           partCol: String): Map[Int, BaseFile] = {
     val root = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (parts.isEmpty || !fs.exists(root)) return Map.empty
+    if (parts.isEmpty || legacyAbsent.contains(root.toString) ||
+      !fs.exists(root)) return Map.empty
     // the legacy rows are ROOT-LEVEL parquet files; read them by
     // explicit path so the new base/delta subdirectories (non-parquet
     // driver-native files) never enter the file index
     val legacyFiles = fs.listStatus(root).toIndexedSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    if (legacyFiles.isEmpty) return Map.empty
+    if (legacyFiles.isEmpty) {
+      legacyAbsent.add(root.toString)
+      return Map.empty
+    }
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(legacyFiles: _*)
     val withBloom =
@@ -475,32 +551,63 @@ object BloomShards {
     * doubled capacity. Capacities evolve PER SHARD — nothing ever
     * merges two filters, so no global geometry needs to hold.
     *
-    * When the bytes for the uncached parts (base files' exact listed
-    * sizes; `cap0`-estimates for parts with none) exceed `maxLoadBytes`,
-    * returns `gateSkipped = true` with no shards and performs NO
-    * further IO: the caller must treat every candidate in a live
-    * partition as bloom-positive and let its exact confirm path
-    * decide. */
+    * `maxLoadBytes` is a PER-BATCH warming budget, not an all-or-nothing
+    * skip: each batch loads uncached parts (first-fit in part order —
+    * own-lineage base files at their exact listed length PLUS the
+    * pending delta bytes the load folds; `cap0`-filter estimates for
+    * parts with no usable base — none, torn, foreign lineage, or a
+    * legacy parquet row whose true size no listing exposes) until the
+    * budget is spent, and DEFERS the rest. Deferred parts come back in
+    * [[Prepared.deferred]]: the caller treats their rows as
+    * bloom-positive ([[gate]]'s `Prepared` overload), which is exact —
+    * the confirm read decides, and a false negative is impossible.
+    * Because the cache persists across batches, a restarted full-touch
+    * stream is fully warm after ~⌈totalBytes/maxLoadBytes⌉ batches; a
+    * single part whose bytes exceed the whole budget stays deferred
+    * (served by the confirm path) rather than blowing the budget. */
   def prepare(spark: SparkSession, stateDir: String, partCol: String,
               hashExpr: Column, lineage: String, touched: Seq[Int],
               cache: Cache, cap0: Long, fpp: Double,
               maxLoadBytes: Long = Long.MaxValue): Prepared = {
-    if (touched.isEmpty) return Prepared(Map.empty, gateSkipped = false)
+    cache.lastLoadBytes = 0L
+    if (touched.isEmpty) return Prepared(Map.empty, Nil)
     val missing = touched.filterNot(cache.shards.contains)
+    var deferred: Seq[Int] = Nil
     if (missing.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val baseFiles = listBases(fs, stateDir)
-      val est = missing.map(p => baseFiles.get(p).map(_.getLen)
-        .getOrElse(bloomBytes(cap0, fpp))).sum
-      if (est > maxLoadBytes)
-        return Prepared(Map.empty, gateSkipped = true)
-      loadInto(spark, stateDir, partCol, lineage, missing, cache)
+      // per-part headers: a foreign-lineage or torn base can never be
+      // loaded — its part takes the rebuild path, so its budget charge
+      // is the cap0 filter the rebuild will materialize, not the file
+      val headers: Map[Int, Option[BaseFile]] = missing.map(p =>
+        p -> baseFiles.get(p).flatMap(st =>
+          readBase(fs, st.getPath, withFilter = false))
+          .filter(_.lineage == lineage)).toMap
+      val pending: Map[Int, Long] = deltaPendingBytes(fs, stateDir,
+        lineage, headers.collect { case (p, Some(b)) =>
+          p -> b.coversThrough })
+      val est: Seq[(Int, Long)] = missing.map { p =>
+        p -> (headers(p) match {
+          case Some(_) => baseFiles(p).getLen + pending.getOrElse(p, 0L)
+          case None => bloomBytes(cap0, fpp)
+        })
+      }
+      var left = maxLoadBytes
+      val (load, defer) = est.partition { case (_, b) =>
+        b <= left && { left -= b; true }
+      }
+      deferred = defer.map(_._1)
+      cache.lastLoadBytes = load.map(_._2).sum
+      loadInto(spark, stateDir, partCol, lineage, load.map(_._1), cache)
     }
     // live parts with no loadable base: count first (one job over
     // exactly those partitions, rare by construction), then rebuild at
-    // a covering capacity
+    // a covering capacity — deferred parts are excluded (their state is
+    // simply not loaded yet; rebuilding them would blow the budget)
+    val deferredSet = deferred.toSet
     val unknown = touched.filterNot(cache.shards.contains)
+      .filterNot(deferredSet)
     val unknownCounts: Map[Int, Long] =
       if (unknown.isEmpty) Map.empty
       else spark.read.parquet(stateDir)
@@ -524,7 +631,7 @@ object BloomShards {
     touched.foreach(cache.touch)
     Prepared(
       touched.flatMap(p => cache.shards.get(p).map(p -> _)).toMap,
-      gateSkipped = false)
+      deferred)
   }
 
   /** The sharded probe gate over [[prepare]]'s shards — false (nothing
@@ -540,6 +647,19 @@ object BloomShards {
       SketchExpressions.bloomMightContainSharded(hashCol, arr)
     }
 
+  /** [[gate]] over a full [[Prepared]]: the sharded probe OR-ed with
+    * membership of the budget-DEFERRED parts — a row in a deferred part
+    * is treated as bloom-positive (exact: the caller's confirm read
+    * decides, and treating a live-but-unloaded part as positive can
+    * never be a false negative), so warming stays incremental without
+    * ever widening the gate for parts that ARE loaded. */
+  def gate(hashCol: Column, partColumn: Column, prep: Prepared,
+           nParts: Int): Column = {
+    val sharded = gate(hashCol, prep.shards, nParts)
+    if (prep.deferred.isEmpty) sharded
+    else sharded || partColumn.isin(prep.deferred: _*)
+  }
+
   /** Fold a batch's accepted hashes into the cache and the sidecar.
     * `fps` must be `(part: int, hash: long)` rows (by POSITION);
     * duplicates are deduped DRIVER-SIDE after the collect. Cached
@@ -548,10 +668,12 @@ object BloomShards {
     * batch (a replay atomically overwrites its own file). Parts absent
     * from the cache are genuinely fresh (no live store data before this
     * batch — the caller prepared every live touched part) and get their
-    * first BASE file, sized to cover the batch — unless `gateSkipped`,
-    * in which case liveness is unknown and the hashes ride the delta
-    * file (never trusted without a base; the part's next prepared touch
-    * rebuilds from the store). Base files are REFRESHED only for (a)
+    * first BASE file, sized to cover the batch — unless the part is in
+    * `deferred` (live, but [[prepare]]'s budget did not load it), in
+    * which case the hashes ride the delta file only: a batch-built base
+    * would claim to cover store history the filter lacks — a false
+    * negative. The part's next warmed touch loads base + deltas as
+    * usual. Base files are REFRESHED only for (a)
     * this batch's rebuilds (`needBase`) and (b) dirty shards whose
     * pending delta bytes exceed a quarter of their filter size — so
     * base write amplification stays bounded by ~4× the delta volume.
@@ -560,7 +682,7 @@ object BloomShards {
   def update(spark: SparkSession, stateDir: String, partCol: String,
              fps: DataFrame, cache: Cache, cap0: Long, fpp: Double,
              lineage: String, batchId: Long,
-             gateSkipped: Boolean = false,
+             deferred: Set[Int] = Set.empty,
              maxDeltaFiles: Int = 64): Unit = {
     val fs = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -580,7 +702,7 @@ object BloomShards {
           cache.touch(p)
           deltaSections += (p -> hs)
         case None =>
-          if (gateSkipped) deltaSections += (p -> hs)
+          if (deferred(p)) deltaSections += (p -> hs)
           else {
             val cap = cover(cap0, hs.length)
             val bf = BloomFilter.create(cap, fpp)
@@ -629,23 +751,98 @@ object BloomShards {
     cache.evictToBudget()
     // delta-log truncation: merge down to the sections newer than their
     // part's base (foreign-lineage and covered sections drop — loads
-    // ignore them anyway); crash-safe because the merged file renames
-    // in BEFORE the olds delete, and re-folding a leftover is idempotent
+    // ignore them anyway)
     val files = deltaFiles(fs, stateDir)
-    if (files.length > math.max(maxDeltaFiles, 1)) {
-      val covers: Map[Int, Long] = listBases(fs, stateDir)
-        .flatMap { case (p, st) =>
-          readBase(fs, st.getPath, withFilter = false)
-            .filter(_.lineage == lineage).map(p -> _.coversThrough)
-        }
-      val live = files.flatMap(st =>
-        readDelta(fs, st.getPath, lineage, None))
-        .filter { case (p, b, _) => b > covers.getOrElse(p, -1L) }
-      val mergedName = s"dm$batchId"
-      writeDeltaFile(fs, stateDir, mergedName, lineage, live)
-      files.foreach(st =>
-        if (st.getPath.getName != mergedName)
-          fs.delete(st.getPath, false))
+    if (files.length > math.max(maxDeltaFiles, 1))
+      truncateDeltas(fs, stateDir, lineage, files, batchId)
+  }
+
+  /** Merge the delta log down to the sections no base covers yet.
+    * Crash-safety and memory, in that order of importance:
+    *
+    *  - The merged file gets a FRESH name (`dm<batchId>`, suffixed past
+    *    any existing file): [[atomicWrite]] deletes its target before
+    *    renaming the tmp in, so a replayed truncation writing over a
+    *    LEFTOVER merge (crash after its rename, before the old deletes
+    *    finished) could otherwise delete the only copy of sections that
+    *    survive solely in that leftover — a Bloom false negative if the
+    *    crash recurred between the delete and the rename. With a
+    *    never-colliding name the old merge is deleted only AFTER the new
+    *    one is renamed in, like every other source file.
+    *  - Sections are STREAMED one at a time (two header passes: count,
+    *    then copy), so driver memory is bounded by the largest single
+    *    section — one batch's per-part hashes — not the uncovered
+    *    volume, which at the design point is ~quarter of the corpus
+    *    filter. Duplicate `(part, batchId)` sections (a leftover merge
+    *    plus its sources) are byte-identical by construction and copied
+    *    once.
+    *  - A section counts/copies only after its payload is fully
+    *    consumed, so a torn tail truncates both passes at the same
+    *    point and the declared section count always matches the body. */
+  private def truncateDeltas(fs: org.apache.hadoop.fs.FileSystem,
+                             stateDir: String, lineage: String,
+                             files: Seq[org.apache.hadoop.fs.FileStatus],
+                             batchId: Long): Unit = {
+    val covers: Map[Int, Long] = listBases(fs, stateDir)
+      .flatMap { case (p, st) =>
+        readBase(fs, st.getPath, withFilter = false)
+          .filter(_.lineage == lineage).map(p -> _.coversThrough)
+      }
+    // one pass over the log's section headers; `emit` receives each
+    // live section's header and its fully-read payload bytes
+    def scan(emit: (Int, Long, Int, Array[Byte]) => Unit): Long = {
+      val seen = scala.collection.mutable.Set.empty[(Int, Long)]
+      var count = 0L
+      files.foreach { st =>
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(st.getPath)))
+        try {
+          if (in.readInt() == DeltaMagic && in.readUTF() == lineage) {
+            val nSections = in.readInt()
+            var i = 0
+            while (i < nSections) {
+              val p = in.readInt()
+              val b = in.readLong()
+              val n = in.readInt()
+              val live = b > covers.getOrElse(p, -1L) &&
+                !seen.contains((p, b))
+              if (live) {
+                val payload = new Array[Byte](math.toIntExact(n.toLong * 8))
+                in.readFully(payload) // a tear here drops the section in BOTH passes
+                emit(p, b, n, payload)
+                seen.add((p, b))
+                count += 1
+              } else skipFully(in, n.toLong * 8)
+              i += 1
+            }
+          }
+        } catch {
+          case _: java.io.IOException => () // torn tail: stop this file
+        } finally in.close()
+      }
+      count
     }
+    val nLive = scan((_, _, _, _) => ())
+    val names = files.map(_.getPath.getName).toSet
+    val mergedName = Iterator.from(0)
+      .map(i => if (i == 0) s"dm$batchId" else s"dm$batchId-$i")
+      .find(!names.contains(_)).get
+    atomicWrite(fs, new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(deltaDir(stateDir)), mergedName)) {
+      out =>
+        out.writeInt(DeltaMagic)
+        out.writeUTF(lineage)
+        out.writeInt(math.toIntExact(nLive))
+        val copied = scan { (p, b, n, payload) =>
+          out.writeInt(p)
+          out.writeLong(b)
+          out.writeInt(n)
+          out.write(payload)
+        }
+        // single-writer: the log cannot change between the passes
+        require(copied == nLive,
+          s"delta truncation drift: counted $nLive, copied $copied")
+    }
+    files.foreach(st => fs.delete(st.getPath, false))
   }
 }

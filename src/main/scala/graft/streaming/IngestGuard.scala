@@ -276,11 +276,14 @@ object IngestGuard {
     * and per-batch sidecar IO is proportional to the batch.
     * `maxBloomLoadBytes` bounds what a single batch may LOAD for its
     * uncached shards (a restart's full-touch first batch at a corpus
-    * too big to re-load wholesale): past it the Bloom gate is skipped
-    * for the batch — candidates in live partitions all take the
-    * pruned+pushed confirm read, which is exact without the Bloom —
-    * while delta maintenance continues, so a skipped batch never
-    * starves the sidecars into false negatives. */
+    * too big to re-load wholesale): each batch WARMS up to the budget
+    * and defers the rest — candidates in the deferred partitions are
+    * treated as bloom-positive and take the pruned+pushed confirm read,
+    * which is exact without the Bloom — so the gate recovers fully in
+    * ~⌈sidecarBytes/budget⌉ batches after any restart instead of
+    * skipping forever, while delta maintenance continues for deferred
+    * parts, so deferral never starves the sidecars into false
+    * negatives. */
   def start(docs: DataFrame, evalHashes: Array[Long], stateDir: String,
             acceptedDir: String, rejectsDir: String, checkpoint: String,
             minTokens: Int = 5, maxPunctRatio: Double = 0.2,
@@ -402,21 +405,21 @@ object IngestGuard {
             .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
             .toIndexedSeq.filter(liveParts)
         // cache-first shard prep ([[BloomShards.prepare]]): first-touch
-        // parts load base+delta rows from the log, live parts with no
+        // parts load base+delta rows from the log UP TO the byte budget
+        // (the rest are DEFERRED — treated bloom-positive, exact via the
+        // confirm read, and warmed by later batches), live parts with no
         // loadable shard are counted then rebuilt at a covering
         // capacity, saturated shards rebuild at a covering doubled
-        // capacity — all per shard, nothing global. Past the load
-        // budget the gate is skipped: live-part candidates all take the
-        // exact confirm read below.
+        // capacity — all per shard, nothing global.
         val prep = BloomShards.prepare(spark, stateDir, "fp_part",
           col("__fp"), lineage, touchedParts, fpBloomCache, sliceCap0,
           fpp, maxBloomLoadBytes)
         val probeGate =
-          if (prep.gateSkipped) col("fp_part").isin(touchedParts: _*)
-          else BloomShards.gate(col("__fp"), prep.shards, fpParts)
+          BloomShards.gate(col("__fp"), col("fp_part"), prep, fpParts)
         val positives = scored.filter(gate && probeGate)
         val posParts =
-          if (prep.shards.isEmpty && !prep.gateSkipped) Array.empty[Int]
+          if (prep.shards.isEmpty && prep.deferred.isEmpty)
+            Array.empty[Int]
           else positives.select(col("fp_part"))
             .distinct().collect().map(_.getInt(0)) // bounded ≤ fpParts
         val withRn = scored.withColumn("__rn", rn)
@@ -526,13 +529,11 @@ object IngestGuard {
           val ndPrep = BloomShards.prepare(spark, nd.stateDir,
             "band_part", xxhash64(col("band_key")), lineage, touchedNd,
             ndBloomCache, ndSliceCap0, fpp, maxBloomLoadBytes)
-          val ndGate =
-            if (ndPrep.gateSkipped) col("band_part").isin(touchedNd: _*)
-            else BloomShards.gate(xxhash64(col("band_key")),
-              ndPrep.shards, nd.bandParts)
+          val ndGate = BloomShards.gate(xxhash64(col("band_key")),
+            col("band_part"), ndPrep, nd.bandParts)
           val ndPositives = rows.filter(ndGate)
           val ndPosParts =
-            if (ndPrep.shards.isEmpty && !ndPrep.gateSkipped)
+            if (ndPrep.shards.isEmpty && ndPrep.deferred.isEmpty)
               Array.empty[Int]
             else ndPositives.select(col("band_part"))
               .distinct().collect().map(_.getInt(0)) // bounded ≤ bandParts
@@ -585,7 +586,7 @@ object IngestGuard {
           val nearIds = storeHits.unionByName(batchHits).distinct()
             .withColumn("__near", lit(true))
           (probed.join(nearIds, Seq("doc_id"), "left"),
-            Some((rows, ndPrep.gateSkipped)))
+            Some((rows, ndPrep.deferred.toSet)))
         }).getOrElse((probed.withColumn("__near", lit(false)), None))
         val isNear = coalesce(col("__near"), lit(false))
         // honest reason for same-batch fp-twins of a NEAR-DUP winner
@@ -698,7 +699,7 @@ object IngestGuard {
         BloomShards.update(spark, stateDir, "fp_part",
           accepted.select(col("fp_part"), col("__fp")),
           fpBloomCache, sliceCap0, fpp, lineage, batchId,
-          gateSkipped = prep.gateSkipped)
+          deferred = prep.deferred.toSet)
         // grow the near-dup band store with the ACCEPTED docs' bands —
         // after the lookup (a doc never near-dups itself), guarded
         // appends in exact-repair mode (this store IS read whenever any
@@ -706,7 +707,7 @@ object IngestGuard {
         // for) — then fold the same bands' key hashes into ITS Bloom
         // sidecars (after the store append, so delta rows never cover
         // hashes the store lacks)
-        for { (rows, ndSkipped) <- ndCtx; st <- ndStore; nd <- nearDup } {
+        for { (rows, ndDeferred) <- ndCtx; st <- ndStore; nd <- nearDup } {
           // checkpointed once: the store append and the sidecar update
           // both consume it — without this the keeper⋉accepted semi-join
           // runs twice per batch
@@ -720,7 +721,7 @@ object IngestGuard {
             acceptedBands.select(col("band_part"),
               xxhash64(col("band_key"))),
             ndBloomCache, ndSliceCap0, fpp, lineage, batchId,
-            gateSkipped = ndSkipped)
+            deferred = ndDeferred)
           org.apache.spark.sql.GraftColumnBridge
             .checkpointRdd(acceptedBands).foreach(_.unpersist(false))
         }

@@ -241,6 +241,26 @@ class EngineSpec extends GraftSuite {
     engine.terminateAll()
   }
 
+  test("one malformed view store surfaces its error without blocking " +
+      "healthy views") {
+    // round-13 advice made a corrupted backing store SURFACE instead of
+    // silently serving empty; round-14 advice bounds the blast radius:
+    // the error must not abort the refresh of every remaining healthy
+    // view — refresh them all, then rethrow with the failures aggregated
+    val engine = new Engine(spark)
+    engine.registerView("healthy_v", () => spark.range(3).toDF("n"))
+    engine.registerView("broken_v", () => throw new IllegalStateException(
+      "histogram store marker mismatch (simulated corruption)"))
+    val e = intercept[IllegalStateException] {
+      engine.pullQuery("SELECT * FROM healthy_v")
+    }
+    assert(e.getMessage.contains("broken_v"), e.getMessage)
+    assert(spark.sql("SELECT count(*) AS c FROM healthy_v")
+      .head().getLong(0) === 3L,
+      "the healthy view must have been refreshed before the rethrow")
+    engine.terminateAll()
+  }
+
   test("sink connector over an upsert TABLE streams its changelog to ES: " +
     "the index mirrors latest-per-key") {
     // ksqlDB's table->ES pattern: the connector attaches to the TABLE's

@@ -2896,6 +2896,70 @@ class StreamingSpec extends GraftSuite {
     } finally q2.stop()
   }
 
+  test("ingest guard Bloom warming: an over-budget restart recovers " +
+      "batch by batch with exact decisions throughout") {
+    // the round-14 verdict's design-point hole: a restart whose corpus
+    // sidecar exceeds maxBloomLoadBytes used to skip the gate FOREVER
+    // (the estimate never shrank). Warming loads a budget-sized subset
+    // per batch and treats the still-deferred parts as bloom-positive —
+    // so decisions are exact DURING warming and the gate is fully
+    // serving after ⌈bytes/budget⌉ batches (pinned at the Cache level in
+    // BloomShardsSpec; this pins the guard end-to-end across batches).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.IngestGuard
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-warming").toString
+    def doc(i: Int) = s"corpus document number $i discussing topic $i " +
+      s"with enough distinct tokens to pass the quality gate"
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = IngestGuard.start(in1.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint1", minTokens = 3,
+      expectedDocs = 256, fpParts = 4)
+    try {
+      in1.addData((1 to 30).map(i => i.toLong -> doc(i)): _*)
+      q1.processAllAvailable()
+      q1.exception.foreach(throw _)
+    } finally q1.stop()
+    // restart (fresh checkpoint = cold cache) under a budget that fits
+    // roughly ONE part's base per batch: the first batches run with a
+    // partially-warm gate + deferred-positive remainder
+    val perBase = new java.io.File(graft.streaming.BloomShards
+      .sidecarDir(s"$base/state") + "/base").listFiles()
+      .filter(_.getName.startsWith("p")).map(_.length()).max
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = IngestGuard.start(in2.toDF().toDF("doc_id", "text"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/checkpoint2", minTokens = 3,
+      expectedDocs = 256, fpParts = 4,
+      maxBloomLoadBytes = perBase + 8)
+    try {
+      // batch 1 (cold): a dup of phase-1 and a fresh doc
+      in2.addData(101L -> doc(1), 102L -> doc(101))
+      q2.processAllAvailable()
+      // batch 2 (warming): dups of phase-1, of batch 1's fresh doc
+      in2.addData(103L -> doc(2), 104L -> doc(101), 105L -> doc(101))
+      q2.processAllAvailable()
+      // batches 3-5: keep warming; one dup + one fresh each
+      (3 to 5).foreach { b =>
+        in2.addData((200L + b) -> doc(b), (300L + b) -> doc(100 + b))
+        q2.processAllAvailable()
+      }
+      q2.exception.foreach(throw _)
+      val rej = IngestGuard.rejects(spark, s"$base/rejects")
+        .filter(col("doc_id") > 100).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val acc = IngestGuard.accepted(spark, s"$base/accepted")
+        .filter(col("doc_id") > 100).collect().map(_.getLong(0)).toSet
+      assert(rej === Map(101L -> "exact_dup", 103L -> "exact_dup",
+        104L -> "exact_dup", 105L -> "exact_dup", 203L -> "exact_dup",
+        204L -> "exact_dup", 205L -> "exact_dup"), s"rejects: $rej")
+      assert(acc === Set(102L, 303L, 304L, 305L), s"accepted: $acc")
+    } finally q2.stop()
+  }
+
   test("ingest guard sidecar IO: steady-state batches append deltas, " +
       "never capacity-sized filters") {
     // the round-14 per-batch IO bound end-to-end: with the store's
