@@ -644,13 +644,15 @@ object Streams {
       val fs = statePath
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
+      val intentMarker =
+        new org.apache.hadoop.fs.Path(stateDir + ".__intent")
       val stamp = s"$lineage $batchId"
       // stamp layout is "<lineage> <id>"; lineage ids never contain a
       // space (UUIDs), but parse from the LAST one anyway
-      def readStamp(): Option[(String, Long)] =
-        if (!fs.exists(marker)) None
+      def readStamp(p: org.apache.hadoop.fs.Path): Option[(String, Long)] =
+        if (!fs.exists(p)) None
         else {
-          val in = fs.open(marker)
+          val in = fs.open(p)
           val s =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
             finally in.close()
@@ -661,22 +663,57 @@ object Streams {
         }
       val replayCandidate = firstAppend && exists(fs)
       firstAppend = false
-      val applied = if (replayCandidate) readStamp() else None
+      val applied = if (replayCandidate) readStamp(marker) else None
       if (applied.exists { case (l, id) => l == lineage && id >= batchId })
         return // this batch's append already completed
+      // the INTENT sidecar is written BEFORE every append begins, so a
+      // store row stamped (lineage, B) can exist only if intent reached
+      // (lineage, B) first. A restart's first batch whose same-lineage
+      // intent is still BEHIND it therefore proves the crashed run never
+      // started this batch's append — the common clean-restart case —
+      // and skips the repair read outright (round-14 verdict #6: that
+      // read was once-per-restart O(touched partitions' key columns) on
+      // a compacted store). Only a crash inside the intent-to-applied
+      // window — a genuinely possibly-partial append — still pays the
+      // anti-join; absent or foreign-lineage intent (pre-intent or
+      // adopted stores) falls back to the read, the safe direction.
+      val neverStarted = replayCandidate && repair &&
+        readStamp(intentMarker).exists { case (l, id) =>
+          l == lineage && id < batchId }
       val toAppend =
-        if (!replayCandidate || !repair) df
+        if (!replayCandidate || !repair || neverStarted) df
         else repairRemainder(spark, df, lineage, batchId, keyCols)
+      // non-atomic overwrite (delete + rename, ~4x cheaper than
+      // FileContext on this FS): a crash between the two leaves NO
+      // intent file, which only ever costs the next replay a repair
+      // read — never a wrong skip
+      writeMarker(fs, intentMarker, stamp)
+      fs.delete(intentMarker, false)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(stateDir + ".__intent.tmp"),
+        intentMarker), s"could not move intent marker for $stateDir")
       appendBatch(toAppend, batchId)
-      val tmp = new org.apache.hadoop.fs.Path(stateDir + ".__applied.tmp")
+      writeMarker(fs, marker, stamp)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fs.makeQualified(
+          new org.apache.hadoop.fs.Path(stateDir + ".__applied.tmp")),
+        fs.makeQualified(marker),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      ()
+    }
+
+    // write "<stamp>" to <target>.tmp (the caller renames it in — the
+    // applied marker atomically via FileContext, the intent marker via
+    // the cheaper delete+rename whose crash window is absorbable)
+    private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                            target: org.apache.hadoop.fs.Path,
+                            stamp: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        target.getParent, target.getName + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, fs.getConf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(marker),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      ()
     }
 
     /** The repair path's anti-join: the batch's rows minus whatever this

@@ -280,6 +280,63 @@ class HardeningSpec extends GraftSuite {
     assert(spark.read.parquet(dir).count() === 200)
   }
 
+  test("appendBatchOnce intent marker: a clean restart skips the repair " +
+      "read; a crash inside the intent window still repairs exactly") {
+    // round-14 verdict #6: the band store's exact-repair mode paid one
+    // pruned store read on EVERY restart's first batch (marker = B-1 is
+    // indistinguishable from a crash mid-append of B). The intent
+    // sidecar — written before every append — disambiguates: intent
+    // still behind the batch proves the crashed run never STARTED this
+    // append, so the clean restart appends plainly; only intent == B (a
+    // genuinely possibly-partial append) pays the anti-join.
+    import spark.implicits._
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-appendintent").toString + "/store"
+    val store = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    store.ensureReady(spark)
+    val rows5 = (1L to 20L).map(i => (i, (i % 4).toInt, "lin"))
+      .toDF("k", "p", "__lineage")
+    store.appendBatchOnce(spark, rows5, "lin", 5L, Seq("k"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + ".__intent")),
+      "every append must leave the intent marker")
+    // DETECTOR for the skip: forge a (lin, 6)-stamped row that cannot
+    // exist under the intent invariant (intent is still at 5). A repair
+    // read would anti-join the matching batch row away; the intent skip
+    // appends it plainly — the duplicate proves the read was skipped.
+    Streams.appendPartitioned(
+      Seq((999L, 0, "lin")).toDF("k", "p", "__lineage")
+        .withColumn("__batch_id", lit(6L)), dir, "p")
+    val store2 = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store2.ensureReady(spark)
+    store2.appendBatchOnce(spark,
+      Seq((999L, 0, "lin"), (1000L, 1, "lin")).toDF("k", "p", "__lineage"),
+      "lin", 6L, Seq("k"))
+    assert(spark.read.parquet(dir).filter(col("k") === 999L).count() === 2,
+      "clean restart (intent behind the batch) must skip the repair read")
+    // crash INSIDE the intent window: intent reached 7, half of batch
+    // 7's rows committed, applied never updated — the replay must
+    // complete exactly (no duplicates, nothing lost)
+    val rows7 = (101L to 200L).map(i => (i, (i % 4).toInt, "lin"))
+      .toDF("k", "p", "__lineage")
+    Streams.appendPartitioned(
+      rows7.filter(col("k") <= 150).withColumn("__batch_id", lit(7L)),
+      dir, "p")
+    val intent = fs.create(
+      new org.apache.hadoop.fs.Path(dir + ".__intent"), true)
+    try intent.write("lin 7".getBytes("UTF-8")) finally intent.close()
+    val store3 = new Streams.SideStore(dir, "p", "fmt/v1", "Spec", 0, 0)
+    store3.ensureReady(spark)
+    store3.appendBatchOnce(spark, rows7, "lin", 7L, Seq("k"))
+    val got = spark.read.parquet(dir)
+      .filter(col("k").between(101L, 200L))
+    assert(got.count() === 100 &&
+      got.select("k").distinct().count() === 100,
+      "intent == batch must repair the partial append exactly")
+  }
+
   test("SideStore.appendBatchOnce repair: mixed-schema stores keep the " +
       "lineage column and the reference read is partition-pruned") {
     // round-12 advice, both mediums: (1) plain schema inference SAMPLES
