@@ -171,11 +171,20 @@ object Similarity {
     * cells that go empty keep their previous centroid. Seeding is the
     * deterministic first-`nlist` rule so results are reproducible. */
   def trainCentroids(emb: DataFrame, nlist: Int = 16,
-                     iters: Int = 5): Array[Array[Double]] = {
-    var cents: Array[Array[Double]] = emb
-      .filter(col("vec_id") < nlist).orderBy(col("vec_id"))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+                     iters: Int = 5): Array[Array[Double]] =
+    trainCentroidsFrom(emb,
+      emb.filter(col("vec_id") < nlist).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray),
+      iters)
+
+  /** [[trainCentroids]] from an EXPLICIT seed — the Lloyd's loop shared
+    * with callers whose seeding rule differs (e.g.
+    * [[graft.streaming.IvfIndexStream]], whose first microbatch may
+    * carry arbitrary vec_ids, so "vec_id < nlist" could seed nothing). */
+  def trainCentroidsFrom(emb: DataFrame, seed: Array[Array[Double]],
+                         iters: Int): Array[Array[Double]] = {
+    var cents = seed
     val dim = cents.head.length
     for (_ <- 0 until iters) {
       val stats = emb
@@ -255,6 +264,15 @@ object Similarity {
                               nprobe: Int = 2): DataFrame =
     annIvfMultiProbeWith(emb, trainCentroids(emb, nlist, iters),
       k, nQueries, nprobe)
+
+  /** [[annIvf]] over EXPLICIT centroids — the batch twin the streaming
+    * index parity spec compares against ([[graft.streaming
+    * .IvfIndexStream]] persists its centroids at creation; querying the
+    * maintained store with them must equal this operator over the same
+    * vectors, cell assignment and tie-breaks included). */
+  def annIvfWith(emb: DataFrame, cents: Array[Array[Double]], k: Int = 3,
+                 nQueries: Int = 10, nprobe: Int = 1): DataFrame =
+    annIvfMultiProbeWith(emb, cents, k, nQueries, nprobe)
 
   private def annIvfMultiProbeWith(emb: DataFrame,
                                    cents: Array[Array[Double]], k: Int,
