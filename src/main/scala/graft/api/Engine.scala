@@ -128,6 +128,23 @@ class Engine(val spark: SparkSession,
       () => graft.streaming.IngestGuard.viewDistinct(spark, viewsBase))
   }
 
+  /** Register a [[graft.streaming.IvfIndexStream]] index's occupancy as
+    * the pull-queryable table `<prefix>_cells` (cell, n_vectors) — the
+    * inverted-list balance a curation dashboard watches (a skewed cell
+    * means degraded probe selectivity). The count per partition comes
+    * from parquet footers (no vector decode); like every registered
+    * view, an index that hasn't received its first commit reads as
+    * absent, and the vectors themselves stay query-side
+    * ([[graft.streaming.IvfIndexStream.queryMany]] — top-k over an
+    * embedding literal is not a SQL pull). */
+  def registerIvfIndex(stateDir: String,
+                       prefix: String = "ivf"): Unit =
+    registerView(s"${prefix}_cells",
+      () => spark.read.parquet(stateDir)
+        .groupBy(org.apache.spark.sql.functions.col("cell"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_vectors")))
+
   /** Re-register the compacted view of every upsert table and every
     * [[registerView]] materialization (no-op for a table/view whose
     * backing store hasn't received its first commit yet). */

@@ -77,6 +77,15 @@ class IvfIndexSpec extends GraftSuite {
       assert(decoded > 0 && decoded < 1000,
         s"query decoded $decoded of 1000 store rows — the read is not " +
           "pruned to the probed cell")
+      // EP3 composition: the index's occupancy is pull-queryable like
+      // every other materialization
+      val engine = new graft.api.Engine(spark)
+      engine.registerIvfIndex(stateDir)
+      val total = engine.pullQuery(
+          "SELECT CAST(sum(n_vectors) AS BIGINT) AS n FROM ivf_cells")
+        .head().getLong(0)
+      assert(total === 1000L, s"ivf_cells must cover the store: $total")
+      engine.terminateAll()
     } finally q.stop()
   }
 
