@@ -293,7 +293,20 @@ object StreamBench {
 
     val rotate = sys.env.get("SPARK_GRAFT_SB_ROTATE").map(_.toInt)
       .getOrElse(0)
+    // SPARK_GRAFT_SB_ONLY=a,b restricts the sweep (Bench's
+    // SPARK_GRAFT_ONLY analog) — for iteration and for ISOLATED
+    // single-pipeline measurements free of cross-pipeline JVM pressure;
+    // unknown names fail loudly, like ScaleUp's table filter
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SB_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { req =>
+      val unknown = req -- pipelines.keySet
+      require(unknown.isEmpty, s"unknown pipelines: " +
+        s"${unknown.toSeq.sorted.mkString(", ")}; valid: " +
+        s"${pipelines.keys.toSeq.sorted.mkString(", ")}")
+    }
     val names = pipelines.keys.toIndexedSeq
+      .filter(n => only.forall(_.contains(n)))
     // floorMod: a negative rotation must actually rotate — drop/take on
     // a negative k silently runs rotation 0 while STAMPING the negative
     // value, which would mislabel a paired-rotation comparison
@@ -315,8 +328,11 @@ object StreamBench {
     // best-known-clean is a ceiling where a latency floor is a minimum.
     // Keys are `<pipeline>@rot<k>`, so sweeps only ever compare
     // like-to-like positions. Default-run geometry only — a nonstandard
-    // rowsPerBatch/batches/state-store run must not pollute the ledger.
-    if (rowsPerBatch == 250000 && batches == 8 &&
+    // rowsPerBatch/batches/state-store run must not pollute the ledger,
+    // and neither may an SB_ONLY subset run (an isolated pipeline runs
+    // free of the full sweep's JVM pressure — its rate is a different
+    // measurement, not a better sample of the same one).
+    if (only.isEmpty && rowsPerBatch == 250000 && batches == 8 &&
         stateStore.equalsIgnoreCase("default")) {
       val path = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_SB_MEDIANS", "bench/streambench.medians"))
