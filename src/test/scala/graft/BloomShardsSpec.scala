@@ -218,6 +218,46 @@ class BloomShardsSpec extends GraftSuite {
       tiny.lastLoadBytes === 0L)
   }
 
+  test("the warming budget counts pending delta bytes: a part whose " +
+      "base fits but base+deltas do not is deferred") {
+    // round-14 advice (low): the old estimate charged only base-file
+    // sizes, silently exceeding the budget by whatever uncovered deltas
+    // the load would also fold
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-estdelta").toString
+    val state = s"$base/state"
+    val cache = new BloomShards.Cache
+    val first = (0L until 60L).map(_ * 41L + 5)
+    BloomShards.update(spark, state, "fp_part", fps(0, first), cache,
+      1024L, 0.01, "lin", 0L) // base covering batch 0
+    // three small delta batches, cumulative pending (36 hashes = 288 B)
+    // below the quarter-filter refresh threshold (~307 B at cap 1024)
+    val deltas = (1L to 3L).map(b =>
+      (0L until 12L).map(i => b * 100000L + i * 53L))
+    deltas.zipWithIndex.foreach { case (hs, i) =>
+      BloomShards.update(spark, state, "fp_part", fps(0, hs), cache,
+        1024L, 0.01, "lin", i + 1L)
+    }
+    val baseLen = new java.io.File(
+      BloomShards.sidecarDir(state) + "/base/p0").length()
+    // budget covers the base but NOT base + 288 B of pending deltas
+    val tight = new BloomShards.Cache
+    val prepTight = BloomShards.prepare(spark, state, "fp_part",
+      col("__fp"), "lin", Seq(0), tight, 1024L, 0.01,
+      maxLoadBytes = baseLen + 100)
+    assert(prepTight.deferred === Seq(0) && tight.lastLoadBytes === 0L,
+      "an estimate that ignores pending delta bytes would have loaded")
+    // a budget with room for the deltas loads and serves everything
+    val roomy = new BloomShards.Cache
+    val prepRoomy = BloomShards.prepare(spark, state, "fp_part",
+      col("__fp"), "lin", Seq(0), roomy, 1024L, 0.01,
+      maxLoadBytes = baseLen + 400)
+    assert(prepRoomy.deferred.isEmpty &&
+      (first ++ deltas.flatten).forall(
+        prepRoomy.shards(0).bloom.mightContainLong),
+      "base + uncovered deltas must load whole under a roomy budget")
+  }
+
   test("replayed truncation never deletes the only copy of merged " +
       "sections: fresh merged names, duplicate sections fold once") {
     // the round-14 advice (medium): truncation reused the fixed name
