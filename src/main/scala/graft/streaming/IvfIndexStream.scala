@@ -49,7 +49,16 @@ import graft.operators.Similarity
   * Queries against the maintained store are EXACTLY
   * [[Similarity.annIvfWith]] over the same vectors and centroids —
   * cell assignment, scoring, and tie-breaks included (IvfIndexSpec
-  * pins the equality). */
+  * pins the equality).
+  *
+  * Design note (the standard IVF operational contract, not a gap): a
+  * drifting ingest distribution degrades cell BALANCE over time, which
+  * costs probe selectivity, never correctness. The monitor is the
+  * occupancy view ([[graft.api.Engine.registerIvfIndex]] — `ivf_cells`
+  * over pull/REST); the remedy is an offline rebuild into a fresh
+  * index dir (new centroids, backfilled store) swapped in by the
+  * caller — in-place retraining is deliberately impossible because the
+  * stored layout would silently orphan. */
 object IvfIndexStream {
 
   private def formatTag(nlist: Int, dim: Int): String =
