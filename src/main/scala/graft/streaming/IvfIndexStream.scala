@@ -187,6 +187,15 @@ object IvfIndexStream {
       .select(col("query_id"), col("embedding").as("qv"),
         explode(VectorExpressions.argTopPDot(
           col("embedding"), cents, nprobe)).as("qcell")))
+    // centroids land before the first append, so a freshly-born index
+    // can be queryable before any row exists — that is an EMPTY result,
+    // not a path error
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    if (!statePath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(statePath))
+      return queries.select(col("query_id"),
+        col("query_id").as("neighbor_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val cells = probed.select(col("qcell")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq // bounded <= nlist
     val w = Window.partitionBy(col("query_id"))

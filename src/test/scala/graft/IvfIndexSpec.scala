@@ -101,6 +101,15 @@ class IvfIndexSpec extends GraftSuite {
       stateDir, s"$base/ckpt1", nlist = 16, dim = 64)
     try { q1.processAllAvailable(); q1.exception.foreach(throw _) }
     finally q1.stop()
+    // a freshly-born index (centroids persisted, no row landed yet) is
+    // queryable as EMPTY, not a path error
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(stateDir + ".__centroids"),
+      java.nio.file.Paths.get(s"$base/newborn.__centroids"))
+    assert(IvfIndexStream.queryMany(spark, s"$base/newborn",
+      emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))).count()
+      === 0L, "a rowless index must answer empty")
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: causes(t.getCause)
     // restart at a different nlist: the format marker must fail fast
