@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.functions.SketchExpressions
-import graft.operators.Relational
 
 /** PER-PARTITION Bloom sidecars for a partitioned side store — the scale
   * fix for stores that can never retention-prune ([[IngestGuard]]'s
@@ -91,9 +90,10 @@ import graft.operators.Relational
   * newer one after a fresh-checkpoint adoption — and a stale Bloom has
   * FALSE NEGATIVES. Base and delta headers carry the lineage; foreign
   * files are never folded, and an adopted store's live partitions
-  * rebuild on first touch. Pre-round-14 sidecars (one parquet log of
-  * full-filter rows) are read through a legacy fallback for parts with
-  * no base file, then naturally superseded as refreshes land.
+  * rebuild on first touch. (The pre-round-14 sidecar format — one
+  * root-level parquet log of full-filter rows — and its read fallback
+  * were deleted in round 16 after the documented one-cycle coexistence;
+  * a part with no base file takes the count+rebuild path.)
   *
   * `n_items` is an UPPER estimate (a replayed batch re-folds its items),
   * so over-counting only triggers an EARLY rebuild — which resets it
@@ -423,76 +423,26 @@ object BloomShards {
     acc.toMap
   }
 
-  // sidecar roots observed to hold NO legacy parquet — memoized so a
-  // genuinely fresh (or fully upgraded) store pays the root listing at
-  // most once per JVM instead of once per first-touch load. Safe to
-  // memoize the NEGATIVE only: legacy files are pre-upgrade artifacts
-  // and nothing ever writes new root-level parquet. The fallback (and
-  // this set) can be deleted outright once every deployed store has
-  // base files for its live parts — one full-touch cycle post-upgrade.
-  private val legacyAbsent =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** The PRE-round-14 sidecar fallback: one parquet log of full-filter
-    * rows at the sidecar root. Read only for parts that have no base
-    * file (an upgraded deployment's first touches); refreshes then
-    * supersede it. Latest own-lineage bloom row per part wins; its
-    * `__batch_id` is what it covers. */
-  private def legacyBases(spark: SparkSession, stateDir: String,
-                          lineage: String, parts: Seq[Int],
-                          partCol: String): Map[Int, BaseFile] = {
-    val root = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (parts.isEmpty || legacyAbsent.contains(root.toString) ||
-      !fs.exists(root)) return Map.empty
-    // the legacy rows are ROOT-LEVEL parquet files; read them by
-    // explicit path so the new base/delta subdirectories (non-parquet
-    // driver-native files) never enter the file index
-    val legacyFiles = fs.listStatus(root).toIndexedSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-    if (legacyFiles.isEmpty) {
-      legacyAbsent.add(root.toString)
-      return Map.empty
-    }
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(legacyFiles: _*)
-    val withBloom =
-      if (raw.columns.contains("bloom")) raw
-      else return Map.empty
-    Relational.latestByKeys(
-        withBloom
-          .filter(col(partCol).isin(parts: _*))
-          .filter(col("__lineage") <=> lit(lineage))
-          .filter(col("bloom").isNotNull)
-          .select(col(partCol).cast("int"), col("capacity"),
-            col("n_items"), col("bloom"), col("__batch_id")),
-        Seq(partCol), col("__batch_id"))
-      .collect()
-      .map(r => r.getInt(0) -> BaseFile(lineage, r.getLong(4),
-        r.getLong(1), r.getLong(2), deser(r.getAs[Array[Byte]](3))))
-      .toMap
-  }
-
   /** Load `parts` into `cache` (cache hits untouched): per part, the
-    * own-lineage base (file, or legacy log row) with every delta
-    * section newer than its `coversThrough` folded in (idempotent).
-    * Parts with deltas but no base are NOT loaded — deltas alone can't
-    * prove membership (see the object scaladoc). */
+    * own-lineage base file with every delta section newer than its
+    * `coversThrough` folded in (idempotent). Parts with deltas but no
+    * base are NOT loaded — deltas alone can't prove membership (see the
+    * object scaladoc). (The pre-round-14 root-parquet sidecar fallback
+    * that used to backstop baseless parts was deleted in round 16 — no
+    * deployed store remains without base files for its live parts, per
+    * the documented deletion condition; a baseless live part now simply
+    * takes the count+rebuild path, which is exact.) */
   private def loadInto(spark: SparkSession, stateDir: String,
-                       partCol: String, lineage: String,
+                       lineage: String,
                        parts: Seq[Int], cache: Cache): Unit = {
     if (parts.isEmpty) return
     val fs = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseFiles = listBases(fs, stateDir)
-    val fromFiles: Map[Int, BaseFile] = parts.flatMap(p =>
+    val bases: Map[Int, BaseFile] = parts.flatMap(p =>
       baseFiles.get(p).flatMap(st =>
         readBase(fs, st.getPath, withFilter = true))
         .filter(_.lineage == lineage).map(p -> _)).toMap
-    val legacy = legacyBases(spark, stateDir, lineage,
-      parts.filterNot(fromFiles.contains), partCol)
-    val bases = fromFiles ++ legacy
     if (bases.isEmpty) return
     val wanted = bases.keySet
     val folded = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -555,8 +505,7 @@ object BloomShards {
     * skip: each batch loads uncached parts (first-fit in part order —
     * own-lineage base files at their exact listed length PLUS the
     * pending delta bytes the load folds; `cap0`-filter estimates for
-    * parts with no usable base — none, torn, foreign lineage, or a
-    * legacy parquet row whose true size no listing exposes) until the
+    * parts with no usable base — none, torn, or foreign lineage) until the
     * budget is spent, and DEFERS the rest. Deferred parts come back in
     * [[Prepared.deferred]]: the caller treats their rows as
     * bloom-positive ([[gate]]'s `Prepared` overload), which is exact —
@@ -593,13 +542,20 @@ object BloomShards {
           case None => bloomBytes(cap0, fpp)
         })
       }
+      // explicit single-pass fold (not a partition with a side-effecting
+      // predicate): consumes `est` exactly once, so the load/defer split
+      // cannot depend on the collection's strictness
       var left = maxLoadBytes
-      val (load, defer) = est.partition { case (_, b) =>
-        b <= left && { left -= b; true }
+      var loadBytes = 0L
+      val load = Seq.newBuilder[Int]
+      val defer = Seq.newBuilder[Int]
+      est.foreach { case (p, b) =>
+        if (b <= left) { left -= b; loadBytes += b; load += p }
+        else defer += p
       }
-      deferred = defer.map(_._1)
-      cache.lastLoadBytes = load.map(_._2).sum
-      loadInto(spark, stateDir, partCol, lineage, load.map(_._1), cache)
+      deferred = defer.result()
+      cache.lastLoadBytes = loadBytes
+      loadInto(spark, stateDir, lineage, load.result(), cache)
     }
     // live parts with no loadable base: count first (one job over
     // exactly those partitions, rare by construction), then rebuild at

@@ -189,10 +189,20 @@ object IvfIndexStream {
           col("embedding"), cents, nprobe)).as("qcell")))
     // centroids land before the first append, so a freshly-born index
     // can be queryable before any row exists — that is an EMPTY result,
-    // not a path error
+    // not a path error. Directory existence alone is not enough: a
+    // crashed first append can leave the dir with only uncommitted
+    // droppings (e.g. a _temporary subdir, no cell=* parquet), which
+    // would throw schema inference at read time — committed CELL data
+    // is the real emptiness test (r15 ADVICE low).
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
-    if (!statePath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(statePath))
+    val fsQ = statePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasCommitted = fsQ.exists(statePath) &&
+      fsQ.listStatus(statePath).exists(cd =>
+        cd.isDirectory && cd.getPath.getName.startsWith("cell=") &&
+          fsQ.listStatus(cd.getPath).exists(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet")))
+    if (!hasCommitted)
       return queries.select(col("query_id"),
         col("query_id").as("neighbor_id"),
         lit(0.0).as("score"), lit(0).as("rank")).limit(0)

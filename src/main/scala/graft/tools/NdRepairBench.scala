@@ -100,22 +100,24 @@ object NdRepairBench {
     fs.delete(new org.apache.hadoop.fs.Path(storeB + ".__intent"), false)
 
     // the restart batch: one more slice, pre-materialized so the timed
-    // section is the append path, not the banding
-    def restartSlice(target: String) = bands(
+    // section is the append path, not the banding. Both stores are
+    // byte-identical copies, so the SAME slice feeds both timed paths —
+    // one definition, no per-store parameter to mislead (r15 ADVICE).
+    def restartSlice() = bands(
       docs.filter(pmod(col("doc_id"), lit(nBatches)) === 0)
         .withColumn("doc_id", col("doc_id") + maxId + 1), parts)
       .withColumn("__lineage", lit("lin"))
       .localCheckpoint(false)
 
     // (a) clean restart WITH intent (the round-15 path): skip
-    val sliceA = restartSlice(storeA)
+    val sliceA = restartSlice()
     val tA0 = System.nanoTime()
     sideStore(storeA).appendBatchOnce(spark, sliceA, "lin",
       nBatches.toLong, Seq("doc_id", "band_id"))
     val intentSec = (System.nanoTime() - tA0) / 1e9
 
     // (b) the same restart WITHOUT intent (pre-intent store): repair read
-    val sliceB = restartSlice(storeB)
+    val sliceB = restartSlice()
     val tB0 = System.nanoTime()
     sideStore(storeB).appendBatchOnce(spark, sliceB, "lin",
       nBatches.toLong, Seq("doc_id", "band_id"))

@@ -1233,60 +1233,57 @@ class StreamingSpec extends GraftSuite {
     import spark.implicits._
     val base = java.nio.file.Files
       .createTempDirectory("graft-ingest-prune").toString
-    // a store whose data file — IN THE DOC'S OWN fp_part PARTITION — is
-    // GARBAGE (any read dies on the footer), beside a VALID per-part
-    // Bloom shard for that partition holding one foreign fp (built with
-    // the guard's own slice sizing so the post-accept merge stays
-    // compatible): the batch below is bloom-all-negative in a LIVE
-    // partition, so the guard must make its whole decision without ever
-    // opening the store
+    // Run 1 accepts a seed doc through the guard's own path, which
+    // writes the per-part Bloom BASE file for the seed's fp partition.
+    // Then that partition's store data is POISONED (a garbage file whose
+    // footer kills any read) and the guard restarts from the same
+    // checkpoint: a second doc hashing into the SAME partition is
+    // bloom-negative against the reloaded shard, so the guard must make
+    // its whole decision without ever opening the store.
     val stateDir = s"$base/state"
-    val good = "clean words about metric spaces and measure theory"
-    val docPart = Seq(good).toDF("text")
-      .select(pmod(expr(graft.functions.Hashing.hash64(
+    def partsOf(texts: Seq[String]) = texts.toDF("text")
+      .select(col("text"), pmod(expr(graft.functions.Hashing.hash64(
         "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")), lit(256))
-        .cast("int")).head().getInt(0)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$stateDir/fp_part=$docPart"))
+        .cast("int").as("p"))
+    val seed = "seed words about compact operators and spectral theory"
+    val seedPart = partsOf(Seq(seed)).head().getInt(1)
+    val in = MemoryStream[(Long, String)]
+    def run(batch: (Long, String)): Unit = {
+      val q = graft.streaming.IngestGuard.start(
+        in.toDF().toDF("doc_id", "text"), Array.empty[Long],
+        stateDir, s"$base/accepted", s"$base/rejects",
+        s"$base/checkpoint", minTokens = 3)
+      try {
+        in.addData(batch)
+        q.processAllAvailable()
+        q.exception.foreach(throw _)
+      } finally q.stop()
+    }
+    run(1L -> seed)
+    assert(new java.io.File(graft.streaming.BloomShards
+        .sidecarDir(stateDir) + s"/base/p$seedPart").exists(),
+      "run 1 must persist the seed partition's Bloom base file")
+    // a second clean doc in the SAME fp partition (searched over clean
+    // word-pair suffixes so the quality gate stays indifferent)
+    val vocab = Seq("river", "garden", "stone", "window", "music",
+      "forest", "candle", "harbor", "meadow", "lantern", "orchard",
+      "valley", "bridge", "winter", "summer", "autumn")
+    val candidates = for { a <- vocab; b <- vocab } yield
+      s"clean words about metric spaces and measure theory $a $b"
+    val good = partsOf(candidates).filter(col("p") === seedPart)
+      .head().getString(0)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
-        s"$stateDir/fp_part=$docPart/part-00000.parquet"),
+        s"$stateDir/fp_part=$seedPart/zzz-poison.parquet"),
       "not a parquet file".getBytes("UTF-8"))
-    // the guard's default slice sizing: expectedDocs 4M over 256 parts;
-    // the shard log row carries the guard's OWN lineage (the loader
-    // trusts only current-lineage rows — foreign ones mean rebuild,
-    // which would read the poison)
-    val sliceCap = (1L << 22) / 256
-    val lineage = graft.streaming.Streams.lineageId(
-      spark.sparkContext.hadoopConfiguration, s"$base/checkpoint")
-    val shardBytes = {
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(sliceCap, 0.01)
-      bf.putLong(123456789L)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
-    }
-    Seq((docPart, sliceCap, 1L, shardBytes, lineage, 0L))
-      .toDF("fp_part", "capacity", "n_items", "bloom",
-        "__lineage", "__batch_id")
-      .coalesce(1)
-      .write.parquet(graft.streaming.BloomShards.sidecarDir(stateDir))
     // the poison is live: reading the store really would fail
     intercept[Exception] { spark.read.parquet(stateDir).collect() }
-    val in = MemoryStream[(Long, String)]
-    val q = graft.streaming.IngestGuard.start(
-      in.toDF().toDF("doc_id", "text"), Array.empty[Long],
-      stateDir, s"$base/accepted", s"$base/rejects",
-      s"$base/checkpoint", minTokens = 3)
-    try {
-      in.addData(1L -> good)
-      q.processAllAvailable()
-      q.exception.foreach(throw _)
-      val acc = graft.streaming.IngestGuard
-        .accepted(spark, s"$base/accepted")
-        .collect().map(_.getLong(0)).toSet
-      assert(acc === Set(1L),
-        "bloom-all-negative batch must decide without the store")
-    } finally q.stop()
+    run(2L -> good)
+    val acc = graft.streaming.IngestGuard
+      .accepted(spark, s"$base/accepted")
+      .collect().map(_.getLong(0)).toSet
+    assert(acc === Set(1L, 2L),
+      "bloom-all-negative batch must decide without the store")
   }
 
   test("ingest guard probe IO: pushed candidate fps read candidate row " +
