@@ -212,6 +212,105 @@ object Similarity {
     cents
   }
 
+  /** [[trainCentroidsFrom]] with CELL REBALANCING, used by
+    * [[graft.streaming.IvfIndexStream.reindexInto]]: plain Lloyd's
+    * leaves a drifted mass in one overfull cell — seeds that fall
+    * inside it converge to the same mean and collapse (one wins every
+    * member by the argmax tie), and centroids elsewhere never migrate
+    * in because assignment is winner-take-all — a member-reseeded
+    * centroid cannot crack it either, since the blob's MEAN direction
+    * beats any single member for almost every member (that is what a
+    * mean maximizes). The repair that works is a proper BISECTION:
+    * once per iteration, when a cell is empty or the fullest cell
+    * holds over 4× the emptiest's members, the fullest cell's members
+    * are Voronoi-split between two deterministic pivot members
+    * (hash-ranked `vec_id` — no quantiles, no global sort, and
+    * layout-independent, so a certification oracle reading the same
+    * rows from different files reproduces the split bit-for-bit), and
+    * the two HALF-MEANS replace the
+    * fullest and the donated centroid — each new centroid is the mean
+    * of a genuine partition (one 2-means step inside the cell), so the
+    * next assignment keeps the split and the donated cell's members
+    * are absorbed by their runner-up centroids. One bisection per
+    * iteration bounds the churn; the 4× guard keeps natural mild
+    * imbalance untouched; the last iteration never reseeds, so
+    * returned centroids always reflect a completed assignment+update
+    * pass. Deterministic for a given frame, like every training rule
+    * here. Kept SEPARATE from [[trainCentroidsFrom]]: the at-ingest
+    * birth path's behavior is certified and pinned; the rebuild is
+    * where balance is the point. */
+  def trainCentroidsBalanced(emb: DataFrame, seed: Array[Array[Double]],
+                             iters: Int): Array[Array[Double]] = {
+    var cents = seed
+    val dim = cents.head.length
+    for (i <- 0 until iters) {
+      val celled = emb.withColumn("cell",
+        VectorExpressions.argMaxDot(col("embedding"), cents))
+      val stats = celled
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // bounded: nlist × dim rows
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val counts = Array.fill(cents.length)(0L)
+      stats.foreach { r =>
+        val c = r.getAs[Int]("cell"); val d = r.getAs[Int]("d")
+        sums(c)(d) = r.getAs[Double]("sx")
+        counts(c) = r.getAs[Long]("n")
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0L) cents(c)
+        else {
+          val mean = sums(c).map(_ / counts(c))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm == 0.0) cents(c) else mean.map(_ / norm)
+        }
+      }
+      if (i < iters - 1) {
+        val starving = counts.indices.minBy(counts(_))
+        val fullest = counts.indices.maxBy(counts(_))
+        if (fullest != starving &&
+            counts(fullest) > 4 * math.max(counts(starving), 1L)) {
+          // bisect the fullest cell: Voronoi-split its members
+          // between two deterministic pivot members, seed BOTH
+          // halves' means
+          val full = celled.filter(col("cell") === fullest)
+          val pivots = full
+            .orderBy(xxhash64(col("vec_id"), lit(7)).asc,
+              col("vec_id").asc)
+            .limit(2).select(col("embedding")).collect()
+            .map(_.getSeq[Float](0))
+          val scored = full.withColumn("hi",
+            VectorExpressions.cosineSim(col("embedding"),
+                typedLit(pivots(0))) >=
+              VectorExpressions.cosineSim(col("embedding"),
+                typedLit(pivots(1))))
+          val halves = scored
+            .select(col("hi"),
+              posexplode(col("embedding")).as(Seq("d", "x")))
+            .groupBy(col("hi"), col("d"))
+            .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+            .collect() // bounded: 2 × dim rows
+          val means = Map(true -> Array.fill(dim)(0.0),
+            false -> Array.fill(dim)(0.0))
+          val haveBoth = halves.map(_.getBoolean(0)).distinct.length == 2
+          if (haveBoth) { // identical members can't split — skip then
+            halves.foreach { r =>
+              means(r.getBoolean(0))(r.getAs[Int]("d")) =
+                r.getAs[Double]("m")
+            }
+            Seq(fullest -> means(true), starving -> means(false))
+              .foreach { case (c, v) =>
+                val norm = math.sqrt(v.map(x => x * x).sum)
+                cents(c) = if (norm == 0.0) v else v.map(_ / norm)
+              }
+          }
+        }
+      }
+    }
+    cents
+  }
+
   /** [[ivfCells]] with k-means-trained centroids instead of the
     * deterministic placeholder seed. */
   def ivfCellsTrained(emb: DataFrame, nlist: Int = 16, iters: Int = 5): DataFrame = {

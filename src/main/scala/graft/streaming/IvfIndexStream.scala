@@ -19,12 +19,13 @@ import graft.operators.Similarity
   * arrives" composition, applied to Jégou et al.'s IVF).
   *
   * CENTROIDS ARE THE INDEX'S IDENTITY and are pinned at creation: the
-  * first microbatch trains spherical k-means
-  * ([[Similarity.trainCentroidsFrom]] — seeded by the batch's first
-  * `nlist` vectors in vec_id order, since arbitrary ids defeat the
-  * batch operator's `vec_id < nlist` rule) and persists them to a
-  * driver-native sidecar BEFORE any row lands; every later batch and
-  * every query loads that file. Retraining on restart would silently
+  * batch that brings the cumulative ingested count to `nlist` trains
+  * spherical k-means ([[Similarity.trainCentroidsFrom]] — seeded by the
+  * first `nlist` vectors in vec_id order, since arbitrary ids defeat
+  * the batch operator's `vec_id < nlist` rule; smaller earlier batches
+  * stage to a replay-guarded pre-birth buffer, see [[start]]) and
+  * persists them to a driver-native sidecar BEFORE any celled row
+  * lands; every later batch and every query loads that file. Retraining on restart would silently
   * reassign cells and orphan the stored layout — so a store with data
   * but no readable centroid file FAILS FAST (the file is the only
   * source of cell identity; a torn write can only strand an EMPTY
@@ -55,10 +56,12 @@ import graft.operators.Similarity
   * drifting ingest distribution degrades cell BALANCE over time, which
   * costs probe selectivity, never correctness. The monitor is the
   * occupancy view ([[graft.api.Engine.registerIvfIndex]] — `ivf_cells`
-  * over pull/REST); the remedy is an offline rebuild into a fresh
-  * index dir (new centroids, backfilled store) swapped in by the
-  * caller — in-place retraining is deliberately impossible because the
-  * stored layout would silently orphan. */
+  * over pull/REST); the remedy is [[reindexInto]] — an offline rebuild
+  * into a fresh index dir (new centroids retrained from the stored
+  * vectors, backfilled cell layout, stamps and guard markers preserved)
+  * swapped in by restarting the stream at the new dir under the same
+  * checkpoint — in-place retraining is deliberately impossible because
+  * the stored layout would silently orphan. */
 object IvfIndexStream {
 
   private def formatTag(nlist: Int, dim: Int): String =
@@ -109,11 +112,28 @@ object IvfIndexStream {
     } finally in.close()
   }
 
+  private def prebirthDir(stateDir: String): String =
+    stateDir + ".__prebirth"
+
   /** Start maintaining the index at `stateDir` from a streaming
     * `(vec_id: long, embedding: array<float>)` frame. `dim` pins the
     * vector width into the format marker (mismatched restarts fail
-    * fast); the FIRST batch must carry at least `nlist` vectors (an
-    * index cannot be born with fewer lists than centroids). */
+    * fast).
+    *
+    * BIRTH is incremental (r15 verdict finding #1: a `require` on the
+    * first batch's size crash-looped forever on a trickle-start source,
+    * because the file-source checkpoint pins the too-small batch):
+    * batches arriving before `nlist` cumulative vectors are staged to
+    * an uncelled, replay-guarded PRE-BIRTH buffer beside the store
+    * (`<stateDir>.__prebirth` — a [[Streams.SideStore]] of its own, so
+    * a crashed staging append repairs exactly); the batch that brings
+    * the cumulative count to `nlist` trains on the buffered union,
+    * persists the centroids, appends the whole union celled, and drops
+    * the buffer. Crash windows all converge: after the centroid write
+    * the replay takes the post-birth path (which folds any leftover
+    * buffer into its own append before deleting it), and the union is
+    * computed via an anti-join on `vec_id` so a replayed batch never
+    * double-counts rows it already staged. */
   def start(vecs: DataFrame, stateDir: String, checkpoint: String,
             nlist: Int = 16, dim: Int = 64,
             trainIters: Int = 5): StreamingQuery = {
@@ -121,6 +141,9 @@ object IvfIndexStream {
       "nlist/dim must be positive, trainIters >= 0")
     val store = new Streams.SideStore(stateDir, "cell",
       formatTag(nlist, dim), "IvfIndexStream", 0, 0)
+    val bufDir = prebirthDir(stateDir)
+    val bufStore = new Streams.SideStore(bufDir, "cell",
+      formatTag(nlist, dim), "IvfIndexStream.prebirth", 0, 0)
     val lineage = Streams.lineageId(
       vecs.sparkSession.sparkContext.hadoopConfiguration, checkpoint)
     vecs.writeStream
@@ -130,12 +153,54 @@ object IvfIndexStream {
         val spark = batch.sparkSession
         val fs = store.ensureReady(spark)
         val vecsB = batch.select(col("vec_id"), col("embedding"))
-        val existing = readCentroids(spark, stateDir)
-        // an empty batch cannot birth an index — wait for data (no
-        // `return`: a non-local return from a foreachBatch lambda
-        // would fail the batch)
-        if (existing.nonEmpty || !vecsB.isEmpty) {
-          val cents = existing.getOrElse {
+        val bufPath = new org.apache.hadoop.fs.Path(bufDir)
+        // None unless the buffer holds COMMITTED parquet — a crash
+        // mid-delete can leave the dir with no readable data, which
+        // must read as "no buffer", not a schema-inference error
+        def bufferedRows(): Option[DataFrame] =
+          if (!fs.exists(bufPath) ||
+              !fs.listStatus(bufPath).exists(cd =>
+                cd.isDirectory && cd.getPath.getName.startsWith("cell=") &&
+                  fs.listStatus(cd.getPath).exists(f =>
+                    f.isFile && f.getPath.getName.endsWith(".parquet"))))
+            None
+          else Some(spark.read.parquet(bufDir)
+            .select(col("vec_id"), col("embedding")))
+        // the union of buffer and batch with each vec_id ONCE: a batch
+        // replayed after a crashed staging append may already be
+        // (partially) in the buffer — the anti-join makes the union
+        // deterministic across every crash window
+        def withBuffer(buf: Option[DataFrame]): DataFrame = buf match {
+          case None => vecsB
+          case Some(b) => b.unionByName(
+            vecsB.join(b.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+        }
+        def dropBuffer(): Unit = {
+          fs.delete(bufPath, true)
+          Seq(".__applied", ".__intent", ".__format").foreach(sfx =>
+            fs.delete(new org.apache.hadoop.fs.Path(bufDir + sfx), false))
+        }
+        def appendCelled(rows: DataFrame,
+                         cents: Array[Array[Double]]): Unit =
+          store.appendBatchOnce(spark,
+            rows.withColumn("cell",
+                VectorExpressions.argMaxDot(col("embedding"), cents))
+              .withColumn("__lineage", lit(lineage)),
+            lineage, batchId, Seq("vec_id"))
+        readCentroids(spark, stateDir) match {
+          case Some(cents) =>
+            // post-birth: fold any pre-birth buffer a crash left behind
+            // (centroids written but the birth append or buffer delete
+            // didn't complete) into this batch's own guarded append
+            val buf = bufferedRows()
+            appendCelled(withBuffer(buf), cents)
+            if (buf.nonEmpty) dropBuffer()
+          case None if vecsB.isEmpty =>
+            // an empty batch cannot birth an index — wait for data (no
+            // `return`: a non-local return from a foreachBatch lambda
+            // would fail the batch)
+            ()
+          case None =>
             if (store.exists(fs) &&
                 fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
                   .exists(_.getPath.getName.startsWith("cell=")))
@@ -144,26 +209,30 @@ object IvfIndexStream {
                   "readable centroid sidecar — centroids are the cell " +
                   "layout's identity and cannot be re-derived; restore " +
                   s"${centroidsPath(stateDir)} or rebuild the index fresh")
-            val seed = vecsB.orderBy(col("vec_id")).limit(nlist)
+            val all = withBuffer(bufferedRows())
+            val seed = all.orderBy(col("vec_id")).limit(nlist)
               .select(col("embedding")).collect()
               .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-            require(seed.length >= nlist,
-              s"first batch carries ${seed.length} vectors < " +
-                s"nlist=$nlist — an index cannot be born with fewer " +
-                "vectors than cells")
-            require(seed.head.length == dim,
-              s"vectors are ${seed.head.length}-dim, index configured " +
-                s"for $dim")
-            val trained =
-              Similarity.trainCentroidsFrom(vecsB, seed, trainIters)
-            writeCentroids(fs, stateDir, trained)
-            trained
-          }
-          store.appendBatchOnce(spark,
-            vecsB.withColumn("cell",
-                VectorExpressions.argMaxDot(col("embedding"), cents))
-              .withColumn("__lineage", lit(lineage)),
-            lineage, batchId, Seq("vec_id"))
+            if (seed.length < nlist) {
+              // still short of nlist cumulative vectors: stage the
+              // batch (uncelled — no centroids exist to cell by) and
+              // wait; the staging append is replay-guarded like every
+              // store append here
+              bufStore.ensureReady(spark)
+              bufStore.appendBatchOnce(spark,
+                vecsB.withColumn("cell", lit(-1))
+                  .withColumn("__lineage", lit(lineage)),
+                lineage, batchId, Seq("vec_id"))
+            } else {
+              require(seed.head.length == dim,
+                s"vectors are ${seed.head.length}-dim, index configured " +
+                  s"for $dim")
+              val trained =
+                Similarity.trainCentroidsFrom(all, seed, trainIters)
+              writeCentroids(fs, stateDir, trained)
+              appendCelled(all, trained)
+              dropBuffer()
+            }
         }
         ()
       }
@@ -238,4 +307,119 @@ object IvfIndexStream {
     * the index's streaming query first — single-writer. */
   def compactIndex(spark: SparkSession, stateDir: String): Unit =
     Streams.rewriteStore(spark, stateDir, Seq("cell"), Nil)(identity)
+
+  /** OFFLINE rebuild-and-swap for a drifted index — the remedy the
+    * design note above promises, as code: retrains centroids FROM THE
+    * EXISTING store with a deterministic hash-stratified seed over the
+    * stored `vec_id`s (reproducible, like every seed rule here, but
+    * spanning the whole ingested history rather than the oldest prefix
+    * — [[stratifiedSeed]]), backfills the new cell layout into
+    * `newDir` with ONE
+    * clustered partitioned write that PRESERVES every row's
+    * (`__lineage`, `__batch_id`) stamp, copies the append guard's
+    * `.__applied` completion marker, and writes the new centroid
+    * sidecar + format marker.
+    *
+    * Swap protocol: STOP the index's streaming query (single-writer,
+    * like every maintenance op here), run this, restart [[start]]
+    * pointing at `newDir` under the SAME checkpoint. Because the stamps
+    * and the applied marker travel with the data, even a non-graceful
+    * stop's replayed last batch lands exactly: the guard's
+    * applied-marker skip (fully-committed batch) or repair anti-join
+    * (partial append — its rows were backfilled with their stamps)
+    * resolves it, so the swap needs no checkpoint surgery. A torn
+    * reindex is re-runnable: `newDir` must not exist — delete it and
+    * re-run. The centroid sidecar is written LAST, so a torn run can
+    * never look like a complete index ([[queryMany]] and [[start]] both
+    * key off it).
+    *
+    * `nlist` may DIFFER from the old index's — rebalancing can also
+    * resize the cell count — but the store must hold at least `nlist`
+    * vectors. A store mid-birth (pre-birth buffer present) is refused:
+    * its staged rows are not in the store yet, so a backfill would
+    * silently drop them — let the stream finish birthing first.
+    * Returns the new centroids (also persisted; the return is a
+    * convenience for parity checks and occupancy reports). */
+  /** [[reindexInto]]'s SEED rule, shared with its certification
+    * oracle: a hash-stratified deterministic sample over the `vec_id`s
+    * of a `(vec_id, embedding)` frame — `nlist` buckets by
+    * `xxhash64(vec_id)`, one representative each (the row minimizing an
+    * independent second hash), so the seed set spans the WHOLE ingested
+    * history. The oldest-prefix rule [[start]] uses at birth would seed
+    * every centroid from the PRE-drift distribution — exactly wrong for
+    * a drift rebuild, whose point is giving the post-drift mass its
+    * share of cells. One map-side-combined aggregate of ≤ `nlist` rows;
+    * deterministic for a given frame. Hash chance can leave buckets
+    * empty on a small corpus — topped up from the oldest unpicked
+    * rows. Returns up to `nlist` vectors (fewer only if the frame has
+    * fewer rows). */
+  def stratifiedSeed(vecs: DataFrame,
+                     nlist: Int): Array[Array[Double]] = {
+    val strat = vecs
+      .groupBy(pmod(xxhash64(col("vec_id")), lit(nlist)).as("__b"))
+      .agg(min_by(col("embedding"),
+          xxhash64(col("vec_id"), lit(1))).as("embedding"),
+        min_by(col("vec_id"),
+          xxhash64(col("vec_id"), lit(1))).as("vec_id"))
+      .orderBy(col("__b"))
+      .collect()
+    val seed = strat.map(r =>
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+    if (seed.length >= nlist) seed
+    else {
+      val picked = strat.map(_.getAs[Long]("vec_id")).toIndexedSeq
+      seed ++ vecs
+        .filter(!col("vec_id").isin(picked: _*))
+        .orderBy(col("vec_id")).limit(nlist - seed.length)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+  }
+
+  def reindexInto(spark: SparkSession, stateDir: String, newDir: String,
+                  nlist: Int, trainIters: Int = 8): Array[Array[Double]] = {
+    require(nlist > 0 && trainIters >= 0,
+      "nlist must be positive, trainIters >= 0")
+    require(newDir != stateDir, "reindex must target a fresh dir — " +
+      "in-place retraining would silently orphan the stored cell layout")
+    val newPath = new org.apache.hadoop.fs.Path(newDir)
+    val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(newPath) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")),
+      s"$newDir already exists — reindex refuses to merge into a live " +
+        "target; delete it to re-run")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(prebirthDir(stateDir))),
+      s"$stateDir has a pre-birth buffer — the index is mid-birth and " +
+        "the staged rows are not in the store yet; let the stream " +
+        "finish birthing (or restart it) before reindexing")
+    val old = spark.read.parquet(stateDir).select(col("vec_id"),
+      col("embedding"), col("__lineage"), col("__batch_id"))
+    val vecs = old.select(col("vec_id"), col("embedding"))
+    val seed = stratifiedSeed(vecs, nlist)
+    require(seed.length >= nlist,
+      s"store holds ${seed.length} vectors < nlist=$nlist — cannot " +
+        "train that many centroids")
+    val dim = seed.head.length
+    // balanced Lloyd's (empty-cell reseeding): the whole point of a
+    // drift rebuild is giving the post-drift mass its share of cells,
+    // which plain Lloyd's collapse denies (see
+    // [[Similarity.trainCentroidsBalanced]])
+    val trained = Similarity.trainCentroidsBalanced(vecs, seed, trainIters)
+    // marker first (the store-family creation order), then the corpus
+    // under the new cell layout in one clustered partitioned write —
+    // driver memory holds nlist × dim centroids, never vectors
+    Streams.checkStoreFormat(fs, newDir, formatTag(nlist, dim),
+      "IvfIndexStream")
+    Streams.appendPartitioned(
+      old.withColumn("cell",
+        VectorExpressions.argMaxDot(col("embedding"), trained)),
+      newDir, "cell")
+    val applied = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
+    if (fs.exists(applied))
+      org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
+        new org.apache.hadoop.fs.Path(newDir + ".__applied"), false,
+        spark.sparkContext.hadoopConfiguration)
+    writeCentroids(fs, newDir, trained)
+    trained
+  }
 }

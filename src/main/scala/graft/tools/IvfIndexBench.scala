@@ -23,8 +23,26 @@ import graft.streaming.IvfIndexStream
   *     batch, not the index), store size, and the query read's
   *     decoded-row fraction (the pruned-read evidence).
   *
-  * Usage: `runMain graft.tools.IvfIndexBench <embDir> [expectedOnly]`.
-  * Prints one `IVFINDEX {...}` / `IVFINDEX_EXPECTED {...}` JSON line. */
+  * Round 16 adds the DRIFT-REMEDY certification
+  * ([[IvfIndexStream.reindexInto]]) with the same protocol:
+  *
+  *  3. `reindex-expected` computes the post-rebuild ORACLE from the
+  *     INPUT corpus alone (the drifted union built exactly as the
+  *     subject run will ingest it; centroids via the shared
+  *     [[IvfIndexStream.stratifiedSeed]] + Lloyd's over it), printing
+  *     the batch-operator result hash and a centroid digest BEFORE any
+  *     stream or rebuild runs.
+  *  4. `reindex` ingests distribution A (index born on it) then a
+  *     DRIFTED distribution B, measures the top-cell occupancy share,
+  *     runs `reindexInto`, and asserts: occupancy share drops, the new
+  *     store's queries equal [[Similarity.annIvfWith]] over the
+  *     persisted new centroids EXACTLY, the persisted centroids match
+  *     the oracle digest, and a post-swap resumed ingest lands exactly
+  *     once.
+  *
+  * Usage: `runMain graft.tools.IvfIndexBench <embDir> [mode]` with mode
+  * `1` (expected), default (stream cert), `reindex-expected`,
+  * `reindex`. Prints one `IVFINDEX*` JSON line per invocation. */
 object IvfIndexBench {
 
   private val NSlices = 10
@@ -79,9 +97,131 @@ object IvfIndexBench {
       md.digest().map("%02x".format(_)).mkString.take(16))
   }
 
+  private val DriftIdOffset = 10000000L
+
+  /** Distribution B: a cluster around the all-ones direction with noise
+    * a quarter of the offset — nothing the birth batch trained on
+    * points that way (the IvfIndexSpec drift fixture at cert scale). */
+  private def drift(emb: DataFrame): DataFrame =
+    emb.withColumn("vec_id", col("vec_id") + DriftIdOffset)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.25f) + lit(1.0f)))
+
+  private def topCellShare(spark: SparkSession, dir: String): Double = {
+    val occ = spark.read.parquet(dir).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    occ.max.toDouble / occ.sum
+  }
+
+  private def centsDigest(cents: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    cents.foreach(_.foreach(d => md.update(
+      java.nio.ByteBuffer.allocate(8).putDouble(d).array())))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The drift-remedy certification (modes `reindex-expected` /
+    * `reindex` — see the object scaladoc). */
+  private def reindexCert(spark: SparkSession, emb: DataFrame,
+                          nVecs: Long, expectedOnly: Boolean,
+                          cpus: String): Unit = {
+    val corpus = emb.unionByName(drift(emb))
+      .select(col("vec_id"), col("embedding"))
+    if (expectedOnly) {
+      // the post-rebuild oracle from the INPUT corpus alone — printed
+      // before any stream or rebuild runs. (Float-sum caveat: the
+      // subject trains over the STORE's files; identical values summed
+      // in a different partition order can differ in the last bits, so
+      // the run also reports its own persisted-centroid parity — a
+      // digest mismatch here with hash_match=true means exactly that
+      // benign divergence, not a wrong rebuild.)
+      val seed = IvfIndexStream.stratifiedSeed(corpus, NList)
+      val cents = Similarity.trainCentroidsBalanced(corpus, seed, 8)
+      val (n, hash) = resultHash(
+        Similarity.annIvfWith(corpus, cents, K, NQueries, NProbe))
+      println(s"""IVFREINDEX_EXPECTED {"vectors":${2 * nVecs},"rows":$n,"hash":"$hash","cents":"${centsDigest(cents)}","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+      return
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfreindex").toString
+    // stage: A as 5 slices (the index births on pure pre-drift data),
+    // then B as 5 slices of the drifted distribution
+    val halves = Seq(emb, drift(emb))
+    val staged = halves.zipWithIndex.flatMap { case (h, hi) =>
+      (0 until 5).map { s =>
+        val d = s"$base/staged/h${hi}s$s"
+        h.filter(pmod(col("vec_id"), lit(5)) === s)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).head.getAbsolutePath
+      }
+    }
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def copyIn(f: String, i: Int): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(f), fs,
+        new org.apache.hadoop.fs.Path(inDir, f"slice_$i%05d.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+    val stateDir = s"$base/state"
+    def startQ(dir: String) = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      dir, s"$base/ckpt", nlist = NList, dim = Dim)
+    val tI0 = System.nanoTime()
+    val q = startQ(stateDir)
+    try {
+      staged.zipWithIndex.foreach { case (f, i) =>
+        copyIn(f, i)
+        q.processAllAvailable()
+        q.exception.foreach(throw _)
+      }
+    } finally q.stop()
+    val ingestSec = (System.nanoTime() - tI0) / 1e9
+    val before = topCellShare(spark, stateDir)
+    val newDir = s"$base/state_v2"
+    val tR0 = System.nanoTime()
+    val newCents =
+      IvfIndexStream.reindexInto(spark, stateDir, newDir, NList)
+    val reindexSec = (System.nanoTime() - tR0) / 1e9
+    val after = topCellShare(spark, newDir)
+    val persisted = IvfIndexStream.readCentroids(spark, newDir).get
+    val persistedMatch = persisted.map(_.toSeq).toSeq ==
+      newCents.map(_.toSeq).toSeq
+    val (n, hash) = resultHash(IvfIndexStream.queryMany(
+      spark, newDir, queriesOf(corpus), K, NProbe))
+    val (oN, oHash) = resultHash(
+      Similarity.annIvfWith(corpus, persisted, K, NQueries, NProbe))
+    // the SWAP: resume ingesting into the new dir under the SAME
+    // checkpoint — one more slice, landed exactly once
+    val resume = emb.withColumn("vec_id",
+      col("vec_id") + 2 * DriftIdOffset)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+    val resumeN = resume.count()
+    val d = s"$base/staged/resume"
+    resume.coalesce(1).write.mode("overwrite").parquet(d)
+    copyIn(new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).head.getAbsolutePath, 10)
+    val q2 = startQ(newDir)
+    try { q2.processAllAvailable(); q2.exception.foreach(throw _) }
+    finally q2.stop()
+    val total = spark.read.parquet(newDir).count()
+    val distinct = spark.read.parquet(newDir)
+      .select("vec_id").distinct().count()
+    val exactResume =
+      total == 2 * nVecs + resumeN && distinct == total
+    println(s"""IVFREINDEX {"vectors":${2 * nVecs},"ingest_wall_sec":${f"$ingestSec%.1f"},"top_share_before":${f"$before%.3f"},"top_share_after":${f"$after%.3f"},"balance_restored":${after < before * 0.7},"reindex_sec":${f"$reindexSec%.1f"},"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"cents":"${centsDigest(persisted)}","persisted_match":$persistedMatch,"resume_rows":$resumeN,"post_resume_total":$total,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: IvfIndexBench <embDir> [expectedOnly]")
-    val expectedOnly = args.length > 1 && args(1).toInt == 1
+    require(args.nonEmpty,
+      "usage: IvfIndexBench <embDir> [1|reindex-expected|reindex]")
+    val mode = if (args.length > 1) args(1) else "run"
+    val expectedOnly = mode == "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,6 +234,13 @@ object IvfIndexBench {
     val emb = spark.read.parquet(args(0))
       .select(col("vec_id"), col("embedding"))
     val nVecs = emb.count()
+
+    if (mode == "reindex-expected" || mode == "reindex") {
+      reindexCert(spark, emb, nVecs,
+        expectedOnly = mode == "reindex-expected", cpus)
+      spark.stop()
+      return
+    }
 
     val base = java.nio.file.Files
       .createTempDirectory("graft-ivfbench").toString

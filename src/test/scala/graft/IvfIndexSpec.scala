@@ -89,6 +89,231 @@ class IvfIndexSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("trickle start: pre-nlist batches stage to the buffer and the " +
+      "index births on the batch that reaches nlist — no checkpoint " +
+      "surgery, nothing lost, nothing duplicated") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-trickle").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stateDir = s"$base/state"
+    def restart() = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      stateDir, s"$base/ckpt", nlist = 16, dim = 64)
+    def land(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(s"$base/in")
+    // batch 0: ONE vector — the r15 crash-loop trigger
+    land(emb.filter(col("vec_id") === 0))
+    val q = restart()
+    try {
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      assert(IvfIndexStream.readCentroids(spark, stateDir).isEmpty,
+        "1 vector < nlist=16 must not birth the index")
+      assert(spark.read.parquet(s"$stateDir.__prebirth").count() === 1L,
+        "the under-nlist batch must stage to the pre-birth buffer")
+      // batch 1: ten more — still short (11 < 16)
+      land(emb.filter(col("vec_id") >= 1 && col("vec_id") < 11))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      assert(IvfIndexStream.readCentroids(spark, stateDir).isEmpty)
+      assert(spark.read.parquet(s"$stateDir.__prebirth")
+        .select("vec_id").distinct().count() === 11L)
+      // batch 2: the rest — cumulative 1000 >= 16 births the index on
+      // the union, buffered rows included, buffer dropped
+      land(emb.filter(col("vec_id") >= 11))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val cents = IvfIndexStream.readCentroids(spark, stateDir)
+      assert(cents.nonEmpty, "reaching nlist must birth the index")
+      assert(!new java.io.File(s"$stateDir.__prebirth").exists(),
+        "birth must drop the pre-birth buffer")
+      val store = spark.read.parquet(stateDir)
+      assert(store.count() === 500L &&
+        store.select("vec_id").distinct().count() === 500L,
+        "every vector exactly once, buffered rows included")
+      // parity with the batch operator over the pinned centroids
+      val got = IvfIndexStream.queryMany(spark, stateDir,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val want = Similarity.annIvfWith(emb, cents.get, k = 3,
+          nQueries = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      assert(got === want,
+        "trickle-born index must equal the batch ANN operator")
+    } finally q.stop()
+  }
+
+  test("a crash between the centroid write and the birth append " +
+      "repairs on the next batch: buffer folds in, nothing duplicated") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-birthcrash").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stateDir = s"$base/state"
+    // stage 5 vectors pre-birth, then stop (buffer populated, no index)
+    emb.filter(col("vec_id") < 5)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val q1 = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      stateDir, s"$base/ckpt", nlist = 16, dim = 64)
+    try { q1.processAllAvailable(); q1.exception.foreach(throw _) }
+    finally q1.stop()
+    assert(IvfIndexStream.readCentroids(spark, stateDir).isEmpty &&
+      spark.read.parquet(s"$stateDir.__prebirth").count() === 5L)
+    // forge the crash state "centroids persisted, birth append never
+    // ran": plant a valid centroid sidecar (trained elsewhere at the
+    // same geometry) with no celled store row — exactly what a crash
+    // right after writeCentroids leaves behind
+    val donorDir = s"$base/donor"
+    emb.coalesce(1).write.mode("append").parquet(s"$base/donor_in")
+    val qd = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema).parquet(s"$base/donor_in"),
+      donorDir, s"$base/donor_ckpt", nlist = 16, dim = 64)
+    try { qd.processAllAvailable(); qd.exception.foreach(throw _) }
+    finally qd.stop()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(donorDir + ".__centroids"),
+      java.nio.file.Paths.get(stateDir + ".__centroids"))
+    val cents = IvfIndexStream.readCentroids(spark, stateDir).get
+    // restart from the SAME checkpoint; the next batch must fold the
+    // leftover buffer into its own append and drop it
+    emb.filter(col("vec_id") >= 5)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val q2 = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      stateDir, s"$base/ckpt", nlist = 16, dim = 64)
+    try {
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      val cents2 = IvfIndexStream.readCentroids(spark, stateDir).get
+      assert(cents.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq,
+        "recovery must keep the already-persisted centroids")
+      assert(!new java.io.File(s"$stateDir.__prebirth").exists(),
+        "recovery must drop the folded buffer")
+      val store = spark.read.parquet(stateDir)
+      assert(store.count() === 500L &&
+        store.select("vec_id").distinct().count() === 500L,
+        "buffered rows fold in exactly once")
+      val got = IvfIndexStream.queryMany(spark, stateDir,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 3, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val want = Similarity.annIvfWith(emb, cents2, k = 3,
+          nQueries = 5, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      assert(got === want,
+        "post-recovery queries must equal the batch ANN operator")
+    } finally q2.stop()
+  }
+
+  test("drift remedy: a drifted ingest degrades occupancy balance, " +
+      "reindexInto restores it, post-swap queries are exact, and the " +
+      "stream resumes into the new dir under the same checkpoint") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-reindex").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // distribution B: a cluster around the all-ones direction with
+    // noise a quarter of the offset — nothing the birth batch trained
+    // on points that way, so post-drift rows pile into the one or two
+    // most aligned cells
+    val drifted = emb.withColumn("vec_id", col("vec_id") + 10000)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(0.25f) + lit(1.0f)))
+    val stateDir = s"$base/state"
+    def land(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(s"$base/in")
+    def restart(dir: String) = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      dir, s"$base/ckpt", nlist = 16, dim = 64)
+    land(emb) // batch 0: births on distribution A only
+    val q1 = restart(stateDir)
+    try {
+      q1.processAllAvailable(); q1.exception.foreach(throw _)
+      land(drifted) // batch 1: distribution B arrives after the pin
+      q1.processAllAvailable(); q1.exception.foreach(throw _)
+    } finally q1.stop()
+    def topCellShare(dir: String): Double = {
+      val occ = spark.read.parquet(dir).groupBy("cell").count()
+        .collect().map(_.getLong(1))
+      occ.max.toDouble / occ.sum
+    }
+    // the drifted half concentrates: the fullest cell holds several
+    // times a balanced index's 1/16 share
+    val before = topCellShare(stateDir)
+    assert(before > 0.3,
+      f"drift fixture too tame: top cell holds $before%.2f of the corpus")
+    val newDir = s"$base/state_v2"
+    val newCents =
+      IvfIndexStream.reindexInto(spark, stateDir, newDir, nlist = 16)
+    // occupancy balance restored (centroids retrained on the full
+    // drifted corpus), visible through the same ivf_cells monitor that
+    // detects the drift
+    val engine = new graft.api.Engine(spark)
+    engine.registerIvfIndex(newDir, prefix = "ivf2")
+    val occ2 = engine.pullQuery(
+        "SELECT CAST(max(n_vectors) AS BIGINT) AS mx, " +
+          "CAST(sum(n_vectors) AS BIGINT) AS n FROM ivf2_cells").head()
+    engine.terminateAll()
+    val after = occ2.getLong(0).toDouble / occ2.getLong(1)
+    assert(occ2.getLong(1) === 1000L,
+      s"backfill must carry every stored vector: ${occ2.getLong(1)}")
+    // the rebuild trains with cell rebalancing
+    // (Similarity.trainCentroidsBalanced): the drifted blob is
+    // bisected until no cell holds 4x the emptiest, so the top-cell
+    // share drops to a small multiple of the balanced 1/16
+    assert(after < before / 2,
+      f"reindex must restore balance: top-cell share $before%.2f -> $after%.2f")
+    // post-swap queries are exactly the batch operator over the NEW
+    // centroids (sanity: the persisted sidecar equals the returned ones)
+    assert(IvfIndexStream.readCentroids(spark, newDir).get
+      .map(_.toSeq).toSeq === newCents.map(_.toSeq).toSeq)
+    val corpus = emb.unionByName(drifted)
+    def parity(k: Int, nprobe: Int): Unit = {
+      val got = IvfIndexStream.queryMany(spark, newDir,
+          corpus.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = k, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val want = Similarity.annIvfWith(corpus, newCents, k = k,
+          nQueries = 10, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      assert(got === want,
+        s"post-swap query (k=$k nprobe=$nprobe) must equal the batch " +
+          "ANN operator over the new centroids")
+    }
+    parity(3, 2)
+    // the SWAP: the stream restarts at the new dir under the SAME
+    // checkpoint and keeps ingesting — nothing lost, nothing duplicated
+    land(emb.withColumn("vec_id", col("vec_id") + 20000))
+    val q2 = restart(newDir)
+    try {
+      q2.processAllAvailable(); q2.exception.foreach(throw _)
+      val store = spark.read.parquet(newDir)
+      assert(store.count() === 1500L &&
+        store.select("vec_id").distinct().count() === 1500L,
+        "post-swap ingest must append exactly once")
+      assert(IvfIndexStream.readCentroids(spark, newDir).get
+        .map(_.toSeq).toSeq === newCents.map(_.toSeq).toSeq,
+        "post-swap ingest must not move the new centroids")
+    } finally q2.stop()
+    // reindex refuses a live target and a mid-birth store
+    intercept[IllegalArgumentException] {
+      IvfIndexStream.reindexInto(spark, stateDir, newDir, nlist = 16)
+    }
+  }
+
   test("geometry and identity fail fast: nlist mismatch names both " +
       "tags; data without centroids refuses to guess") {
     val base = java.nio.file.Files
