@@ -128,6 +128,35 @@ class Engine(val spark: SparkSession,
       () => graft.streaming.IngestGuard.viewDistinct(spark, viewsBase))
   }
 
+  /** Register a guard store's Bloom-sidecar WARMING telemetry as the
+    * pull-queryable one-row table `<prefix>_warming` (loaded_parts,
+    * loaded_bytes, deferred_parts, cached_parts, cached_bytes) — the
+    * signal that tells a converging post-restart warm-up
+    * (`deferred_parts` → 0) apart from a permanent working-set steady
+    * state (`deferred_parts` never 0, `loaded_bytes` pinned at the
+    * per-batch budget: exact, but a standing reload cost to size away —
+    * see [[graft.streaming.BloomShards.WarmingStats]]). Driver-local by
+    * nature (the shard cache lives in the ingesting JVM, so serve this
+    * view from the same process that runs the guard query); a store no
+    * prepare has touched yet reads as absent, like any pre-first-commit
+    * view. `stateDir` is the guard's fingerprint store (or any
+    * [[graft.streaming.BloomShards]]-gated store, e.g. the near-dup
+    * band store). */
+  def registerGuardWarming(stateDir: String,
+                           prefix: String = "guard"): Unit =
+    registerView(s"${prefix}_warming", () =>
+      graft.streaming.BloomShards.lastWarming(stateDir) match {
+        case Some(w) =>
+          import spark.implicits._
+          Seq((w.loadedParts, w.loadedBytes, w.deferredParts,
+            w.cachedParts, w.cachedBytes))
+            .toDF("loaded_parts", "loaded_bytes", "deferred_parts",
+              "cached_parts", "cached_bytes")
+        case None => throw new graft.streaming.Streams
+          .StoreNotReadyException(
+            s"no BloomShards prepare has run for $stateDir in this JVM")
+      })
+
   /** Register a [[graft.streaming.IvfIndexStream]] index's occupancy as
     * the pull-queryable table `<prefix>_cells` (cell, n_vectors) — the
     * inverted-list balance a curation dashboard watches (a skewed cell

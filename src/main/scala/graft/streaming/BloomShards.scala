@@ -125,6 +125,11 @@ object BloomShards {
     /** Observability + spec surface: the byte estimate of what the last
       * [[prepare]] actually loaded (always ≤ its `maxLoadBytes`). */
     var lastLoadBytes: Long = 0L
+    /** Observability + spec surface: how many touched live parts the
+      * last [[prepare]]'s budget DEFERRED. A converging warm-up drives
+      * this to 0 within ⌈bytes/budget⌉ batches; a corpus whose filters
+      * exceed the cache budget never does (see [[lastWarming]]). */
+    var lastDeferredCount: Int = 0
 
     private[streaming] def touch(p: Int): Unit = {
       clock += 1
@@ -163,6 +168,34 @@ object BloomShards {
     * the caller must treat their rows as bloom-positive (exact; never a
     * false negative) until a later batch's warming loads them. */
   final case class Prepared(shards: Map[Int, Shard], deferred: Seq[Int])
+
+  /** Per-store snapshot of the last [[prepare]]'s warming work — the
+    * dashboard hook that tells a CONVERGING warm-up apart from a
+    * PERMANENT working-set steady state, which are indistinguishable in
+    * per-batch behavior alone (r15 verdict): after a restart,
+    * `deferredParts` shrinking to 0 batch over batch is a warm-up
+    * completing; a corpus whose live filters exceed the cache budget
+    * instead shows `deferredParts` never reaching 0 with `loadedBytes`
+    * pinned near the per-batch budget forever — exact either way (the
+    * deferred-positive gate guarantees it), but the second is a
+    * permanent per-batch reload cost that should be SIZED away (grow
+    * [[Cache]]`.maxBytes` to cover the live working set, or shrink the
+    * touched set per batch). Also emitted as a stable log line by
+    * [[prepare]] (`BloomShards.warming store=...`). */
+  final case class WarmingStats(loadedParts: Int, loadedBytes: Long,
+                                deferredParts: Int, cachedParts: Int,
+                                cachedBytes: Long)
+
+  private val warmingByStore =
+    new java.util.concurrent.ConcurrentHashMap[String, WarmingStats]()
+
+  /** The last [[prepare]]'s [[WarmingStats]] for `stateDir`, if any
+    * prepare ran in this JVM ([[graft.api.Engine.registerGuardWarming]]
+    * serves it as a pull-queryable view). */
+  def lastWarming(stateDir: String): Option[WarmingStats] =
+    Option(warmingByStore.get(stateDir))
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def sidecarDir(stateDir: String): String = stateDir + ".__bloomparts"
   private def baseDir(stateDir: String) = sidecarDir(stateDir) + "/base"
@@ -519,9 +552,11 @@ object BloomShards {
               cache: Cache, cap0: Long, fpp: Double,
               maxLoadBytes: Long = Long.MaxValue): Prepared = {
     cache.lastLoadBytes = 0L
+    cache.lastDeferredCount = 0
     if (touched.isEmpty) return Prepared(Map.empty, Nil)
     val missing = touched.filterNot(cache.shards.contains)
     var deferred: Seq[Int] = Nil
+    var loadedParts = 0
     if (missing.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(sidecarDir(stateDir))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -555,7 +590,9 @@ object BloomShards {
       }
       deferred = defer.result()
       cache.lastLoadBytes = loadBytes
-      loadInto(spark, stateDir, lineage, load.result(), cache)
+      val toLoad = load.result()
+      loadedParts = toLoad.size
+      loadInto(spark, stateDir, lineage, toLoad, cache)
     }
     // live parts with no loadable base: count first (one job over
     // exactly those partitions, rare by construction), then rebuild at
@@ -585,6 +622,17 @@ object BloomShards {
         }
     }
     touched.foreach(cache.touch)
+    cache.lastDeferredCount = deferred.length
+    val stats = WarmingStats(loadedParts, cache.lastLoadBytes,
+      deferred.length, cache.heldParts, cache.heldBytes)
+    warmingByStore.put(stateDir, stats)
+    // the stable warming line (see [[WarmingStats]]): emitted only when
+    // the batch did warming work, so a fully warm steady state is silent
+    if (loadedParts > 0 || deferred.nonEmpty)
+      log.info(s"BloomShards.warming store=$stateDir " +
+        s"loadedParts=$loadedParts loadedBytes=${cache.lastLoadBytes} " +
+        s"deferredParts=${deferred.length} budgetBytes=$maxLoadBytes " +
+        s"cachedParts=${cache.heldParts} cachedBytes=${cache.heldBytes}")
     Prepared(
       touched.flatMap(p => cache.shards.get(p).map(p -> _)).toMap,
       deferred)

@@ -283,7 +283,27 @@ object IngestGuard {
     * ~⌈sidecarBytes/budget⌉ batches after any restart instead of
     * skipping forever, while delta maintenance continues for deferred
     * parts, so deferral never starves the sidecars into false
-    * negatives. */
+    * negatives.
+    *
+    * SIZING RULE (`maxBloomCacheBytes` vs the corpus): warming
+    * CONVERGES only if the cache can hold the filters of the parts a
+    * batch actually touches — size `maxBloomCacheBytes` ≥ the live
+    * WORKING SET's filter bytes (for a full-touch stream, the whole
+    * sidecar: ~1.2 bytes/fingerprint at fpp=0.01, so ~12 GB at 10¹⁰
+    * accepted docs). A full-touch stream whose sidecar exceeds the
+    * cache budget instead reaches a PERMANENT warming steady state:
+    * each batch loads up to `maxBloomLoadBytes`, evicts LRU, and
+    * defers the rest, forever — exact throughout (the deferred
+    * partitions' candidates take the confirm read), but a standing
+    * per-batch reload + confirm cost that looks identical to a
+    * converging warm-up in per-batch behavior. The telemetry that
+    * tells them apart is [[BloomShards.lastWarming]] /
+    * [[graft.api.Engine.registerGuardWarming]] (and the stable
+    * `BloomShards.warming` log line): `deferred_parts` reaching 0 is a
+    * warm-up completing; never reaching 0 means grow the cache or
+    * shrink the per-batch touched set. Partial-touch workloads — the
+    * design assumption at corpus scale — hold their working set and
+    * are unaffected. */
   def start(docs: DataFrame, evalHashes: Array[Long], stateDir: String,
             acceptedDir: String, rejectsDir: String, checkpoint: String,
             minTokens: Int = 5, maxPunctRatio: Double = 0.2,
