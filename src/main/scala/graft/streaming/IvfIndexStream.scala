@@ -191,10 +191,12 @@ object IvfIndexStream {
           case Some(cents) =>
             // post-birth: fold any pre-birth buffer a crash left behind
             // (centroids written but the birth append or buffer delete
-            // didn't complete) into this batch's own guarded append
-            val buf = bufferedRows()
-            appendCelled(withBuffer(buf), cents)
-            if (buf.nonEmpty) dropBuffer()
+            // didn't complete) into this batch's own guarded append —
+            // and drop the dir even when it holds no readable rows (a
+            // crashed mid-delete leftover would otherwise linger and
+            // make reindexInto refuse a healthy store as "mid-birth")
+            appendCelled(withBuffer(bufferedRows()), cents)
+            if (fs.exists(bufPath)) dropBuffer()
           case None if vecsB.isEmpty =>
             // an empty batch cannot birth an index — wait for data (no
             // `return`: a non-local return from a foreachBatch lambda
