@@ -396,16 +396,85 @@ object IvfIndexStream {
         "finish birthing (or restart it) before reindexing")
     val old = spark.read.parquet(stateDir).select(col("vec_id"),
       col("embedding"), col("__lineage"), col("__batch_id"))
-    val vecs = old.select(col("vec_id"), col("embedding"))
+    val trained = buildIndex(spark, fs, old, newDir, nlist, trainIters)
+    val applied = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
+    if (fs.exists(applied))
+      org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
+        new org.apache.hadoop.fs.Path(newDir + ".__applied"), false,
+        spark.sparkContext.hadoopConfiguration)
+    writeCentroids(fs, newDir, trained)
+    trained
+  }
+
+  /** MERGE several independently-ingested indexes (e.g. one per ingest
+    * shard) into one fresh index at `newDir` — the other maintenance
+    * op [[reindexInto]]'s machinery buys: centroids retrain from the
+    * UNION of the stores with the same stratified seed + balanced
+    * Lloyd's, and the union backfills the new cell layout in one
+    * partitioned write, row stamps preserved. Unlike a reindex swap,
+    * a merged index starts life under a FRESH checkpoint (the sources'
+    * checkpoints each pinned their own lineage; the first batch of a
+    * new stream against the merged store takes the append guard's
+    * repair read — absent applied marker, foreign-lineage rows — which
+    * is the safe direction and appends exactly). `vec_id`s must be
+    * globally distinct across the sources (they are the index's row
+    * identity — an overlap would conflate two different vectors, so it
+    * fails fast rather than keeping either). Same refusals as
+    * [[reindexInto]]: fresh target, no mid-birth source. */
+  def mergeInto(spark: SparkSession, sources: Seq[String],
+                newDir: String, nlist: Int,
+                trainIters: Int = 8): Array[Array[Double]] = {
+    require(nlist > 0 && trainIters >= 0,
+      "nlist must be positive, trainIters >= 0")
+    require(sources.nonEmpty, "mergeInto needs at least one source")
+    require(!sources.contains(newDir),
+      "merge must target a fresh dir, not one of its sources")
+    val newPath = new org.apache.hadoop.fs.Path(newDir)
+    val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(newPath) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")),
+      s"$newDir already exists — merge refuses a live target; delete " +
+        "it to re-run")
+    sources.foreach { s =>
+      require(!fs.exists(new org.apache.hadoop.fs.Path(prebirthDir(s))),
+        s"$s has a pre-birth buffer — the index is mid-birth and the " +
+          "staged rows are not in the store yet; let its stream finish " +
+          "birthing before merging")
+    }
+    val union = sources.map(s =>
+        spark.read.parquet(s).select(col("vec_id"), col("embedding"),
+          col("__lineage"), col("__batch_id")))
+      .reduce(_.unionByName(_))
+    val ids = union.agg(count(lit(1)).as("n"),
+      count_distinct(col("vec_id")).as("d")).head()
+    require(ids.getLong(0) == ids.getLong(1),
+      s"sources share vec_ids (${ids.getLong(0)} rows, " +
+        s"${ids.getLong(1)} distinct) — vec_id is the row identity; " +
+        "remap before merging")
+    val trained = buildIndex(spark, fs, union, newDir, nlist, trainIters)
+    writeCentroids(fs, newDir, trained)
+    trained
+  }
+
+  /** The shared rebuild tail of [[reindexInto]]/[[mergeInto]]: train
+    * balanced centroids over `rows` (stamped `(vec_id, embedding,
+    * __lineage, __batch_id)`), write the format marker, backfill the
+    * cell layout in one clustered partitioned write. The caller writes
+    * the centroid sidecar LAST — a torn build can never look like a
+    * complete index. */
+  private def buildIndex(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         rows: DataFrame, newDir: String, nlist: Int,
+                         trainIters: Int): Array[Array[Double]] = {
+    val vecs = rows.select(col("vec_id"), col("embedding"))
     val seed = stratifiedSeed(vecs, nlist)
     require(seed.length >= nlist,
       s"store holds ${seed.length} vectors < nlist=$nlist — cannot " +
         "train that many centroids")
     val dim = seed.head.length
-    // balanced Lloyd's (empty-cell reseeding): the whole point of a
-    // drift rebuild is giving the post-drift mass its share of cells,
-    // which plain Lloyd's collapse denies (see
-    // [[Similarity.trainCentroidsBalanced]])
+    // balanced Lloyd's: the whole point of a rebuild is giving every
+    // mass its share of cells, which plain Lloyd's collapse denies
+    // (see [[Similarity.trainCentroidsBalanced]])
     val trained = Similarity.trainCentroidsBalanced(vecs, seed, trainIters)
     // marker first (the store-family creation order), then the corpus
     // under the new cell layout in one clustered partitioned write —
@@ -413,15 +482,9 @@ object IvfIndexStream {
     Streams.checkStoreFormat(fs, newDir, formatTag(nlist, dim),
       "IvfIndexStream")
     Streams.appendPartitioned(
-      old.withColumn("cell",
+      rows.withColumn("cell",
         VectorExpressions.argMaxDot(col("embedding"), trained)),
       newDir, "cell")
-    val applied = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
-    if (fs.exists(applied))
-      org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
-        new org.apache.hadoop.fs.Path(newDir + ".__applied"), false,
-        spark.sparkContext.hadoopConfiguration)
-    writeCentroids(fs, newDir, trained)
     trained
   }
 }

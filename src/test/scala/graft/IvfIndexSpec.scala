@@ -314,6 +314,79 @@ class IvfIndexSpec extends GraftSuite {
     }
   }
 
+  test("shard merge + nlist resize: two independently-ingested indexes " +
+      "merge into a fresh 32-cell index whose queries are exact, and a " +
+      "fresh-checkpoint stream keeps ingesting it exactly once") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-merge").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val shard2In = emb.withColumn("vec_id", col("vec_id") + 10000)
+    def ingest(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.mode("append").parquet(s"$base/in_$name")
+      val q = IvfIndexStream.start(
+        spark.readStream.schema(emb.schema).parquet(s"$base/in_$name"),
+        s"$base/$name", s"$base/ckpt_$name", nlist = 16, dim = 64)
+      try { q.processAllAvailable(); q.exception.foreach(throw _) }
+      finally q.stop()
+    }
+    ingest(emb, "s1")
+    ingest(shard2In, "s2")
+    val merged = s"$base/merged"
+    val cents = IvfIndexStream.mergeInto(
+      spark, Seq(s"$base/s1", s"$base/s2"), merged, nlist = 32)
+    assert(cents.length === 32 &&
+      IvfIndexStream.readCentroids(spark, merged).get.length === 32,
+      "the merged index adopts the resized cell count")
+    val corpus = emb.unionByName(shard2In)
+    val store = spark.read.parquet(merged)
+    assert(store.count() === 1000L &&
+      store.select("vec_id").distinct().count() === 1000L)
+    val got = IvfIndexStream.queryMany(spark, merged,
+        corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val want = Similarity.annIvfWith(corpus, cents, k = 3,
+        nQueries = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(got === want,
+      "merged-index queries must equal the batch ANN operator over " +
+        "the union and the merged centroids")
+    // a FRESH checkpoint picks the merged index up: its first batch is
+    // the append guard's repair read (absent marker, foreign-lineage
+    // backfill) — everything lands exactly once
+    emb.withColumn("vec_id", col("vec_id") + 20000)
+      .coalesce(1).write.mode("append").parquet(s"$base/in_more")
+    val q = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema).parquet(s"$base/in_more"),
+      merged, s"$base/ckpt_merged", nlist = 32, dim = 64)
+    try {
+      q.processAllAvailable(); q.exception.foreach(throw _)
+      val after = spark.read.parquet(merged)
+      assert(after.count() === 1500L &&
+        after.select("vec_id").distinct().count() === 1500L,
+        "fresh-checkpoint ingest into the merged index must land " +
+          "exactly once")
+      assert(IvfIndexStream.readCentroids(spark, merged).get
+        .map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq,
+        "ingest must not move the merged centroids")
+    } finally q.stop()
+    // refusals: overlapping vec_ids conflate rows — fail fast; live
+    // target — fail fast
+    val dup = s"$base/s1dup"
+    ingest(emb, "s1dup")
+    intercept[IllegalArgumentException] {
+      IvfIndexStream.mergeInto(spark, Seq(s"$base/s1", dup),
+        s"$base/merged2", nlist = 16)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndexStream.mergeInto(spark, Seq(s"$base/s1"), merged,
+        nlist = 16)
+    }
+  }
+
   test("geometry and identity fail fast: nlist mismatch names both " +
       "tags; data without centroids refuses to guess") {
     val base = java.nio.file.Files
