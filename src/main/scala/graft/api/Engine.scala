@@ -130,7 +130,8 @@ class Engine(val spark: SparkSession,
 
   /** Register a guard store's Bloom-sidecar WARMING telemetry as the
     * pull-queryable one-row table `<prefix>_warming` (loaded_parts,
-    * loaded_bytes, deferred_parts, cached_parts, cached_bytes) — the
+    * loaded_bytes, deferred_parts, rebuilt_parts, cached_parts,
+    * cached_bytes) — the
     * signal that tells a converging post-restart warm-up
     * (`deferred_parts` → 0) apart from a permanent working-set steady
     * state (`deferred_parts` never 0, `loaded_bytes` pinned at the
@@ -149,9 +150,9 @@ class Engine(val spark: SparkSession,
         case Some(w) =>
           import spark.implicits._
           Seq((w.loadedParts, w.loadedBytes, w.deferredParts,
-            w.cachedParts, w.cachedBytes))
+            w.rebuiltParts, w.cachedParts, w.cachedBytes))
             .toDF("loaded_parts", "loaded_bytes", "deferred_parts",
-              "cached_parts", "cached_bytes")
+              "rebuilt_parts", "cached_parts", "cached_bytes")
         case None => throw new graft.streaming.Streams
           .StoreNotReadyException(
             s"no BloomShards prepare has run for $stateDir in this JVM")

@@ -185,31 +185,42 @@ object Similarity {
   def trainCentroidsFrom(emb: DataFrame, seed: Array[Array[Double]],
                          iters: Int): Array[Array[Double]] = {
     var cents = seed
-    val dim = cents.head.length
-    for (_ <- 0 until iters) {
-      val stats = emb
-        .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .collect() // bounded: nlist × dim rows
-      val sums = Array.fill(cents.length, dim)(0.0)
-      val counts = Array.fill(cents.length)(0L)
-      stats.foreach { r =>
-        val c = r.getAs[Int]("cell"); val d = r.getAs[Int]("d")
-        sums(c)(d) = r.getAs[Double]("sx")
-        counts(c) = r.getAs[Long]("n")
-      }
-      cents = Array.tabulate(cents.length) { c =>
-        if (counts(c) == 0L) cents(c)
-        else {
-          val mean = sums(c).map(_ / counts(c))
-          val norm = math.sqrt(mean.map(x => x * x).sum)
-          if (norm == 0.0) cents(c) else mean.map(_ / norm)
-        }
-      }
-    }
+    for (_ <- 0 until iters) cents = lloydStep(emb, cents)._1
     cents
+  }
+
+  /** ONE Lloyd's assignment+update pass — the inner step shared by
+    * [[trainCentroidsFrom]] and [[trainCentroidsBalanced]] (extracted
+    * verbatim, behavior-preserving: the two public trainers stay
+    * separate because the at-ingest birth path is certified and
+    * pinned, but the update arithmetic must not be able to diverge
+    * between them). Returns the updated centroids and the per-cell
+    * member counts; empty cells keep their previous centroid. */
+  private def lloydStep(emb: DataFrame, prev: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Long]) = {
+    val cents = prev
+    val dim = cents.head.length
+    val stats = emb
+      .withColumn("cell", VectorExpressions.argMaxDot(col("embedding"), cents))
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect() // bounded: nlist × dim rows
+    val sums = Array.fill(cents.length, dim)(0.0)
+    val counts = Array.fill(cents.length)(0L)
+    stats.foreach { r =>
+      val c = r.getAs[Int]("cell"); val d = r.getAs[Int]("d")
+      sums(c)(d) = r.getAs[Double]("sx")
+      counts(c) = r.getAs[Long]("n")
+    }
+    (Array.tabulate(cents.length) { c =>
+      if (counts(c) == 0L) cents(c)
+      else {
+        val mean = sums(c).map(_ / counts(c))
+        val norm = math.sqrt(mean.map(x => x * x).sum)
+        if (norm == 0.0) cents(c) else mean.map(_ / norm)
+      }
+    }, counts)
   }
 
   /** [[trainCentroidsFrom]] with CELL REBALANCING, used by
@@ -244,28 +255,13 @@ object Similarity {
     var cents = seed
     val dim = cents.head.length
     for (i <- 0 until iters) {
+      val prev = cents
+      // the bisection below picks members of the fullest cell under
+      // the PRE-update assignment — the same assignment the step used
       val celled = emb.withColumn("cell",
-        VectorExpressions.argMaxDot(col("embedding"), cents))
-      val stats = celled
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .collect() // bounded: nlist × dim rows
-      val sums = Array.fill(cents.length, dim)(0.0)
-      val counts = Array.fill(cents.length)(0L)
-      stats.foreach { r =>
-        val c = r.getAs[Int]("cell"); val d = r.getAs[Int]("d")
-        sums(c)(d) = r.getAs[Double]("sx")
-        counts(c) = r.getAs[Long]("n")
-      }
-      cents = Array.tabulate(cents.length) { c =>
-        if (counts(c) == 0L) cents(c)
-        else {
-          val mean = sums(c).map(_ / counts(c))
-          val norm = math.sqrt(mean.map(x => x * x).sum)
-          if (norm == 0.0) cents(c) else mean.map(_ / norm)
-        }
-      }
+        VectorExpressions.argMaxDot(col("embedding"), prev))
+      val (next, counts) = lloydStep(emb, prev)
+      cents = next
       if (i < iters - 1) {
         val starving = counts.indices.minBy(counts(_))
         val fullest = counts.indices.maxBy(counts(_))

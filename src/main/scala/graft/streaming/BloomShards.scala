@@ -180,11 +180,16 @@ object BloomShards {
     * deferred-positive gate guarantees it), but the second is a
     * permanent per-batch reload cost that should be SIZED away (grow
     * [[Cache]]`.maxBytes` to cover the live working set, or shrink the
-    * touched set per batch). Also emitted as a stable log line by
+    * touched set per batch). `loadedParts` counts parts whose sidecar
+    * base ACTUALLY loaded; parts the budget admitted but that had no
+    * usable base (adopted/torn — they take the count+rebuild path)
+    * show under `rebuiltParts` instead, while `loadedBytes` remains
+    * the BUDGET charge (baseless parts are charged at the filter size
+    * their rebuild materializes — the memory-honest number). Also emitted as a stable log line by
     * [[prepare]] (`BloomShards.warming store=...`). */
   final case class WarmingStats(loadedParts: Int, loadedBytes: Long,
-                                deferredParts: Int, cachedParts: Int,
-                                cachedBytes: Long)
+                                deferredParts: Int, rebuiltParts: Int,
+                                cachedParts: Int, cachedBytes: Long)
 
   private val warmingByStore =
     new java.util.concurrent.ConcurrentHashMap[String, WarmingStats]()
@@ -591,8 +596,11 @@ object BloomShards {
       deferred = defer.result()
       cache.lastLoadBytes = loadBytes
       val toLoad = load.result()
-      loadedParts = toLoad.size
       loadInto(spark, stateDir, lineage, toLoad, cache)
+      // actually-loaded only: budget-admitted parts with no usable base
+      // fall through loadInto to the rebuild below and are reported as
+      // rebuilds, not loads (telemetry honesty — see [[WarmingStats]])
+      loadedParts = toLoad.count(cache.shards.contains)
     }
     // live parts with no loadable base: count first (one job over
     // exactly those partitions, rare by construction), then rebuild at
@@ -624,14 +632,15 @@ object BloomShards {
     touched.foreach(cache.touch)
     cache.lastDeferredCount = deferred.length
     val stats = WarmingStats(loadedParts, cache.lastLoadBytes,
-      deferred.length, cache.heldParts, cache.heldBytes)
+      deferred.length, targets.size, cache.heldParts, cache.heldBytes)
     warmingByStore.put(stateDir, stats)
     // the stable warming line (see [[WarmingStats]]): emitted only when
     // the batch did warming work, so a fully warm steady state is silent
-    if (loadedParts > 0 || deferred.nonEmpty)
+    if (loadedParts > 0 || deferred.nonEmpty || targets.nonEmpty)
       log.info(s"BloomShards.warming store=$stateDir " +
         s"loadedParts=$loadedParts loadedBytes=${cache.lastLoadBytes} " +
-        s"deferredParts=${deferred.length} budgetBytes=$maxLoadBytes " +
+        s"deferredParts=${deferred.length} rebuiltParts=${targets.size} " +
+        s"budgetBytes=$maxLoadBytes " +
         s"cachedParts=${cache.heldParts} cachedBytes=${cache.heldBytes}")
     Prepared(
       touched.flatMap(p => cache.shards.get(p).map(p -> _)).toMap,

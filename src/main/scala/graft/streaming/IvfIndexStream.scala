@@ -115,6 +115,18 @@ object IvfIndexStream {
   private def prebirthDir(stateDir: String): String =
     stateDir + ".__prebirth"
 
+  // committed cell data (vs crash droppings): a dir holding only a
+  // _temporary subdir or nothing at all must read as "no data", not a
+  // schema-inference error — the one predicate shared by queryMany's
+  // emptiness test and the pre-birth buffer's readability test
+  private def hasCommittedCellData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(path) && fs.listStatus(path).exists(cd =>
+      cd.isDirectory && cd.getPath.getName.startsWith("cell=") &&
+        fs.listStatus(cd.getPath).exists(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")))
+
   /** Start maintaining the index at `stateDir` from a streaming
     * `(vec_id: long, embedding: array<float>)` frame. `dim` pins the
     * vector width into the format marker (mismatched restarts fail
@@ -158,12 +170,7 @@ object IvfIndexStream {
         // mid-delete can leave the dir with no readable data, which
         // must read as "no buffer", not a schema-inference error
         def bufferedRows(): Option[DataFrame] =
-          if (!fs.exists(bufPath) ||
-              !fs.listStatus(bufPath).exists(cd =>
-                cd.isDirectory && cd.getPath.getName.startsWith("cell=") &&
-                  fs.listStatus(cd.getPath).exists(f =>
-                    f.isFile && f.getPath.getName.endsWith(".parquet"))))
-            None
+          if (!hasCommittedCellData(fs, bufPath)) None
           else Some(spark.read.parquet(bufDir)
             .select(col("vec_id"), col("embedding")))
         // the union of buffer and batch with each vec_id ONCE: a batch
@@ -175,10 +182,18 @@ object IvfIndexStream {
           case Some(b) => b.unionByName(
             vecsB.join(b.select(col("vec_id")), Seq("vec_id"), "left_anti"))
         }
+        // deletions VERIFIED: Hadoop reports failure by return value,
+        // and a silently-kept buffer whose rows already landed would
+        // re-fold into every later batch — duplicates, the one thing
+        // the protocol exists to prevent (failing the batch instead
+        // just replays it; the append guard absorbs that)
         def dropBuffer(): Unit = {
-          fs.delete(bufPath, true)
+          def rm(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit =
+            require(!fs.exists(p) || fs.delete(p, recursive),
+              s"could not delete pre-birth artifact $p")
+          rm(bufPath, true)
           Seq(".__applied", ".__intent", ".__format").foreach(sfx =>
-            fs.delete(new org.apache.hadoop.fs.Path(bufDir + sfx), false))
+            rm(new org.apache.hadoop.fs.Path(bufDir + sfx), false))
         }
         def appendCelled(rows: DataFrame,
                          cents: Array[Array[Double]]): Unit =
@@ -211,6 +226,15 @@ object IvfIndexStream {
                   "readable centroid sidecar — centroids are the cell " +
                   "layout's identity and cannot be re-derived; restore " +
                   s"${centroidsPath(stateDir)} or rebuild the index fresh")
+            // validate THIS batch's vectors before anything is staged:
+            // deferring the dim check to birth would stage wrong-dim
+            // rows and then crash-loop on the checkpoint-pinned birth
+            // batch — the exact failure shape incremental birth exists
+            // to eliminate (first-vector rigor, like the birth check)
+            val bDim = vecsB.limit(1)
+              .select(size(col("embedding"))).head().getInt(0)
+            require(bDim == dim,
+              s"vectors are $bDim-dim, index configured for $dim")
             val all = withBuffer(bufferedRows())
             val seed = all.orderBy(col("vec_id")).limit(nlist)
               .select(col("embedding")).collect()
@@ -268,12 +292,7 @@ object IvfIndexStream {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fsQ = statePath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val hasCommitted = fsQ.exists(statePath) &&
-      fsQ.listStatus(statePath).exists(cd =>
-        cd.isDirectory && cd.getPath.getName.startsWith("cell=") &&
-          fsQ.listStatus(cd.getPath).exists(f =>
-            f.isFile && f.getPath.getName.endsWith(".parquet")))
-    if (!hasCommitted)
+    if (!hasCommittedCellData(fsQ, statePath))
       return queries.select(col("query_id"),
         col("query_id").as("neighbor_id"),
         lit(0.0).as("score"), lit(0).as("rank")).limit(0)
@@ -388,8 +407,9 @@ object IvfIndexStream {
     val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(newPath) &&
       !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")),
-      s"$newDir already exists — reindex refuses to merge into a live " +
-        "target; delete it to re-run")
+      s"$newDir (or a sibling marker) already exists — reindex refuses " +
+        s"a live target; delete $newDir, $newDir.__format, " +
+        s"$newDir.__applied and $newDir.__intent to re-run")
     require(!fs.exists(new org.apache.hadoop.fs.Path(prebirthDir(stateDir))),
       s"$stateDir has a pre-birth buffer — the index is mid-birth and " +
         "the staged rows are not in the store yet; let the stream " +
@@ -397,11 +417,18 @@ object IvfIndexStream {
     val old = spark.read.parquet(stateDir).select(col("vec_id"),
       col("embedding"), col("__lineage"), col("__batch_id"))
     val trained = buildIndex(spark, fs, old, newDir, nlist, trainIters)
-    val applied = new org.apache.hadoop.fs.Path(stateDir + ".__applied")
-    if (fs.exists(applied))
-      org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
-        new org.apache.hadoop.fs.Path(newDir + ".__applied"), false,
-        spark.sparkContext.hadoopConfiguration)
+    // BOTH guard markers travel: .__applied lets a fully-committed
+    // replayed batch skip outright; .__intent keeps the round-15
+    // clean-restart fast path (without it the first post-swap batch
+    // would always pay the repair read the intent marker exists to
+    // avoid)
+    Seq(".__applied", ".__intent").foreach { sfx =>
+      val src = new org.apache.hadoop.fs.Path(stateDir + sfx)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(newDir + sfx), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
     writeCentroids(fs, newDir, trained)
     trained
   }
@@ -433,8 +460,8 @@ object IvfIndexStream {
     val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(newPath) &&
       !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")),
-      s"$newDir already exists — merge refuses a live target; delete " +
-        "it to re-run")
+      s"$newDir (or its format marker) already exists — merge refuses " +
+        s"a live target; delete $newDir and $newDir.__format to re-run")
     sources.foreach { s =>
       require(!fs.exists(new org.apache.hadoop.fs.Path(prebirthDir(s))),
         s"$s has a pre-birth buffer — the index is mid-birth and the " +
@@ -445,12 +472,24 @@ object IvfIndexStream {
         spark.read.parquet(s).select(col("vec_id"), col("embedding"),
           col("__lineage"), col("__batch_id")))
       .reduce(_.unionByName(_))
-    val ids = union.agg(count(lit(1)).as("n"),
-      count_distinct(col("vec_id")).as("d")).head()
-    require(ids.getLong(0) == ids.getLong(1),
-      s"sources share vec_ids (${ids.getLong(0)} rows, " +
-        s"${ids.getLong(1)} distinct) — vec_id is the row identity; " +
-        "remap before merging")
+    // CROSS-source overlap only: a single store can legitimately hold
+    // a vec_id twice (post-birth ingest has no cross-batch dedup — a
+    // source re-emitting an id is a data property, and reindexInto
+    // keeps such rows too), so the check must not blame intra-source
+    // duplicates on a phantom shard overlap
+    if (sources.length > 1) {
+      val overlap = sources.zipWithIndex.map { case (src, i) =>
+          spark.read.parquet(src).select(col("vec_id")).distinct()
+            .withColumn("__src", lit(i))
+        }.reduce(_.unionByName(_))
+        .groupBy(col("vec_id"))
+        .agg(count_distinct(col("__src")).as("ns"))
+        .filter(col("ns") > 1).limit(1).collect()
+      require(overlap.isEmpty,
+        s"sources share vec_id ${overlap.headOption.map(_.getLong(0))
+          .getOrElse(-1L)} — vec_id is the row identity across " +
+          "shards; remap before merging")
+    }
     val trained = buildIndex(spark, fs, union, newDir, nlist, trainIters)
     writeCentroids(fs, newDir, trained)
     trained
