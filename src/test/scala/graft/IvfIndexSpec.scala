@@ -373,6 +373,28 @@ class IvfIndexSpec extends GraftSuite {
         .map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq,
         "ingest must not move the merged centroids")
     } finally q.stop()
+    // maintenance twin: compaction (stream stopped) collapses each
+    // cell to one file without changing rows or query results
+    def q10(): Set[(Long, Long, Double, Int)] =
+      IvfIndexStream.queryMany(spark, merged,
+          corpus.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+    val preCompact = q10()
+    IvfIndexStream.compactIndex(spark, merged)
+    val cellDirs = new java.io.File(merged).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")) == 1),
+      "compaction must leave one file per cell")
+    val afterCompact = spark.read.parquet(merged)
+    assert(afterCompact.count() === 1500L &&
+      afterCompact.select("vec_id").distinct().count() === 1500L,
+      "compaction must not add or drop rows")
+    assert(q10() === preCompact,
+      "compaction must not change query results")
     // refusals: overlapping vec_ids conflate rows — fail fast; live
     // target — fail fast
     val dup = s"$base/s1dup"
