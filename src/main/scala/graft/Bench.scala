@@ -161,6 +161,22 @@ object Bench {
     ()
   }
 
+  /** 1-minute system load average from /proc/loadavg, or -1 where the
+    * file is absent (non-Linux). Sampled before the sweep, after every
+    * query, and after the sweep, and emitted in BOTH output JSONs so
+    * the recorded artifact carries its own pressure evidence (round-16
+    * verdict: the committed sweep was the round's worst and the
+    * host-degradation adjudication lived only in prose — a bench number
+    * should prove or disprove its own window inline). On this 32-cpu
+    * container an idle window reads well under 32; a load far above
+    * the core count at sample time is external pressure the sweep's
+    * per-query spikes can be attributed to. */
+  private[graft] def loadavg1(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -255,13 +271,21 @@ object Bench {
       else prevMedians.get(name)
 
     var retried = Map.empty[String, Double]
+    val loadStart = loadavg1()
+    var loadMax = loadStart
+    var loadByQuery = Map.empty[String, Double]
     val results: Seq[(String, Either[String, Double])] = names.map { name =>
-      name -> guardedMedian(
+      val r = name -> guardedMedian(
         warmup = () => runOnce(name),
         trials = () => trials(name),
         prev = prevFor(name),
         record = m => retried += name -> m)
+      val l = loadavg1()
+      loadMax = math.max(loadMax, l)
+      loadByQuery += name -> l
+      r
     }
+    val loadEnd = loadavg1()
     // Persist this sweep's medians for the next sweep's cross-run guard.
     // Failed queries are passed separately so a reset query whose sweep
     // FAILED keeps its previous floor instead of vanishing (see
@@ -287,9 +311,18 @@ object Bench {
     val nFailed = results.count(_._2.isLeft)
     val retries = retried.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    // per-query post-measurement load samples: the audit trail that
+    // attributes a specific slow query to a specific pressure window
+    val loads = names.map(n =>
+      s"${jstr(n)}:${jnum(loadByQuery.getOrElse(n, -1.0))}")
+      .mkString("{", ",", "}")
+    val loadFields =
+      s""""load_start":${jnum(loadStart)},"load_end":${jnum(loadEnd)},""" +
+        s""""load_max":${jnum(loadMax)}"""
     val json =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"n_failed":$nFailed,"retried":$retries,""" +
+        s"""$loadFields,"load_by_query":$loads,""" +
         s""""sf":${jstr(sfDir)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     println(json)
@@ -303,7 +336,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
         s""""n":${results.size},"n_failed":$nFailed,""" +
-        s""""n_retried":${retried.size},"queries":$top10,""" +
+        s""""n_retried":${retried.size},$loadFields,"queries":$top10,""" +
         s""""detail":${jstr(out)},"sf":${jstr(sfDir)}}"""
     spark.stop()
     // Final line, uniquely anchored for log-scraping parsers — emitted to

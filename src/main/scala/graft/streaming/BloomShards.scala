@@ -185,11 +185,24 @@ object BloomShards {
     * usable base (adopted/torn — they take the count+rebuild path)
     * show under `rebuiltParts` instead, while `loadedBytes` remains
     * the BUDGET charge (baseless parts are charged at the filter size
-    * their rebuild materializes — the memory-honest number). Also emitted as a stable log line by
+    * their rebuild materializes — the memory-honest number).
+    * `grownParts` counts SATURATED cached shards rebuilt at a doubled
+    * covering capacity — capacity growth on an already-warm filter, a
+    * different signal from `rebuiltParts`' baseless rebuilds (r16
+    * ADVICE: folding growth into rebuiltParts made a fully warm batch
+    * that merely grew one filter look like warm-up still in progress).
+    * `prepareSeq` increments once per [[prepare]] on this store in
+    * this JVM — a poller that sees the same seq twice knows the
+    * snapshot has stopped advancing (stopped query), not reached a
+    * quiet steady state (r16 ADVICE: the registry is never cleared, so
+    * without it a dashboard cannot tell a live steady state from a
+    * dead query's final stats). Also emitted as a stable log line by
     * [[prepare]] (`BloomShards.warming store=...`). */
   final case class WarmingStats(loadedParts: Int, loadedBytes: Long,
                                 deferredParts: Int, rebuiltParts: Int,
-                                cachedParts: Int, cachedBytes: Long)
+                                grownParts: Int,
+                                cachedParts: Int, cachedBytes: Long,
+                                prepareSeq: Long)
 
   private val warmingByStore =
     new java.util.concurrent.ConcurrentHashMap[String, WarmingStats]()
@@ -558,7 +571,13 @@ object BloomShards {
               maxLoadBytes: Long = Long.MaxValue): Prepared = {
     cache.lastLoadBytes = 0L
     cache.lastDeferredCount = 0
-    if (touched.isEmpty) return Prepared(Map.empty, Nil)
+    if (touched.isEmpty) {
+      // still a liveness tick: prepareSeq must advance on EVERY prepare
+      // or an idle-but-live query would read as dead to a seq poller
+      lastWarming(stateDir).foreach(w =>
+        warmingByStore.put(stateDir, w.copy(prepareSeq = w.prepareSeq + 1)))
+      return Prepared(Map.empty, Nil)
+    }
     val missing = touched.filterNot(cache.shards.contains)
     var deferred: Seq[Int] = Nil
     var loadedParts = 0
@@ -631,17 +650,27 @@ object BloomShards {
     }
     touched.foreach(cache.touch)
     cache.lastDeferredCount = deferred.length
+    // rebuilt = baseless (warm-up work); grown = saturated-capacity
+    // doublings (steady-state maintenance) — reported separately so the
+    // converging-vs-permanent signal stays clean (r16 ADVICE); prepare
+    // is single-writer per store, so the +1 seq never races
     val stats = WarmingStats(loadedParts, cache.lastLoadBytes,
-      deferred.length, targets.size, cache.heldParts, cache.heldBytes)
+      deferred.length, unknownCounts.size, saturated.length,
+      cache.heldParts, cache.heldBytes,
+      lastWarming(stateDir).fold(1L)(_.prepareSeq + 1L))
     warmingByStore.put(stateDir, stats)
     // the stable warming line (see [[WarmingStats]]): emitted only when
-    // the batch did warming work, so a fully warm steady state is silent
+    // the batch did warming or growth work, so a fully warm steady
+    // state is silent
     if (loadedParts > 0 || deferred.nonEmpty || targets.nonEmpty)
       log.info(s"BloomShards.warming store=$stateDir " +
         s"loadedParts=$loadedParts loadedBytes=${cache.lastLoadBytes} " +
-        s"deferredParts=${deferred.length} rebuiltParts=${targets.size} " +
+        s"deferredParts=${deferred.length} " +
+        s"rebuiltParts=${unknownCounts.size} " +
+        s"grownParts=${saturated.length} " +
         s"budgetBytes=$maxLoadBytes " +
-        s"cachedParts=${cache.heldParts} cachedBytes=${cache.heldBytes}")
+        s"cachedParts=${cache.heldParts} cachedBytes=${cache.heldBytes} " +
+        s"prepareSeq=${stats.prepareSeq}")
     Prepared(
       touched.flatMap(p => cache.shards.get(p).map(p -> _)).toMap,
       deferred)

@@ -57,8 +57,11 @@ object GuardNearDupCert {
   private val GroupCol = "source"
 
   /** The sequential batch-operator oracle over `slices` (file paths, in
-    * order): returns (acceptedIds, exactDupIds, nearDupIds, quotaIds). */
-  private def oracle(spark: SparkSession, slices: Seq[String],
+    * order): returns (acceptedIds, exactDupIds, nearDupIds, quotaIds).
+    * Package-visible: [[GuardIvfPipelineCert]] reuses it as the guard
+    * half of the composed guard→index oracle — ONE oracle per
+    * semantics, never a second derivation to drift. */
+  private[tools] def oracle(spark: SparkSession, slices: Seq[String],
                      scratch: String, quotaCap: Option[Long],
                      minEst: Option[Double])
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {

@@ -40,9 +40,17 @@ import graft.streaming.IvfIndexStream
   *     the oracle digest, and a post-swap resumed ingest lands exactly
   *     once.
   *
+  * Round 17 adds the DELETION certification (r16 verdict Next #1's
+  * cert-scale row) with the same protocol — see [[deleteCert]]:
+  * `delete-expected` prints the survivors-oracle hash first;
+  * `delete` ingests, deletes 10% (twice — idempotence), and must
+  * reproduce the hash masked, purged, and after a resume that
+  * re-emits deleted ids.
+  *
   * Usage: `runMain graft.tools.IvfIndexBench <embDir> [mode]` with mode
   * `1` (expected), default (stream cert), `reindex-expected`,
-  * `reindex`. Prints one `IVFINDEX*` JSON line per invocation. */
+  * `reindex`, `delete-expected`, `delete`. Prints one `IVFINDEX*`
+  * JSON line per invocation. */
 object IvfIndexBench {
 
   private val NSlices = 10
@@ -118,6 +126,124 @@ object IvfIndexBench {
     cents.foreach(_.foreach(d => md.update(
       java.nio.ByteBuffer.allocate(8).putDouble(d).array())))
     md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The DELETION certification (modes `delete-expected` / `delete` —
+    * r16 verdict Next #1's cert-scale row): over the doubled corpus
+    * (2 × nVecs vectors, the drift fixture's union so the scale row is
+    * the verdict's "delete 10% of 400k"), the oracle is
+    * [[Similarity.annIvfWith]] over the SURVIVORS (every vec_id with
+    * `vec_id % 10 == 3` deleted — deterministic, ids-derived) and the
+    * slice-0-trained centroids, hash printed BEFORE any stream runs.
+    * The subject ingests all slices, issues `deleteIds` TWICE (the
+    * replayed delete must be a no-op), and must reproduce the hash
+    * exactly (a) immediately — masking, rows still physical — and (b)
+    * after `compactIndex` — purging, store shrunk by the deleted rows,
+    * tombstones kept; then a post-delete resumed ingest lands exactly
+    * once and a RE-EMITTED deleted id stays erased. */
+  private def deleteCert(spark: SparkSession, emb: DataFrame,
+                         nVecs: Long, expectedOnly: Boolean,
+                         cpus: String): Unit = {
+    val corpus = emb.unionByName(
+        emb.withColumn("vec_id", col("vec_id") + DriftIdOffset))
+      .select(col("vec_id"), col("embedding"))
+    val deletePred = pmod(col("vec_id"), lit(10)) === 3
+    val survivors = corpus.filter(!deletePred)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfdelete").toString
+    // stage 10 single-file slices of the doubled corpus; BOTH modes
+    // train centroids from the staged slice-0 file (bit-identical
+    // accumulation order — the IVFINDEX protocol)
+    val staged = (0 until NSlices).map { s =>
+      val d = s"$base/staged/s$s"
+      corpus.filter(pmod(col("vec_id"), lit(NSlices)) === s)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".")).head.getAbsolutePath
+    }
+    val cents = oracleCents(spark, staged.head)
+    val nDeleted = corpus.filter(deletePred).count()
+    if (expectedOnly) {
+      val (n, hash) = resultHash(
+        Similarity.annIvfWith(survivors, cents, K, NQueries, NProbe))
+      println(s"""IVFDELETE_EXPECTED {"vectors":${2 * nVecs},"deleted":$nDeleted,"survivors":${2 * nVecs - nDeleted},"rows":$n,"hash":"$hash","cents":"${centsDigest(cents)}","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+      return
+    }
+    val inDir = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def copyIn(f: String, i: Int): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(f), fs,
+        new org.apache.hadoop.fs.Path(inDir, f"slice_$i%05d.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+    val stateDir = s"$base/state"
+    def startQ() = IvfIndexStream.start(
+      spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir),
+      stateDir, s"$base/ckpt", nlist = NList, dim = Dim)
+    val tI0 = System.nanoTime()
+    val q = startQ()
+    try {
+      staged.zipWithIndex.foreach { case (f, i) =>
+        copyIn(f, i); q.processAllAvailable(); q.exception.foreach(throw _)
+      }
+    } finally q.stop()
+    val ingestSec = (System.nanoTime() - tI0) / 1e9
+    // the deletion: ids-only frame, issued twice (replay idempotence)
+    val delIds = corpus.filter(deletePred).select(col("vec_id"))
+    val tD0 = System.nanoTime()
+    IvfIndexStream.deleteIds(spark, stateDir, delIds)
+    val deleteSec = (System.nanoTime() - tD0) / 1e9
+    IvfIndexStream.deleteIds(spark, stateDir, delIds)
+    val tombCount = IvfIndexStream.readTombstones(spark, stateDir)
+      .get.count()
+    // queries against survivors that remain queryable: NQueries
+    // smallest surviving ids (vec_id % 10 != 3 and < some bound —
+    // annIvfWith picks vec_id < NQueries from ITS corpus, and the
+    // oracle corpus IS the survivors, so the subject queries the same
+    // surviving ids)
+    val qFrame = survivors.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val persisted = IvfIndexStream.readCentroids(spark, stateDir).get
+    val centsMatch = persisted.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq
+    val (n1, hash1) = resultHash(IvfIndexStream.queryMany(
+      spark, stateDir, qFrame, K, NProbe))
+    val rowsBefore = spark.read.parquet(stateDir).count()
+    val tC0 = System.nanoTime()
+    IvfIndexStream.compactIndex(spark, stateDir)
+    val compactSec = (System.nanoTime() - tC0) / 1e9
+    val rowsAfter = spark.read.parquet(stateDir).count()
+    val (n2, hash2) = resultHash(IvfIndexStream.queryMany(
+      spark, stateDir, qFrame, K, NProbe))
+    val tombAfter = IvfIndexStream.readTombstones(spark, stateDir)
+      .get.count()
+    // post-delete ingest: fresh ids land exactly once; a re-emitted
+    // DELETED id stays erased from queries
+    val resume = corpus.filter(pmod(col("vec_id"), lit(NSlices)) === 0)
+      .withColumn("vec_id", col("vec_id") + 4 * DriftIdOffset)
+      .unionByName(corpus.filter(deletePred && col("vec_id") < 10000))
+    val d = s"$base/staged/resume"
+    resume.coalesce(1).write.mode("overwrite").parquet(d)
+    copyIn(new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).head.getAbsolutePath, NSlices)
+    val q2 = startQ()
+    try { q2.processAllAvailable(); q2.exception.foreach(throw _) }
+    finally q2.stop()
+    val (n3, hash3) = resultHash(IvfIndexStream.queryMany(
+      spark, stateDir, qFrame, K, NProbe))
+    val resumeN = resume.count()
+    val totalAfterResume = spark.read.parquet(stateDir).count()
+    // the resume lands whole (1000 re-emitted deleted ids included —
+    // ingest never reads tombstones), but the re-emits stay MASKED:
+    // hash3 must still equal the survivors oracle
+    val exactResume = totalAfterResume == rowsAfter + resumeN
+    val (oN, oHash) = resultHash(
+      Similarity.annIvfWith(survivors, persisted, K, NQueries, NProbe))
+    println(s"""IVFDELETE {"vectors":${2 * nVecs},"deleted":$nDeleted,"tombstones":$tombCount,"idempotent":${tombCount == nDeleted},"ingest_wall_sec":${f"$ingestSec%.1f"},"delete_sec":${f"$deleteSec%.2f"},"compact_sec":${f"$compactSec%.1f"},"rows_before_compact":$rowsBefore,"rows_after_compact":$rowsAfter,"purged":${rowsBefore - rowsAfter},"purge_exact":${rowsBefore - rowsAfter == nDeleted},"tombstones_kept":${tombAfter == nDeleted},"rows":$n1,"hash_masked":"$hash1","hash_purged":"$hash2","hash_post_resume":"$hash3","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash1 == oHash && hash2 == oHash && hash3 == oHash && n1 == oN && n2 == oN && n3 == oN},"cents_match":$centsMatch,"resume_rows":$resumeN,"post_resume_total":$totalAfterResume,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
   }
 
   /** The drift-remedy certification (modes `reindex-expected` /
@@ -238,6 +364,12 @@ object IvfIndexBench {
     if (mode == "reindex-expected" || mode == "reindex") {
       reindexCert(spark, emb, nVecs,
         expectedOnly = mode == "reindex-expected", cpus)
+      spark.stop()
+      return
+    }
+    if (mode == "delete-expected" || mode == "delete") {
+      deleteCert(spark, emb, nVecs,
+        expectedOnly = mode == "delete-expected", cpus)
       spark.stop()
       return
     }

@@ -54,6 +54,43 @@ import graft.streaming.Streams
   * stateOperators ledger so the crossover is recorded from measurement.
   * Driven by `tools/overheap_bench.sh`. */
 object StreamBench {
+
+  /** Print the `STREAMBENCH {...}` line AND append it, timestamped and
+    * tagged with the run's environment knobs, to a raw-lines ledger
+    * (default `bench/streambench_raw.jsonl`; `SPARK_GRAFT_SB_RAW`
+    * overrides the path, `none` disables). Round-16 verdict #4/Next #3:
+    * the round's floor adjudication was settled by 12 A/B runs whose
+    * raw lines existed only as README summary means — every future A/B
+    * claim must carry its raw numbers in-tree without trusting prose,
+    * so the protocol writes them by default; commit the file with the
+    * claim. Append-only: concurrent sweeps interleave lines, never
+    * clobber. */
+  private def emit(line: String): Unit = {
+    println(line)
+    val raw = sys.env.getOrElse("SPARK_GRAFT_SB_RAW",
+      "bench/streambench_raw.jsonl")
+    if (raw != "none")
+      try {
+        val path = java.nio.file.Paths.get(raw)
+        Option(path.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        val tags = Seq("SPARK_GRAFT_SB_ONLY", "SPARK_GRAFT_SB_ROTATE",
+          "SPARK_GRAFT_STATESTORE", "SPARK_GRAFT_BINARY_LABEL")
+          .flatMap(k => sys.env.get(k).map(v =>
+            s""""${k.stripPrefix("SPARK_GRAFT_").toLowerCase}":"$v""""))
+        val stamped = s"""{"ts_ms":${System.currentTimeMillis()},""" +
+          tags.map(_ + ",").mkString +
+          s""""line":${graft.functions.Json.quote(line)}}"""
+        java.nio.file.Files.writeString(path, stamped + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[streambench] WARN raw-lines append " +
+            s"failed ($raw): ${e.getMessage}")
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val rowsPerBatch = if (args.length > 0) args(0).toInt else 250000
     val batches = if (args.length > 1) args(1).toInt else 8
@@ -147,7 +184,7 @@ object StreamBench {
         .writeStream.format("noop").outputMode(OutputMode.Update()).start())
       val (rows, secs) = ledger(progress)
       val st = progress.lastOption.flatMap(_.stateOperators.headOption)
-      println(s"""STREAMBENCH {"pipeline":"state_stress","state_store":"${stateStore.toLowerCase}","stress_keys":$nKeys,"rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"events_per_sec":${(rows / secs).round},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_bytes":${st.map(_.memoryUsedBytes).getOrElse(-1L)},"heap_max_mb":${Runtime.getRuntime.maxMemory() / 1024 / 1024},"cpus":$cpus}""")
+      emit(s"""STREAMBENCH {"pipeline":"state_stress","state_store":"${stateStore.toLowerCase}","stress_keys":$nKeys,"rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"events_per_sec":${(rows / secs).round},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_bytes":${st.map(_.memoryUsedBytes).getOrElse(-1L)},"heap_max_mb":${Runtime.getRuntime.maxMemory() / 1024 / 1024},"cpus":$cpus}""")
       spark.stop()
       sys.exit(0)
     }
@@ -320,7 +357,7 @@ object StreamBench {
       (rows / sec).round
     }
     val fields = names.map(n => s""""$n":${rate(n)}""").mkString(",")
-    println(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"rotate":$rotate,$fields,"cpus":$cpus}""")
+    emit(s"""STREAMBENCH {"pipeline":"EP2","state_store":"${stateStore.toLowerCase}","rows_per_batch":$rowsPerBatch,"measured_batches":${batches - warmup},"rotate":$rotate,$fields,"cpus":$cpus}""")
     // Persist per-(pipeline, rotation) BEST rates, the way Bench persists
     // per-query median floors (round-13 verdict task: two samples at two
     // rotations cannot settle warm-vs-cold arguments — a committed ledger

@@ -96,6 +96,58 @@ class BloomShardsSpec extends GraftSuite {
       "an orphan delta (no base row) must not be folded as membership")
   }
 
+  test("warming telemetry separates baseless rebuilds from saturated " +
+      "growth, and prepareSeq advances on every prepare (r16 ADVICE: a " +
+      "fully warm batch that merely grows one filter must not read as " +
+      "warm-up still in progress, and a poller must be able to tell a " +
+      "live steady state from a dead query's final snapshot)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-telemetry").toString
+    val state = s"$base/state"
+    // part 0 exists in the store with NO sidecar -> baseless rebuild
+    Seq((0, 11L), (0, 12L)).toDF("fp_part", "__fp")
+      .write.partitionBy("fp_part").parquet(state)
+    val cache = new BloomShards.Cache
+    BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache, 64L, 0.01)
+    val w1 = BloomShards.lastWarming(state).get
+    assert(w1.rebuiltParts === 1 && w1.grownParts === 0 &&
+      w1.loadedParts === 0,
+      s"a baseless part is a REBUILD, not a load or a growth: $w1")
+    // saturate the (now cached) shard past its cap0=64 capacity, then
+    // prepare again: the capacity doubling is GROWTH, not a rebuild
+    // (the growth rebuild reads the store, so the batch's rows land
+    // there first — the guard's own append-then-update order)
+    val grow = (0L until 200L).map(_ * 104729L + 7)
+    fps(0, grow).write.mode("append").partitionBy("fp_part").parquet(state)
+    BloomShards.update(spark, state, "fp_part",
+      fps(0, grow), cache, 64L, 0.01, "lin", 1L)
+    BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Seq(0), cache, 64L, 0.01)
+    val w2 = BloomShards.lastWarming(state).get
+    assert(w2.grownParts === 1 && w2.rebuiltParts === 0,
+      s"a saturated warm filter's capacity doubling is GROWTH: $w2")
+    assert(w2.prepareSeq === w1.prepareSeq + 1,
+      s"prepareSeq must advance per prepare: ${w1.prepareSeq} -> " +
+        s"${w2.prepareSeq}")
+    // a fully warm, fully quiet prepare still ticks the seq — liveness,
+    // even when the batch touches nothing
+    BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Nil, cache, 64L, 0.01)
+    val w3 = BloomShards.lastWarming(state).get
+    assert(w3.prepareSeq === w2.prepareSeq + 1,
+      "an idle prepare must still advance the seq (a frozen seq means " +
+        "a STOPPED query, nothing else)")
+    // and the engine view serves the new split
+    val engine = new graft.api.Engine(spark)
+    engine.registerGuardWarming(state, prefix = "telem")
+    val row = engine.pullQuery("SELECT rebuilt_parts, grown_parts, " +
+      "prepare_seq FROM telem_warming").head()
+    assert(row.getInt(0) === 0 && row.getInt(1) === 1 &&
+      row.getLong(2) === w3.prepareSeq, s"view must serve the split: $row")
+    engine.terminateAll()
+  }
+
   test("a restart under a different fpp neither crashes nor loses members") {
     // the round-13 advice scenario: the old sidecar MERGED a batch-built
     // filter into the loaded one — same capacity + different fpp =

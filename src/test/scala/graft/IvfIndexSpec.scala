@@ -409,6 +409,194 @@ class IvfIndexSpec extends GraftSuite {
     }
   }
 
+  private def ingestInto(base: String, stateDir: String, ckpt: String,
+                         df: org.apache.spark.sql.DataFrame,
+                         inSuffix: String = "in",
+                         nlist: Int = 16): Unit = {
+    df.coalesce(1).write.mode("append").parquet(s"$base/$inSuffix")
+    val q = IvfIndexStream.start(
+      spark.readStream.schema(df.schema).parquet(s"$base/$inSuffix"),
+      stateDir, ckpt, nlist = nlist, dim = 64)
+    try { q.processAllAvailable(); q.exception.foreach(throw _) }
+    finally q.stop()
+  }
+
+  private def topK(dir: String, queries: org.apache.spark.sql.DataFrame,
+                   k: Int = 3, nprobe: Int = 2)
+      : Set[(Long, Long, Double, Int)] =
+    IvfIndexStream.queryMany(spark, dir, queries, k, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+
+  private def batchTopK(corpus: org.apache.spark.sql.DataFrame,
+                        cents: Array[Array[Double]], nQueries: Int,
+                        k: Int = 3, nprobe: Int = 2)
+      : Set[(Long, Long, Double, Int)] =
+    Similarity.annIvfWith(corpus, cents, k, nQueries, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+
+  test("deleteIds retires vectors: masked from queries immediately, " +
+      "idempotent under replay, physically purged by compaction (which " +
+      "keeps the tombstones), and a re-emitted deleted id stays erased") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-delete").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stateDir = s"$base/state"
+    ingestInto(base, stateDir, s"$base/ckpt", emb)
+    val cents = IvfIndexStream.readCentroids(spark, stateDir).get
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val pre = topK(stateDir, queries)
+    assert(pre.exists(_._2 < 50),
+      "fixture too tame: no query's top-3 contains a to-be-deleted id — " +
+        "deletion would be unobservable; widen the deleted range")
+    // delete ids 0..49; a REPLAYED delete must change nothing
+    IvfIndexStream.deleteIds(spark, stateDir, (0L until 50L))
+    IvfIndexStream.deleteIds(spark, stateDir, (0L until 50L))
+    assert(IvfIndexStream.readTombstones(spark, stateDir).get.count()
+      === 50L, "a replayed delete must be idempotent")
+    val survivors = emb.filter(col("vec_id") >= 50)
+    val post = topK(stateDir, queries)
+    assert(!post.exists(_._2 < 50),
+      "a deleted id must never appear in query results")
+    assert(post === batchTopK(survivors, cents, nQueries = 60),
+      "post-delete queries must equal the batch operator over the " +
+        "SURVIVING rows and the same centroids")
+    // a deleted id RE-EMITTED by ingest stays erased (retirement, not a
+    // point-in-time hide): land id 0 again under the same checkpoint
+    ingestInto(base, stateDir, s"$base/ckpt",
+      emb.filter(col("vec_id") === 0))
+    assert(spark.read.parquet(stateDir).count() === 501L,
+      "the re-emit itself must land (ingest never reads tombstones)")
+    assert(!topK(stateDir, queries).exists(_._2 < 50),
+      "a re-emitted deleted id must stay masked")
+    // identity view: erosion and pending erasure are observable
+    val engine = new graft.api.Engine(spark)
+    engine.registerIvfIndex(stateDir, prefix = "del")
+    val idRow = engine.pullQuery("SELECT n_rows, n_distinct_ids, " +
+      "n_duplicate_rows, n_tombstones FROM del_identity").head()
+    assert(idRow.getLong(0) === 501L && idRow.getLong(1) === 500L &&
+      idRow.getLong(2) === 1L && idRow.getLong(3) === 50L,
+      s"identity view must show the dup and the tombstones: $idRow")
+    // compaction PHYSICALLY purges: 51 rows gone (ids 0..49 plus the
+    // re-emitted 0), one file per cell, tombstones kept, queries stable
+    IvfIndexStream.compactIndex(spark, stateDir)
+    val store = spark.read.parquet(stateDir)
+    assert(store.count() === 450L &&
+      store.filter(col("vec_id") < 50).isEmpty,
+      "compaction must purge every tombstoned row")
+    val cellDirs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")) == 1),
+      "compaction must leave one file per cell")
+    assert(IvfIndexStream.readTombstones(spark, stateDir).get.count()
+      === 50L, "compaction must KEEP the tombstones (ids stay retired)")
+    assert(topK(stateDir, queries) === post,
+      "compaction must not change query results")
+    val idRow2 = engine.pullQuery(
+      "SELECT n_rows, n_tombstones FROM del_identity").head()
+    assert(idRow2.getLong(0) === 450L && idRow2.getLong(1) === 50L,
+      s"identity view must reflect the purge: $idRow2")
+    engine.terminateAll()
+  }
+
+  test("deletion composes with the maintenance ops: reindexInto drops " +
+      "tombstoned rows and carries the tombstones; mergeInto unions " +
+      "them across shards") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-delreindex").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stateDir = s"$base/state"
+    ingestInto(base, stateDir, s"$base/ckpt", emb)
+    IvfIndexStream.deleteIds(spark, stateDir, (0L until 50L))
+    val survivors = emb.filter(col("vec_id") >= 50)
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // reindex: the rebuild is also the purge, and retirement travels
+    val newDir = s"$base/state_v2"
+    val newCents =
+      IvfIndexStream.reindexInto(spark, stateDir, newDir, nlist = 16)
+    val v2 = spark.read.parquet(newDir)
+    assert(v2.count() === 450L && v2.filter(col("vec_id") < 50).isEmpty,
+      "reindex must backfill only the surviving rows")
+    assert(topK(newDir, queries) ===
+      batchTopK(survivors, newCents, nQueries = 60),
+      "the reindexed store must reproduce the batch oracle over the " +
+        "surviving rows")
+    assert(IvfIndexStream.readTombstones(spark, newDir).get.count()
+      === 50L, "tombstones must travel through a reindex")
+    // post-swap re-emit of an erased id stays erased in the NEW dir
+    ingestInto(base, newDir, s"$base/ckpt",
+      emb.filter(col("vec_id") === 3))
+    assert(!topK(newDir, queries).exists(_._2 < 50),
+      "an id erased before the reindex must stay erased after the swap")
+    // merge: shard 2 with its own deletions; tombstones UNION
+    val shard2 = s"$base/shard2"
+    val emb2 = emb.withColumn("vec_id", col("vec_id") + 10000)
+    ingestInto(base, shard2, s"$base/ckpt2", emb2, inSuffix = "in2")
+    IvfIndexStream.deleteIds(spark, shard2,
+      (10000L until 10010L))
+    val merged = s"$base/merged"
+    val mCents = IvfIndexStream.mergeInto(
+      spark, Seq(stateDir, shard2), merged, nlist = 32)
+    val mStore = spark.read.parquet(merged)
+    // stateDir still holds its 500 physical rows (never compacted) of
+    // which 50 are tombstoned -> 450 survive the merge; shard2
+    // contributes 490
+    assert(mStore.count() === 940L &&
+      mStore.filter(col("vec_id") < 50 ||
+        (col("vec_id") >= 10000 && col("vec_id") < 10010)).isEmpty,
+      s"merge must drop every shard's tombstoned rows: ${mStore.count()}")
+    assert(IvfIndexStream.readTombstones(spark, merged).get.count()
+      === 60L, "merge must union the shards' tombstones")
+    val mCorpus = survivors.unionByName(
+      emb2.filter(col("vec_id") >= 10010))
+    assert(topK(merged, queries) ===
+      batchTopK(mCorpus, mCents, nQueries = 60),
+      "merged-store queries must equal the batch oracle over the union " +
+        "of survivors")
+  }
+
+  test("a re-emitted vec_id is kept as data, occupies two of the k " +
+      "ranks, and is visible in the occupancy/identity views — the " +
+      "pinned duplicate-id contract") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-dup").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stateDir = s"$base/state"
+    ingestInto(base, stateDir, s"$base/ckpt", emb)
+    // batch 1 re-emits id 7 with the same vector (the common replayed-
+    // producer shape): post-birth ingest keeps it — a data property
+    ingestInto(base, stateDir, s"$base/ckpt",
+      emb.filter(col("vec_id") === 7))
+    val store = spark.read.parquet(stateDir)
+    assert(store.count() === 501L &&
+      store.filter(col("vec_id") === 7).count() === 2L)
+    // a query AT id 7's vector sees the id at TWO ranks — the
+    // effective-k shrink queryMany's scaladoc pins
+    val q7 = emb.filter(col("vec_id") === 7)
+      .select(lit(-1L).as("query_id"), col("embedding"))
+    val got = topK(stateDir, q7, k = 3, nprobe = 2)
+    assert(got.filter(_._2 == 7L).map(_._4) === Set(1, 2),
+      s"both copies must rank (k shrinks silently): $got")
+    // and the dashboard sees the erosion, per cell and globally
+    val engine = new graft.api.Engine(spark)
+    engine.registerIvfIndex(stateDir, prefix = "dup")
+    val cells = engine.pullQuery("SELECT CAST(sum(n_duplicate_rows) AS " +
+      "BIGINT) AS d, CAST(sum(n_vectors) AS BIGINT) AS n FROM dup_cells")
+      .head()
+    assert(cells.getLong(0) === 1L && cells.getLong(1) === 501L,
+      s"per-cell occupancy must carry the duplicate: $cells")
+    val id = engine.pullQuery("SELECT n_rows, n_distinct_ids, " +
+      "n_duplicate_rows, n_tombstones FROM dup_identity").head()
+    assert(id.getLong(0) === 501L && id.getLong(1) === 500L &&
+      id.getLong(2) === 1L && id.getLong(3) === 0L,
+      s"identity view must total the erosion: $id")
+    engine.terminateAll()
+  }
+
   test("geometry and identity fail fast: nlist mismatch names both " +
       "tags; data without centroids refuses to guess") {
     val base = java.nio.file.Files

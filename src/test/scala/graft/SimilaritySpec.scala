@@ -164,6 +164,39 @@ class SimilaritySpec extends GraftSuite {
     assert(stats.exists(_.getDouble(4) >= 0.999999))
   }
 
+  test("balanced training bisects into an EMPTY cell even on a tiny " +
+      "corpus where no cell holds over 4x another (r16 verdict #3: the " +
+      "code's single 4x condition silently exempted empty cells; the " +
+      "scaladoc's empty-cell disjunct is now the behavior)") {
+    import spark.implicits._
+    // two tight 2-member clusters along e1 and e2; both seed centroids
+    // point into the e1 cluster's half-space, so every member lands in
+    // cell 0 and cell 1 starts EMPTY with counts (4, 0) — under the old
+    // condition (fullest > 4*max(emptiest,1) = 4) nothing ever fired
+    val dim = 8
+    def v(hot: Int, eps: Double): Array[Float] = {
+      val a = Array.fill(dim)(eps.toFloat)
+      a(hot) = 1.0f
+      a
+    }
+    val emb = Seq(
+      (0L, v(0, 0.01).toSeq), (1L, v(0, 0.02).toSeq),
+      (2L, v(1, 0.01).toSeq), (3L, v(1, 0.02).toSeq))
+      .toDF("vec_id", "embedding")
+    val seed = Array(
+      Array.tabulate(dim)(i => if (i == 0) 0.9 else 0.1),
+      Array.tabulate(dim)(i => if (i == 0) 0.8 else 0.05))
+    val cents = Similarity.trainCentroidsBalanced(emb, seed, iters = 3)
+    val counts = emb.withColumn("cell",
+        graft.functions.VectorExpressions.argMaxDot(
+          col("embedding"), cents))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(0, 0L) > 0 && counts.getOrElse(1, 0L) > 0,
+      s"the empty cell must be seeded by a bisection of the fullest: " +
+        s"$counts")
+  }
+
   test("k-means-trained centroids beat the placeholder on quantization quality") {
     // quality = mean cosine of each vector to its assigned centroid;
     // Lloyd's iterations must not make this worse than the first-16 seed
