@@ -43,14 +43,19 @@ import graft.streaming.{IngestGuard, IvfIndexStream}
   *     is the benign float-sum layout divergence the reindex cert
   *     documents (the oracle trains over its own frame, the stream
   *     over the guard's written files), not a wrong pipeline.
-  *  3. `crash` is `run` with a forced mid-pipeline death at a
-  *     post-birth slice: the guard commits the slice, BOTH queries are
-  *     then killed before the index processes it (the exact
-  *     guard-committed/index-behind window), both restart under their
-  *     same checkpoints, and every `run` gate must still hold — the
-  *     index's append guard and the file source's own tracking make
-  *     the catch-up exactly-once. The JSON carries the seam evidence
-  *     (`accepted_at_crash` > `indexed_at_crash`).
+  *  3. `crash` is `run` with a forced mid-pipeline death at the first
+  *     post-birth slice: the index query dies FIRST (its continuous
+  *     trigger would otherwise drain new accepted files the moment
+  *     they land — there is no way to catch a live index behind), the
+  *     guard then commits the slice and dies too — process death with
+  *     the guard a full commit ahead of the index's checkpoint. Both
+  *     restart under their same checkpoints and every `run` gate must
+  *     still hold — the index's append guard and the file source's own
+  *     tracking make the catch-up exactly-once. The JSON carries the
+  *     seam evidence (`accepted_at_crash` > `indexed_at_crash`). The
+  *     crash lands at slice 1 because a LATER slice can accept nothing
+  *     once the per-source quota saturates, closing the window the
+  *     mode exists to open.
   *
   * Honesty note (documented, not hidden): the certified crash window
   * is INDEX-side. A guard-side crash between its accepted append and
@@ -215,7 +220,11 @@ object GuardIvfPipelineCert {
       withEmbedding(spark.readStream.schema(acceptedSchema)
         .parquet(acceptedDir)),
       s"$base/index", s"$base/ckpt_index", nlist = NList, dim = Dim)
-    val crashAt = if (mode == "crash") slices.length / 2 else -1
+    // crash at the FIRST post-birth slice: the index birthed on slice
+    // 0, and slice 1's acceptances are still growing (a later slice
+    // can accept nothing once the per-source quota saturates, which
+    // would close the guard-ahead window this mode exists to open)
+    val crashAt = if (mode == "crash") 1 else -1
     var guard = startGuard()
     var index = startIndex()
     var acceptedAtCrash = -1L
@@ -223,6 +232,13 @@ object GuardIvfPipelineCert {
     val t0 = System.nanoTime()
     try {
       slices.zipWithIndex.foreach { case (slice, i) =>
+        // the seam, opened deterministically: the index dies FIRST
+        // (its continuous trigger would otherwise drain the guard's
+        // output the moment it lands), then the guard commits slice i
+        // and dies too — process death with the guard a full commit
+        // ahead of the index's checkpoint, the exact window no
+        // per-component cert covers
+        if (i == crashAt) index.stop()
         org.apache.hadoop.fs.FileUtil.copy(fs,
           new org.apache.hadoop.fs.Path(slice), fs,
           new org.apache.hadoop.fs.Path(inDir.toString,
@@ -231,13 +247,17 @@ object GuardIvfPipelineCert {
         guard.processAllAvailable()
         guard.exception.foreach(throw _)
         if (i == crashAt) {
-          // the seam: guard committed slice i, index never saw it —
-          // kill BOTH queries in that window and restart cold
-          acceptedAtCrash = spark.read.parquet(acceptedDir).count()
-          indexedAtCrash = spark.read.parquet(s"$base/index").count()
+          acceptedAtCrash = spark.read.parquet(acceptedDir)
+            .select(col("doc_id")).distinct().count()
+          indexedAtCrash =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$base/index")))
+              spark.read.parquet(s"$base/index").count()
+            else 0L
           require(acceptedAtCrash > indexedAtCrash,
-            "crash fixture failed to open the guard-ahead window")
-          guard.stop(); index.stop()
+            s"crash fixture failed to open the guard-ahead window: " +
+              s"accepted=$acceptedAtCrash indexed=$indexedAtCrash " +
+              s"at slice $i")
+          guard.stop()
           guard = startGuard(); index = startIndex()
           guard.processAllAvailable()
           guard.exception.foreach(throw _)

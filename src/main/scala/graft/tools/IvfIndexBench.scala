@@ -222,8 +222,10 @@ object IvfIndexBench {
       .get.count()
     // post-delete ingest: fresh ids land exactly once; a re-emitted
     // DELETED id stays erased from queries
-    val resume = corpus.filter(pmod(col("vec_id"), lit(NSlices)) === 0)
+    val resumeFresh = corpus
+      .filter(pmod(col("vec_id"), lit(NSlices)) === 0)
       .withColumn("vec_id", col("vec_id") + 4 * DriftIdOffset)
+    val resume = resumeFresh
       .unionByName(corpus.filter(deletePred && col("vec_id") < 10000))
     val d = s"$base/staged/resume"
     resume.coalesce(1).write.mode("overwrite").parquet(d)
@@ -243,7 +245,12 @@ object IvfIndexBench {
     val exactResume = totalAfterResume == rowsAfter + resumeN
     val (oN, oHash) = resultHash(
       Similarity.annIvfWith(survivors, persisted, K, NQueries, NProbe))
-    println(s"""IVFDELETE {"vectors":${2 * nVecs},"deleted":$nDeleted,"tombstones":$tombCount,"idempotent":${tombCount == nDeleted},"ingest_wall_sec":${f"$ingestSec%.1f"},"delete_sec":${f"$deleteSec%.2f"},"compact_sec":${f"$compactSec%.1f"},"rows_before_compact":$rowsBefore,"rows_after_compact":$rowsAfter,"purged":${rowsBefore - rowsAfter},"purge_exact":${rowsBefore - rowsAfter == nDeleted},"tombstones_kept":${tombAfter == nDeleted},"rows":$n1,"hash_masked":"$hash1","hash_purged":"$hash2","hash_post_resume":"$hash3","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash1 == oHash && hash2 == oHash && hash3 == oHash && n1 == oN && n2 == oN && n3 == oN},"cents_match":$centsMatch,"resume_rows":$resumeN,"post_resume_total":$totalAfterResume,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+    // the post-resume oracle ADMITS the fresh resumed vectors (they
+    // are legitimate new neighbors) and still EXCLUDES every deleted
+    // id — the re-emitted copies in the store must stay erased
+    val (oN3, oHash3) = resultHash(Similarity.annIvfWith(
+      survivors.unionByName(resumeFresh), persisted, K, NQueries, NProbe))
+    println(s"""IVFDELETE {"vectors":${2 * nVecs},"deleted":$nDeleted,"tombstones":$tombCount,"idempotent":${tombCount == nDeleted},"ingest_wall_sec":${f"$ingestSec%.1f"},"delete_sec":${f"$deleteSec%.2f"},"compact_sec":${f"$compactSec%.1f"},"rows_before_compact":$rowsBefore,"rows_after_compact":$rowsAfter,"purged":${rowsBefore - rowsAfter},"purge_exact":${rowsBefore - rowsAfter == nDeleted},"tombstones_kept":${tombAfter == nDeleted},"rows":$n1,"hash_masked":"$hash1","hash_purged":"$hash2","hash_post_resume":"$hash3","oracle_rows":$oN,"oracle_hash":"$oHash","post_resume_oracle_hash":"$oHash3","hash_match":${hash1 == oHash && hash2 == oHash && n1 == oN && n2 == oN},"post_resume_match":${hash3 == oHash3 && n3 == oN3},"cents_match":$centsMatch,"resume_rows":$resumeN,"post_resume_total":$totalAfterResume,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
   }
 
   /** The drift-remedy certification (modes `reindex-expected` /
