@@ -370,8 +370,7 @@ object IngestGuard {
         val scored = TextAnalysis.withQualityCols(batch)
           .withColumn("__overlap",
             SketchExpressions.shingleOverlap(col("text"), evalHashes, n))
-          .withColumn("__fp", expr(Hashing.hash64(
-            "regexp_replace(trim(lower(text)), '\\\\s+', ' ')")))
+          .withColumn("__fp", fpExpr)
           .withColumn("fp_part",
             pmod(col("__fp"), lit(fpParts)).cast("int"))
           .localCheckpoint(false)
@@ -812,6 +811,67 @@ object IngestGuard {
                      stateDir: String): Unit =
     Streams.rewriteStore(spark, stateDir, Seq("band_part"),
       Seq("band_key"))(identity)
+
+  /** The guard's normalized-text fingerprint of the `text` column — ONE
+    * definition shared by the ingest path and [[retireDocs]] (a second
+    * derivation could silently drift and retire the wrong hash);
+    * package-visible so the retirement spec can assert the stale-bit
+    * sidecar condition on the actual hash. */
+  private[graft] def fpExpr: org.apache.spark.sql.Column =
+    expr(Hashing.hash64("regexp_replace(trim(lower(text)), '\\\\s+', ' ')"))
+
+  /** ERASURE maintenance op — make the guard FORGET erased docs (the
+    * fp-store twin of [[IvfIndexStream.deleteIds]], with the OPPOSITE
+    * retirement semantics, deliberately: an index masks an erased id
+    * forever because the id is row identity; the guard's fingerprint is
+    * corpus MEMBERSHIP, and once the doc leaves the corpus a future
+    * identical page is no longer a duplicate OF anything — it must be
+    * judged on its own merits and ACCEPTED, exactly like a duplicate of
+    * a rejected page always was, "because dedup is against the CORPUS,
+    * not the reject pile").
+    *
+    * `docs` carries the erased docs' (`doc_id`, `text`): the fp store
+    * drops their normalized-text fingerprints (fp ↔ accepted doc is
+    * 1:1 — a second accepted doc with the same fp is impossible, the
+    * guard would have rejected it), and the near-dup band store (when
+    * `ndStateDir` is given — pass it whenever the guard runs with
+    * near-dedup, or future NEAR twins of the erased doc stay convicted)
+    * drops their band rows by `doc_id`. Both are crash-safe
+    * [[Streams.rewriteStore]] swaps preserving the stores' partition +
+    * sort layout — the same O(store) offline shape as
+    * [[compactFpStore]]/[[compactNdStore]], so batch retirements
+    * together at compaction cadence. Idempotent: re-running retires
+    * nothing new.
+    *
+    * The Bloom sidecars are deliberately UNTOUCHED: a filter cannot
+    * unlearn a member, but stale bits are the sidecar's normal
+    * false-positive condition — the probe's store confirm read decides
+    * (exactly; a false negative is impossible), so a retired fp costs
+    * one pruned confirm read per future twin until the part's next
+    * natural rebuild, never a wrong decision. The `n_items` overcount
+    * only hastens a saturation rebuild, which reads the store and
+    * self-heals the filter.
+    *
+    * NOT touched, by contract: the `accepted`/`rejects` LEDGERS (they
+    * are history — what the guard decided when the doc was live; the
+    * caller erases the doc from its own corpus store), and the
+    * additive analytics views + quota admission counts (also history:
+    * retirement changes future DECISIONS, not recorded ones — a
+    * quota slot consumed by a later-erased doc is not refunded).
+    * SINGLE-WRITER: stop the guard's streaming query first, like every
+    * maintenance op here. */
+  def retireDocs(spark: org.apache.spark.sql.SparkSession,
+                 docs: DataFrame, stateDir: String,
+                 ndStateDir: Option[String] = None): Unit = {
+    val fps = docs.select(fpExpr.as("__fp")).distinct()
+    Streams.rewriteStore(spark, stateDir, Seq("fp_part"), Seq("__fp"))(
+      _.join(fps, Seq("__fp"), "left_anti"))
+    ndStateDir.foreach { nd =>
+      val ids = docs.select(col("doc_id")).distinct()
+      Streams.rewriteStore(spark, nd, Seq("band_part"), Seq("band_key"))(
+        _.join(ids, Seq("doc_id"), "left_anti"))
+    }
+  }
 
   /** Accepted corpus so far (idempotent-append: replays re-emit rows). */
   def accepted(spark: org.apache.spark.sql.SparkSession,

@@ -1690,6 +1690,97 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ingest guard retirement: retireDocs makes the guard FORGET an " +
+      "erased doc — future exact and near twins are judged on their own " +
+      "merits and accepted, through the deliberately-stale Bloom sidecar " +
+      "on a same-checkpoint resume") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-guard-retire").toString
+    val baseDoc = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val nearCopy = baseDoc + " appendix"
+    assert(graft.operators.Dedup.minhashCandidatePairs(
+      Seq((1L, baseDoc), (2L, nearCopy)).toDF("doc_id", "text"))
+      .count() === 1, "fixture pair must band-collide")
+    val unrelated = "an entirely different document about orchard " +
+      "irrigation schedules and autumn harvest logistics planning"
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def startGuard() = graft.streaming.IngestGuard.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/ckpt", minTokens = 3,
+      nearDup = Some(graft.streaming.IngestGuard.NearDup(s"$base/bands")))
+    land(Seq(0L -> unrelated, 1L -> baseDoc))
+    val q = startGuard()
+    try {
+      q.processAllAvailable()
+      land(Seq(2L -> baseDoc, 3L -> nearCopy))
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+      val rej = graft.streaming.IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej === Map(2L -> "exact_dup", 3L -> "near_dup"),
+        s"pre-retirement the twins must be convicted: $rej")
+    } finally q.stop()
+    // the doc is erased from the corpus: the guard must forget it —
+    // its fp leaves the store, its band rows leave the band store
+    val fpRowsBefore = spark.read.parquet(s"$base/state").count()
+    graft.streaming.IngestGuard.retireDocs(spark,
+      Seq((1L, baseDoc)).toDF("doc_id", "text"),
+      s"$base/state", Some(s"$base/bands"))
+    // idempotent: re-running retires nothing new
+    graft.streaming.IngestGuard.retireDocs(spark,
+      Seq((1L, baseDoc)).toDF("doc_id", "text"),
+      s"$base/state", Some(s"$base/bands"))
+    assert(spark.read.parquet(s"$base/state").count() === fpRowsBefore - 1,
+      "the erased doc's fingerprint must leave the fp store")
+    assert(spark.read.parquet(s"$base/bands")
+      .filter(col("doc_id") === 1L).isEmpty,
+      "the erased doc's band rows must leave the band store")
+    // the sidecar is deliberately NOT rewritten: its own-lineage base
+    // still CLAIMS the retired fp (a filter cannot unlearn) — assert
+    // the stale bit directly, then prove the decision stays exact
+    // through it on a SAME-checkpoint resume (same lineage → the stale
+    // base is what the restarted guard actually loads)
+    val lin = graft.streaming.Streams.lineageId(
+      spark.sparkContext.hadoopConfiguration, s"$base/ckpt")
+    val retiredFp = Seq(Tuple1(baseDoc)).toDF("text")
+      .select(graft.streaming.IngestGuard.fpExpr.as("fp")).head().getLong(0)
+    val part = java.lang.Math.floorMod(retiredFp, 256L).toInt
+    val stale = graft.streaming.BloomShards.prepare(spark, s"$base/state",
+      "fp_part", col("__fp"), lin, Seq(part),
+      new graft.streaming.BloomShards.Cache, 64L, 0.01)
+    assert(stale.shards.get(part).exists(_.bloom.mightContainLong(retiredFp)),
+      "fixture must exercise the stale-positive path: the sidecar still " +
+        "claims the retired fp (exactness must come from the store confirm)")
+    val q2 = startGuard()
+    try {
+      land(Seq(10L -> baseDoc)) // identical text: no longer a dup OF anything
+      q2.processAllAvailable()
+      land(Seq(
+        11L -> nearCopy,   // near twin of 10 (re-admitted) — convicted again
+        12L -> unrelated)) // twin of the NOT-retired doc 0 — still exact_dup
+      q2.processAllAvailable()
+      q2.exception.foreach(throw _)
+      val acc2 = graft.streaming.IngestGuard
+        .accepted(spark, s"$base/accepted")
+        .collect().map(_.getLong(0)).toSet
+      val rej2 = graft.streaming.IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(acc2 === Set(0L, 1L, 10L),
+        s"a twin of an ERASED doc must be judged on its own merits: $acc2")
+      assert(rej2 === Map(2L -> "exact_dup", 3L -> "near_dup",
+        11L -> "near_dup", 12L -> "exact_dup"),
+        s"retirement is per-doc, not a wipe — the re-admitted doc and " +
+          s"the untouched doc both guard the corpus: $rej2")
+    } finally q2.stop()
+  }
+
   test("ingest guard near-dup: a near-dup winner's same-batch fp-twin is " +
       "charged near_dup, not exact_dup") {
     // the quota-twin rule's sibling (round-13 self-review): the winner's
