@@ -165,34 +165,36 @@ class Engine(val spark: SparkSession,
       })
 
   /** Register a [[graft.streaming.IvfIndexStream]] index's occupancy as
-    * the pull-queryable table `<prefix>_cells` (cell, n_vectors,
-    * n_distinct_ids, n_duplicate_rows) — the inverted-list balance a
-    * curation dashboard watches (a skewed cell means degraded probe
-    * selectivity), plus per-cell IDENTITY EROSION: post-birth ingest
-    * keeps a re-emitted `vec_id` as a data property, and every
-    * duplicated id occupies two of a query's k ranks
-    * ([[graft.streaming.IvfIndexStream.queryMany]]'s scaladoc), so
-    * `n_duplicate_rows > 0` is the dashboard's cue to retire stale
-    * copies. A second one-row view `<prefix>_identity` totals the
-    * store (n_rows, n_distinct_ids, n_duplicate_rows — counted on
-    * GLOBAL id distinctness, so an id re-emitted into a DIFFERENT cell
-    * is visible here even though both cells look clean — and
-    * n_tombstones, the [[graft.streaming.IvfIndexStream.deleteIds]]
-    * retirements masked until the next compaction). The cell counts
-    * come from parquet footers (no vector decode); like every
-    * registered view, an index that hasn't received its first commit
-    * reads as absent, and the vectors themselves stay query-side
-    * (top-k over an embedding literal is not a SQL pull). */
+    * the pull-queryable table `<prefix>_cells` (cell, n_vectors) — the
+    * inverted-list balance a curation dashboard watches (a skewed cell
+    * means degraded probe selectivity). The counts come from parquet
+    * FOOTERS (count-star over a partition column group-by — no vector
+    * or id decode), so the view is poll-cheap at any store size.
+    *
+    * A second one-row view `<prefix>_identity` reports IDENTITY
+    * EROSION: post-birth ingest keeps a re-emitted `vec_id` as a data
+    * property, and every duplicated id occupies two of a query's k
+    * ranks ([[graft.streaming.IvfIndexStream.queryMany]]'s scaladoc),
+    * so `n_duplicate_rows > 0` is the cue to retire stale copies. It
+    * totals the store on GLOBAL id distinctness (an id re-emitted into
+    * a DIFFERENT cell is visible even though both cells look clean)
+    * plus `n_tombstones` (the
+    * [[graft.streaming.IvfIndexStream.deleteIds]] retirements masked
+    * until the next compaction). DELIBERATELY split from the cells
+    * view: distinctness must decode the `vec_id` column — an O(store
+    * ids) scan per refresh — which is pull-on-demand audit cost, not
+    * something a per-batch occupancy poll should silently pay.
+    *
+    * Like every registered view, an index that hasn't received its
+    * first commit reads as absent, and the vectors themselves stay
+    * query-side (top-k over an embedding literal is not a SQL pull). */
   def registerIvfIndex(stateDir: String,
                        prefix: String = "ivf"): Unit = {
     import org.apache.spark.sql.functions._
     registerView(s"${prefix}_cells",
       () => spark.read.parquet(stateDir)
         .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n_vectors"),
-          count_distinct(col("vec_id")).as("n_distinct_ids"))
-        .withColumn("n_duplicate_rows",
-          col("n_vectors") - col("n_distinct_ids")))
+        .agg(count(lit(1)).as("n_vectors")))
     registerView(s"${prefix}_identity", () => {
       val totals = spark.read.parquet(stateDir)
         .agg(count(lit(1)).as("n_rows"),

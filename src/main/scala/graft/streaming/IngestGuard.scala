@@ -830,13 +830,19 @@ object IngestGuard {
     * a rejected page always was, "because dedup is against the CORPUS,
     * not the reject pile").
     *
-    * `docs` carries the erased docs' (`doc_id`, `text`): the fp store
-    * drops their normalized-text fingerprints (fp ↔ accepted doc is
-    * 1:1 — a second accepted doc with the same fp is impossible, the
-    * guard would have rejected it), and the near-dup band store (when
-    * `ndStateDir` is given — pass it whenever the guard runs with
-    * near-dedup, or future NEAR twins of the erased doc stay convicted)
-    * drops their band rows by `doc_id`. Both are crash-safe
+    * `docIds` names the erased docs; their text — and therefore the
+    * fingerprints to drop — is resolved FROM THE ACCEPTED LEDGER
+    * (`acceptedDir`), never from caller-supplied text: retiring by raw
+    * text would let an operator pass a REJECTED duplicate's copy and
+    * silently drop the fp of its still-live accepted twin (the twin
+    * shares the fp — that is why it was rejected), un-guarding a doc
+    * that never left the corpus. Resolving through the ledger makes
+    * the fp ↔ accepted-doc 1:1 claim structural: an id that was never
+    * accepted resolves to nothing and retires nothing. The fp store
+    * drops the resolved fingerprints, and the near-dup band store
+    * (when `ndStateDir` is given — pass it whenever the guard runs
+    * with near-dedup, or future NEAR twins of the erased doc stay
+    * convicted) drops their band rows by `doc_id`. Both are crash-safe
     * [[Streams.rewriteStore]] swaps preserving the stores' partition +
     * sort layout — the same O(store) offline shape as
     * [[compactFpStore]]/[[compactNdStore]], so batch retirements
@@ -861,16 +867,22 @@ object IngestGuard {
     * SINGLE-WRITER: stop the guard's streaming query first, like every
     * maintenance op here. */
   def retireDocs(spark: org.apache.spark.sql.SparkSession,
-                 docs: DataFrame, stateDir: String,
+                 docIds: DataFrame, acceptedDir: String,
+                 stateDir: String,
                  ndStateDir: Option[String] = None): Unit = {
+    val ids = docIds.select(col("doc_id")).distinct()
+    val docs = accepted(spark, acceptedDir)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     val fps = docs.select(fpExpr.as("__fp")).distinct()
     Streams.rewriteStore(spark, stateDir, Seq("fp_part"), Seq("__fp"))(
       _.join(fps, Seq("__fp"), "left_anti"))
     ndStateDir.foreach { nd =>
-      val ids = docs.select(col("doc_id")).distinct()
       Streams.rewriteStore(spark, nd, Seq("band_part"), Seq("band_key"))(
-        _.join(ids, Seq("doc_id"), "left_anti"))
+        _.join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     }
+    org.apache.spark.sql.GraftColumnBridge
+      .checkpointRdd(docs).foreach(_.unpersist(false))
   }
 
   /** Accepted corpus so far (idempotent-append: replays re-emit rows). */

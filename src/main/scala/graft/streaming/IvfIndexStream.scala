@@ -120,20 +120,53 @@ object IvfIndexStream {
   private def prebirthDir(stateDir: String): String =
     stateDir + ".__prebirth"
 
-  private def tombstonesDir(stateDir: String): String =
+  private def tombstonesFile(stateDir: String): String =
     stateDir + ".__tombstones"
 
   /** The index's retired `vec_id`s (one `vec_id` column), or None when
     * nothing was ever deleted. Ids-only and read ONCE per query/rebuild
-    * — bounded by the number of deletions, never the corpus. */
+    * — bounded by the number of deletions, never the corpus. The
+    * sidecar is a single parquet FILE replaced by one atomic OVERWRITE
+    * rename (the [[Streams.writeBloomSidecar]] pattern), NOT a
+    * two-rename directory swap: a directory swap's live→old window
+    * would let a concurrent reader's crash recovery resurrect the OLD
+    * tombstones and fail the writer's rename — silently dropping a
+    * deletion, the one thing an erasure path must never do. A file
+    * rename has no such window: readers see the old set or the new
+    * set, never neither. */
   def readTombstones(spark: SparkSession,
                      stateDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombstonesDir(stateDir))
+    val p = new org.apache.hadoop.fs.Path(tombstonesFile(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Streams.recoverCompaction(fs, tombstonesDir(stateDir))
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(tombstonesDir(stateDir))
+    else Some(spark.read.parquet(tombstonesFile(stateDir))
       .select(col("vec_id")))
+  }
+
+  /** Atomically replace the tombstone sidecar with `ids`: materialize
+    * to a scratch dir (single part file), then ONE FileContext
+    * OVERWRITE rename of that file onto the sidecar path. A crash
+    * leaves either the old file (delete not applied — re-run) or the
+    * new one; scratch leftovers are overwritten by the next write. */
+  private def writeTombstones(spark: SparkSession, stateDir: String,
+                              ids: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(tombstonesFile(stateDir))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = new org.apache.hadoop.fs.Path(
+      tombstonesFile(stateDir) + ".tmp")
+    fs.delete(scratch, true)
+    ids.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = fs.listStatus(scratch).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("."))
+    require(part.length == 1,
+      s"tombstone write produced ${part.length} files, expected 1")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fs.makeQualified(part.head), fs.makeQualified(target),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(scratch, true)
+    ()
   }
 
   /** ERASE vectors from the index — the deletion path a curation
@@ -147,21 +180,26 @@ object IvfIndexStream {
     * (post-birth ingest tolerates duplicate ids as a data property)
     * stays erased too — ids are the index's row identity, and an erased
     * identity does not come back. Tombstones live in an ids-only
-    * parquet sidecar (`<stateDir>.__tombstones`) maintained by the same
-    * crash-safe two-rename swap as every store here
-    * ([[Streams.replaceStore]]): the union-distinct write makes a
-    * replayed or repeated delete IDEMPOTENT by construction, and a torn
-    * swap recovers on the next read. Safe to run beside a live ingest
-    * stream (the ingest path never reads tombstones; [[queryMany]]
+    * single-file parquet sidecar (`<stateDir>.__tombstones`) replaced
+    * by ONE atomic OVERWRITE rename (see [[readTombstones]] for why not
+    * a directory swap): the union-distinct write makes a replayed or
+    * repeated delete IDEMPOTENT by construction, and a crash leaves
+    * either the old set (re-run) or the new one, never neither. Safe to
+    * run beside a live ingest stream AND concurrent queries (the ingest
+    * path never reads tombstones; [[queryMany]]
     * reads the sidecar once per query), single-writer vs other
     * `deleteIds`/maintenance calls like every maintenance op here.
-    * Cost: O(existing tombstones + ids) — never touches the store. */
+    * Cost: O(existing tombstones + ids) — never touches the store.
+    * SIZING: the sidecar is a single ids-only file (the swap coalesces
+    * to 1), right up to ~10⁸ retired ids; erasure at corpus scale is
+    * not a tombstone problem but a REBUILD — filter the store and
+    * [[reindexInto]] it (which purges and resets the sidecar carried). */
   def deleteIds(spark: SparkSession, stateDir: String,
                 ids: DataFrame): Unit = {
     val add = ids.select(col("vec_id").cast("long").as("vec_id"))
     val merged = readTombstones(spark, stateDir)
       .fold(add)(_.unionByName(add)).distinct()
-    Streams.replaceStore(spark, tombstonesDir(stateDir), merged)
+    writeTombstones(spark, stateDir, merged)
   }
 
   /** [[deleteIds]] convenience for a driver-side id list. */
@@ -540,8 +578,7 @@ object IvfIndexStream {
       col("embedding"), col("__lineage"), col("__batch_id"))
     val old = tomb.fold(old0)(t => old0.join(t, Seq("vec_id"), "left_anti"))
     val trained = buildIndex(spark, fs, old, newDir, nlist, trainIters)
-    tomb.foreach(t =>
-      Streams.replaceStore(spark, tombstonesDir(newDir), t))
+    tomb.foreach(t => writeTombstones(spark, newDir, t))
     // BOTH guard markers travel: .__applied lets a fully-committed
     // replayed batch skip outright; .__intent keeps the round-15
     // clean-restart fast path (without it the first post-swap batch
@@ -595,24 +632,33 @@ object IvfIndexStream {
     }
     // tombstones UNION across the sources and retire their ids in the
     // merged index (an id erased in its shard stays erased after the
-    // merge — erasure must compose with every maintenance op); the
-    // tombstoned rows are dropped from the backfill like reindexInto's
-    val tombs = sources.flatMap(readTombstones(spark, _))
-    val tomb = tombs.reduceOption(_.unionByName(_)).map(_.distinct())
-    val union0 = sources.map(s =>
-        spark.read.parquet(s).select(col("vec_id"), col("embedding"),
-          col("__lineage"), col("__batch_id")))
-      .reduce(_.unionByName(_))
-    val union = tomb.fold(union0)(t =>
-      union0.join(t, Seq("vec_id"), "left_anti"))
+    // merge — erasure must compose with every maintenance op); each
+    // source's rows are filtered by its OWN tombstones, like
+    // reindexInto would have done shard-locally
+    val perSource = sources.map { s =>
+      val tomb = readTombstones(spark, s)
+      val rows = spark.read.parquet(s).select(col("vec_id"),
+        col("embedding"), col("__lineage"), col("__batch_id"))
+      (s, tomb, tomb.fold(rows)(t => rows.join(t, Seq("vec_id"), "left_anti")))
+    }
+    val tomb = perSource.flatMap(_._2)
+      .reduceOption(_.unionByName(_)).map(_.distinct())
+    val union = perSource.map(_._3).reduce(_.unionByName(_))
     // CROSS-source overlap only: a single store can legitimately hold
     // a vec_id twice (post-birth ingest has no cross-batch dedup — a
     // source re-emitting an id is a data property, and reindexInto
     // keeps such rows too), so the check must not blame intra-source
-    // duplicates on a phantom shard overlap
+    // duplicates on a phantom shard overlap. Each source's identity
+    // set is its LIVE ids PLUS its TOMBSTONED ids: a compacted shard's
+    // erased id is still an identity claim (the tombstone travels and
+    // would mask the other shard's live row — silent erasure of a
+    // vector the merge was supposed to keep), so an id that is live in
+    // one shard and erased in another is the same remap-before-merging
+    // conflict as two live copies, caught the same way
     if (sources.length > 1) {
-      val overlap = sources.zipWithIndex.map { case (src, i) =>
-          spark.read.parquet(src).select(col("vec_id")).distinct()
+      val overlap = perSource.zipWithIndex.map { case ((src, t, _), i) =>
+          val live = spark.read.parquet(src).select(col("vec_id"))
+          t.fold(live)(live.unionByName(_)).distinct()
             .withColumn("__src", lit(i))
         }.reduce(_.unionByName(_))
         .groupBy(col("vec_id"))
@@ -620,12 +666,12 @@ object IvfIndexStream {
         .filter(col("ns") > 1).limit(1).collect()
       require(overlap.isEmpty,
         s"sources share vec_id ${overlap.headOption.map(_.getLong(0))
-          .getOrElse(-1L)} — vec_id is the row identity across " +
-          "shards; remap before merging")
+          .getOrElse(-1L)} (live or erased) — vec_id is the row " +
+          "identity across shards, including erased history; remap " +
+          "before merging")
     }
     val trained = buildIndex(spark, fs, union, newDir, nlist, trainIters)
-    tomb.foreach(t =>
-      Streams.replaceStore(spark, tombstonesDir(newDir), t))
+    tomb.foreach(t => writeTombstones(spark, newDir, t))
     writeCentroids(fs, newDir, trained)
     trained
   }

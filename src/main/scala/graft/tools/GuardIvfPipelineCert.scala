@@ -89,23 +89,6 @@ object GuardIvfPipelineCert {
         ((pmod(xxhash64(col("doc_id"), i), lit(2001)) - lit(1000))
           .cast("double") / 500.0).cast("float")).as("embedding"))
 
-  private def resultHash(df: DataFrame): (Long, String) = {
-    val rows = df.collect()
-      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getDouble(2)}|${r.getInt(3)}")
-      .sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(s => md.update(s.getBytes("UTF-8")))
-    (rows.length.toLong,
-      md.digest().map("%02x".format(_)).mkString.take(16))
-  }
-
-  private def centsDigest(cents: Array[Array[Double]]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    cents.foreach(_.foreach(d => md.update(
-      java.nio.ByteBuffer.allocate(8).putDouble(d).array())))
-    md.digest().map("%02x".format(_)).mkString.take(16)
-  }
-
   /** The stream's own birth rule over the oracle's accepted-slice-0
     * ids: seed = first `NList` embeddings in vec_id order, Lloyd's at
     * the birth default (trainIters=5) — [[IvfIndexStream.start]]
@@ -135,7 +118,7 @@ object GuardIvfPipelineCert {
   private def annOracle(accepted: DataFrame,
                         cents: Array[Array[Double]]): (Long, String) = {
     val (_, threshold) = queryIds(accepted)
-    resultHash(Similarity.annIvfWith(withEmbedding(accepted), cents,
+    CertHash.resultHash(Similarity.annIvfWith(withEmbedding(accepted), cents,
       K, threshold.toInt, NProbe))
   }
 
@@ -185,7 +168,7 @@ object GuardIvfPipelineCert {
         spark, slices.take(1), s"$base/s0", quotaCap, minEst)
       val cents = oracleCents(acc0)
       val (n, hash) = annOracle(acc, cents)
-      println(s"""GUARDIVF_EXPECTED {"docs":$nDocs,"slices":${slices.length},"accepted":${acc.count()},"exact_dup":${ex.count()},"near_dup":${near.count()},"quota":${quo.count()},"index_rows":${acc.count()},"ann_rows":$n,"ann_hash":"$hash","cents":"${centsDigest(cents)}",$cfg,"cpus":$cpus}""")
+      println(s"""GUARDIVF_EXPECTED {"docs":$nDocs,"slices":${slices.length},"accepted":${acc.count()},"exact_dup":${ex.count()},"near_dup":${near.count()},"quota":${quo.count()},"index_rows":${acc.count()},"ann_rows":$n,"ann_hash":"$hash","cents":"${CertHash.centsDigest(cents)}",$cfg,"cpus":$cpus}""")
       spark.stop()
       return
     }
@@ -301,7 +284,7 @@ object GuardIvfPipelineCert {
       withEmbedding(qids.toDF("doc_id"))
         .withColumnRenamed("vec_id", "query_id")
     }
-    val (n, hash) = resultHash(IvfIndexStream.queryMany(
+    val (n, hash) = CertHash.resultHash(IvfIndexStream.queryMany(
       spark, s"$base/index", qFrame, K, NProbe))
     val (oN, oHash) = annOracle(oAcc, persisted)
     // informational: parity with the expected mode's oracle-trained
@@ -313,7 +296,7 @@ object GuardIvfPipelineCert {
       if (mode == "crash")
         s""""crash_at_slice":$crashAt,"accepted_at_crash":$acceptedAtCrash,"indexed_at_crash":$indexedAtCrash,"""
       else ""
-    println(s"""GUARDIVF {"mode":"$mode","docs":$nDocs,"slices":${slices.length},"docs_per_sec":${(nDocs / wallSec).round},"wall_sec":${f"$wallSec%.1f"},"accepted":${gAcc.count()},"accepted_match":$accMatch,"exact_match":$exMatch,"near_match":$nearMatch,"quota_match":$quoMatch,"index_rows":$storeRows,"index_distinct":$storeDistinct,"index_ids_match":$idsMatch,"exactly_once":$exactlyOnce,${crashFields}"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"expected_hash_match":${hash == eHash},"expected_cents_match":${centsDigest(persisted) == centsDigest(eCents)},"cents":"${centsDigest(persisted)}",$cfg,"cpus":$cpus}""")
+    println(s"""GUARDIVF {"mode":"$mode","docs":$nDocs,"slices":${slices.length},"docs_per_sec":${(nDocs / wallSec).round},"wall_sec":${f"$wallSec%.1f"},"accepted":${gAcc.count()},"accepted_match":$accMatch,"exact_match":$exMatch,"near_match":$nearMatch,"quota_match":$quoMatch,"index_rows":$storeRows,"index_distinct":$storeDistinct,"index_ids_match":$idsMatch,"exactly_once":$exactlyOnce,${crashFields}"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"expected_hash_match":${hash == eHash},"expected_cents_match":${CertHash.centsDigest(persisted) == CertHash.centsDigest(eCents)},"cents":"${CertHash.centsDigest(persisted)}",$cfg,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -95,16 +95,6 @@ object IvfIndexBench {
     emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding"))
 
-  private def resultHash(df: DataFrame): (Long, String) = {
-    val rows = df.collect()
-      .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getDouble(2)}|${r.getInt(3)}")
-      .sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(s => md.update(s.getBytes("UTF-8")))
-    (rows.length.toLong,
-      md.digest().map("%02x".format(_)).mkString.take(16))
-  }
-
   private val DriftIdOffset = 10000000L
 
   /** Distribution B: a cluster around the all-ones direction with noise
@@ -119,13 +109,6 @@ object IvfIndexBench {
     val occ = spark.read.parquet(dir).groupBy("cell").count()
       .collect().map(_.getLong(1))
     occ.max.toDouble / occ.sum
-  }
-
-  private def centsDigest(cents: Array[Array[Double]]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    cents.foreach(_.foreach(d => md.update(
-      java.nio.ByteBuffer.allocate(8).putDouble(d).array())))
-    md.digest().map("%02x".format(_)).mkString.take(16)
   }
 
   /** The DELETION certification (modes `delete-expected` / `delete` —
@@ -151,23 +134,16 @@ object IvfIndexBench {
     val survivors = corpus.filter(!deletePred)
     val base = java.nio.file.Files
       .createTempDirectory("graft-ivfdelete").toString
-    // stage 10 single-file slices of the doubled corpus; BOTH modes
-    // train centroids from the staged slice-0 file (bit-identical
-    // accumulation order — the IVFINDEX protocol)
-    val staged = (0 until NSlices).map { s =>
-      val d = s"$base/staged/s$s"
-      corpus.filter(pmod(col("vec_id"), lit(NSlices)) === s)
-        .coalesce(1).write.mode("overwrite").parquet(d)
-      new java.io.File(d).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith(".")).head.getAbsolutePath
-    }
+    // stage 10 single-file slices of the doubled corpus via the shared
+    // helper (its one-file require guards the bit-identical-centroids
+    // protocol); BOTH modes train from the staged slice-0 file
+    val staged = stage(spark, corpus, s"$base/staged")
     val cents = oracleCents(spark, staged.head)
     val nDeleted = corpus.filter(deletePred).count()
     if (expectedOnly) {
-      val (n, hash) = resultHash(
+      val (n, hash) = CertHash.resultHash(
         Similarity.annIvfWith(survivors, cents, K, NQueries, NProbe))
-      println(s"""IVFDELETE_EXPECTED {"vectors":${2 * nVecs},"deleted":$nDeleted,"survivors":${2 * nVecs - nDeleted},"rows":$n,"hash":"$hash","cents":"${centsDigest(cents)}","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+      println(s"""IVFDELETE_EXPECTED {"vectors":${2 * nVecs},"deleted":$nDeleted,"survivors":${2 * nVecs - nDeleted},"rows":$n,"hash":"$hash","cents":"${CertHash.centsDigest(cents)}","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
       return
     }
     val inDir = s"$base/in"
@@ -209,14 +185,14 @@ object IvfIndexBench {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val persisted = IvfIndexStream.readCentroids(spark, stateDir).get
     val centsMatch = persisted.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq
-    val (n1, hash1) = resultHash(IvfIndexStream.queryMany(
+    val (n1, hash1) = CertHash.resultHash(IvfIndexStream.queryMany(
       spark, stateDir, qFrame, K, NProbe))
     val rowsBefore = spark.read.parquet(stateDir).count()
     val tC0 = System.nanoTime()
     IvfIndexStream.compactIndex(spark, stateDir)
     val compactSec = (System.nanoTime() - tC0) / 1e9
     val rowsAfter = spark.read.parquet(stateDir).count()
-    val (n2, hash2) = resultHash(IvfIndexStream.queryMany(
+    val (n2, hash2) = CertHash.resultHash(IvfIndexStream.queryMany(
       spark, stateDir, qFrame, K, NProbe))
     val tombAfter = IvfIndexStream.readTombstones(spark, stateDir)
       .get.count()
@@ -235,7 +211,7 @@ object IvfIndexBench {
     val q2 = startQ()
     try { q2.processAllAvailable(); q2.exception.foreach(throw _) }
     finally q2.stop()
-    val (n3, hash3) = resultHash(IvfIndexStream.queryMany(
+    val (n3, hash3) = CertHash.resultHash(IvfIndexStream.queryMany(
       spark, stateDir, qFrame, K, NProbe))
     val resumeN = resume.count()
     val totalAfterResume = spark.read.parquet(stateDir).count()
@@ -243,12 +219,12 @@ object IvfIndexBench {
     // ingest never reads tombstones), but the re-emits stay MASKED:
     // hash3 must still equal the survivors oracle
     val exactResume = totalAfterResume == rowsAfter + resumeN
-    val (oN, oHash) = resultHash(
+    val (oN, oHash) = CertHash.resultHash(
       Similarity.annIvfWith(survivors, persisted, K, NQueries, NProbe))
     // the post-resume oracle ADMITS the fresh resumed vectors (they
     // are legitimate new neighbors) and still EXCLUDES every deleted
     // id — the re-emitted copies in the store must stay erased
-    val (oN3, oHash3) = resultHash(Similarity.annIvfWith(
+    val (oN3, oHash3) = CertHash.resultHash(Similarity.annIvfWith(
       survivors.unionByName(resumeFresh), persisted, K, NQueries, NProbe))
     println(s"""IVFDELETE {"vectors":${2 * nVecs},"deleted":$nDeleted,"tombstones":$tombCount,"idempotent":${tombCount == nDeleted},"ingest_wall_sec":${f"$ingestSec%.1f"},"delete_sec":${f"$deleteSec%.2f"},"compact_sec":${f"$compactSec%.1f"},"rows_before_compact":$rowsBefore,"rows_after_compact":$rowsAfter,"purged":${rowsBefore - rowsAfter},"purge_exact":${rowsBefore - rowsAfter == nDeleted},"tombstones_kept":${tombAfter == nDeleted},"rows":$n1,"hash_masked":"$hash1","hash_purged":"$hash2","hash_post_resume":"$hash3","oracle_rows":$oN,"oracle_hash":"$oHash","post_resume_oracle_hash":"$oHash3","hash_match":${hash1 == oHash && hash2 == oHash && n1 == oN && n2 == oN},"post_resume_match":${hash3 == oHash3 && n3 == oN3},"cents_match":$centsMatch,"resume_rows":$resumeN,"post_resume_total":$totalAfterResume,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
   }
@@ -270,9 +246,9 @@ object IvfIndexBench {
       // benign divergence, not a wrong rebuild.)
       val seed = IvfIndexStream.stratifiedSeed(corpus, NList)
       val cents = Similarity.trainCentroidsBalanced(corpus, seed, 8)
-      val (n, hash) = resultHash(
+      val (n, hash) = CertHash.resultHash(
         Similarity.annIvfWith(corpus, cents, K, NQueries, NProbe))
-      println(s"""IVFREINDEX_EXPECTED {"vectors":${2 * nVecs},"rows":$n,"hash":"$hash","cents":"${centsDigest(cents)}","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+      println(s"""IVFREINDEX_EXPECTED {"vectors":${2 * nVecs},"rows":$n,"hash":"$hash","cents":"${CertHash.centsDigest(cents)}","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
       return
     }
     val base = java.nio.file.Files
@@ -324,9 +300,9 @@ object IvfIndexBench {
     val persisted = IvfIndexStream.readCentroids(spark, newDir).get
     val persistedMatch = persisted.map(_.toSeq).toSeq ==
       newCents.map(_.toSeq).toSeq
-    val (n, hash) = resultHash(IvfIndexStream.queryMany(
+    val (n, hash) = CertHash.resultHash(IvfIndexStream.queryMany(
       spark, newDir, queriesOf(corpus), K, NProbe))
-    val (oN, oHash) = resultHash(
+    val (oN, oHash) = CertHash.resultHash(
       Similarity.annIvfWith(corpus, persisted, K, NQueries, NProbe))
     // the SWAP: resume ingesting into the new dir under the SAME
     // checkpoint — one more slice, landed exactly once
@@ -347,7 +323,7 @@ object IvfIndexBench {
       .select("vec_id").distinct().count()
     val exactResume =
       total == 2 * nVecs + resumeN && distinct == total
-    println(s"""IVFREINDEX {"vectors":${2 * nVecs},"ingest_wall_sec":${f"$ingestSec%.1f"},"top_share_before":${f"$before%.3f"},"top_share_after":${f"$after%.3f"},"balance_restored":${after < before * 0.7},"reindex_sec":${f"$reindexSec%.1f"},"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"cents":"${centsDigest(persisted)}","persisted_match":$persistedMatch,"resume_rows":$resumeN,"post_resume_total":$total,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
+    println(s"""IVFREINDEX {"vectors":${2 * nVecs},"ingest_wall_sec":${f"$ingestSec%.1f"},"top_share_before":${f"$before%.3f"},"top_share_after":${f"$after%.3f"},"balance_restored":${after < before * 0.7},"reindex_sec":${f"$reindexSec%.1f"},"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"cents":"${CertHash.centsDigest(persisted)}","persisted_match":$persistedMatch,"resume_rows":$resumeN,"post_resume_total":$total,"exact_resume":$exactResume,"k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -386,7 +362,7 @@ object IvfIndexBench {
     val staged = stage(spark, emb, s"$base/staged")
 
     if (expectedOnly) {
-      val (n, hash) = resultHash(Similarity.annIvfWith(
+      val (n, hash) = CertHash.resultHash(Similarity.annIvfWith(
         emb, oracleCents(spark, staged.head), K, NQueries, NProbe))
       println(s"""IVFINDEX_EXPECTED {"vectors":$nVecs,"rows":$n,"hash":"$hash","k":$K,"queries":$NQueries,"nprobe":$NProbe,"cpus":$cpus}""")
       spark.stop()
@@ -424,7 +400,7 @@ object IvfIndexBench {
     val got = IvfIndexStream.queryMany(spark, stateDir, queriesOf(emb),
       K, NProbe)
     val tQ0 = System.nanoTime()
-    val (n, hash) = resultHash(got)
+    val (n, hash) = CertHash.resultHash(got)
     val querySec = (System.nanoTime() - tQ0) / 1e9
     val decoded = org.apache.spark.sql.GraftColumnBridge
       .scanOutputRows(got)
@@ -437,7 +413,7 @@ object IvfIndexBench {
     one.collect()
     val oneDecoded = org.apache.spark.sql.GraftColumnBridge
       .scanOutputRows(one)
-    val (oN, oHash) = resultHash(Similarity.annIvfWith(
+    val (oN, oHash) = CertHash.resultHash(Similarity.annIvfWith(
       emb, IvfIndexStream.readCentroids(spark, stateDir).get,
       K, NQueries, NProbe))
     def dirMb(p: String): Double = {

@@ -74,10 +74,14 @@ object StreamBench {
         val path = java.nio.file.Paths.get(raw)
         Option(path.getParent)
           .foreach(java.nio.file.Files.createDirectories(_))
+        // tag values are free-form (BINARY_LABEL is A/B provenance
+        // prose) — quote them, or one embedded '"' corrupts the very
+        // ledger future adjudications parse
         val tags = Seq("SPARK_GRAFT_SB_ONLY", "SPARK_GRAFT_SB_ROTATE",
           "SPARK_GRAFT_STATESTORE", "SPARK_GRAFT_BINARY_LABEL")
           .flatMap(k => sys.env.get(k).map(v =>
-            s""""${k.stripPrefix("SPARK_GRAFT_").toLowerCase}":"$v""""))
+            s""""${k.stripPrefix("SPARK_GRAFT_").toLowerCase}":""" +
+              graft.functions.Json.quote(v)))
         val stamped = s"""{"ts_ms":${System.currentTimeMillis()},""" +
           tags.map(_ + ",").mkString +
           s""""line":${graft.functions.Json.quote(line)}}"""

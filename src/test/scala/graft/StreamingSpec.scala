@@ -1728,14 +1728,23 @@ class StreamingSpec extends GraftSuite {
         s"pre-retirement the twins must be convicted: $rej")
     } finally q.stop()
     // the doc is erased from the corpus: the guard must forget it —
-    // its fp leaves the store, its band rows leave the band store
+    // its fp leaves the store, its band rows leave the band store.
+    // Retirement is BY ID AGAINST THE ACCEPTED LEDGER: passing the
+    // REJECTED twin's id (2) must retire nothing (it was never in the
+    // corpus — retiring by its text would have dropped the live doc
+    // 1's fp and silently un-guarded it)
     val fpRowsBefore = spark.read.parquet(s"$base/state").count()
     graft.streaming.IngestGuard.retireDocs(spark,
-      Seq((1L, baseDoc)).toDF("doc_id", "text"),
+      Seq(2L).toDF("doc_id"), s"$base/accepted",
+      s"$base/state", Some(s"$base/bands"))
+    assert(spark.read.parquet(s"$base/state").count() === fpRowsBefore,
+      "retiring a never-accepted id must retire nothing")
+    graft.streaming.IngestGuard.retireDocs(spark,
+      Seq(1L).toDF("doc_id"), s"$base/accepted",
       s"$base/state", Some(s"$base/bands"))
     // idempotent: re-running retires nothing new
     graft.streaming.IngestGuard.retireDocs(spark,
-      Seq((1L, baseDoc)).toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), s"$base/accepted",
       s"$base/state", Some(s"$base/bands"))
     assert(spark.read.parquet(s"$base/state").count() === fpRowsBefore - 1,
       "the erased doc's fingerprint must leave the fp store")
