@@ -846,8 +846,22 @@ object IngestGuard {
     * [[Streams.rewriteStore]] swaps preserving the stores' partition +
     * sort layout — the same O(store) offline shape as
     * [[compactFpStore]]/[[compactNdStore]], so batch retirements
-    * together at compaction cadence. Idempotent: re-running retires
-    * nothing new.
+    * together at compaction cadence.
+    *
+    * A RETIRED-IDS LEDGER (`<stateDir>.__retired`, the single-file
+    * atomic sidecar) records which ids' retirement has been APPLIED,
+    * and already-recorded ids are skipped. This is what makes a replay
+    * safe ACROSS TIME, not just immediately: the accepted ledger holds
+    * the retired doc's (id, text) forever, and once the same text is
+    * legitimately RE-ADMITTED under a new id (the whole point of
+    * retirement), a replayed `retireDocs` of the old id would resolve
+    * to the shared text and drop the re-admitted doc's LIVE
+    * fingerprint — un-guarding it silently. The ledger is written
+    * AFTER the store rewrites, so a retirement that crashes mid-way
+    * re-applies on re-run (the safe direction — writing it first
+    * would let a crash skip the rewrites forever, silently dropping
+    * the erasure); complete a torn retirement (re-run it) BEFORE
+    * restarting the guard, per the single-writer discipline.
     *
     * The Bloom sidecars are deliberately UNTOUCHED: a filter cannot
     * unlearn a member, but stale bits are the sidecar's normal
@@ -870,9 +884,16 @@ object IngestGuard {
                  docIds: DataFrame, acceptedDir: String,
                  stateDir: String,
                  ndStateDir: Option[String] = None): Unit = {
+    val retiredPath = stateDir + ".__retired"
     val ids = docIds.select(col("doc_id")).distinct()
+    val already = Streams.readIdSidecar(spark, retiredPath, "doc_id")
+    // only ids not yet applied: a replayed retirement after the same
+    // text was re-admitted under a NEW id must not resolve the OLD
+    // id's text again (see the ledger note in the scaladoc)
+    val fresh = already.fold(ids)(a =>
+      ids.join(a, Seq("doc_id"), "left_anti"))
     val docs = accepted(spark, acceptedDir)
-      .join(ids, Seq("doc_id"), "left_semi")
+      .join(fresh, Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
     val fps = docs.select(fpExpr.as("__fp")).distinct()
     Streams.rewriteStore(spark, stateDir, Seq("fp_part"), Seq("__fp"))(
@@ -881,6 +902,14 @@ object IngestGuard {
       Streams.rewriteStore(spark, nd, Seq("band_part"), Seq("band_key"))(
         _.join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     }
+    // record AFTER the rewrites: a mid-retirement crash re-applies on
+    // re-run (recording first would let it skip forever). Only ids
+    // that actually RESOLVED are recorded — a never-accepted id stays
+    // retireable in case its acceptance had simply not landed yet.
+    val applied = docs.select(col("doc_id")).distinct()
+    if (!applied.isEmpty)
+      Streams.replaceIdSidecar(spark, retiredPath,
+        already.fold(applied)(_.unionByName(applied)).distinct())
     org.apache.spark.sql.GraftColumnBridge
       .checkpointRdd(docs).foreach(_.unpersist(false))
   }

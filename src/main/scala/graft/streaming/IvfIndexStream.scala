@@ -135,39 +135,12 @@ object IvfIndexStream {
     * rename has no such window: readers see the old set or the new
     * set, never neither. */
   def readTombstones(spark: SparkSession,
-                     stateDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(tombstonesFile(stateDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else Some(spark.read.parquet(tombstonesFile(stateDir))
-      .select(col("vec_id")))
-  }
+                     stateDir: String): Option[DataFrame] =
+    Streams.readIdSidecar(spark, tombstonesFile(stateDir), "vec_id")
 
-  /** Atomically replace the tombstone sidecar with `ids`: materialize
-    * to a scratch dir (single part file), then ONE FileContext
-    * OVERWRITE rename of that file onto the sidecar path. A crash
-    * leaves either the old file (delete not applied — re-run) or the
-    * new one; scratch leftovers are overwritten by the next write. */
   private def writeTombstones(spark: SparkSession, stateDir: String,
-                              ids: DataFrame): Unit = {
-    val target = new org.apache.hadoop.fs.Path(tombstonesFile(stateDir))
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val scratch = new org.apache.hadoop.fs.Path(
-      tombstonesFile(stateDir) + ".tmp")
-    fs.delete(scratch, true)
-    ids.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = fs.listStatus(scratch).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") &&
-        !p.getName.startsWith("."))
-    require(part.length == 1,
-      s"tombstone write produced ${part.length} files, expected 1")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, fs.getConf)
-    fc.rename(fs.makeQualified(part.head), fs.makeQualified(target),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    fs.delete(scratch, true)
-    ()
-  }
+                              ids: DataFrame): Unit =
+    Streams.replaceIdSidecar(spark, tombstonesFile(stateDir), ids)
 
   /** ERASE vectors from the index — the deletion path a curation
     * pipeline's redact/decontaminate stages need (a vector whose source
@@ -192,8 +165,9 @@ object IvfIndexStream {
     * Cost: O(existing tombstones + ids) — never touches the store.
     * SIZING: the sidecar is a single ids-only file (the swap coalesces
     * to 1), right up to ~10⁸ retired ids; erasure at corpus scale is
-    * not a tombstone problem but a REBUILD — filter the store and
-    * [[reindexInto]] it (which purges and resets the sidecar carried). */
+    * not a tombstone problem but a REBUILD — [[reindexInto]] purges the
+    * rows and, with `carryTombstones = false`, RESETS the sidecar (an
+    * explicit choice: erased ids may then return on re-emit). */
   def deleteIds(spark: SparkSession, stateDir: String,
                 ids: DataFrame): Unit = {
     val add = ids.select(col("vec_id").cast("long").as("vec_id"))
@@ -507,7 +481,12 @@ object IvfIndexStream {
     *
     * [[deleteIds]]-tombstoned rows are dropped from the backfill (the
     * rebuild is also a purge) and the tombstone sidecar travels to
-    * `newDir`, so retirement survives the swap.
+    * `newDir` VERBATIM, so retirement survives the swap. Pass
+    * `carryTombstones = false` to RESET retirement instead — the
+    * oversized-sidecar escape hatch [[deleteIds]]' sizing note points
+    * at: the rebuilt index starts with no tombstones, and erased ids
+    * may return on a future re-emit (an explicit operator choice,
+    * never a default).
     *
     * `nlist` may DIFFER from the old index's — rebalancing can also
     * resize the cell count — but the store must hold at least `nlist`
@@ -553,7 +532,8 @@ object IvfIndexStream {
   }
 
   def reindexInto(spark: SparkSession, stateDir: String, newDir: String,
-                  nlist: Int, trainIters: Int = 8): Array[Array[Double]] = {
+                  nlist: Int, trainIters: Int = 8,
+                  carryTombstones: Boolean = true): Array[Array[Double]] = {
     require(nlist > 0 && trainIters >= 0,
       "nlist must be positive, trainIters >= 0")
     require(newDir != stateDir, "reindex must target a fresh dir — " +
@@ -578,7 +558,8 @@ object IvfIndexStream {
       col("embedding"), col("__lineage"), col("__batch_id"))
     val old = tomb.fold(old0)(t => old0.join(t, Seq("vec_id"), "left_anti"))
     val trained = buildIndex(spark, fs, old, newDir, nlist, trainIters)
-    tomb.foreach(t => writeTombstones(spark, newDir, t))
+    if (carryTombstones)
+      tomb.foreach(t => writeTombstones(spark, newDir, t))
     // BOTH guard markers travel: .__applied lets a fully-committed
     // replayed batch skip outright; .__intent keeps the round-15
     // clean-restart fast path (without it the first post-swap batch
@@ -648,26 +629,31 @@ object IvfIndexStream {
     // a vec_id twice (post-birth ingest has no cross-batch dedup — a
     // source re-emitting an id is a data property, and reindexInto
     // keeps such rows too), so the check must not blame intra-source
-    // duplicates on a phantom shard overlap. Each source's identity
-    // set is its LIVE ids PLUS its TOMBSTONED ids: a compacted shard's
-    // erased id is still an identity claim (the tombstone travels and
-    // would mask the other shard's live row — silent erasure of a
-    // vector the merge was supposed to keep), so an id that is live in
-    // one shard and erased in another is the same remap-before-merging
-    // conflict as two live copies, caught the same way
+    // duplicates on a phantom shard overlap. Erased history counts as
+    // an identity claim — but only against a SURVIVING row: an id that
+    // survives live in one shard while another shard carries it (live
+    // or tombstoned) is a remap-before-merging conflict (the carried
+    // tombstone would silently mask the live vector; two live copies
+    // conflate two vectors), whereas an id tombstoned in EVERY shard
+    // that knows it merely agrees it is erased — the same erasure list
+    // applied to every shard, or shards split from a common ancestor
+    // (reindexInto carries the sidecar verbatim), must merge fine
     if (sources.length > 1) {
-      val overlap = perSource.zipWithIndex.map { case ((src, t, _), i) =>
-          val live = spark.read.parquet(src).select(col("vec_id"))
-          t.fold(live)(live.unionByName(_)).distinct()
+      val overlap = perSource.zipWithIndex.map { case ((_, t, surv), i) =>
+          val live = surv.select(col("vec_id")).distinct()
+            .withColumn("__live", lit(true))
+          t.fold(live)(tt => live.unionByName(
+            tt.select(col("vec_id")).withColumn("__live", lit(false))))
             .withColumn("__src", lit(i))
         }.reduce(_.unionByName(_))
         .groupBy(col("vec_id"))
-        .agg(count_distinct(col("__src")).as("ns"))
-        .filter(col("ns") > 1).limit(1).collect()
+        .agg(count_distinct(col("__src")).as("ns"),
+          max(col("__live")).as("any_live"))
+        .filter(col("ns") > 1 && col("any_live")).limit(1).collect()
       require(overlap.isEmpty,
         s"sources share vec_id ${overlap.headOption.map(_.getLong(0))
-          .getOrElse(-1L)} (live or erased) — vec_id is the row " +
-          "identity across shards, including erased history; remap " +
+          .getOrElse(-1L)} with a surviving live copy — vec_id is the " +
+          "row identity across shards, including erased history; remap " +
           "before merging")
     }
     val trained = buildIndex(spark, fs, union, newDir, nlist, trainIters)

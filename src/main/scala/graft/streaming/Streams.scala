@@ -465,6 +465,70 @@ object Streams {
     else None
   }
 
+  /** Read a single-file ids sidecar ([[replaceIdSidecar]] layout) as a
+    * one-column frame, or None when absent. Tolerates the transitional
+    * DIRECTORY layout an earlier writer used (parquet reads either) and
+    * heals its torn two-rename swap first — [[replaceIdSidecar]]
+    * migrates the directory to the file form on its next write. */
+  def readIdSidecar(spark: SparkSession, path: String,
+                    idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(fs, path) // no-op for the file form (never has .__old)
+    // heal a directory→file migration that crashed between the dir
+    // delete and the final rename: the staged file IS the full new set
+    val migrated = new org.apache.hadoop.fs.Path(path + ".__migrated")
+    if (!fs.exists(p) && fs.exists(migrated)) { fs.rename(migrated, p); () }
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(path).select(col(idCol)))
+  }
+
+  /** Atomically REPLACE a single-file ids sidecar with `ids`: the frame
+    * materializes to a scratch dir as one part file, then ONE
+    * FileContext OVERWRITE rename lands it on `path` — readers see the
+    * old set or the new set, never neither (a two-rename directory swap
+    * has a live→old window in which a concurrent reader's crash
+    * recovery can resurrect the OLD set and fail the writer — for an
+    * erasure ledger that silently drops a deletion, the one forbidden
+    * outcome). A directory already at `path` (the transitional layout)
+    * is deleted after the new file is staged beside it and renamed in.
+    * Crash windows: before the rename — old set intact, re-run; scratch
+    * leftovers are overwritten by the next write. */
+  def replaceIdSidecar(spark: SparkSession, path: String,
+                       ids: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = new org.apache.hadoop.fs.Path(path + ".tmp")
+    fs.delete(scratch, true)
+    ids.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = fs.listStatus(scratch).map(_.getPath)
+      .filter(q => q.getName.endsWith(".parquet") &&
+        !q.getName.startsWith("."))
+    require(part.length == 1,
+      s"id sidecar write produced ${part.length} files, expected 1")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    if (fs.exists(target) && fs.getFileStatus(target).isDirectory) {
+      // transitional directory layout: a dir cannot be atomically
+      // replaced by a file, so the new set (already the union of
+      // old + new — the caller read the dir) lands at a MIGRATED
+      // marker first; a crash after the dir delete but before the
+      // final rename is healed by [[readIdSidecar]] from that marker,
+      // so no window ever reads as "no ids"
+      val migrated = new org.apache.hadoop.fs.Path(path + ".__migrated")
+      fc.rename(fs.makeQualified(part.head), fs.makeQualified(migrated),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      require(fs.delete(target, true),
+        s"could not replace directory-form id sidecar $path")
+      require(fs.rename(migrated, target),
+        s"could not land migrated id sidecar $path")
+    } else
+      fc.rename(fs.makeQualified(part.head), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(scratch, true)
+    ()
+  }
+
   /** Shared store format-marker protocol (one implementation for every
     * keyed side store): a `<stateDir>.__format` sidecar records the
     * store's geometry tag; a restart whose configuration produces a

@@ -557,6 +557,24 @@ class IvfIndexSpec extends GraftSuite {
       batchTopK(mCorpus, mCents, nQueries = 60),
       "merged-store queries must equal the batch oracle over the union " +
         "of survivors")
+    // a tombstone shared by EVERY shard (one erasure list applied to
+    // all, or shards split from a common ancestor) is AGREEMENT, not a
+    // conflict — the merge must succeed and union it once
+    IvfIndexStream.deleteIds(spark, stateDir, Seq(77777L))
+    IvfIndexStream.deleteIds(spark, shard2, Seq(77777L))
+    IvfIndexStream.mergeInto(
+      spark, Seq(stateDir, shard2), s"$base/merged2", nlist = 32)
+    assert(IvfIndexStream.readTombstones(spark, s"$base/merged2")
+      .get.count() === 61L,
+      "the shared tombstone must union once beside each shard's own")
+    // but an id LIVE in one shard while another shard carries it
+    // erased IS a conflict: the carried tombstone would silently mask
+    // the live vector — fail fast like two live copies
+    IvfIndexStream.deleteIds(spark, shard2, Seq(50L)) // 50 lives in stateDir
+    intercept[IllegalArgumentException] {
+      IvfIndexStream.mergeInto(
+        spark, Seq(stateDir, shard2), s"$base/merged3", nlist = 32)
+    }
   }
 
   test("a re-emitted vec_id is kept as data, occupies two of the k " +

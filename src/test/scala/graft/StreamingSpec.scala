@@ -1788,6 +1788,30 @@ class StreamingSpec extends GraftSuite {
         s"retirement is per-doc, not a wipe — the re-admitted doc and " +
           s"the untouched doc both guard the corpus: $rej2")
     } finally q2.stop()
+    // the TEMPORAL replay hazard (in-round review finding): doc 10
+    // re-admitted baseDoc's text under a new id, and the accepted
+    // ledger still resolves the OLD id 1 to that same text forever —
+    // a replayed retirement of id 1 must NOT resolve the text again
+    // and drop doc 10's live fingerprint (the retired-ids ledger skips
+    // applied ids)
+    val fpRowsAfter = spark.read.parquet(s"$base/state").count()
+    graft.streaming.IngestGuard.retireDocs(spark,
+      Seq(1L).toDF("doc_id"), s"$base/accepted",
+      s"$base/state", Some(s"$base/bands"))
+    assert(spark.read.parquet(s"$base/state").count() === fpRowsAfter,
+      "a replayed retirement after re-admission must not un-guard the " +
+        "re-admitted doc (its fp must stay in the store)")
+    val q3 = startGuard()
+    try {
+      land(Seq(13L -> baseDoc)) // twin of the RE-ADMITTED doc 10
+      q3.processAllAvailable()
+      q3.exception.foreach(throw _)
+      val rej3 = graft.streaming.IngestGuard.rejects(spark, s"$base/rejects")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rej3.get(13L).contains("exact_dup"),
+        s"doc 10 must still guard the corpus after the replayed " +
+          s"retirement: $rej3")
+    } finally q3.stop()
   }
 
   test("ingest guard near-dup: a near-dup winner's same-batch fp-twin is " +
