@@ -573,9 +573,13 @@ object BloomShards {
     cache.lastDeferredCount = 0
     if (touched.isEmpty) {
       // still a liveness tick: prepareSeq must advance on EVERY prepare
-      // or an idle-but-live query would read as dead to a seq poller
-      lastWarming(stateDir).foreach(w =>
-        warmingByStore.put(stateDir, w.copy(prepareSeq = w.prepareSeq + 1)))
+      // or an idle-but-live query would read as dead to a seq poller —
+      // including a query IDLE FROM BIRTH (no stats row yet), which
+      // gets an all-zero row at seq 1 so it is observable as live
+      // instead of StoreNotReadyException-ing the warming view forever
+      val w = lastWarming(stateDir)
+        .getOrElse(WarmingStats(0, 0L, 0, 0, 0, 0, 0L, 0L))
+      warmingByStore.put(stateDir, w.copy(prepareSeq = w.prepareSeq + 1))
       return Prepared(Map.empty, Nil)
     }
     val missing = touched.filterNot(cache.shards.contains)

@@ -684,11 +684,39 @@ object IngestGuard {
               .when(isNear, "near_dup")
               .when(col("__over_quota"), "quota"))
           .localCheckpoint(false)
+        val accepted = judged.filter(col("reason").isNull)
+        // RETIRED-ID REUSE fail-fast (r17 verdict #1), BEFORE any ledger
+        // write: the retired-ids ledger skips already-applied doc_ids
+        // forever, so accepting a NEW doc under a retired id would make
+        // that id's later retirement a silent no-op — the new doc's fp
+        // would stay in the store after its erasure, the inverse of the
+        // temporal un-guarding path the ledger exists to close. Erasure
+        // paths don't get silent no-ops, so the collision is refused
+        // LOUDLY here, where the id is about to re-enter the corpus.
+        // Cost: one fs.exists per batch; the semi-join (ids-only
+        // single-file sidecar vs the batch's accepted ids) only when
+        // retirements exist at all.
+        if (fs.exists(new org.apache.hadoop.fs.Path(
+            retiredFile(stateDir)))) {
+          val clash = retiredIds(spark, stateDir).map(r =>
+            accepted.select(col("doc_id"))
+              .join(r, Seq("doc_id"), "left_semi").limit(1).collect())
+            .getOrElse(Array.empty[org.apache.spark.sql.Row])
+          if (clash.nonEmpty) throw new IllegalStateException(
+            s"batch $batchId accepts doc_id ${clash.head.getLong(0)}, " +
+              "which is in the retired-ids ledger " +
+              s"(${retiredFile(stateDir)}): doc_ids must never be " +
+              "reused after retirement — a later retireDocs of this id " +
+              "would silently no-op and leave the new doc's fingerprint " +
+              "un-erasable. Re-emit the document under a fresh id; if " +
+              "this batch is a crash REPLAY of ingestion that predates " +
+              "the retirement, unretireDocs(id) to let the replay land, " +
+              "then re-run the retirement once the batch commits.")
+        }
         judged.filter(col("reason").isNotNull)
           .select(col("doc_id"), col("reason"))
           .withColumn("__batch_id", lit(batchId))
           .write.mode(SaveMode.Append).parquet(rejectsDir)
-        val accepted = judged.filter(col("reason").isNull)
         accepted
           .select(inputCols.map(col): _*)
           .withColumn("__batch_id", lit(batchId))
@@ -861,7 +889,14 @@ object IngestGuard {
     * re-applies on re-run (the safe direction — writing it first
     * would let a crash skip the rewrites forever, silently dropping
     * the erasure); complete a torn retirement (re-run it) BEFORE
-    * restarting the guard, per the single-writer discipline.
+    * restarting the guard, per the single-writer discipline. The
+    * skip-forever ledger makes ID REUSE a hazard in the other
+    * direction — a NEW doc accepted under a retired id could never be
+    * retired again — so the ingest path FAILS FAST when a batch would
+    * accept a retired id (see [[start]]): doc_ids are never reused,
+    * by contract, and [[unretireDocs]] is the explicit hatch for the
+    * one legitimate exception (a crash-replayed batch whose doc was
+    * retired mid-flight).
     *
     * The Bloom sidecars are deliberately UNTOUCHED: a filter cannot
     * unlearn a member, but stale bits are the sidecar's normal
@@ -880,11 +915,40 @@ object IngestGuard {
     * quota slot consumed by a later-erased doc is not refunded).
     * SINGLE-WRITER: stop the guard's streaming query first, like every
     * maintenance op here. */
+  /** The retired-ids ledger's path beside the fp store. */
+  private[graft] def retiredFile(stateDir: String): String =
+    stateDir + ".__retired"
+
+  /** The guard's applied-retirement ledger (one `doc_id` column), or
+    * None when nothing was ever retired — the set [[retireDocs]] skips
+    * and the ingest path refuses to re-accept (see the fail-fast in
+    * [[start]]). Ids-only and single-file, like the index's tombstone
+    * sidecar. */
+  def retiredIds(spark: org.apache.spark.sql.SparkSession,
+                 stateDir: String): Option[DataFrame] =
+    Streams.readIdSidecar(spark, retiredFile(stateDir), "doc_id")
+
+  /** ESCAPE HATCH for the ingest fail-fast: drop `docIds` from the
+    * retired-ids ledger so a crash-REPLAYED batch whose doc was retired
+    * mid-flight (retirement ran between the batch's ledger writes and
+    * its checkpoint commit) can land. The replay re-admits the doc —
+    * its fingerprint re-enters the store — so RE-RUN the retirement
+    * once the batch commits, or the erasure is undone. Never unretire
+    * an id that a NEW document reused: that is exactly the silent-no-op
+    * hazard the fail-fast exists to refuse. SINGLE-WRITER like every
+    * maintenance op (stop the guard first). */
+  def unretireDocs(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String, docIds: DataFrame): Unit =
+    retiredIds(spark, stateDir).foreach { r =>
+      Streams.replaceIdSidecar(spark, retiredFile(stateDir),
+        r.join(docIds.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }
+
   def retireDocs(spark: org.apache.spark.sql.SparkSession,
                  docIds: DataFrame, acceptedDir: String,
                  stateDir: String,
                  ndStateDir: Option[String] = None): Unit = {
-    val retiredPath = stateDir + ".__retired"
+    val retiredPath = retiredFile(stateDir)
     val ids = docIds.select(col("doc_id")).distinct()
     val already = Streams.readIdSidecar(spark, retiredPath, "doc_id")
     // only ids not yet applied: a replayed retirement after the same

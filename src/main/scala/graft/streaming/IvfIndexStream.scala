@@ -46,9 +46,11 @@ import graft.operators.Similarity
   *  - the store never retention-prunes — but it CAN forget on demand:
   *    [[deleteIds]] retires vec_ids behind a replay-safe tombstone
   *    sidecar (the erasure path a curation pipeline needs when a
-  *    source document is redacted — r16 verdict #1; the reference's
-  *    own CDC model carries DELETE tombstones,
-  *    ksqldb-statements.sql:31-32), [[queryMany]] masks them
+  *    source document is redacted — r16 verdict #1; deletion-as-
+  *    tombstone is also how the reference's Debezium CDC model works:
+  *    its ExtractNewRecordState unwrap config decides whether DELETE
+  *    tombstone records are dropped or forwarded downstream),
+  *    [[queryMany]] masks them
   *    immediately, [[compactIndex]] physically purges them, and
   *    [[reindexInto]]/[[mergeInto]] drop them at rebuild.
   *
@@ -142,6 +144,36 @@ object IvfIndexStream {
                               ids: DataFrame): Unit =
     Streams.replaceIdSidecar(spark, tombstonesFile(stateDir), ids)
 
+  /** A sidecar this size or smaller is SNAPSHOTTED to the driver at
+    * query-plan time (a local relation — execution never re-opens the
+    * file, so a concurrent [[deleteIds]]' OVERWRITE rename cannot fail
+    * the query's scan). 16 MB of ids-only parquet is ~2M retired ids —
+    * far past the point the sizing note says to rebuild instead; a
+    * sidecar larger than this keeps the lazy anti-join and accepts the
+    * documented transient-retry caveat rather than pinning driver
+    * memory to an erasure ledger. */
+  private val TombstoneSnapshotBytes = 16L << 20
+
+  /** [[readTombstones]] for a QUERY: under [[TombstoneSnapshotBytes]]
+    * the ids are collected once, at plan time, into a driver-local
+    * relation — the frame's execution holds no reference to the sidecar
+    * file, so a [[deleteIds]] racing the query swaps nothing the scan
+    * will re-open. Larger sidecars return the file-backed frame. */
+  private def tombstonesSnapshot(spark: SparkSession,
+                                 stateDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesFile(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val small = fs.exists(p) && !fs.getFileStatus(p).isDirectory &&
+      fs.getFileStatus(p).getLen <= TombstoneSnapshotBytes
+    readTombstones(spark, stateDir).map { t =>
+      if (!small) t
+      else {
+        import spark.implicits._
+        t.collect().map(_.getLong(0)).toIndexedSeq.toDF("vec_id")
+      }
+    }
+  }
+
   /** ERASE vectors from the index — the deletion path a curation
     * pipeline's redact/decontaminate stages need (a vector whose source
     * document was erased must not stay queryable forever). A deleted
@@ -158,9 +190,14 @@ object IvfIndexStream {
     * a directory swap): the union-distinct write makes a replayed or
     * repeated delete IDEMPOTENT by construction, and a crash leaves
     * either the old set (re-run) or the new one, never neither. Safe to
-    * run beside a live ingest stream AND concurrent queries (the ingest
-    * path never reads tombstones; [[queryMany]]
-    * reads the sidecar once per query), single-writer vs other
+    * run beside a live ingest stream (the ingest path never reads
+    * tombstones) and beside concurrent queries — results are NEVER
+    * wrong either way, and [[queryMany]] snapshots a small sidecar to
+    * the driver at plan time so its scan never re-opens the swapped
+    * file; a sidecar past the snapshot bound keeps the lazy read, where
+    * a query whose plan captured the OLD file's length can transiently
+    * FAIL (parquet length mismatch) if the swap lands mid-query — retry
+    * the query, never the delete. Single-writer vs other
     * `deleteIds`/maintenance calls like every maintenance op here.
     * Cost: O(existing tombstones + ids) — never touches the store.
     * SIZING: the sidecar is a single ids-only file (the swap coalesces
@@ -416,7 +453,7 @@ object IvfIndexStream {
     // can never displace a live one; the sidecar is ids-only (its file
     // stats keep the anti-join on the broadcast path at any sane
     // deletion volume) and absent on a never-deleted index
-    val masked = readTombstones(spark, stateDir).fold(live)(t =>
+    val masked = tombstonesSnapshot(spark, stateDir).fold(live)(t =>
       live.join(t.withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"), "left_anti"))
     masked
@@ -540,11 +577,18 @@ object IvfIndexStream {
       "in-place retraining would silently orphan the stored cell layout")
     val newPath = new org.apache.hadoop.fs.Path(newDir)
     val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // .__tombstones is part of the refusal AND the remedy list: a prior
+    // attempt that crashed after writeTombstones (data + format marker
+    // already down, centroids not yet) leaves the sidecar behind, and a
+    // re-run with carryTombstones = false that skipped it would silently
+    // inherit the retirement set the operator explicitly chose to reset
     require(!fs.exists(newPath) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")),
+      !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(tombstonesFile(newDir))),
       s"$newDir (or a sibling marker) already exists — reindex refuses " +
         s"a live target; delete $newDir, $newDir.__format, " +
-        s"$newDir.__applied and $newDir.__intent to re-run")
+        s"$newDir.__tombstones, $newDir.__applied and $newDir.__intent " +
+        "to re-run")
     require(!fs.exists(new org.apache.hadoop.fs.Path(prebirthDir(stateDir))),
       s"$stateDir has a pre-birth buffer — the index is mid-birth and " +
         "the staged rows are not in the store yet; let the stream " +
@@ -560,6 +604,11 @@ object IvfIndexStream {
     val trained = buildIndex(spark, fs, old, newDir, nlist, trainIters)
     if (carryTombstones)
       tomb.foreach(t => writeTombstones(spark, newDir, t))
+    else
+      // belt over the require above: a reset rebuild must START with no
+      // tombstones even if a crashed prior attempt's sidecar slipped
+      // through (erasure resets are explicit — never inherited)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesFile(newDir)), false)
     // BOTH guard markers travel: .__applied lets a fully-committed
     // replayed batch skip outright; .__intent keeps the round-15
     // clean-restart fast path (without it the first post-swap batch
@@ -602,9 +651,11 @@ object IvfIndexStream {
     val newPath = new org.apache.hadoop.fs.Path(newDir)
     val fs = newPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(newPath) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")),
-      s"$newDir (or its format marker) already exists — merge refuses " +
-        s"a live target; delete $newDir and $newDir.__format to re-run")
+      !fs.exists(new org.apache.hadoop.fs.Path(newDir + ".__format")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(tombstonesFile(newDir))),
+      s"$newDir (or a sibling marker) already exists — merge refuses " +
+        s"a live target; delete $newDir, $newDir.__format and " +
+        s"$newDir.__tombstones to re-run")
     sources.foreach { s =>
       require(!fs.exists(new org.apache.hadoop.fs.Path(prebirthDir(s))),
         s"$s has a pre-birth buffer — the index is mid-birth and the " +

@@ -520,8 +520,15 @@ object Streams {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       require(fs.delete(target, true),
         s"could not replace directory-form id sidecar $path")
-      require(fs.rename(migrated, target),
-        s"could not land migrated id sidecar $path")
+      // a concurrent readIdSidecar that observes the window between the
+      // directory delete and this rename HEALS the migration itself
+      // (renames .__migrated into place) — then this rename fails even
+      // though the sidecar state is exactly right; accept that outcome
+      // instead of throwing a spurious maintenance failure
+      if (!fs.rename(migrated, target))
+        require(fs.exists(target) &&
+          !fs.getFileStatus(target).isDirectory && !fs.exists(migrated),
+          s"could not land migrated id sidecar $path")
     } else
       fc.rename(fs.makeQualified(part.head), fs.makeQualified(target),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)

@@ -148,6 +148,34 @@ class BloomShardsSpec extends GraftSuite {
     engine.terminateAll()
   }
 
+  test("a query idle FROM BIRTH is still observable as live: the first " +
+      "empty-touched prepare creates an all-zero stats row at seq 1 " +
+      "instead of skipping (r17 ADVICE: the no-op tick left the store " +
+      "invisible to the seq poller and registerGuardWarming threw)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bloom-idle-birth").toString
+    val state = s"$base/state"
+    assert(BloomShards.lastWarming(state).isEmpty, "fresh store: no row")
+    val cache = new BloomShards.Cache
+    BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Nil, cache, 64L, 0.01)
+    val w1 = BloomShards.lastWarming(state)
+    assert(w1.exists(w => w.prepareSeq === 1L && w.loadedParts === 0 &&
+      w.deferredParts === 0 && w.rebuiltParts === 0 && w.grownParts === 0),
+      s"first idle prepare must put an all-zero row at seq 1: $w1")
+    BloomShards.prepare(spark, state, "fp_part", col("__fp"),
+      "lin", Nil, cache, 64L, 0.01)
+    assert(BloomShards.lastWarming(state).exists(_.prepareSeq === 2L),
+      "and keep ticking — prepareSeq must advance on EVERY prepare")
+    // the engine view serves the idle-from-birth query instead of
+    // StoreNotReadyException-ing
+    val engine = new graft.api.Engine(spark)
+    engine.registerGuardWarming(state, prefix = "idlebirth")
+    assert(engine.pullQuery(
+      "SELECT prepare_seq FROM idlebirth_warming").head().getLong(0) === 2L)
+    engine.terminateAll()
+  }
+
   test("a restart under a different fpp neither crashes nor loses members") {
     // the round-13 advice scenario: the old sidecar MERGED a batch-built
     // filter into the loaded one — same capacity + different fpp =

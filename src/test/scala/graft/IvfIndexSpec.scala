@@ -577,6 +577,44 @@ class IvfIndexSpec extends GraftSuite {
     }
   }
 
+  test("a stale tombstone sidecar at the reindex target is refused by " +
+      "name, and a carryTombstones=false rebuild starts with NO " +
+      "retirement set (r17 ADVICE: a torn prior attempt's sidecar must " +
+      "not silently survive the reset the operator explicitly chose)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-staletomb").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val stateDir = s"$base/state"
+    ingestInto(base, stateDir, s"$base/ckpt", emb)
+    IvfIndexStream.deleteIds(spark, stateDir, (0L until 50L))
+    // forge the torn-attempt leftover the ADVICE names: only the
+    // tombstone sidecar at the target (the operator followed the old
+    // error message and deleted the data dir + markers, not this)
+    val newDir = s"$base/state_v2"
+    graft.streaming.Streams.replaceIdSidecar(spark,
+      s"$newDir.__tombstones", Seq(999L).toDF("vec_id"))
+    val refusal = intercept[IllegalArgumentException] {
+      IvfIndexStream.reindexInto(spark, stateDir, newDir, nlist = 16)
+    }
+    assert(refusal.getMessage.contains("__tombstones"),
+      s"the refusal must name the sidecar in the remedy: $refusal")
+    // following the (now complete) remedy clears it; a reset rebuild
+    // then starts with no tombstones — while still PURGING the source's
+    // tombstoned rows from the backfill (the reset forgets the ids, not
+    // the already-applied erasure)
+    val fs = new org.apache.hadoop.fs.Path(newDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$newDir.__tombstones"), false)
+    IvfIndexStream.reindexInto(spark, stateDir, newDir, nlist = 16,
+      carryTombstones = false)
+    assert(IvfIndexStream.readTombstones(spark, newDir).isEmpty,
+      "carryTombstones=false must produce a tombstone-free index")
+    val v2 = spark.read.parquet(newDir)
+    assert(v2.count() === 450L && v2.filter(col("vec_id") < 50).isEmpty,
+      "the reset rebuild still purges the source's tombstoned rows")
+  }
+
   test("a re-emitted vec_id is kept as data, occupies two of the k " +
       "ranks, and is visible in the occupancy/identity views — the " +
       "pinned duplicate-id contract") {

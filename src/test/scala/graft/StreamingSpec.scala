@@ -1814,6 +1814,78 @@ class StreamingSpec extends GraftSuite {
     } finally q3.stop()
   }
 
+  test("ingest guard retirement: a retired doc_id is never REUSED — " +
+      "accepting a new doc under it fails fast (its later retirement " +
+      "would silently no-op), and unretireDocs is the explicit replay " +
+      "hatch") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-guard-reuse").toString
+    val docA = "metric spaces carry a measure theory lecture with " +
+      "notes volume series chapter section topics"
+    val docB = "an entirely different document about orchard " +
+      "irrigation schedules and autumn harvest logistics planning"
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def startGuard() = graft.streaming.IngestGuard.start(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      Array.empty[Long], s"$base/state", s"$base/accepted",
+      s"$base/rejects", s"$base/ckpt", minTokens = 3)
+    land(Seq(1L -> docA))
+    val q = startGuard()
+    try { q.processAllAvailable(); q.exception.foreach(throw _) }
+    finally q.stop()
+    graft.streaming.IngestGuard.retireDocs(spark,
+      Seq(1L).toDF("doc_id"), s"$base/accepted", s"$base/state")
+    // a NEW document reusing the retired id: the batch must fail
+    // loudly BEFORE any ledger write — silently accepting it would
+    // leave its fingerprint un-erasable forever
+    land(Seq(1L -> docB))
+    val q2 = startGuard()
+    val failed =
+      try {
+        q2.processAllAvailable()
+        q2.exception
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          Some(e)
+      } finally q2.stop()
+    assert(failed.exists(e =>
+      String.valueOf(e.getMessage) .contains("retired-ids ledger") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("retired-ids ledger"))),
+      s"reusing a retired id must fail fast naming the ledger: $failed")
+    assert(!graft.streaming.IngestGuard.accepted(spark, s"$base/accepted")
+      .collect().map(_.getString(1)).contains(docB),
+      "the refused batch must not have landed its doc in the ledger")
+    // the documented hatch: unretire the id, the replay lands, and the
+    // retirement can then be re-run (now resolving BOTH texts under
+    // the id) — erasure stays operable end to end
+    graft.streaming.IngestGuard.unretireDocs(spark, s"$base/state",
+      Seq(1L).toDF("doc_id"))
+    val q3 = startGuard()
+    try { q3.processAllAvailable(); q3.exception.foreach(throw _) }
+    finally q3.stop()
+    val acc = graft.streaming.IngestGuard
+      .accepted(spark, s"$base/accepted").collect()
+    assert(acc.map(_.getString(1)).contains(docB),
+      "after unretireDocs the pinned replay must land")
+    graft.streaming.IngestGuard.retireDocs(spark,
+      Seq(1L).toDF("doc_id"), s"$base/accepted", s"$base/state")
+    // both texts resolved under the reused id, so the fp store kept
+    // NOTHING — a rewrite that keeps nothing drops the dir whole
+    // (rewriteStore's contract: a zero-row partitioned dir would have
+    // no schema footer)
+    val fs = new org.apache.hadoop.fs.Path(s"$base/state").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/state")),
+      "re-running the retirement must erase every fingerprint the " +
+        "reused id resolves to")
+  }
+
   test("ingest guard near-dup: a near-dup winner's same-batch fp-twin is " +
       "charged near_dup, not exact_dup") {
     // the quota-twin rule's sibling (round-13 self-review): the winner's
