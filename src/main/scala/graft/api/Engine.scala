@@ -189,8 +189,10 @@ class Engine(val spark: SparkSession,
     * first commit reads as absent, and the vectors themselves stay
     * query-side (top-k over an embedding literal is not a SQL pull). */
   def registerIvfIndex(stateDir: String,
-                       prefix: String = "ivf"): Unit = {
+                       prefix: String = "ivf",
+                       owner: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
+    ivfIndexes.put(prefix, (stateDir, owner))
     registerView(s"${prefix}_cells",
       () => spark.read.parquet(stateDir)
         .groupBy(col("cell"))
@@ -205,6 +207,130 @@ class Engine(val spark: SparkSession,
         .readTombstones(spark, stateDir).fold(0L)(_.count())
       totals.withColumn("n_tombstones", lit(nTomb))
     })
+  }
+
+  // ---- erasure maintenance surface (SURVEY LLM-pipeline erasure ops,
+  // served the reference's way: statements over the engine/REST instead
+  // of a JVM deploy — r17 verdict Next #3) ----
+
+  // prefix -> (stateDir, owning query name). The owner is how the
+  // engine ENFORCES the library ops' single-writer contract instead of
+  // documenting it: it knows its queries, so a maintenance statement
+  // against a live store is refused by name.
+  private val ivfIndexes = TrieMap.empty[String, (String, Option[String])]
+  // name -> (acceptedDir, stateDir, ndStateDir, owner)
+  private val guardStores =
+    TrieMap.empty[String, (String, String, Option[String], Option[String])]
+
+  /** ADOPT an externally-started streaming query under `name`, so the
+    * registry's lifecycle surface — `SHOW QUERIES`, `TERMINATE`, and
+    * the erasure ops' single-writer refusal — covers queries the
+    * library started directly ([[graft.streaming.IngestGuard.start]],
+    * [[graft.streaming.IvfIndexStream.start]] return their query). A
+    * name whose previous query is no longer active is re-adoptable (a
+    * restart under the same name); a LIVE name is refused like any
+    * CREATE clash. */
+  def adoptQuery(name: String, q: StreamingQuery): Unit =
+    queries.synchronized {
+      require(queries.get(name).forall(!_.isActive),
+        s"query '$name' already exists and is active")
+      queries.put(name, q)
+      ()
+    }
+
+  /** Register an [[graft.streaming.IngestGuard]] deployment as the
+    * erasure target `name`: [[retireDocs]] statements resolve through
+    * it, and the one-row view `<name>_erasure` (n_retired) makes the
+    * retired-ids ledger's growth a dashboard number instead of an
+    * incident (the fp-store twin of `<prefix>_identity`'s
+    * n_tombstones; the ledger is a single unbounded file — watch this
+    * count against the documented ~10⁸ sizing note). `owner` is the
+    * registered/adopted name of the guard's streaming query; erasure
+    * statements are refused while it is active. */
+  def registerGuardStore(name: String, acceptedDir: String,
+                         stateDir: String,
+                         ndStateDir: Option[String] = None,
+                         owner: Option[String] = None): Unit = {
+    guardStores.put(name, (acceptedDir, stateDir, ndStateDir, owner))
+    registerView(s"${name}_erasure", () => {
+      import spark.implicits._
+      val n = graft.streaming.IngestGuard.retiredIds(spark, stateDir)
+        .fold(0L)(_.count())
+      Seq(Tuple1(n)).toDF("n_retired")
+    })
+  }
+
+  // REST handlers run on a thread pool, so two concurrent maintenance
+  // statements could race the sidecar's read-modify-write — the exact
+  // lost-delete hazard the library ops pin as "single-writer vs other
+  // maintenance calls". The engine serializes them: erasure statements
+  // are rare, store-offline ops, so one global lock is the simplest
+  // correct shape (per-store locks would only parallelize work the
+  // operator batches anyway).
+  private val maintenanceLock = new Object
+
+  // NOTE an `owner` name ABSENT from the registry reads as stopped —
+  // deliberately: TERMINATE removes its entry, which is the normal
+  // pre-maintenance state. The contract is that the owning query stays
+  // registered/adopted WHILE it runs; a deployment that starts the
+  // query but never adopts it forfeits the refusal (back to the
+  // library ops' documented discipline).
+  private def requireStopped(owner: Option[String], op: String): Unit =
+    owner.foreach { o =>
+      require(queries.get(o).forall(!_.isActive),
+        s"$op is single-writer against its store: TERMINATE the owning " +
+          s"query '$o' first, then re-run")
+    }
+
+  /** `RETIRE DOCS (ids) FROM GUARD <name>` — guard-side erasure
+    * ([[graft.streaming.IngestGuard.retireDocs]]) with the
+    * single-writer contract ENFORCED: refused while the registered
+    * owning query is active. Returns the number of ids whose
+    * retirement was applied (already-retired and never-accepted ids
+    * resolve to nothing). */
+  def retireDocs(name: String, ids: Seq[Long]): Long = {
+    val (acceptedDir, stateDir, ndStateDir, owner) =
+      guardStores.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown guard store '$name' — registerGuardStore it first"))
+    maintenanceLock.synchronized {
+      requireStopped(owner, s"RETIRE DOCS FROM GUARD $name")
+      import spark.implicits._
+      graft.streaming.IngestGuard.retireDocs(spark, ids.toDF("doc_id"),
+        acceptedDir, stateDir, ndStateDir)
+    }
+  }
+
+  private def ivfTarget(name: String): (String, Option[String]) =
+    ivfIndexes.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown IVF index '$name' — registerIvfIndex it first"))
+
+  /** `DELETE VECTORS (ids) FROM INDEX <name>` — index-side erasure
+    * ([[graft.streaming.IvfIndexStream.deleteIds]]): retired ids are
+    * masked from queries immediately and physically purged by the next
+    * [[compactIvfIndex]]. Safe beside the live ingest stream (the
+    * ingest path never reads tombstones), so no owner refusal — but
+    * single-writer vs other maintenance statements, like the library
+    * op. Returns the tombstone ledger's total size after the delete
+    * (the `<prefix>_identity` view's n_tombstones). */
+  def deleteVectors(name: String, ids: Seq[Long]): Long = {
+    val (stateDir, _) = ivfTarget(name)
+    maintenanceLock.synchronized {
+      graft.streaming.IvfIndexStream.deleteIds(spark, stateDir, ids)
+      graft.streaming.IvfIndexStream.readTombstones(spark, stateDir)
+        .fold(0L)(_.count())
+    }
+  }
+
+  /** `COMPACT INDEX <name>` — one file per cell and the physical purge
+    * of deleted rows ([[graft.streaming.IvfIndexStream.compactIndex]]).
+    * The store rewrite IS a second writer, so the owning query must be
+    * terminated first — enforced, not documented. */
+  def compactIvfIndex(name: String): Unit = {
+    val (stateDir, owner) = ivfTarget(name)
+    maintenanceLock.synchronized {
+      requireStopped(owner, s"COMPACT INDEX $name")
+      graft.streaming.IvfIndexStream.compactIndex(spark, stateDir)
+    }
   }
 
   /** Re-register the compacted view of every upsert table and every

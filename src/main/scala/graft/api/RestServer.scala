@@ -33,7 +33,16 @@ import graft.streaming.Streams
   *    existing topic, and the reference's connector DDL `CREATE
   *    SOURCE|SINK CONNECTOR <name> WITH ('k'='v', ...)`
   *    (ksqldb-statements.sql:1-11,19-38,70-85 replay verbatim —
-  *    [[Engine.createSinkConnector]]/[[Engine.createSourceConnector]])
+  *    [[Engine.createSinkConnector]]/[[Engine.createSourceConnector]]),
+  *    and the erasure maintenance statements over the engine's
+  *    registered targets — `RETIRE DOCS (ids) FROM GUARD <name>;`
+  *    (guard forgets the docs' fingerprints/bands:
+  *    [[Engine.retireDocs]]), `DELETE VECTORS (ids) FROM INDEX
+  *    <name>;` ([[Engine.deleteVectors]] — masked immediately) and
+  *    `COMPACT INDEX <name>;` ([[Engine.compactIvfIndex]] — physical
+  *    purge). Statements against a store whose owning query is still
+  *    RUNNING are refused with a 400 naming the query to TERMINATE —
+  *    the single-writer contract enforced, not documented.
   *  - `/connectors`            → the Kafka-Connect REST analog on the same
   *    registry (`rest_example.sh:13,56,102` hits Connect directly on
   *    :8083): `POST /connectors` `{"name","config"}` → 201,
@@ -221,6 +230,29 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     "(?is)^INSERT\\s+INTO\\s+['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?" +
       "\\s*\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*$")
 
+  // erasure maintenance statements (r17 verdict Next #3): the engine's
+  // registered erasure targets driven the reference's way — statements
+  // over REST beside the connector DDL, not a JVM deploy. Single-writer
+  // refusal (owning query still RUNNING) comes back as a 400 naming the
+  // query to TERMINATE.
+  //   RETIRE DOCS (1, 2, 3) FROM GUARD <name>
+  //   DELETE VECTORS (1, 2, 3) FROM INDEX <name>
+  //   COMPACT INDEX <name>
+  private val retireRe = java.util.regex.Pattern.compile(
+    "(?is)^RETIRE\\s+DOCS\\s*\\(([^)]*)\\)\\s+FROM\\s+GUARD\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+  private val delVecRe = java.util.regex.Pattern.compile(
+    "(?is)^DELETE\\s+VECTORS\\s*\\(([^)]*)\\)\\s+FROM\\s+INDEX\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+  private val compactRe = java.util.regex.Pattern.compile(
+    "(?is)^COMPACT\\s+INDEX\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+
+  private def parseIdList(raw: String): Seq[Long] = {
+    val ids = raw.split(",").map(_.trim).filter(_.nonEmpty)
+    require(ids.nonEmpty, "empty id list")
+    ids.map(s => java.lang.Long.parseLong(s)).toIndexedSeq
+  }
+
   /** Parse a VALUES list: 'single-quoted strings' (with '' escapes),
     * integers, decimals, NULL. Commas inside quotes stay in the value. */
   private def parseValues(raw: String): Seq[Any] = {
@@ -378,8 +410,26 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val decl = declRe.matcher(stmt)
     val print = printRe.matcher(stmt)
     val insert = insertRe.matcher(stmt)
+    val retire = retireRe.matcher(stmt)
+    val delVec = delVecRe.matcher(stmt)
+    val compact = compactRe.matcher(stmt)
     try {
-      if (insert.matches()) {
+      if (retire.matches()) {
+        val name = retire.group(2)
+        val applied = engine.retireDocs(name, parseIdList(retire.group(1)))
+        respond(ex, 200, s"""{"status":"SUCCESS","guard":${jstr(name)},""" +
+          s""""retired":$applied}""")
+      } else if (delVec.matches()) {
+        val name = delVec.group(2)
+        val total = engine.deleteVectors(name, parseIdList(delVec.group(1)))
+        respond(ex, 200, s"""{"status":"SUCCESS","index":${jstr(name)},""" +
+          s""""n_tombstones":$total}""")
+      } else if (compact.matches()) {
+        val name = compact.group(1)
+        engine.compactIvfIndex(name)
+        respond(ex, 200,
+          s"""{"status":"SUCCESS","compacted":${jstr(name)}}""")
+      } else if (insert.matches()) {
         val topic = insert.group(1)
         val cols = insert.group(2).split(",").map(_.trim).toSeq
         val vals = parseValues(insert.group(3))

@@ -947,7 +947,7 @@ object IngestGuard {
   def retireDocs(spark: org.apache.spark.sql.SparkSession,
                  docIds: DataFrame, acceptedDir: String,
                  stateDir: String,
-                 ndStateDir: Option[String] = None): Unit = {
+                 ndStateDir: Option[String] = None): Long = {
     val retiredPath = retiredFile(stateDir)
     val ids = docIds.select(col("doc_id")).distinct()
     val already = Streams.readIdSidecar(spark, retiredPath, "doc_id")
@@ -971,11 +971,13 @@ object IngestGuard {
     // that actually RESOLVED are recorded — a never-accepted id stays
     // retireable in case its acceptance had simply not landed yet.
     val applied = docs.select(col("doc_id")).distinct()
-    if (!applied.isEmpty)
+    val nApplied = applied.count()
+    if (nApplied > 0)
       Streams.replaceIdSidecar(spark, retiredPath,
         already.fold(applied)(_.unionByName(applied)).distinct())
     org.apache.spark.sql.GraftColumnBridge
       .checkpointRdd(docs).foreach(_.unpersist(false))
+    nApplied
   }
 
   /** Accepted corpus so far (idempotent-append: replays re-emit rows). */

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import graft.streaming.{IngestGuard, IvfIndexStream}
 
 /** Scale certification of the FULL CURATION TOPOLOGY composed in one
@@ -67,9 +67,33 @@ import graft.streaming.{IngestGuard, IvfIndexStream}
   * [[IngestGuard.accepted]]'s own reader dedups on read for batch
   * consumers.
   *
+  * `erase` (r17 verdict Next #2) is `run` plus the END-TO-END EROSURE
+  * epilogue — the one seam the per-component erasure certs
+  * (`run_r17_ivf_delete_cert.sh`'s index deletes, the guard retirement
+  * spec) never cross: with both streams stopped, RETIRE the
+  * [[RetireN]] smallest post-query-threshold accepted docs from the
+  * guard ([[IngestGuard.retireDocs]] — fps and band rows leave) and
+  * DELETE their vectors from the chained index
+  * ([[IvfIndexStream.deleteIds]]), then restart both under their same
+  * checkpoints and re-ingest (a) the first retired doc's EXACT text
+  * under a fresh id and (b) a NEAR TWIN of another retired doc
+  * (fixture-checked to band-collide with its base and with NOTHING
+  * that survives). Gates: both re-admissions ACCEPTED and indexed
+  * exactly once (the guard FORGOT — fingerprint is corpus membership),
+  * every retired vec_id masked even from a query AT ITS OWN embedding
+  * (the index NEVER forgets — id is row identity), the maintained
+  * store's ANN hash equal to the batch operator over the post-erasure
+  * corpus, centroids bit-unmoved, and everything stable across
+  * [[IvfIndexStream.compactIndex]]'s physical purge.
+  * `erase-expected` prints the post-erasure expected counts + ANN hash
+  * (oracle-trained centroids) BEFORE any stream runs — the same
+  * expected-first protocol as the base cert.
+  *
   * Usage: `runMain graft.tools.GuardIvfPipelineCert <docsDir>
-  * [expected|run|crash] [quotaCap=0|N] [minEst=0|x]`. Prints one
-  * `GUARDIVF_EXPECTED {...}` or `GUARDIVF {...}` JSON line. */
+  * [expected|run|crash|erase|erase-expected] [quotaCap=0|N]
+  * [minEst=0|x]`. Prints one `GUARDIVF_EXPECTED {...}`,
+  * `GUARDIVF {...}`, `GUARDIVF_ERASE_EXPECTED {...}` or
+  * `GUARDIVF_ERASE {...}` JSON line. */
 object GuardIvfPipelineCert {
 
   private val GroupCol = "source"
@@ -122,14 +146,79 @@ object GuardIvfPipelineCert {
       K, threshold.toInt, NProbe))
   }
 
+  private val RetireN = 100
+
+  private final case class EraseFixture(retired: Seq[Long],
+                                        readmitId: Long,
+                                        readmitText: String,
+                                        readmitSrc: String,
+                                        twinId: Long, twinBase: Long,
+                                        twinText: String, twinSrc: String)
+
+  /** The erase epilogue's DETERMINISTIC fixture, derived once from the
+    * oracle-accepted set (erase-expected and erase compute it
+    * identically — one derivation, the protocol's oracle discipline):
+    * retired = the [[RetireN]] smallest accepted ids ABOVE the query
+    * threshold (so the 100-query frame survives the erasure
+    * unchanged); the re-admit doc is the first retired id's exact
+    * text; the near-twin base is the first LATER retired id whose
+    * `text + " appendix"` band-collides with its own base text
+    * (pre-retirement it would have been convicted `near_dup`) and
+    * collides with NOTHING that survives — including the re-admitted
+    * text, which lands first — so its acceptance proves the band rows
+    * LEFT, not that the twin never collided. New ids start past the
+    * corpus max. */
+  private def eraseFixture(spark: SparkSession, docsDir: String,
+                           acc: DataFrame): EraseFixture = {
+    val accIds = acc.select(col("doc_id").cast("long"))
+      .orderBy(col("doc_id")).collect().map(_.getLong(0)).toIndexedSeq
+    require(accIds.length >= NQueries + RetireN + 2,
+      s"fixture too small: ${accIds.length} accepted docs < " +
+        s"${NQueries + RetireN + 2} — shrink RetireN or grow the corpus")
+    val retired = accIds.slice(NQueries, NQueries + RetireN)
+    val docs = spark.read.parquet(docsDir)
+    val maxId = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val byId = docs.filter(col("doc_id").isin(retired: _*))
+      .select(col("doc_id").cast("long"), col("text"), col(GroupCol))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    val (readmitText, readmitSrc) = byId(retired.head)
+    // everything the twin must NOT collide with: surviving accepted
+    // docs' bands plus the re-admitted exact text (it lands first)
+    import spark.implicits._
+    val survivorBands = Dedup.bandSigRows(
+      docs.join(acc.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .filter(!col("doc_id").isin(retired: _*))
+        .select(col("doc_id"), col("text"))
+        .unionByName(Seq((maxId + 1, readmitText)).toDF("doc_id", "text")))
+      .select(col("band_id"), col("band_key")).distinct()
+      .localCheckpoint(false)
+    val twinBase = retired.tail.take(20).find { cand =>
+      val twin = byId(cand)._1 + " appendix"
+      val twinBands = Dedup.bandSigRows(
+        Seq((0L, twin)).toDF("doc_id", "text"))
+        .select(col("band_id"), col("band_key"))
+      val selfBands = Dedup.bandSigRows(
+        Seq((1L, byId(cand)._1)).toDF("doc_id", "text"))
+        .select(col("band_id"), col("band_key"))
+      !twinBands.join(selfBands, Seq("band_id", "band_key")).isEmpty &&
+        twinBands.join(survivorBands, Seq("band_id", "band_key")).isEmpty
+    }.getOrElse(throw new IllegalStateException(
+      "no retired candidate yields a clean near twin in 20 tries — " +
+        "fixture texts too short or too homogeneous"))
+    EraseFixture(retired, maxId + 1, readmitText, readmitSrc,
+      maxId + 2, twinBase, byId(twinBase)._1 + " appendix",
+      byId(twinBase)._2)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: GuardIvfPipelineCert <docsDir> [expected|run|crash] " +
         "[quotaCap] [minEst]")
     val docsDir = args(0)
     val mode = if (args.length > 1) args(1) else "run"
-    require(Seq("expected", "run", "crash").contains(mode),
-      s"unknown mode '$mode'")
+    require(Seq("expected", "run", "crash", "erase", "erase-expected")
+      .contains(mode), s"unknown mode '$mode'")
     val quotaCap = Option(args).filter(_.length > 2)
       .map(_(2).toLong).filter(_ > 0)
     val minEst = Option(args).filter(_.length > 3)
@@ -169,6 +258,32 @@ object GuardIvfPipelineCert {
       val cents = oracleCents(acc0)
       val (n, hash) = annOracle(acc, cents)
       println(s"""GUARDIVF_EXPECTED {"docs":$nDocs,"slices":${slices.length},"accepted":${acc.count()},"exact_dup":${ex.count()},"near_dup":${near.count()},"quota":${quo.count()},"index_rows":${acc.count()},"ann_rows":$n,"ann_hash":"$hash","cents":"${CertHash.centsDigest(cents)}",$cfg,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
+    if (mode == "erase-expected") {
+      // the post-erasure expectations, printed BEFORE any stream runs:
+      // oracle-accepted minus the retired slice plus the two
+      // re-admissions, ANN-hashed with oracle-trained centroids (the
+      // erase run re-reports parity as expected_hash_match beside its
+      // own persisted-centroid gate — the base cert's split)
+      import spark.implicits._
+      val (acc, _, _, _) = GuardNearDupCert.oracle(
+        spark, slices, base, quotaCap, minEst)
+      val (acc0, _, _, _) = GuardNearDupCert.oracle(
+        spark, slices.take(1), s"$base/s0", quotaCap, minEst)
+      val cents = oracleCents(acc0)
+      val fx = eraseFixture(spark, docsDir, acc)
+      val nAcc = acc.count()
+      val (_, threshold) = queryIds(acc)
+      val postCorpus = withEmbedding(
+        acc.filter(!col("doc_id").isin(fx.retired: _*)))
+        .unionByName(withEmbedding(
+          Seq(fx.readmitId, fx.twinId).toDF("doc_id")))
+      val (n, hash) = CertHash.resultHash(Similarity.annIvfWith(
+        postCorpus, cents, K, threshold.toInt, NProbe))
+      println(s"""GUARDIVF_ERASE_EXPECTED {"docs":$nDocs,"accepted":$nAcc,"retired":${fx.retired.length},"readmit_id":${fx.readmitId},"twin_id":${fx.twinId},"twin_base":${fx.twinBase},"index_rows_pre_compact":${nAcc + 2},"index_rows_post_compact":${nAcc - fx.retired.length + 2},"ann_rows":$n,"ann_hash":"$hash","cents":"${CertHash.centsDigest(cents)}",$cfg,"cpus":$cpus}""")
       spark.stop()
       return
     }
@@ -296,7 +411,102 @@ object GuardIvfPipelineCert {
       if (mode == "crash")
         s""""crash_at_slice":$crashAt,"accepted_at_crash":$acceptedAtCrash,"indexed_at_crash":$indexedAtCrash,"""
       else ""
-    println(s"""GUARDIVF {"mode":"$mode","docs":$nDocs,"slices":${slices.length},"docs_per_sec":${(nDocs / wallSec).round},"wall_sec":${f"$wallSec%.1f"},"accepted":${gAcc.count()},"accepted_match":$accMatch,"exact_match":$exMatch,"near_match":$nearMatch,"quota_match":$quoMatch,"index_rows":$storeRows,"index_distinct":$storeDistinct,"index_ids_match":$idsMatch,"exactly_once":$exactlyOnce,${crashFields}"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"expected_hash_match":${hash == eHash},"expected_cents_match":${CertHash.centsDigest(persisted) == CertHash.centsDigest(eCents)},"cents":"${CertHash.centsDigest(persisted)}",$cfg,"cpus":$cpus}""")
+    val baseFields = s""""docs":$nDocs,"slices":${slices.length},"docs_per_sec":${(nDocs / wallSec).round},"wall_sec":${f"$wallSec%.1f"},"accepted":${gAcc.count()},"accepted_match":$accMatch,"exact_match":$exMatch,"near_match":$nearMatch,"quota_match":$quoMatch,"index_rows":$storeRows,"index_distinct":$storeDistinct,"index_ids_match":$idsMatch,"exactly_once":$exactlyOnce,${crashFields}"rows":$n,"hash":"$hash","oracle_rows":$oN,"oracle_hash":"$oHash","hash_match":${hash == oHash && n == oN},"expected_hash_match":${hash == eHash},"expected_cents_match":${CertHash.centsDigest(persisted) == CertHash.centsDigest(eCents)},"cents":"${CertHash.centsDigest(persisted)}""""
+    if (mode != "erase") {
+      println(s"""GUARDIVF {"mode":"$mode",$baseFields,$cfg,"cpus":$cpus}""")
+      spark.stop()
+      return
+    }
+
+    // ---- the erase epilogue: retire → delete → re-admit → compact ----
+    import spark.implicits._
+    val fx = eraseFixture(spark, docsDir, oAcc)
+    val indexDir = s"$base/index"
+    // both streams are stopped (the run loop's finally) — single-writer
+    val tErase0 = System.nanoTime()
+    val applied = IngestGuard.retireDocs(spark,
+      fx.retired.toDF("doc_id"), acceptedDir, s"$base/state",
+      Some(s"$base/bands"))
+    IvfIndexStream.deleteIds(spark, indexDir, fx.retired)
+    val eraseSec = (System.nanoTime() - tErase0) / 1e9
+    // restart BOTH under their same checkpoints; land the exact
+    // re-admission first (its own microbatch), the near twin second —
+    // the twin must be judged against the POST-readmit store, never
+    // within the same batch as the exact text
+    def landExtra(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", GroupCol)
+        .coalesce(1).write.mode("append").parquet(inDir.toString)
+    val g2 = startGuard()
+    val i2 = startIndex()
+    try {
+      landExtra(Seq((fx.readmitId, fx.readmitText, fx.readmitSrc)))
+      g2.processAllAvailable(); g2.exception.foreach(throw _)
+      i2.processAllAvailable(); i2.exception.foreach(throw _)
+      landExtra(Seq((fx.twinId, fx.twinText, fx.twinSrc)))
+      g2.processAllAvailable(); g2.exception.foreach(throw _)
+      i2.processAllAvailable(); i2.exception.foreach(throw _)
+    } finally { g2.stop(); i2.stop() }
+    // guard gates: the guard FORGOT — both re-admissions accepted, and
+    // the ledgers otherwise unchanged (retirement never rewrites
+    // history)
+    val accAfter = IngestGuard.accepted(spark, acceptedDir)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val accExpect = oAcc.select(col("doc_id").cast("long").as("doc_id"))
+      .unionByName(Seq(fx.readmitId, fx.twinId).toDF("doc_id"))
+    val guardForgot = setEq(accAfter, accExpect)
+    val rejAfter = IngestGuard.rejects(spark, s"$base/rejects")
+    val rejectsUnchanged = rejAfter.count() == rej.count() &&
+      rejAfter.filter(col("doc_id").isin(fx.readmitId, fx.twinId)).isEmpty
+    // index gates: the re-admissions landed exactly once; every retired
+    // vec_id is masked even from a query AT ITS OWN embedding (a
+    // hash-derived embedding makes the unmasked id its own cosine-1.0
+    // top hit, so a single leak is unmissable); centroids unmoved
+    val storeAfter = spark.read.parquet(indexDir)
+    val preRows = storeAfter.count()
+    val readmitIndexed = storeAfter
+      .filter(col("vec_id").isin(fx.readmitId, fx.twinId))
+      .count() == 2L
+    val retQ = withEmbedding(fx.retired.toDF("doc_id"))
+      .withColumnRenamed("vec_id", "query_id")
+    def maskedEverywhere(): Boolean =
+      IvfIndexStream.queryMany(spark, indexDir, retQ, K, NProbe)
+        .filter(col("neighbor_id").isin(fx.retired: _*)).isEmpty
+    val maskPre = maskedEverywhere()
+    val readmitReachable = IvfIndexStream.queryMany(spark, indexDir,
+        withEmbedding(Seq(fx.readmitId).toDF("doc_id"))
+          .select(lit(-1L).as("query_id"), col("embedding")), K, NProbe)
+      .filter(col("rank") === 1 && col("neighbor_id") === fx.readmitId)
+      .count() == 1L
+    val persistedAfter = IvfIndexStream.readCentroids(spark, indexDir).get
+    val centsUnmoved = CertHash.centsDigest(persistedAfter) ==
+      CertHash.centsDigest(persisted)
+    // ANN gates: the maintained store == the batch operator over the
+    // post-erasure corpus with the persisted centroids; parity with the
+    // erase-expected oracle-cents hash reported beside it (the base
+    // cert's float-sum-layout split)
+    val postCorpus = withEmbedding(
+        oAcc.filter(!col("doc_id").isin(fx.retired: _*)))
+      .unionByName(withEmbedding(
+        Seq(fx.readmitId, fx.twinId).toDF("doc_id")))
+    val (qids2, threshold2) = queryIds(oAcc)
+    val qFrame2 = withEmbedding(qids2.toDF("doc_id"))
+      .withColumnRenamed("vec_id", "query_id")
+    val (gotN, gotHash) = CertHash.resultHash(
+      IvfIndexStream.queryMany(spark, indexDir, qFrame2, K, NProbe))
+    val (oN2, oHash2) = CertHash.resultHash(Similarity.annIvfWith(
+      postCorpus, persistedAfter, K, threshold2.toInt, NProbe))
+    val eCents2 = oracleCents(oAcc0)
+    val (_, eHash2) = CertHash.resultHash(Similarity.annIvfWith(
+      postCorpus, eCents2, K, threshold2.toInt, NProbe))
+    // compaction: the physical purge changes NOTHING observable
+    val tComp0 = System.nanoTime()
+    IvfIndexStream.compactIndex(spark, indexDir)
+    val compactSec = (System.nanoTime() - tComp0) / 1e9
+    val postRows = spark.read.parquet(indexDir).count()
+    val (gotN2, gotHash2) = CertHash.resultHash(
+      IvfIndexStream.queryMany(spark, indexDir, qFrame2, K, NProbe))
+    val maskPost = maskedEverywhere()
+    println(s"""GUARDIVF_ERASE {"mode":"erase",$baseFields,"retired":${fx.retired.length},"retire_applied":$applied,"erase_sec":${f"$eraseSec%.1f"},"compact_sec":${f"$compactSec%.1f"},"readmit_id":${fx.readmitId},"twin_id":${fx.twinId},"twin_base":${fx.twinBase},"guard_forgot":$guardForgot,"rejects_unchanged":$rejectsUnchanged,"readmit_indexed":$readmitIndexed,"readmit_reachable":$readmitReachable,"mask_pre_compact":$maskPre,"mask_post_compact":$maskPost,"cents_unmoved":$centsUnmoved,"index_rows_pre_compact":$preRows,"index_rows_post_compact":$postRows,"rows_pre_match":${preRows == oAcc.count() + 2},"rows_post_match":${postRows == oAcc.count() - fx.retired.length + 2},"erase_rows":$gotN,"erase_hash":"$gotHash","erase_oracle_rows":$oN2,"erase_oracle_hash":"$oHash2","erase_hash_match":${gotHash == oHash2 && gotN == oN2},"erase_expected_hash_match":${gotHash == eHash2},"compact_stable":${gotHash2 == gotHash && gotN2 == gotN},$cfg,"cpus":$cpus}""")
     spark.stop()
   }
 }
