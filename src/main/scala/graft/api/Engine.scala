@@ -39,6 +39,12 @@ class Engine(val spark: SparkSession,
              val registry: Option[graft.streaming.SchemaResolver] = None) {
 
   private val queries = TrieMap.empty[String, StreamingQuery]
+  // every name ever registered/adopted in this engine — TERMINATE
+  // removes the live entry (the ksqlDB SHOW QUERIES contract), so the
+  // erasure ops' owner check needs this to tell "terminated, safe to
+  // maintain" apart from "typo'd/never-adopted owner name" (a forfeit
+  // of the refusal the surface advertises as enforced)
+  private val everNamed = TrieMap.empty[String, Unit]
   // name -> (changelog path, key columns) for upsert-materialized tables
   private val upserts = TrieMap.empty[String, (String, Seq[String])]
   // topic name (lowercased — ksqlDB identifiers are case-insensitive) ->
@@ -59,12 +65,17 @@ class Engine(val spark: SparkSession,
     * orphan the one whose registry entry gets overwritten — a running
     * query nothing can ever TERMINATE. */
   private def register(name: String)(start: => StreamingQuery): StreamingQuery =
-    queries.synchronized {
+    // maintenanceLock outside the registry lock (the only nesting order
+    // anywhere): a query cannot be (re)started while an erasure
+    // statement holds its store — closing the adopt/create-vs-rewrite
+    // TOCTOU the single-writer refusal would otherwise leave open
+    maintenanceLock.synchronized { queries.synchronized {
       require(!queries.contains(name), s"query '$name' already exists")
       val q = start
       queries.put(name, q)
+      everNamed.put(name, ())
       q
-    }
+    } }
 
   /** CSAS: start a named continuous query materializing `df` to an
     * in-memory table of the same name (the test/demo sink; production
@@ -231,12 +242,15 @@ class Engine(val spark: SparkSession,
     * restart under the same name); a LIVE name is refused like any
     * CREATE clash. */
   def adoptQuery(name: String, q: StreamingQuery): Unit =
-    queries.synchronized {
+    // same nesting as register(): adoption blocks while a maintenance
+    // statement holds the store — the owner cannot restart mid-rewrite
+    maintenanceLock.synchronized { queries.synchronized {
       require(queries.get(name).forall(!_.isActive),
         s"query '$name' already exists and is active")
       queries.put(name, q)
+      everNamed.put(name, ())
       ()
-    }
+    } }
 
   /** Register an [[graft.streaming.IngestGuard]] deployment as the
     * erasure target `name`: [[retireDocs]] statements resolve through
@@ -246,10 +260,19 @@ class Engine(val spark: SparkSession,
     * n_tombstones; the ledger is a single unbounded file — watch this
     * count against the documented ~10⁸ sizing note). `owner` is the
     * registered/adopted name of the guard's streaming query; erasure
-    * statements are refused while it is active. */
+    * statements are refused while it is active.
+    *
+    * `ndStateDir` is deliberately NOT defaulted: on a guard running
+    * with [[graft.streaming.IngestGuard.NearDup]], registering None
+    * here would make every REST retirement a silently PARTIAL erasure
+    * — fingerprints leave, band rows stay, and because the applied-ids
+    * ledger skips retired ids forever, the band rows become
+    * un-erasable by a corrected re-run. Pass the guard's NearDup
+    * stateDir whenever near-dedup is on; None is an explicit statement
+    * that the guard runs without it. */
   def registerGuardStore(name: String, acceptedDir: String,
                          stateDir: String,
-                         ndStateDir: Option[String] = None,
+                         ndStateDir: Option[String],
                          owner: Option[String] = None): Unit = {
     guardStores.put(name, (acceptedDir, stateDir, ndStateDir, owner))
     registerView(s"${name}_erasure", () => {
@@ -269,14 +292,21 @@ class Engine(val spark: SparkSession,
   // operator batches anyway).
   private val maintenanceLock = new Object
 
-  // NOTE an `owner` name ABSENT from the registry reads as stopped —
-  // deliberately: TERMINATE removes its entry, which is the normal
-  // pre-maintenance state. The contract is that the owning query stays
-  // registered/adopted WHILE it runs; a deployment that starts the
-  // query but never adopts it forfeits the refusal (back to the
-  // library ops' documented discipline).
+  // An `owner` name absent from the LIVE registry is only safe when the
+  // engine has SEEN that name (TERMINATE removes the entry — the normal
+  // pre-maintenance state); a name it never saw is a typo or a
+  // never-adopted deployment, and reading it as "stopped" would
+  // silently forfeit the refusal this surface advertises as enforced —
+  // refused instead, naming the remedies. (A maintenance-only session
+  // with no query running registers its store with owner = None.)
   private def requireStopped(owner: Option[String], op: String): Unit =
     owner.foreach { o =>
+      require(everNamed.contains(o),
+        s"$op names owning query '$o', which this engine has never " +
+          "registered or adopted — a typo here would forfeit the " +
+          "single-writer refusal. adoptQuery the running query under " +
+          "that name, or (maintenance-only session, no query running) " +
+          "re-register the store with owner = None.")
       require(queries.get(o).forall(!_.isActive),
         s"$op is single-writer against its store: TERMINATE the owning " +
           s"query '$o' first, then re-run")

@@ -238,14 +238,18 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
   //   RETIRE DOCS (1, 2, 3) FROM GUARD <name>
   //   DELETE VECTORS (1, 2, 3) FROM INDEX <name>
   //   COMPACT INDEX <name>
+  // target-name charset matches insertRe's topic charset (dots/dashes
+  // included): registerGuardStore/registerIvfIndex accept arbitrary
+  // names, and a registered name the statement grammar cannot spell
+  // would be unreachable over REST with only a generic 400 as the clue
   private val retireRe = java.util.regex.Pattern.compile(
     "(?is)^RETIRE\\s+DOCS\\s*\\(([^)]*)\\)\\s+FROM\\s+GUARD\\s+" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+      "['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
   private val delVecRe = java.util.regex.Pattern.compile(
     "(?is)^DELETE\\s+VECTORS\\s*\\(([^)]*)\\)\\s+FROM\\s+INDEX\\s+" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+      "['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
   private val compactRe = java.util.regex.Pattern.compile(
-    "(?is)^COMPACT\\s+INDEX\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+    "(?is)^COMPACT\\s+INDEX\\s+['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
 
   private def parseIdList(raw: String): Seq[Long] = {
     val ids = raw.split(",").map(_.trim).filter(_.nonEmpty)

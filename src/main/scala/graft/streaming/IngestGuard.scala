@@ -848,6 +848,35 @@ object IngestGuard {
   private[graft] def fpExpr: org.apache.spark.sql.Column =
     expr(Hashing.hash64("regexp_replace(trim(lower(text)), '\\\\s+', ' ')"))
 
+  /** The retired-ids ledger's path beside the fp store. */
+  private[graft] def retiredFile(stateDir: String): String =
+    stateDir + ".__retired"
+
+  /** The guard's applied-retirement ledger (one `doc_id` column), or
+    * None when nothing was ever retired — the set [[retireDocs]] skips
+    * and the ingest path refuses to re-accept (see the fail-fast in
+    * [[start]]). Ids-only and single-file, like the index's tombstone
+    * sidecar. */
+  def retiredIds(spark: org.apache.spark.sql.SparkSession,
+                 stateDir: String): Option[DataFrame] =
+    Streams.readIdSidecar(spark, retiredFile(stateDir), "doc_id")
+
+  /** ESCAPE HATCH for the ingest fail-fast: drop `docIds` from the
+    * retired-ids ledger so a crash-REPLAYED batch whose doc was retired
+    * mid-flight (retirement ran between the batch's ledger writes and
+    * its checkpoint commit) can land. The replay re-admits the doc —
+    * its fingerprint re-enters the store — so RE-RUN the retirement
+    * once the batch commits, or the erasure is undone. Never unretire
+    * an id that a NEW document reused: that is exactly the silent-no-op
+    * hazard the fail-fast exists to refuse. SINGLE-WRITER like every
+    * maintenance op (stop the guard first). */
+  def unretireDocs(spark: org.apache.spark.sql.SparkSession,
+                   stateDir: String, docIds: DataFrame): Unit =
+    retiredIds(spark, stateDir).foreach { r =>
+      Streams.replaceIdSidecar(spark, retiredFile(stateDir),
+        r.join(docIds.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    }
+
   /** ERASURE maintenance op — make the guard FORGET erased docs (the
     * fp-store twin of [[IvfIndexStream.deleteIds]], with the OPPOSITE
     * retirement semantics, deliberately: an index masks an erased id
@@ -915,35 +944,6 @@ object IngestGuard {
     * quota slot consumed by a later-erased doc is not refunded).
     * SINGLE-WRITER: stop the guard's streaming query first, like every
     * maintenance op here. */
-  /** The retired-ids ledger's path beside the fp store. */
-  private[graft] def retiredFile(stateDir: String): String =
-    stateDir + ".__retired"
-
-  /** The guard's applied-retirement ledger (one `doc_id` column), or
-    * None when nothing was ever retired — the set [[retireDocs]] skips
-    * and the ingest path refuses to re-accept (see the fail-fast in
-    * [[start]]). Ids-only and single-file, like the index's tombstone
-    * sidecar. */
-  def retiredIds(spark: org.apache.spark.sql.SparkSession,
-                 stateDir: String): Option[DataFrame] =
-    Streams.readIdSidecar(spark, retiredFile(stateDir), "doc_id")
-
-  /** ESCAPE HATCH for the ingest fail-fast: drop `docIds` from the
-    * retired-ids ledger so a crash-REPLAYED batch whose doc was retired
-    * mid-flight (retirement ran between the batch's ledger writes and
-    * its checkpoint commit) can land. The replay re-admits the doc —
-    * its fingerprint re-enters the store — so RE-RUN the retirement
-    * once the batch commits, or the erasure is undone. Never unretire
-    * an id that a NEW document reused: that is exactly the silent-no-op
-    * hazard the fail-fast exists to refuse. SINGLE-WRITER like every
-    * maintenance op (stop the guard first). */
-  def unretireDocs(spark: org.apache.spark.sql.SparkSession,
-                   stateDir: String, docIds: DataFrame): Unit =
-    retiredIds(spark, stateDir).foreach { r =>
-      Streams.replaceIdSidecar(spark, retiredFile(stateDir),
-        r.join(docIds.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-    }
-
   def retireDocs(spark: org.apache.spark.sql.SparkSession,
                  docIds: DataFrame, acceptedDir: String,
                  stateDir: String,

@@ -155,23 +155,42 @@ object IvfIndexStream {
   private val TombstoneSnapshotBytes = 16L << 20
 
   /** [[readTombstones]] for a QUERY: under [[TombstoneSnapshotBytes]]
-    * the ids are collected once, at plan time, into a driver-local
-    * relation — the frame's execution holds no reference to the sidecar
-    * file, so a [[deleteIds]] racing the query swaps nothing the scan
-    * will re-open. Larger sidecars return the file-backed frame. */
+    * the ids are collected once, up front, into a driver-local relation
+    * — the returned frame's execution holds no reference to the sidecar
+    * file, so a [[deleteIds]] landing DURING the query can never fail
+    * its scan. The snapshot read itself can still straddle the swap's
+    * atomic rename (read either set, or fail on a torn length) — each
+    * RETRY re-plans against a consistent post-rename file, so only a
+    * delete storm outpacing three retries surfaces at all, and then as
+    * the lazy path's documented transient failure, never a wrong
+    * result. Larger sidecars return the file-backed frame (pinning
+    * driver memory to an erasure ledger would be worse than the
+    * transient). */
   private def tombstonesSnapshot(spark: SparkSession,
                                  stateDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(tombstonesFile(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val small = fs.exists(p) && !fs.getFileStatus(p).isDirectory &&
-      fs.getFileStatus(p).getLen <= TombstoneSnapshotBytes
-    readTombstones(spark, stateDir).map { t =>
-      if (!small) t
-      else {
-        import spark.implicits._
-        t.collect().map(_.getLong(0)).toIndexedSeq.toDF("vec_id")
+    // status read tolerant of the dir→file migration heal racing us
+    // (exists-then-getFileStatus is two calls): absent mid-heal reads
+    // as "not small" and falls through to the lazy path, which
+    // readIdSidecar self-heals
+    def smallFile(): Boolean =
+      (try Option(fs.getFileStatus(p))
+       catch { case _: java.io.FileNotFoundException => None })
+        .exists(st => !st.isDirectory &&
+          st.getLen <= TombstoneSnapshotBytes)
+    def attempt(retries: Int): Option[DataFrame] =
+      try readTombstones(spark, stateDir).map { t =>
+        if (!smallFile()) t
+        else {
+          import spark.implicits._
+          t.collect().map(_.getLong(0)).toIndexedSeq.toDF("vec_id")
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) if retries > 0 =>
+          attempt(retries - 1)
       }
-    }
+    attempt(3)
   }
 
   /** ERASE vectors from the index — the deletion path a curation
@@ -602,13 +621,12 @@ object IvfIndexStream {
       col("embedding"), col("__lineage"), col("__batch_id"))
     val old = tomb.fold(old0)(t => old0.join(t, Seq("vec_id"), "left_anti"))
     val trained = buildIndex(spark, fs, old, newDir, nlist, trainIters)
+    // carryTombstones = false needs no delete here: the fresh-target
+    // require above already refused any pre-existing sidecar at newDir,
+    // and nothing in this invocation writes one on this branch — the
+    // reset rebuild provably starts with no tombstones
     if (carryTombstones)
       tomb.foreach(t => writeTombstones(spark, newDir, t))
-    else
-      // belt over the require above: a reset rebuild must START with no
-      // tombstones even if a crashed prior attempt's sidecar slipped
-      // through (erasure resets are explicit — never inherited)
-      fs.delete(new org.apache.hadoop.fs.Path(tombstonesFile(newDir)), false)
     // BOTH guard markers travel: .__applied lets a fully-committed
     // replayed batch skip outright; .__intent keeps the round-15
     // clean-restart fast path (without it the first post-swap batch

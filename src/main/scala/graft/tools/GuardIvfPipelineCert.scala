@@ -213,8 +213,8 @@ object GuardIvfPipelineCert {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: GuardIvfPipelineCert <docsDir> [expected|run|crash] " +
-        "[quotaCap] [minEst]")
+      "usage: GuardIvfPipelineCert <docsDir> " +
+        "[expected|run|crash|erase|erase-expected] [quotaCap] [minEst]")
     val docsDir = args(0)
     val mode = if (args.length > 1) args(1) else "run"
     require(Seq("expected", "run", "crash", "erase", "erase-expected")

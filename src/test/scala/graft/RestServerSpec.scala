@@ -843,8 +843,11 @@ class RestServerSpec extends GraftSuite {
       land(Seq(1L -> docA))
       val g = startGuard()
       engine.adoptQuery("guard_ingest", g)
+      // ndStateDir is deliberately non-defaulted (a silent None on a
+      // near-dup guard would make retirements partial); this guard runs
+      // WITHOUT near-dedup, so None is the explicit truthful statement
       engine.registerGuardStore("corpus", s"$base/accepted",
-        s"$base/state", owner = Some("guard_ingest"))
+        s"$base/state", ndStateDir = None, owner = Some("guard_ingest"))
       g.processAllAvailable()
       g.exception.foreach(throw _)
       // never-retired target: the erasure view reads 0, not an error
@@ -918,6 +921,15 @@ class RestServerSpec extends GraftSuite {
       assert(post(port, "/ksql",
         """{"ksql":"RETIRE DOCS (7) FROM GUARD nope;"}""")
         .statusCode() === 400)
+      // a TYPO'D owner name must not silently forfeit the refusal: a
+      // name this engine never registered/adopted is refused by name,
+      // not read as "stopped"
+      engine.registerGuardStore("typod", s"$base/accepted",
+        s"$base/state", ndStateDir = None, owner = Some("guard_ingset"))
+      val typo = post(port, "/ksql",
+        """{"ksql":"RETIRE DOCS (1) FROM GUARD typod;"}""")
+      assert(typo.statusCode() === 400 &&
+        typo.body().contains("never registered or adopted"), typo.body())
     } finally {
       srv.stop()
       engine.terminateAll()
