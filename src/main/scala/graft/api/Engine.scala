@@ -65,17 +65,19 @@ class Engine(val spark: SparkSession,
     * orphan the one whose registry entry gets overwritten — a running
     * query nothing can ever TERMINATE. */
   private def register(name: String)(start: => StreamingQuery): StreamingQuery =
-    // maintenanceLock outside the registry lock (the only nesting order
-    // anywhere): a query cannot be (re)started while an erasure
-    // statement holds its store — closing the adopt/create-vs-rewrite
-    // TOCTOU the single-writer refusal would otherwise leave open
-    maintenanceLock.synchronized { queries.synchronized {
+    queries.synchronized {
       require(!queries.contains(name), s"query '$name' already exists")
+      // a name marked busy by a running erasure statement cannot start:
+      // the rewrite checked it was stopped and would race a restart
+      // (the check-to-mark and mark-to-start windows share this monitor)
+      require(!busyOwners.contains(name),
+        s"query '$name' owns a store under maintenance — wait for the " +
+          "running erasure statement to complete, then retry")
       val q = start
       queries.put(name, q)
       everNamed.put(name, ())
       q
-    } }
+    }
 
   /** CSAS: start a named continuous query materializing `df` to an
     * in-memory table of the same name (the test/demo sink; production
@@ -242,15 +244,19 @@ class Engine(val spark: SparkSession,
     * restart under the same name); a LIVE name is refused like any
     * CREATE clash. */
   def adoptQuery(name: String, q: StreamingQuery): Unit =
-    // same nesting as register(): adoption blocks while a maintenance
-    // statement holds the store — the owner cannot restart mid-rewrite
-    maintenanceLock.synchronized { queries.synchronized {
+    queries.synchronized {
       require(queries.get(name).forall(!_.isActive),
         s"query '$name' already exists and is active")
+      // same refusal as register(): the owner cannot come (back) under
+      // its name while an erasure statement holds its store — the
+      // mid-rewrite-restart TOCTOU shares this monitor with the mark
+      require(!busyOwners.contains(name),
+        s"query '$name' owns a store under maintenance — wait for the " +
+          "running erasure statement to complete, then retry")
       queries.put(name, q)
       everNamed.put(name, ())
       ()
-    } }
+    }
 
   /** Register an [[graft.streaming.IngestGuard]] deployment as the
     * erasure target `name`: [[retireDocs]] statements resolve through
@@ -286,11 +292,46 @@ class Engine(val spark: SparkSession,
   // REST handlers run on a thread pool, so two concurrent maintenance
   // statements could race the sidecar's read-modify-write — the exact
   // lost-delete hazard the library ops pin as "single-writer vs other
-  // maintenance calls". The engine serializes them: erasure statements
-  // are rare, store-offline ops, so one global lock is the simplest
-  // correct shape (per-store locks would only parallelize work the
-  // operator batches anyway).
-  private val maintenanceLock = new Object
+  // maintenance calls" — and an owner restarted mid-rewrite would
+  // reopen the single-writer hole the refusal just checked (TOCTOU).
+  // A global lock held for the whole rewrite would close both but
+  // block every register/adoptQuery (= every REST CSAS) for the
+  // minutes a store rewrite can take at scale. Instead: BUSY SETS
+  // under the registry monitor — maintenance marks its store dirs and
+  // owner busy in one brief critical section (after the owner check,
+  // under the same lock adoption uses, so no check-to-mark window),
+  // runs the rewrite OUTSIDE any lock, and unmarks in a finally.
+  // Concurrent maintenance against the same store and adoption of a
+  // busy owner are REFUSED by name (a 400 the client retries), never
+  // silently interleaved and never blocked behind minutes of rewrite;
+  // different stores proceed in parallel.
+  private val busyStores = scala.collection.mutable.Set.empty[String]
+  private val busyOwners = scala.collection.mutable.Set.empty[String]
+
+  // package-visible so the spec can pin the busy-window refusals
+  // deterministically (holding the mark open is a timing-free stand-in
+  // for a long rewrite)
+  private[graft] def beginMaintenance(op: String, dirs: Seq[String],
+                                      owner: Option[String],
+                                      checkOwner: Boolean): Unit =
+    queries.synchronized {
+      if (checkOwner) requireStopped(owner, op)
+      dirs.find(busyStores).foreach(d =>
+        throw new IllegalArgumentException(
+          s"$op: another maintenance statement is running against $d — " +
+            "maintenance is single-writer per store; retry when it " +
+            "completes"))
+      busyStores ++= dirs
+      owner.foreach(busyOwners += _)
+    }
+
+  private[graft] def endMaintenance(dirs: Seq[String],
+                                    owner: Option[String]): Unit =
+    queries.synchronized {
+      busyStores --= dirs
+      owner.foreach(busyOwners -= _)
+      ()
+    }
 
   // An `owner` name absent from the LIVE registry is only safe when the
   // engine has SEEN that name (TERMINATE removes the entry — the normal
@@ -322,12 +363,14 @@ class Engine(val spark: SparkSession,
     val (acceptedDir, stateDir, ndStateDir, owner) =
       guardStores.getOrElse(name, throw new IllegalArgumentException(
         s"unknown guard store '$name' — registerGuardStore it first"))
-    maintenanceLock.synchronized {
-      requireStopped(owner, s"RETIRE DOCS FROM GUARD $name")
+    val dirs = stateDir +: ndStateDir.toSeq
+    beginMaintenance(s"RETIRE DOCS FROM GUARD $name", dirs, owner,
+      checkOwner = true)
+    try {
       import spark.implicits._
       graft.streaming.IngestGuard.retireDocs(spark, ids.toDF("doc_id"),
         acceptedDir, stateDir, ndStateDir)
-    }
+    } finally endMaintenance(dirs, owner)
   }
 
   private def ivfTarget(name: String): (String, Option[String]) =
@@ -344,11 +387,16 @@ class Engine(val spark: SparkSession,
     * (the `<prefix>_identity` view's n_tombstones). */
   def deleteVectors(name: String, ids: Seq[Long]): Long = {
     val (stateDir, _) = ivfTarget(name)
-    maintenanceLock.synchronized {
+    // no owner refusal (safe beside the live ingest stream) — but
+    // still single-writer vs other maintenance statements, and the
+    // busy mark must not block the owner's restart: owner = None here
+    beginMaintenance(s"DELETE VECTORS FROM INDEX $name", Seq(stateDir),
+      None, checkOwner = false)
+    try {
       graft.streaming.IvfIndexStream.deleteIds(spark, stateDir, ids)
       graft.streaming.IvfIndexStream.readTombstones(spark, stateDir)
         .fold(0L)(_.count())
-    }
+    } finally endMaintenance(Seq(stateDir), None)
   }
 
   /** `COMPACT INDEX <name>` — one file per cell and the physical purge
@@ -357,10 +405,10 @@ class Engine(val spark: SparkSession,
     * terminated first — enforced, not documented. */
   def compactIvfIndex(name: String): Unit = {
     val (stateDir, owner) = ivfTarget(name)
-    maintenanceLock.synchronized {
-      requireStopped(owner, s"COMPACT INDEX $name")
-      graft.streaming.IvfIndexStream.compactIndex(spark, stateDir)
-    }
+    beginMaintenance(s"COMPACT INDEX $name", Seq(stateDir), owner,
+      checkOwner = true)
+    try graft.streaming.IvfIndexStream.compactIndex(spark, stateDir)
+    finally endMaintenance(Seq(stateDir), owner)
   }
 
   /** Re-register the compacted view of every upsert table and every

@@ -930,6 +930,30 @@ class RestServerSpec extends GraftSuite {
         """{"ksql":"RETIRE DOCS (1) FROM GUARD typod;"}""")
       assert(typo.statusCode() === 400 &&
         typo.body().contains("never registered or adopted"), typo.body())
+      // the busy window, pinned timing-free (holding the mark open
+      // stands in for a long rewrite): a second maintenance statement
+      // against the same store and a restart of the busy owner are both
+      // REFUSED by name — never silently interleaved (the lost-delete
+      // race), never blocked behind minutes of rewrite
+      engine.beginMaintenance("TEST", Seq(s"$base/state"),
+        Some("guard_ingest"), checkOwner = false)
+      try {
+        val busy = post(port, "/ksql",
+          """{"ksql":"RETIRE DOCS (1) FROM GUARD corpus;"}""")
+        assert(busy.statusCode() === 400 &&
+          busy.body().contains("another maintenance statement"),
+          busy.body())
+        val adoptRefused = intercept[IllegalArgumentException] {
+          engine.adoptQuery("guard_ingest", g2)
+        }
+        assert(adoptRefused.getMessage.contains("under maintenance"))
+      } finally engine.endMaintenance(Seq(s"$base/state"),
+        Some("guard_ingest"))
+      // cleared: the same statement now executes (nothing left to
+      // retire — id 1 is already applied — so it reports 0)
+      assert(post(port, "/ksql",
+        """{"ksql":"RETIRE DOCS (1) FROM GUARD corpus;"}""")
+        .body().contains(""""retired":0"""))
     } finally {
       srv.stop()
       engine.terminateAll()
