@@ -67,12 +67,7 @@ class Engine(val spark: SparkSession,
   private def register(name: String)(start: => StreamingQuery): StreamingQuery =
     queries.synchronized {
       require(!queries.contains(name), s"query '$name' already exists")
-      // a name marked busy by a running erasure statement cannot start:
-      // the rewrite checked it was stopped and would race a restart
-      // (the check-to-mark and mark-to-start windows share this monitor)
-      require(!busyOwners.contains(name),
-        s"query '$name' owns a store under maintenance — wait for the " +
-          "running erasure statement to complete, then retry")
+      refuseBusyOwner(name)
       val q = start
       queries.put(name, q)
       everNamed.put(name, ())
@@ -247,12 +242,7 @@ class Engine(val spark: SparkSession,
     queries.synchronized {
       require(queries.get(name).forall(!_.isActive),
         s"query '$name' already exists and is active")
-      // same refusal as register(): the owner cannot come (back) under
-      // its name while an erasure statement holds its store — the
-      // mid-rewrite-restart TOCTOU shares this monitor with the mark
-      require(!busyOwners.contains(name),
-        s"query '$name' owns a store under maintenance — wait for the " +
-          "running erasure statement to complete, then retry")
+      refuseBusyOwner(name)
       queries.put(name, q)
       everNamed.put(name, ())
       ()
@@ -308,6 +298,17 @@ class Engine(val spark: SparkSession,
   private val busyStores = scala.collection.mutable.Set.empty[String]
   private val busyOwners = scala.collection.mutable.Set.empty[String]
 
+  // ONE refusal shared by register/adoptQuery (the contract and its
+  // message must not diverge between the two start paths): a name
+  // marked busy by a running erasure statement cannot (re)start — the
+  // rewrite checked it was stopped, and the check-to-mark and
+  // mark-to-start windows share the `queries` monitor. Callers must
+  // hold that monitor.
+  private def refuseBusyOwner(name: String): Unit =
+    require(!busyOwners.contains(name),
+      s"query '$name' owns a store under maintenance — wait for the " +
+        "running erasure statement to complete, then retry")
+
   // package-visible so the spec can pin the busy-window refusals
   // deterministically (holding the mark open is a timing-free stand-in
   // for a long rewrite)
@@ -320,6 +321,16 @@ class Engine(val spark: SparkSession,
         throw new IllegalArgumentException(
           s"$op: another maintenance statement is running against $d — " +
             "maintenance is single-writer per store; retry when it " +
+            "completes"))
+      // an owner shared by two targets (one query feeding two stores)
+      // must not be marked twice: busyOwners is a Set, so the first
+      // endMaintenance would clear the mark while the second rewrite
+      // still runs — refusing the overlap keeps begin/end exactly
+      // paired (second review pass, finding #1)
+      owner.filter(busyOwners).foreach(o =>
+        throw new IllegalArgumentException(
+          s"$op: owning query '$o' already has a maintenance statement " +
+            "running against another of its stores; retry when it " +
             "completes"))
       busyStores ++= dirs
       owner.foreach(busyOwners += _)
@@ -926,9 +937,22 @@ class Engine(val spark: SparkSession,
       .coalesce(1).write.mode("append").parquet(dir.toString)
   }
 
-  /** `DROP`/terminate a persistent query. */
+  /** `DROP`/terminate a persistent query. STOP before remove: the
+    * remove-first order left a window where the name read as absent —
+    * which the erasure refusal treats as stopped — while the query's
+    * final microbatch was still committing, letting a concurrent
+    * maintenance statement interleave with the stream's last store
+    * write (second review pass, finding #2). The removal is guarded to
+    * the exact instance we stopped, so a query adopted under the name
+    * after our stop is not silently dropped unstopped. */
   def terminate(name: String): Unit =
-    queries.remove(name).foreach(_.stop())
+    queries.get(name).foreach { q =>
+      q.stop()
+      queries.synchronized {
+        if (queries.get(name).exists(_ eq q)) queries.remove(name)
+        ()
+      }
+    }
 
   def terminateAll(): Unit = queries.keys.foreach(terminate)
 
