@@ -384,6 +384,34 @@ class Engine(val spark: SparkSession,
     } finally endMaintenance(dirs, owner)
   }
 
+  /** `UNRETIRE DOCS (ids) FROM GUARD <name>` — the retirement ledger's
+    * ESCAPE HATCH ([[graft.streaming.IngestGuard.unretireDocs]]),
+    * operable over the same statement surface as the fail-fast it
+    * serves: when a crash-REPLAYED batch's doc was retired mid-flight,
+    * the guard's ingest path refuses the replay naming this remedy —
+    * without a statement form, a REST-operated deployment would need a
+    * JVM deploy to execute it, the exact gap the other erasure ops
+    * closed. Same discipline as [[retireDocs]] (owner terminated, store
+    * not under other maintenance — the legitimate workflow has the
+    * guard stopped anyway: its batch just failed). Returns the number
+    * of ids actually removed from the ledger (ids never retired
+    * resolve to nothing). RE-RUN the retirement after the replay
+    * lands, or the erasure is undone — and never unretire an id a NEW
+    * document reused (the library scaladoc pins both). */
+  def unretireDocs(name: String, ids: Seq[Long]): Long = {
+    val (_, stateDir, ndStateDir, owner) =
+      guardStores.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown guard store '$name' — registerGuardStore it first"))
+    val dirs = stateDir +: ndStateDir.toSeq
+    beginMaintenance(s"UNRETIRE DOCS FROM GUARD $name", dirs, owner,
+      checkOwner = true)
+    try {
+      import spark.implicits._
+      graft.streaming.IngestGuard.unretireDocs(spark, stateDir,
+        ids.toDF("doc_id"))
+    } finally endMaintenance(dirs, owner)
+  }
+
   private def ivfTarget(name: String): (String, Option[String]) =
     ivfIndexes.getOrElse(name, throw new IllegalArgumentException(
       s"unknown IVF index '$name' — registerIvfIndex it first"))

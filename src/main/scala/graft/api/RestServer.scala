@@ -37,7 +37,9 @@ import graft.streaming.Streams
   *    and the erasure maintenance statements over the engine's
   *    registered targets — `RETIRE DOCS (ids) FROM GUARD <name>;`
   *    (guard forgets the docs' fingerprints/bands:
-  *    [[Engine.retireDocs]]), `DELETE VECTORS (ids) FROM INDEX
+  *    [[Engine.retireDocs]]), `UNRETIRE DOCS (ids) FROM GUARD
+  *    <name>;` (the crash-replay hatch the ingest fail-fast names:
+  *    [[Engine.unretireDocs]]), `DELETE VECTORS (ids) FROM INDEX
   *    <name>;` ([[Engine.deleteVectors]] — masked immediately) and
   *    `COMPACT INDEX <name>;` ([[Engine.compactIvfIndex]] — physical
   *    purge). Statements against a store whose owning query is still
@@ -245,6 +247,13 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
   private val retireRe = java.util.regex.Pattern.compile(
     "(?is)^RETIRE\\s+DOCS\\s*\\(([^)]*)\\)\\s+FROM\\s+GUARD\\s+" +
       "['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
+  // UNRETIRE DOCS (ids) FROM GUARD <name> — the ingest fail-fast's
+  // documented remedy must be executable over the same surface that
+  // operates everything else, or the crash-replay runbook ends in "now
+  // deploy a JVM" (Engine.unretireDocs)
+  private val unretireRe = java.util.regex.Pattern.compile(
+    "(?is)^UNRETIRE\\s+DOCS\\s*\\(([^)]*)\\)\\s+FROM\\s+GUARD\\s+" +
+      "['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
   private val delVecRe = java.util.regex.Pattern.compile(
     "(?is)^DELETE\\s+VECTORS\\s*\\(([^)]*)\\)\\s+FROM\\s+INDEX\\s+" +
       "['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
@@ -415,6 +424,7 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val print = printRe.matcher(stmt)
     val insert = insertRe.matcher(stmt)
     val retire = retireRe.matcher(stmt)
+    val unretire = unretireRe.matcher(stmt)
     val delVec = delVecRe.matcher(stmt)
     val compact = compactRe.matcher(stmt)
     try {
@@ -423,6 +433,12 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
         val applied = engine.retireDocs(name, parseIdList(retire.group(1)))
         respond(ex, 200, s"""{"status":"SUCCESS","guard":${jstr(name)},""" +
           s""""retired":$applied}""")
+      } else if (unretire.matches()) {
+        val name = unretire.group(2)
+        val removed =
+          engine.unretireDocs(name, parseIdList(unretire.group(1)))
+        respond(ex, 200, s"""{"status":"SUCCESS","guard":${jstr(name)},""" +
+          s""""unretired":$removed}""")
       } else if (delVec.matches()) {
         val name = delVec.group(2)
         val total = engine.deleteVectors(name, parseIdList(delVec.group(1)))

@@ -710,7 +710,8 @@ object IngestGuard {
               "would silently no-op and leave the new doc's fingerprint " +
               "un-erasable. Re-emit the document under a fresh id; if " +
               "this batch is a crash REPLAY of ingestion that predates " +
-              "the retirement, unretireDocs(id) to let the replay land, " +
+              "the retirement, unretireDocs(id) — or UNRETIRE DOCS (id) " +
+              "FROM GUARD <name> over REST — to let the replay land, " +
               "then re-run the retirement once the batch commits.")
         }
         judged.filter(col("reason").isNotNull)
@@ -869,12 +870,20 @@ object IngestGuard {
     * once the batch commits, or the erasure is undone. Never unretire
     * an id that a NEW document reused: that is exactly the silent-no-op
     * hazard the fail-fast exists to refuse. SINGLE-WRITER like every
-    * maintenance op (stop the guard first). */
+    * maintenance op (stop the guard first; its batch just failed, so it
+    * already is). Returns the number of ids actually removed from the
+    * ledger — a replayed unretirement (or an id never retired) resolves
+    * to 0, so the statement form is idempotent and its response says
+    * whether this run did the work. */
   def unretireDocs(spark: org.apache.spark.sql.SparkSession,
-                   stateDir: String, docIds: DataFrame): Unit =
-    retiredIds(spark, stateDir).foreach { r =>
-      Streams.replaceIdSidecar(spark, retiredFile(stateDir),
-        r.join(docIds.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+                   stateDir: String, docIds: DataFrame): Long =
+    retiredIds(spark, stateDir).fold(0L) { r =>
+      val ids = docIds.select(col("doc_id")).distinct()
+      val n = r.join(ids, Seq("doc_id"), "left_semi").count()
+      if (n > 0)
+        Streams.replaceIdSidecar(spark, retiredFile(stateDir),
+          r.join(ids, Seq("doc_id"), "left_anti"))
+      n
     }
 
   /** ERASURE maintenance op — make the guard FORGET erased docs (the

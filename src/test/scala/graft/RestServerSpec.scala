@@ -860,6 +860,11 @@ class RestServerSpec extends GraftSuite {
         """{"ksql":"RETIRE DOCS (1) FROM GUARD corpus;"}""")
       assert(refused.statusCode() === 400 &&
         refused.body().contains("guard_ingest"), refused.body())
+      // the hatch carries the same discipline: refused while live
+      val unRefused = post(port, "/ksql",
+        """{"ksql":"UNRETIRE DOCS (1) FROM GUARD corpus;"}""")
+      assert(unRefused.statusCode() === 400 &&
+        unRefused.body().contains("guard_ingest"), unRefused.body())
       // the operable loop: TERMINATE over REST, retire over REST
       assert(post(port, "/ksql", """{"ksql":"TERMINATE guard_ingest;"}""")
         .statusCode() === 200)
@@ -954,6 +959,24 @@ class RestServerSpec extends GraftSuite {
       assert(post(port, "/ksql",
         """{"ksql":"RETIRE DOCS (1) FROM GUARD corpus;"}""")
         .body().contains(""""retired":0"""))
+      // the crash-replay hatch, operable over the SAME surface the
+      // fail-fast's error message ends in (without a statement form the
+      // runbook would end in "now deploy a JVM"): removes the id from
+      // the ledger, reports what it removed, replays to 0
+      val unOk = post(port, "/ksql",
+        """{"ksql":"UNRETIRE DOCS (1) FROM GUARD corpus;"}""")
+      assert(unOk.statusCode() === 200 &&
+        unOk.body().contains(""""unretired":1"""), unOk.body())
+      assert(post(port, "/query",
+        """{"sql":"SELECT n_retired FROM corpus_erasure"}""")
+        .body().contains(""""n_retired":0"""))
+      assert(post(port, "/ksql",
+        """{"ksql":"UNRETIRE DOCS (1) FROM GUARD corpus;"}""")
+        .body().contains(""""unretired":0"""))
+      // unknown target: statement error, not a 500
+      assert(post(port, "/ksql",
+        """{"ksql":"UNRETIRE DOCS (1) FROM GUARD nope;"}""")
+        .statusCode() === 400)
     } finally {
       srv.stop()
       engine.terminateAll()
