@@ -412,6 +412,31 @@ class Engine(val spark: SparkSession,
     } finally endMaintenance(dirs, owner)
   }
 
+  /** `COMPACT GUARD <name>` — rewrite the guard's fingerprint store
+    * (and its near-dup band store, when registered) to one globally
+    * sorted file per partition
+    * ([[graft.streaming.IngestGuard.compactFpStore]] /
+    * [[graft.streaming.IngestGuard.compactNdStore]]), restoring the
+    * one-row-group-per-candidate probe layout that per-batch appends
+    * erode. Unlike upsert tables (whose `compactEvery` compacts from
+    * INSIDE the single-writer loop), the guard stores have no automatic
+    * compaction — this statement is their maintenance path, and the
+    * rewrites ARE a second writer, so the owning query must be
+    * terminated first: same enforcement as [[compactIvfIndex]]. */
+  def compactGuardStore(name: String): Unit = {
+    val (_, stateDir, ndStateDir, owner) =
+      guardStores.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown guard store '$name' — registerGuardStore it first"))
+    val dirs = stateDir +: ndStateDir.toSeq
+    beginMaintenance(s"COMPACT GUARD $name", dirs, owner,
+      checkOwner = true)
+    try {
+      graft.streaming.IngestGuard.compactFpStore(spark, stateDir)
+      ndStateDir.foreach(
+        graft.streaming.IngestGuard.compactNdStore(spark, _))
+    } finally endMaintenance(dirs, owner)
+  }
+
   private def ivfTarget(name: String): (String, Option[String]) =
     ivfIndexes.getOrElse(name, throw new IllegalArgumentException(
       s"unknown IVF index '$name' — registerIvfIndex it first"))

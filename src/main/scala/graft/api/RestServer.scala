@@ -40,9 +40,10 @@ import graft.streaming.Streams
   *    [[Engine.retireDocs]]), `UNRETIRE DOCS (ids) FROM GUARD
   *    <name>;` (the crash-replay hatch the ingest fail-fast names:
   *    [[Engine.unretireDocs]]), `DELETE VECTORS (ids) FROM INDEX
-  *    <name>;` ([[Engine.deleteVectors]] — masked immediately) and
+  *    <name>;` ([[Engine.deleteVectors]] — masked immediately),
   *    `COMPACT INDEX <name>;` ([[Engine.compactIvfIndex]] — physical
-  *    purge). Statements against a store whose owning query is still
+  *    purge) and `COMPACT GUARD <name>;` ([[Engine.compactGuardStore]]
+  *    — probe-layout restore). Statements against a store whose owning query is still
   *    RUNNING are refused with a 400 naming the query to TERMINATE —
   *    the single-writer contract enforced, not documented.
   *  - `/connectors`            → the Kafka-Connect REST analog on the same
@@ -259,6 +260,11 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       "['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
   private val compactRe = java.util.regex.Pattern.compile(
     "(?is)^COMPACT\\s+INDEX\\s+['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
+  // COMPACT GUARD <name> — the guard stores' maintenance twin of
+  // COMPACT INDEX (fp + band stores have no in-loop compaction the way
+  // upsert tables' compactEvery does; Engine.compactGuardStore)
+  private val compactGuardRe = java.util.regex.Pattern.compile(
+    "(?is)^COMPACT\\s+GUARD\\s+['\"]?([A-Za-z_][A-Za-z0-9_.\\-]*)['\"]?\\s*$")
 
   private def parseIdList(raw: String): Seq[Long] = {
     val ids = raw.split(",").map(_.trim).filter(_.nonEmpty)
@@ -427,6 +433,7 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
     val unretire = unretireRe.matcher(stmt)
     val delVec = delVecRe.matcher(stmt)
     val compact = compactRe.matcher(stmt)
+    val compactGuard = compactGuardRe.matcher(stmt)
     try {
       if (retire.matches()) {
         val name = retire.group(2)
@@ -447,6 +454,11 @@ class RestServer(engine: Engine, port: Int = 0, maxRows: Int = 1000,
       } else if (compact.matches()) {
         val name = compact.group(1)
         engine.compactIvfIndex(name)
+        respond(ex, 200,
+          s"""{"status":"SUCCESS","compacted":${jstr(name)}}""")
+      } else if (compactGuard.matches()) {
+        val name = compactGuard.group(1)
+        engine.compactGuardStore(name)
         respond(ex, 200,
           s"""{"status":"SUCCESS","compacted":${jstr(name)}}""")
       } else if (insert.matches()) {

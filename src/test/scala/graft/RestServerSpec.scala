@@ -865,6 +865,11 @@ class RestServerSpec extends GraftSuite {
         """{"ksql":"UNRETIRE DOCS (1) FROM GUARD corpus;"}""")
       assert(unRefused.statusCode() === 400 &&
         unRefused.body().contains("guard_ingest"), unRefused.body())
+      // so does the guard stores' compaction twin of COMPACT INDEX
+      val cgRefused = post(port, "/ksql",
+        """{"ksql":"COMPACT GUARD corpus;"}""")
+      assert(cgRefused.statusCode() === 400 &&
+        cgRefused.body().contains("guard_ingest"), cgRefused.body())
       // the operable loop: TERMINATE over REST, retire over REST
       assert(post(port, "/ksql", """{"ksql":"TERMINATE guard_ingest;"}""")
         .statusCode() === 200)
@@ -891,6 +896,22 @@ class RestServerSpec extends GraftSuite {
       assert(IngestGuard.accepted(spark, s"$base/accepted")
         .collect().map(_.getLong(0)).toSet === Set(1L, 10L),
         "the re-admitted twin must be judged on its own merits")
+      // guard-store compaction over REST (owner stopped): the rewrite
+      // succeeds AND the compacted store still convicts — land the same
+      // text under a third id and the restarted guard must reject it
+      assert(post(port, "/ksql", """{"ksql":"COMPACT GUARD corpus;"}""")
+        .statusCode() === 200)
+      land(Seq(11L -> docA))
+      val g3 = startGuard()
+      engine.adoptQuery("guard_ingest", g3)
+      g3.processAllAvailable()
+      g3.exception.foreach(throw _)
+      g3.stop()
+      assert(IngestGuard.rejects(spark, s"$base/rejects")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 11L)
+        .select("reason")
+        .collect().map(_.getString(0)).toSeq === Seq("exact_dup"),
+        "the compacted fp store must still convict the exact dup")
       // ---- index side: delete beside the LIVE stream, compact after ----
       val emb = graft.sources.Tables.embeddings(spark, sf)
         .select("vec_id", "embedding")
@@ -976,6 +997,8 @@ class RestServerSpec extends GraftSuite {
       // unknown target: statement error, not a 500
       assert(post(port, "/ksql",
         """{"ksql":"UNRETIRE DOCS (1) FROM GUARD nope;"}""")
+        .statusCode() === 400)
+      assert(post(port, "/ksql", """{"ksql":"COMPACT GUARD nope;"}""")
         .statusCode() === 400)
     } finally {
       srv.stop()
