@@ -67,7 +67,7 @@ import graft.streaming.{IngestGuard, IvfIndexStream}
   * [[IngestGuard.accepted]]'s own reader dedups on read for batch
   * consumers.
   *
-  * `erase` (r17 verdict Next #2) is `run` plus the END-TO-END EROSURE
+  * `erase` (r17 verdict Next #2) is `run` plus the END-TO-END ERASURE
   * epilogue — the one seam the per-component erasure certs
   * (`run_r17_ivf_delete_cert.sh`'s index deletes, the guard retirement
   * spec) never cross: with both streams stopped, RETIRE the
