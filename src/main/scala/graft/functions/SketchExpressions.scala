@@ -63,6 +63,23 @@ object SketchExpressions {
     GraftColumnBridge.column(
       MinHashSig(GraftColumnBridge.expression(text), k, n))
 
+  /** `simhash_sig(text)` — the 32-bit (or, `wide`, 64-bit) SimHash of a
+    * document's token stream in ONE codegen'd pass (one md5 per token),
+    * null on null text. Replaces the explode → per-token hash → 32/64
+    * `sum(CASE)` aggregates → groupBy(doc) shuffle of
+    * [[graft.operators.Dedup.simhash]]/[[graft.operators.Dedup.simhashWide]]
+    * with zero shuffle, zero intermediate rows and a 32/64-term-smaller
+    * expression tree (the aggregate form was also a planning-time cost).
+    * Bit-parity with that pipeline — same tokenizer, same
+    * [[Hashing.hash64]]/[[Hashing.hash64Hi]] md5 derivations, same
+    * sign-of-sum bit rule with ties → 0 — is pinned in DedupSpec against
+    * the inlined legacy formula, so the oracle-checked simhash surfaces
+    * (`q_simhash`, `q_simhash_neardup`, `q_simhash_neardup_wide`, the
+    * streaming NearDup stores) keep their values. */
+  def simhashSig(text: Column, wide: Boolean): Column =
+    GraftColumnBridge.column(
+      SimHashSig(GraftColumnBridge.expression(text), wide))
+
   /** SHARDED [[bloomMightContain]]: `shards(pmod(h, shards.length))`
     * answers for `h`, a null shard meaning "definitively not present"
     * (that slice of the key space has no members — e.g. the store has no
@@ -196,6 +213,52 @@ object ShingleProbe {
     sig
   }
 
+  /** One-pass SimHash: per token, md5 once; h1 (and, wide, h2) votes ±1
+    * on each signature bit; bit set iff its vote sum is strictly
+    * positive. BIT-PARITY with the aggregate pipeline it replaces
+    * ([[graft.operators.Dedup.simhash]]'s `sum(CASE WHEN bit THEN 1 ELSE
+    * -1) > 0` per bit): same tokenizer as [[stats]] (every token
+    * occurrence votes, empty tokens included — `split` never yields an
+    * empty array), h1 = md5 bytes 0-7 >>> 4 ([[Hashing.hash64]]), h2 =
+    * bytes 8-15 >>> 4 ([[Hashing.hash64Hi]]); wide maps h1 to bits 0-31
+    * and h2 to bits 32-63, exactly [[graft.operators.Dedup.simhashWide]]'s
+    * `(src, b)` layout. */
+  def simhash(text: org.apache.spark.unsafe.types.UTF8String,
+              wide: Boolean): Long = {
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    val bits = if (wide) 64 else 32
+    val counts = new Array[Int](bits)
+    val m = md.get()
+    var i = 0
+    while (i < toks.length) {
+      m.reset()
+      val dg = m.digest(toks(i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L
+      var b = 0
+      while (b < 8) { h1 = (h1 << 8) | (dg(b) & 0xffL); b += 1 }
+      h1 = h1 >>> 4
+      var j = 0
+      while (j < 32) {
+        counts(j) += (if (((h1 >>> j) & 1L) == 1L) 1 else -1); j += 1
+      }
+      if (wide) {
+        var h2 = 0L
+        while (b < 16) { h2 = (h2 << 8) | (dg(b) & 0xffL); b += 1 }
+        h2 = h2 >>> 4
+        j = 0
+        while (j < 32) {
+          counts(32 + j) += (if (((h2 >>> j) & 1L) == 1L) 1 else -1); j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
   /** One pass over the grams: `[distinct shingles, distinct matched]` —
     * the numerator AND denominator of the contamination fraction. */
   def stats(text: org.apache.spark.unsafe.types.UTF8String,
@@ -280,6 +343,28 @@ case class MinHashSig(child: Expression, k: Int, n: Int)
          |    new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
          |}""".stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** One-pass SimHash of a text column (see
+  * [[SketchExpressions.simhashSig]]); null on null text, like the explode
+  * pipeline it replaces (explode of a null token array emitted no row). */
+case class SimHashSig(child: Expression, wide: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleProbe.simhash(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], wide)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleProbe.simhash($v, $wide);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

@@ -70,7 +70,53 @@ object Dedup {
     // and get the floor as usual.
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
+    if (!scanParallelismBelow(df, p)) df else df.repartition(p, col(key))
+  }
+
+  /** Would `df`'s scan give fewer than `p` partitions? — the spreadByKey /
+    * ngramJaccardPairs trigger, WITHOUT physically planning the subtree.
+    *
+    * The old probe (`df.rdd.getNumPartitions`) converted the plan to an
+    * RDD, paying full physical planning per call (~30-40 ms on this host,
+    * re-paid on every timed bench trial since each run rebuilds its
+    * DataFrame). For file-source-backed plans the same decision falls out
+    * of the FileIndex's total byte size (listing is session-cached, ~0 ms):
+    * replicate Spark's own split sizing — `maxSplitBytes =
+    * min(maxPartitionBytes, max(openCostInBytes, bytes/p))` — and compare
+    * the implied partition count against `p`. The estimate ignores
+    * per-file open-cost packing, which UNDERCOUNTS partitions for
+    * many-tiny-file layouts; that errs toward repartitioning, the safe
+    * direction for the CPU-dense explode stages this gates (and at real
+    * scale bytes/maxSplitBytes >> p, so the floor never fires — exactly
+    * the old behavior). Non-file leaves (in-memory microbatch frames,
+    * checkpointed RDDs) keep the precise RDD probe: their stats carry no
+    * usable size and their physical planning is cheap. */
+  private[graft] def scanParallelismBelow(df: DataFrame, p: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Fast path only for scan + narrow ops (Project/Filter): anything that
+    // could CHANGE the partitioning (repartition, join, agg, in-memory
+    // leaf) keeps the precise RDD probe, preserving the referential no-op
+    // contract for already-repartitioned inputs (PlanSpec).
+    def fileScanBytes(plan: LogicalPlan): Option[Long] = plan match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.sizeInBytes)
+        case _ => None
+      }
+      case pr: Project => fileScanBytes(pr.child)
+      case f: LFilter => fileScanBytes(f.child)
+      case a: SubqueryAlias => fileScanBytes(a.child)
+      case _ => None
+    }
+    fileScanBytes(df.queryExecution.logical) match {
+      case Some(bytes) =>
+        val conf = df.sparkSession.sessionState.conf
+        val maxSplit = math.min(conf.filesMaxPartitionBytes,
+          math.max(conf.filesOpenCostInBytes, bytes / math.max(p, 1)))
+        val parts = math.max(1L, (bytes + maxSplit - 1) / math.max(maxSplit, 1))
+        parts < p
+      case None => df.rdd.getNumPartitions < p
+    }
   }
 
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
@@ -266,31 +312,15 @@ object Dedup {
     * signature to 64 bits (two independent md5-derived 32-bit halves —
     * same one-md5-per-token CSE as MinHash's (h1, h2) trick) makes the
     * bands 16-bit: 65,536 buckets per band, pushing the quadratic knee
-    * out 256×. Same explode-first codegen'd bit-sum shape as [[simhash]].
+    * out 256×. One codegen'd pass per document, like [[simhash]].
     *
     * Kept separate from the 32-bit operator (not a default-flip): the
     * oracle SQL and NearDupStream's band_byte partition pruning mirror
     * the 32-bit signature bit-for-bit. */
-  def simhashWide(docs: DataFrame): DataFrame = {
-    val tokens = spreadByKey(
-        docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks")),
-        "doc_id")
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"),
-        expr(Hashing.hash64("t")).as("h1"),
-        expr(Hashing.hash64Hi("t")).as("h2"))
-    val bitSums = (0 until 64).map { j =>
-      val (src, b) = if (j < 32) ("h1", j) else ("h2", j - 32)
-      sum(when(expr(s"(shiftright($src, $b) & 1) = 1"), 1).otherwise(-1))
-        .as(s"b_$j")
-    }
-    tokens.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  def simhashWide(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        SketchExpressions.simhashSig(col("text"), wide = true).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Pigeonhole bands of configurable width over a signature table —
     * 4 bands of `bandBits` each; two signatures within Hamming distance 3
@@ -521,27 +551,17 @@ object Dedup {
     * each token's hash bit; the signature bit is the sign of the sum.
     * Near-duplicates then differ in few bits (Hamming distance).
     *
-    * Explode-first like [[shingleRows]]: the per-bit ±1 sums are 32 codegen'd
-    * `sum(CASE ...)` aggregates over exploded (doc_id, token-hash) rows with
-    * map-side partial aggregation — the nested interpreted-lambda form
-    * (`aggregate(sequence(0,31), ... aggregate(hs, ...))`) costs
-    * O(32·tokens) interpreter dispatches per document and dominated the
-    * bench. Bit sums are order-independent, so results are identical. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tokens = spreadByKey(
-        docs.select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks")),
-        "doc_id")
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), expr(Hashing.hash64("t")).as("h"))
-    val bitSums = (0 until 32).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b_$j"))
-    tokens.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(j =>
-          when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+    * ONE codegen'd pass per document ([[SketchExpressions.simhashSig]] —
+    * one md5 per token, vote array on the stack): no explode, no
+    * 32-aggregate groupBy, no shuffle, and a 32-term-smaller plan to
+    * analyze per trial. Replaces the explode-first form (itself a fix of
+    * the O(32·tokens) interpreted-lambda original); bit sums are
+    * order-independent and the kernel is bit-parity-pinned in DedupSpec
+    * against the inlined aggregate formula, so results are identical. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        SketchExpressions.simhashSig(col("text"), wide = false).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** The composed corpus-cleaning pipeline a pretraining dataset runs:
     * quality gate → PII redaction → exact-dup removal → near-dup
@@ -799,8 +819,8 @@ object Dedup {
     // shingleRows' scan-parallelism floor fired (same condition re-tested
     // here), the rows already arrive doc_id-partitioned and adding the
     // explicit repartition would just shuffle them a second time.
-    val spreadFired = !docs.isStreaming && docs.rdd.getNumPartitions <
-      docs.sparkSession.sparkContext.defaultParallelism
+    val spreadFired = !docs.isStreaming && scanParallelismBelow(docs,
+      docs.sparkSession.sparkContext.defaultParallelism)
     val base = shingleRows(docs, n).select(col("doc_id"), col("h1").as("s"))
     val e = (if (spreadFired) base else base.repartition(col("doc_id")))
       .distinct()

@@ -19,6 +19,51 @@ class DedupSpec extends GraftSuite {
     d(a.length)(b.length)
   }
 
+  test("one-pass simhash_sig is bit-identical to the exploded aggregate pipeline") {
+    // r19 replaced simhash/simhashWide's explode → per-token hash →
+    // 32/64 sum(CASE) aggregates → groupBy(doc) with one codegen'd pass
+    // per document; the near-dup band stores and three oracle-checked
+    // queries inherit the values, so parity must be EXACT — pinned here
+    // against the legacy aggregate formula inlined verbatim, over the
+    // real documents fixture plus edge docs (empty-ish/whitespace text).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edge = Seq((900001L, ""), // split("") = [""] — one empty token
+      (900002L, "  leading and trailing whitespace padded text here  "),
+      (900003L, "one"), (900004L, "repeat repeat repeat"))
+      .toDF("doc_id", "text")
+    val fixture = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for (wide <- Seq(false, true)) {
+      val bits = if (wide) 64 else 32
+      val got = (if (wide) Dedup.simhashWide(fixture) else Dedup.simhash(fixture))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the legacy pipeline, verbatim: explode tokens → ±1 bit sums → sign
+      val tokens = fixture
+        .select(col("doc_id"),
+          expr(graft.operators.TextAnalysis.tokensExpr).as("toks"))
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .select(col("doc_id"),
+          expr(graft.functions.Hashing.hash64("t")).as("h1"),
+          expr(graft.functions.Hashing.hash64Hi("t")).as("h2"))
+      val bitSums = (0 until bits).map { j =>
+        val (src, b) = if (j < 32) ("h1", j) else ("h2", j - 32)
+        sum(when(expr(s"(shiftright($src, $b) & 1) = 1"), 1).otherwise(-1))
+          .as(s"b_$j")
+      }
+      val want = tokens.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(j =>
+            when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet === want.keySet,
+        s"wide=$wide: doc coverage differs (${got.size} vs ${want.size})")
+      val diffs = got.collect { case (id, s) if want(id) != s => id }
+      assert(diffs.isEmpty, s"wide=$wide: signatures differ: ${diffs.take(5)}")
+    }
+  }
+
   test("one-pass minhash_sig is bit-identical to the exploded SQL pipeline") {
     // round 13 replaced minhashSignatures' explode → per-shingle md5 →
     // groupBy(doc) shuffle with one codegen'd pass per document; every

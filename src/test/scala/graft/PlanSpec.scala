@@ -269,15 +269,18 @@ class PlanSpec extends GraftSuite {
       spark.sparkContext.defaultParallelism)
   }
 
-  test("scan floor's exchange is reused by the downstream aggregation") {
-    // single-row-group fixture: the floor fires, and because it partitions
-    // by the groupBy key, the aggregate must NOT add a second
-    // hashpartitioning(doc_id) exchange on top of it
-    val p = plan("q_simhash")
-    val hashDocId = "Exchange hashpartitioning\\(doc_id".r
-      .findAllIn(p).length
-    assert(hashDocId == 1,
-      s"expected exactly one doc_id exchange (floor, reused by agg), got $hashDocId:\n$p")
+  test("simhash is a zero-shuffle projection with the native signature") {
+    // r19: the explode → 32-aggregate groupBy (and with it the scan floor
+    // and its exchange) was replaced by the one-pass simhash_sig
+    // projection — the whole signature table must now plan with no
+    // exchange at all and the native expression in the scan stage
+    val qe = SparkEntry.queries("q_simhash")(spark, sf).queryExecution
+    val shuffles = org.apache.spark.sql.GraftColumnBridge
+      .collectShuffles(qe.executedPlan)
+    assert(shuffles.isEmpty,
+      s"q_simhash: signature projection must not shuffle, got $shuffles")
+    assert(qe.executedPlan.toString.contains("simhash_sig"),
+      "q_simhash: the native simhash_sig expression must appear in the plan")
   }
 
   test("as-of join is the union+window form: one keyed exchange, no join node") {
