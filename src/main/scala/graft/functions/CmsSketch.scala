@@ -136,23 +136,25 @@ object CmsSketch {
     // A view built with a different (d, w) would index out of bounds or
     // silently mis-estimate — even at the SAME d·w product the counter
     // layout differs, so validate the pair the view carries, not just
-    // the array length. Cache around the probe and the rollup: when the
-    // view is an unmaterialized sketchBySource pipeline (q_cms_rollup
-    // builds it inline), two separate actions would execute the full
-    // corpus-scanning sketch aggregation twice (r10 advice).
-    val cached = view.cache()
-    try {
-      val badGeom = cached
-        .filter(col("sketch_d") =!= d || col("sketch_w") =!= w ||
-          size(col("sketch")) =!= d * w)
-        .limit(1).count()
-      require(badGeom == 0L,
-        s"rollupCounts: view carries a different sketch geometry than (d=$d, w=$w)")
-      cached.select(posexplode(col("sketch")).as(Seq("pos", "c")))
-        .groupBy(col("pos")).agg(sum(col("c")).as("c"))
-        .collect() // bounded: d·w rows (32 KB at the default geometry)
-        .foreach(r => merged(r.getInt(0)) = r.getLong(1))
-    } finally { cached.unpersist(); () }
+    // the array length. The check rides the rollup aggregation itself as
+    // a per-row flag (r19): ONE action executes the (possibly inline,
+    // corpus-scanning) sketchBySource pipeline exactly once — the r10-
+    // advice cache-around-two-actions shape paid a cache fill plus a
+    // second job per call. posexplode_OUTER keeps a row for an EMPTY
+    // sketch array, so a bad geometry can never vanish from the output
+    // before the flag is read.
+    val rows = view
+      .select(
+        when(col("sketch_d") =!= d || col("sketch_w") =!= w ||
+          size(col("sketch")) =!= d * w, 1).otherwise(0).as("bad"),
+        col("sketch"))
+      .select(col("bad"), posexplode_outer(col("sketch")).as(Seq("pos", "c")))
+      .groupBy(col("pos"))
+      .agg(sum(col("c")).as("c"), max(col("bad")).as("bad"))
+      .collect() // bounded: d·w rows (32 KB at the default geometry)
+    require(rows.forall(_.getInt(2) == 0),
+      s"rollupCounts: view carries a different sketch geometry than (d=$d, w=$w)")
+    rows.foreach(r => if (!r.isNullAt(0)) merged(r.getInt(0)) = r.getLong(1))
     targets.distinct.sorted.map { t =>
       val (h1, h2) = fingerprints(t)
       val est = (0 until d).map(i => merged(i * w + bucket(h1, h2, i, w))).min

@@ -80,6 +80,22 @@ object SketchExpressions {
     GraftColumnBridge.column(
       SimHashSig(GraftColumnBridge.expression(text), wide))
 
+  /** `gram_hashes(toks)` — per n-gram position `i` of a token array, the
+    * `(i, h1, h2)` 60-bit md5 halves of the space-joined gram, in ONE
+    * incremental-digest pass (md5 consumes the token bytes directly; no
+    * per-gram string or concat allocation). Replaces the
+    * `explode(sequence) → toks[i] || ' ' || … → md5 → conv(substring)`
+    * pipeline under [[graft.operators.Dedup.shingleRows]] /
+    * `positionalGramRows` — the dominant CPU of every shingle-family
+    * operator; same downstream explode, so plan shape and shuffle
+    * payloads are unchanged. Empty array when the document has fewer
+    * than n tokens. Bit-parity with the SQL fragments
+    * ([[Hashing.hash64]]/[[Hashing.hash64Hi]] over the joined gram) is
+    * pinned in DedupSpec. */
+  def gramHashes(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      GramHashes(GraftColumnBridge.expression(toks), n))
+
   /** SHARDED [[bloomMightContain]]: `shards(pmod(h, shards.length))`
     * answers for `h`, a null shard meaning "definitively not present"
     * (that slice of the key space has no members — e.g. the store has no
@@ -259,6 +275,58 @@ object ShingleProbe {
     sig
   }
 
+  /** One incremental-digest pass per document: `(i, h1, h2)` rows for
+    * every n-gram position of a token array. The digest consumes each
+    * token's UTF-8 bytes plus a 0x20 separator directly (UTF-8 of the
+    * space-joined gram, byte-identical to `md5(toks[i] || ' ' || …)`);
+    * h1 = digest bytes 0-7 >>> 4, h2 = bytes 8-15 >>> 4 — the
+    * [[Hashing.hash64]]/[[Hashing.hash64Hi]] contracts. Null tokens
+    * (impossible from `split`, guarded anyway) null-propagate to
+    * (i, null, null), matching the SQL concat's null semantics. */
+  def gramHashes(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                 n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = toks.numElements()
+    val nGrams = math.max(0, len - n + 1)
+    val out = new Array[Any](nGrams)
+    if (nGrams == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val tokBytes = new Array[Array[Byte]](len)
+    var t = 0
+    while (t < len) {
+      tokBytes(t) =
+        if (toks.isNullAt(t)) null else toks.getUTF8String(t).getBytes
+      t += 1
+    }
+    val m = md.get()
+    var i = 0
+    while (i < nGrams) {
+      var anyNull = false
+      var j = 0
+      while (j < n && !anyNull) { anyNull = tokBytes(i + j) == null; j += 1 }
+      if (anyNull) {
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, null, null))
+      } else {
+        m.reset()
+        j = 0
+        while (j < n) {
+          if (j > 0) m.update(0x20.toByte)
+          m.update(tokBytes(i + j)); j += 1
+        }
+        val dg = m.digest()
+        var h1 = 0L
+        var b = 0
+        while (b < 8) { h1 = (h1 << 8) | (dg(b) & 0xffL); b += 1 }
+        var h2 = 0L
+        while (b < 16) { h2 = (h2 << 8) | (dg(b) & 0xffL); b += 1 }
+        out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, h1 >>> 4, h2 >>> 4))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One pass over the grams: `[distinct shingles, distinct matched]` —
     * the numerator AND denominator of the contamination fraction. */
   def stats(text: org.apache.spark.unsafe.types.UTF8String,
@@ -365,6 +433,37 @@ case class SimHashSig(child: Expression, wide: Boolean)
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.ShingleProbe.simhash($v, $wide);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Per-position n-gram hashes of a token array (see
+  * [[SketchExpressions.gramHashes]]): `array<struct<i int, h1 bigint,
+  * h2 bigint>>`, empty below n tokens, null on null input (like the
+  * sequence-explode form, whose `size(toks)` filter dropped those docs). */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram_hashes needs n > 0")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h1",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("h2",
+        org.apache.spark.sql.types.LongType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleProbe.gramHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.ShingleProbe.gramHashes($v, $n);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)

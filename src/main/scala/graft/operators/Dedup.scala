@@ -119,17 +119,18 @@ object Dedup {
     }
   }
 
-  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
-    val cat = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    // gram_hashes computes every gram's (h1, h2) in one incremental-digest
+    // pass per document (r19) — the old shape exploded a position sequence
+    // and paid a per-gram `toks[i] || ' ' || …` concat plus md5-hex +
+    // 2×conv(substring) parses; plan shape (tokenize → spread → explode)
+    // and all hash values are unchanged (DedupSpec pins kernel parity).
     spreadByKey(docs
       .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
       .filter(size(col("toks")) >= n), "doc_id")
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, size(toks) - $n)")).as("i"))
       .select(col("doc_id"),
-        expr(Hashing.hash64(s"($cat)")).as("h1"),
-        expr(Hashing.hash64Hi(s"($cat)")).as("h2"))
-  }
+        explode(SketchExpressions.gramHashes(col("toks"), n)).as("g"))
+      .select(col("doc_id"), col("g.h1").as("h1"), col("g.h2").as("h2"))
 
   /** MinHash signatures: k min-hashes over the shingle set, via
     * Kirsch-Mitzenmacher double hashing (`h_i = h1 + i·h2`, one md5 per
@@ -432,10 +433,20 @@ object Dedup {
     // propagation step is a single edge⋈label join + aggregate — no second
     // join back against the label table. Duplicate edges are harmless
     // under `min`, so no distinct pass is spent on them.
-    val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
-      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
-      .union(pairs.select(col("doc_a").as("doc_id"), col("doc_a").as("nbr")))
-      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_b").as("nbr")))
+    //
+    // explode, NOT a 4-way union of selects over `pairs`: the union form
+    // duplicated the whole candidate-generation subtree (band self-join +
+    // distinct — the expensive part) FOUR times inside this eager
+    // checkpoint job, since neither ReuseExchange nor AQE dedupes sibling
+    // union branches. One explode per pair row emits the identical edge
+    // multiset from a single execution of the pair pipeline (r19; the
+    // same one-subtree-per-plan finding as bandRows' localCheckpoint).
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
+        struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr")),
+        struct(col("doc_a").as("doc_id"), col("doc_a").as("nbr")),
+        struct(col("doc_b").as("doc_id"), col("doc_b").as("nbr")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"))
       .localCheckpoint(true)
     // The checkpoint already materialized the edge list, so this count is
     // a cached-RDD scan, not a recompute; 4 edge rows per pair.
@@ -859,17 +870,16 @@ object Dedup {
     * expression codegen'd — but the position survives, because substring
     * dedup needs to know WHERE the duplicate sits, not just that it
     * exists. */
-  private[graft] def positionalGramRows(docs: DataFrame, k: Int): DataFrame = {
-    val cat = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+  private[graft] def positionalGramRows(docs: DataFrame, k: Int): DataFrame =
+    // same one-pass gram_hashes kernel as [[shingleRows]] (r19), position
+    // kept — substring dedup needs WHERE the duplicate sits
     spreadByKey(docs
       .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
       .filter(size(col("toks")) >= k), "doc_id")
-      .select(col("doc_id"), col("toks"),
-        explode(expr(s"sequence(0, size(toks) - $k)")).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr(Hashing.hash64(s"($cat)")).as("h1"),
-        expr(Hashing.hash64Hi(s"($cat)")).as("h2"))
-  }
+      .select(col("doc_id"),
+        explode(SketchExpressions.gramHashes(col("toks"), k)).as("g"))
+      .select(col("doc_id"), col("g.i").as("i"),
+        col("g.h1").as("h1"), col("g.h2").as("h2"))
 
   /** Exact substring-level dedup, detection half: the maximal cross-corpus
     * duplicated token spans of each document — the sliding-window form of

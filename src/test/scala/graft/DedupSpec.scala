@@ -64,6 +64,45 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("one-pass gram_hashes is bit-identical to the exploded concat pipeline") {
+    // r19 replaced shingleRows/positionalGramRows' sequence-explode →
+    // per-gram `toks[i] || ' ' || …` → md5-hex → conv(substring) with one
+    // incremental-digest pass per document; every shingle-family surface
+    // (ngram Jaccard, decontamination eval arrays, substring dedup)
+    // inherits the hashes, so parity must be EXACT — pinned against the
+    // legacy formula inlined verbatim, over the real fixture plus ragged
+    // edge docs (leading/trailing whitespace → empty tokens).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edge = Seq((900001L, "a b"), // < n tokens at n=3: no grams
+      (900002L, "  leading and trailing whitespace padded text here  "),
+      (900003L, "exactly three tokens"),
+      (900004L, "multi   interior    spaces collapse to empty tokens"))
+      .toDF("doc_id", "text")
+    val fixture = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    for (n <- Seq(3, 8)) {
+      val got = Dedup.positionalGramRows(fixture, n)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val cat = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+      val want = fixture
+        .select(col("doc_id"),
+          expr(graft.operators.TextAnalysis.tokensExpr).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, size(toks) - $n)")).as("i"))
+        .select(col("doc_id"), col("i").cast("int").as("i"),
+          expr(graft.functions.Hashing.hash64(s"($cat)")).as("h1"),
+          expr(graft.functions.Hashing.hash64Hi(s"($cat)")).as("h2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === want, s"n=$n: gram hashes drifted from the legacy " +
+        s"concat pipeline (${got.size} vs ${want.size} rows)")
+    }
+  }
+
   test("one-pass minhash_sig is bit-identical to the exploded SQL pipeline") {
     // round 13 replaced minhashSignatures' explode → per-shingle md5 →
     // groupBy(doc) shuffle with one codegen'd pass per document; every

@@ -153,5 +153,11 @@ class SketchSpec extends GraftSuite {
       assert(slice.getOrElse(t, 0L) >= exact.getOrElse(t, 0L),
         s"slice sketch undercounts $t")
     }
+    // geometry refusal survives the r19 single-job fold: a view built at
+    // (4, 1024) probed as (4, 512) must be refused, not mis-indexed
+    val refused = intercept[IllegalArgumentException] {
+      CmsSketch.rollupCounts(view, targets, d = 4, w = 512)
+    }
+    assert(refused.getMessage.contains("geometry"))
   }
 }
