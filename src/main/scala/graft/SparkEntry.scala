@@ -221,7 +221,15 @@ object SparkEntry {
     // salted fact⋈dim join (dim replicated per salt) — must equal the
     // plain join exactly; aggregated to brand revenue for a stable oracle
     "q_salted_join" -> ((s, d) =>
-      Skew.saltedJoin(Tables.lineitem(s, d), Tables.part(s, d),
+      // fact side projected to the 4 needed columns and spread across the
+      // cluster when the scan under-parallelizes (same floor as q1_agg —
+      // the salted probe + decimal partial agg otherwise run single-task
+      // on the single-row-group fixture; no-op at scale)
+      Skew.saltedJoin(
+          operators.Dedup.spreadByKey(
+            Tables.lineitem(s, d).select(col("l_partkey"), col("l_orderkey"),
+              col("l_extendedprice"), col("l_discount")), "l_orderkey"),
+          Tables.part(s, d),
           "l_partkey", "p_partkey", col("l_orderkey"), salts = 8)
         .groupBy(col("p_brand"))
         .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
@@ -760,6 +768,13 @@ object SparkEntry {
     // Headline TPC-H-style pricing summary (bench headline; exercises
     // multi-column grouped agg with exact decimal sums at scale)
     "q1_agg" -> ((s, d) => {
+      // r20 audit: a spreadByKey parallelism floor was tried here and
+      // REVERTED — without a pre-shuffle partial aggregate the exchange
+      // carries the raw 600k rows, and serializing them in the (single
+      // real task) scan stage cost more than it saved (1.12 s → 1.25 s
+      // measured). The query stays scan-stage-bound on the fixture's
+      // single-row-group file; the aggregation itself (BigDecimal-backed
+      // >18-digit sum buffers) is the per-row cost.
       val li = Tables.lineitem(s, d)
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(

@@ -104,7 +104,12 @@ object Analytics {
   /** Revenue per part brand, top-k — part is a dimension that scales with
     * sf, so join strategy is left to AQE/threshold (BHJ while it fits). */
   def topBrandsByRevenue(s: SparkSession, d: String, k: Int = 5): DataFrame =
-    Tables.lineitem(s, d)
+    // fact side projected + spread (scan-parallelism floor, no-op at
+    // scale): the broadcast-join probe and decimal partial agg otherwise
+    // run inside the single-row-group fixture's one-task scan stage
+    Dedup.spreadByKey(
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_extendedprice"),
+          col("l_discount")), "l_partkey")
       .join(Tables.part(s, d),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))

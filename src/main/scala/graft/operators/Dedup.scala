@@ -61,8 +61,20 @@ object Dedup {
     * aggregate's required distribution: the post-explode exchange is
     * elided and the net exchange count is unchanged. The explicit partition
     * count keeps AQE from coalescing the tiny-by-bytes (but CPU-dense)
-    * partitions back down to one. */
-  private[graft] def spreadByKey(df: DataFrame, key: String): DataFrame = {
+    * partitions back down to one.
+    *
+    * `bytesPerTask` (r20) sizes the repartition from the INPUT BYTES
+    * instead of always fanning to defaultParallelism: a stage whose kernel
+    * burns ~0.2 s/MB gets nothing from 32 near-empty partitions — every
+    * downstream stage over the spread (or its checkpoint) inherits the
+    * partition count and pays the per-task fixed costs 32× (measured: the
+    * r20 flat-p spread REGRESSED q_dedup_incremental 0.70 → 1.00 s, whose
+    * quarter-corpus sides spread 0.6 MB across 32 tasks). Callers pass a
+    * value matched to their kernel's CPU density; the count is always
+    * capped at defaultParallelism, so at 8 cores the floor still yields
+    * 8-way spreads and at warehouse scale the floor never fires at all. */
+  private[graft] def spreadByKey(df: DataFrame, key: String,
+                                 bytesPerTask: Long = 256L << 10): DataFrame = {
     // Streaming inputs skip the floor: `.rdd` is illegal on a streaming
     // DataFrame, and a microbatch's scan parallelism comes from its source
     // partitions (Kafka topic partitions at prod scale). Batch callers
@@ -70,7 +82,14 @@ object Dedup {
     // and get the floor as usual.
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (!scanParallelismBelow(df, p)) df else df.repartition(p, col(key))
+    if (!scanParallelismBelow(df, p)) df
+    else {
+      val parts = fileScanBytes(df)
+        .map(b => math.min(p.toLong,
+          math.max(1L, (b + bytesPerTask - 1) / bytesPerTask)).toInt)
+        .getOrElse(p)
+      df.repartition(parts, col(key))
+    }
   }
 
   /** Would `df`'s scan give fewer than `p` partitions? — the spreadByKey /
@@ -91,24 +110,30 @@ object Dedup {
     * the old behavior). Non-file leaves (in-memory microbatch frames,
     * checkpointed RDDs) keep the precise RDD probe: their stats carry no
     * usable size and their physical planning is cheap. */
-  private[graft] def scanParallelismBelow(df: DataFrame, p: Int): Boolean = {
+  /** Total FileIndex bytes under `df` when it is a plain scan + narrow ops
+    * (Project/Filter) over a file source; None otherwise. Fast-path only
+    * for shapes that cannot CHANGE the partitioning — anything else
+    * (repartition, join, agg, in-memory leaf) keeps the precise RDD probe
+    * in [[scanParallelismBelow]], preserving the referential no-op
+    * contract for already-repartitioned inputs (PlanSpec). */
+  private[graft] def fileScanBytes(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project, SubqueryAlias}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    // Fast path only for scan + narrow ops (Project/Filter): anything that
-    // could CHANGE the partitioning (repartition, join, agg, in-memory
-    // leaf) keeps the precise RDD probe, preserving the referential no-op
-    // contract for already-repartitioned inputs (PlanSpec).
-    def fileScanBytes(plan: LogicalPlan): Option[Long] = plan match {
+    def walk(plan: LogicalPlan): Option[Long] = plan match {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => Some(fs.location.sizeInBytes)
         case _ => None
       }
-      case pr: Project => fileScanBytes(pr.child)
-      case f: LFilter => fileScanBytes(f.child)
-      case a: SubqueryAlias => fileScanBytes(a.child)
+      case pr: Project => walk(pr.child)
+      case f: LFilter => walk(f.child)
+      case a: SubqueryAlias => walk(a.child)
       case _ => None
     }
-    fileScanBytes(df.queryExecution.logical) match {
+    walk(df.queryExecution.logical)
+  }
+
+  private[graft] def scanParallelismBelow(df: DataFrame, p: Int): Boolean = {
+    fileScanBytes(df) match {
       case Some(bytes) =>
         val conf = df.sparkSession.sessionState.conf
         val maxSplit = math.min(conf.filesMaxPartitionBytes,
@@ -127,7 +152,7 @@ object Dedup {
     // and all hash values are unchanged (DedupSpec pins kernel parity).
     spreadByKey(docs
       .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
-      .filter(size(col("toks")) >= n), "doc_id")
+      .filter(size(col("toks")) >= n), "doc_id", bytesPerTask = 32L << 10)
       .select(col("doc_id"),
         explode(SketchExpressions.gramHashes(col("toks"), n)).as("g"))
       .select(col("doc_id"), col("g.h1").as("h1"), col("g.h2").as("h2"))
@@ -146,7 +171,13 @@ object Dedup {
     * keeps its values. Sub-n-token documents yield no signature, exactly
     * like the old `size(toks) >= n` filter. */
   def minhashSignatures(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
+    // Same scan-parallelism floor as shingleRows (r20): the signature pass
+    // is the CPU-dense half of every MinHash surface (one md5 per shingle)
+    // and a single-row-group fixture file otherwise computes it all on one
+    // core (q_minhash_pairs measured a 414 ms one-task stage at sf0.1). At
+    // warehouse scale the scan has thousands of splits and this no-ops.
+    spreadByKey(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
         SketchExpressions.minhashSig(col("text"), k, n).as("sig"))
       .filter(col("sig").isNotNull)
 
@@ -174,9 +205,19 @@ object Dedup {
     * stream's collisions from the batch twin's. NOT checkpointed
     * (callers decide; the streaming consumers checkpoint per batch). */
   def bandSigRows(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                  n: Int = 3): DataFrame = {
+                  n: Int = 3): DataFrame =
+    bandsFromSigs(minhashSignatures(docs, k, n), k, bands)
+
+  /** The banding step of [[bandSigRows]] over an EXISTING `(doc_id, sig)`
+    * table — factored out (r20) so a caller that already holds a
+    * checkpointed signature table ([[minhashJaccardEstimate]]) derives its
+    * bands from it instead of running the signature pipeline a second
+    * time. Still the single band-key construction for every MinHash
+    * surface. */
+  private[graft] def bandsFromSigs(sigs: DataFrame, k: Int,
+                                   bands: Int): DataFrame = {
     val rpb = k / bands
-    minhashSignatures(docs, k, n)
+    sigs
       .select(col("doc_id"), col("sig"), expr(
         s"""explode(transform(sequence(0, ${bands - 1}), b -> struct(
            |  b AS band_id,
@@ -406,8 +447,9 @@ object Dedup {
     * result through a single identity-label anti-join at the end.
     *
     * ADAPTIVE SMALL-SIDE PATH — the broadcast-join analog: when the pair
-    * set is below `maxDriverPairs` (known for free from the materialized
-    * edge checkpoint), labels come from a driver union-find in one pass
+    * set is below `maxDriverPairs` (known for free from an observe()
+    * metric riding the pair checkpoint job), labels come from a driver
+    * union-find in one pass
     * instead of ~10 scheduled propagation rounds. Near-dup pair sets are
     * usually orders of magnitude smaller than the corpus, so this is the
     * common case at every scale — and exactly the kind of size-conditional
@@ -428,42 +470,60 @@ object Dedup {
     def release(ds: DataFrame): Unit =
       org.apache.spark.sql.GraftColumnBridge.checkpointRdd(ds)
         .foreach(_.unpersist(false))
+    // Checkpoint the PAIRS, not the exploded edge list (r20): the driver
+    // path collects exactly the pair rows, the distributed path re-derives
+    // its edges from the cached pairs with a per-job explode (a projection
+    // over the cached RDD — trivial CPU, no extra job), and the cached
+    // footprint is 1/4 the rows. The pair COUNT rides the checkpoint job
+    // as an observe() metric (same task-side-accumulator trick as the
+    // fixpoint's convergence signal below), so the separate edges.count()
+    // job the r19 shape paid per call is gone.
+    val observed = pairs.select(col("doc_a"), col("doc_b"))
+      .observe("pairs", count(lit(1)).as("n"))
+    val pairsCk = observed.localCheckpoint(true)
+    val nPairs: Long = observed.queryExecution.observedMetrics.get("pairs")
+      .map(_.getLong(0))
+      // metric missing would be a Spark-internals change; fall back to the
+      // cached-RDD count rather than guessing a path
+      .getOrElse(pairsCk.count())
+    if (nPairs <= maxDriverPairs) {
+      val labels = driverUnionFind(
+        pairsCk.collect().map(r => (r.getLong(0), r.getLong(1))))
+      release(pairsCk)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      // tiny relation: Catalyst broadcasts it into the anti-join below.
+      // coalesce(1): a LocalTableScan otherwise parallelizes its handful
+      // of driver rows across defaultParallelism slices, and every slice
+      // of any DOWNSTREAM exchange pays the per-map-task shuffle-write
+      // setup (q_cluster_sizes measured 3.2 s of executor time writing a
+      // 77 KB exchange from 32 near-empty union slices). The table is
+      // driver-memory-bounded by construction (≤ maxDriverPairs rows), so
+      // one partition is right at any scale.
+      val labelDf = labels.toSeq.toDF("doc_id", "canonical_id").coalesce(1)
+      val untouched = docs.select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("canonical_id"))
+      return labelDf.union(untouched)
+    }
     // Both directions PLUS self-loops: with (x, x) present, each round's
     // min-over-neighbor-labels already includes the doc's own label, so the
     // propagation step is a single edge⋈label join + aggregate — no second
     // join back against the label table. Duplicate edges are harmless
     // under `min`, so no distinct pass is spent on them.
     //
-    // explode, NOT a 4-way union of selects over `pairs`: the union form
-    // duplicated the whole candidate-generation subtree (band self-join +
-    // distinct — the expensive part) FOUR times inside this eager
-    // checkpoint job, since neither ReuseExchange nor AQE dedupes sibling
-    // union branches. One explode per pair row emits the identical edge
-    // multiset from a single execution of the pair pipeline (r19; the
-    // same one-subtree-per-plan finding as bandRows' localCheckpoint).
-    val edges = pairs.select(explode(array(
+    // explode over the checkpointed pairs, NOT a 4-way union of selects
+    // over `pairs`: the union form duplicated the whole candidate
+    // generation subtree (band self-join + distinct — the expensive part)
+    // FOUR times, since neither ReuseExchange nor AQE dedupes sibling
+    // union branches (r19; the same one-subtree-per-plan finding as
+    // bandRows' localCheckpoint).
+    val edges = pairsCk.select(explode(array(
         struct(col("doc_a").as("doc_id"), col("doc_b").as("nbr")),
         struct(col("doc_b").as("doc_id"), col("doc_a").as("nbr")),
         struct(col("doc_a").as("doc_id"), col("doc_a").as("nbr")),
         struct(col("doc_b").as("doc_id"), col("doc_b").as("nbr")))).as("e"))
       .select(col("e.doc_id").as("doc_id"), col("e.nbr").as("nbr"))
-      .localCheckpoint(true)
-    // The checkpoint already materialized the edge list, so this count is
-    // a cached-RDD scan, not a recompute; 4 edge rows per pair.
-    if (edges.count() <= 4L * maxDriverPairs) {
-      val labels = driverUnionFind(
-        edges.filter(col("doc_id") < col("nbr")).collect()
-          .map(r => (r.getLong(0), r.getLong(1))))
-      release(edges)
-      val spark = docs.sparkSession
-      import spark.implicits._
-      // tiny relation: Catalyst broadcasts it into the anti-join below
-      val labelDf = labels.toSeq.toDF("doc_id", "canonical_id")
-      val untouched = docs.select(col("doc_id"))
-        .join(labelDf, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("canonical_id"))
-      return labelDf.union(untouched)
-    }
     // Initial labels fuse round 1's propagation into the init aggregate:
     // with l0(x) = x, the first round's min-over-neighbors is just
     // min(nbr), which the self-loops already cap at the doc's own id — one
@@ -519,7 +579,7 @@ object Dedup {
       prevSum = sumNow
       iter += 1
     }
-    release(edges)
+    release(pairsCk)
     // Docs untouched by any pair are their own canonical; they never enter
     // the loop. (The final `labels` checkpoint stays cached — it backs both
     // branches of the returned plan — and is reclaimed by the
@@ -700,7 +760,22 @@ object Dedup {
   def minhashJaccardEstimate(docs: DataFrame, k: Int = 16, bands: Int = 4,
                              n: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, k, n).localCheckpoint(false)
-    minhashCandidatePairs(docs, k, bands, n)
+    // Candidate pairs from bands DERIVED FROM THE CACHED SIGNATURES (r20):
+    // calling minhashCandidatePairs(docs, …) here ran the whole signature
+    // pipeline a second time inside bandRows (ReuseExchange never dedupes
+    // the two sibling subtrees — the same finding that motivated bandRows'
+    // own checkpoint). Same band construction, same join, same distinct —
+    // identical pairs, one signature pass.
+    val rows = bandsFromSigs(sigs, k, bands)
+      .select(col("doc_id"), col("band_id"), col("band_key"))
+      .localCheckpoint(false)
+    val pairs = rows.alias("a").join(rows.alias("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
@@ -875,7 +950,7 @@ object Dedup {
     // kept — substring dedup needs WHERE the duplicate sits
     spreadByKey(docs
       .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
-      .filter(size(col("toks")) >= k), "doc_id")
+      .filter(size(col("toks")) >= k), "doc_id", bytesPerTask = 32L << 10)
       .select(col("doc_id"),
         explode(SketchExpressions.gramHashes(col("toks"), k)).as("g"))
       .select(col("doc_id"), col("g.i").as("i"),

@@ -73,7 +73,16 @@ object Similarity {
   /** All pairs (a < b) with cosine above `threshold` — brute-force form;
     * compose with [[withLshBucket]] candidates for the 100 TB path. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    // Parallelism floor on the STREAMED side (r20): the nested-loop join
+    // scores N²/2 cosine pairs inside the stream side's scan stage, and a
+    // single-row-group fixture file runs that entire O(N²·dim) loop on one
+    // core. Spreading the streamed side costs one tiny (id, vector)
+    // shuffle at fixture scale and no-ops at warehouse scale (the guarded
+    // brute-force form is only for corpora small enough to N² anyway —
+    // the LSH/IVF forms are the 100 TB path).
+    val a = Dedup.spreadByKey(
+      emb.select(col("vec_id").as("vec_a"), col("embedding").as("va")), "vec_a",
+      bytesPerTask = 16L << 10) // O(N²) work per byte — spread aggressively
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("score", cosine(col("va"), col("vb")))

@@ -269,6 +269,31 @@ class PlanSpec extends GraftSuite {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("scan-parallelism floor sizes the spread from input bytes (r20)") {
+    val p = spark.sparkContext.defaultParallelism
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    // file-scan input: partition count = ceil(bytes / bytesPerTask), capped
+    // at defaultParallelism — never 32 near-empty partitions for a small
+    // input, never fewer when the kernel is dense (tiny bytesPerTask)
+    val bytes = graft.operators.Dedup.fileScanBytes(docs).get
+    val big = 1L << 40 // one task's worth no matter the fixture size
+    val one = graft.operators.Dedup.spreadByKey(docs, "doc_id", big)
+    assert(one.rdd.getNumPartitions == 1,
+      "huge bytesPerTask must yield a single partition")
+    val dense = graft.operators.Dedup.spreadByKey(docs, "doc_id", 1L)
+    assert(dense.rdd.getNumPartitions == p,
+      "tiny bytesPerTask must cap at defaultParallelism")
+    val mid = math.max(1L, bytes / 2)
+    val two = graft.operators.Dedup.spreadByKey(docs, "doc_id", mid)
+    val expected = math.min(p.toLong, (bytes + mid - 1) / mid)
+    assert(two.rdd.getNumPartitions == expected,
+      s"bytes=$bytes per=$mid expected=$expected")
+    // non-file inputs (no byte estimate) keep the full-parallelism floor
+    val local = docs.coalesce(1)
+    assert(graft.operators.Dedup.spreadByKey(local, "doc_id", big)
+      .rdd.getNumPartitions == p)
+  }
+
   test("simhash is a zero-shuffle projection with the native signature") {
     // r19: the explode → 32-aggregate groupBy (and with it the scan floor
     // and its exchange) was replaced by the one-pass simhash_sig
